@@ -1,0 +1,122 @@
+"""SparkSession construction and fixture-table loading.
+
+Scale notes: every config here is chosen so the same code runs unchanged on a
+1000-executor cluster — AQE handles runtime re-planning (partition coalescing,
+skew-join splitting), shuffle partitions default to cores locally but are a
+plain conf knob for a cluster, and Arrow is enabled for the few Pandas-UDF
+operators (similarity / multimodal paths).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins at any SF:
+# region is 5 rows and nation 25 rows at every TPC-H scale factor.
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def get_spark(
+    app_name: str = "kinesis-data-counter-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    - UTC session timezone: required for oracle parity (DuckDB timestamps are
+      UTC-naive) and for epoch-aligned tumbling windows (reference run.go:148-159
+      truncates wall-clock time, which is epoch-aligned for sub-day windows).
+    - AQE on: runtime partition coalescing + skew-join handling — this is the
+      100TB insurance policy for skewed group keys.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the conf this engine depends on to an externally-created session.
+
+    The driver harness passes us its own SparkSession; window arithmetic and
+    unix_millis are epoch-based (TZ-independent), but timestamp-literal parsing
+    and date extraction are session-TZ dependent, so pin UTC defensively.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for k, v in (
+        ("spark.sql.adaptive.enabled", "true"),
+        # fixture events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos
+        # timestamp — read as long and convert explicitly in load_tables
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be locked down
+            pass
+    return spark
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load the fixture parquet tables from an sf directory.
+
+    Column pruning + predicate pushdown reach the parquet scan automatically
+    because callers express everything declaratively on these DataFrames.
+    """
+    from pyspark.sql import functions as F  # local to avoid import cycles
+    from pyspark.sql import types as T
+
+    configure_session(spark)
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        # TIMESTAMP(NANOS) columns arrive as LONG nanos (nanosAsLong conf);
+        # convert with integer division — DuckDB also truncates ns → µs, so
+        # the oracle sees identical instants.
+        for fld in df.schema.fields:
+            if fld.name in _NANO_TS_COLUMNS.get(name, ()) and isinstance(
+                fld.dataType, T.LongType
+            ):
+                df = df.withColumn(
+                    fld.name, F.timestamp_micros(F.expr(f"{fld.name} div 1000"))
+                )
+        out[name] = df
+    return out
+
+
+# fixture columns written as parquet TIMESTAMP(NANOS) (see TESTDATA.md)
+_NANO_TS_COLUMNS = {"events": ("ts",)}
