@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the reference's README headline:
+estimated unique users per tumbling window — README.md:70-77) at sf0.001.
+``queries()`` / ``oracle_sql()`` expose the full operator registry from
+``kinesis_data_counter_spark.plans.registry`` — one entry per implemented
+operator from SURVEY.md §2 plus the Phase-5 training-data pipeline ops.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kinesis_data_counter_spark.config import DEFAULT_RSD, CounterSpec  # noqa: E402
+from kinesis_data_counter_spark.operators.counter import build_counter  # noqa: E402
+from kinesis_data_counter_spark.plans.registry import QUERIES, oracle_sql_map  # noqa: E402
+from kinesis_data_counter_spark.session import load_tables  # noqa: E402
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: approx distinct users per 1-hour tumbling window (A3-A5)."""
+    tables = load_tables(spark, SF_SMOKE, ("events",))
+    spec = CounterSpec(
+        id="unique_user_count",
+        counter_type="approx_count_distinct",
+        target_column="user_id",
+        window="1 hour",
+        rsd=DEFAULT_RSD,
+        input_stream_arn="arn:aws:kinesis:us-east-1:111122223333:stream/events",
+    ).validate()
+    return build_counter(tables["events"], spec, ts_col="ts")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator (see SURVEY.md §2 and §7 Phase 5)."""
+    return {name: q.builder for name, q in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
+    return oracle_sql_map()

@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
+
+Each query is forced end-to-end with a noop write (full materialization, no
+driver collect overhead). Spark session build time is excluded; a warmup
+query primes the JVM/codegen before timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kinesis_data_counter_spark.plans.registry import QUERIES
+from kinesis_data_counter_spark.session import get_spark, load_tables
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: counter core, two-level sketch topology, relational breadth,
+# dedup family, similarity, text pipeline — the operators whose plans must
+# survive a 100 TB scale-up
+BENCH_QUERIES = [
+    "counter_count_all",
+    "counter_distinct_user",
+    "counter_two_level",
+    "counter_json_props",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "window_rank_orders",
+    "dedup_exact_props",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_lang_id",
+    "text_quality",
+    "multimodal_media",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="kdc-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + parquet footer caches + codegen
+    load_tables(spark, SF_DIR, ("events",))["events"].count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        q = QUERIES[name]
+        t0 = time.time()
+        df = q.builder(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,331 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference operators (SURVEY.md §7 Phase 5). All hot paths are built-in
+Catalyst expressions (no Python UDFs): shingling is ``transform``/``slice``
+over a split array, hashing is ``xxhash64``/``md5``, and the pair generation
+is an inverted-index equi-join on the shingle/band key — the standard
+scale-out formulation where the shuffle carries (key, doc) postings instead
+of the O(n²) pair matrix.
+
+Scale notes (100 TB):
+- exact dedup: one hash-shuffle on the content hash; AQE coalesces.
+- n-gram jaccard: candidate pairs come only from shared shingles; the
+  ``max_shingle_freq`` stop-shingle cut bounds the worst-case posting list
+  (a shingle shared by d docs emits d·(d-1)/2 pairs) — without it one viral
+  boilerplate line can produce a quadratic blowup on a 100 TB corpus.
+- MinHash-LSH: signature matrix is k min-aggregations over the posting list
+  (map-side partial min ⇒ shuffle volume = docs × k, independent of text
+  size); banding turns near-dup search into b equi-joins on 64-bit band
+  signatures.
+- SimHash: 64 sign-sums per doc; the banded (pigeonhole) join on 16-bit
+  chunks finds all pairs within hamming ≤ 3 without an O(n²) cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenize / shingle plumbing (shared by jaccard, minhash, simhash)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col):
+    """Canonical text form for exact dedup: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 5, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) postings: distinct n-word shingles per document.
+
+    Entirely built-in: split → sequence → transform(slice+join) →
+    array_distinct → explode. Documents shorter than n words contribute one
+    truncated shingle (matches the DuckDB oracle's slice semantics).
+    """
+    w = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(sh)).alias("shingle"),
+    )
+
+
+def _prune_frequent(postings: DataFrame, max_shingle_freq: int | None) -> DataFrame:
+    """Drop shingles appearing in more than ``max_shingle_freq`` docs.
+
+    Stop-shingle removal: boilerplate shared by a huge fraction of a corpus
+    creates quadratic candidate blowup while carrying no dedup signal.
+    """
+    if max_shingle_freq is None:
+        return postings
+    freq = postings.groupBy("shingle").agg(F.count("*").alias("df_"))
+    keep = freq.filter(F.col("df_") <= max_shingle_freq).select("shingle")
+    return postings.join(keep, "shingle")
+
+
+# ---------------------------------------------------------------------------
+# D1. Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by content hash.
+
+    Returns one row per duplicated normalized text: (content_hash, n_dups,
+    canonical_id=min id, dup_ids sorted). Deterministic — safe for oracles —
+    unlike ``dropDuplicates`` whose surviving row is arbitrary.
+    One shuffle on the 128-bit content hash; never on the full text.
+    """
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col).alias("doc_id"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("canonical_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def deduplicate_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per normalized text (deterministic survivor)."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# D2. Exact n-gram Jaccard similarity join (inverted index)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All document pairs with n-gram-shingle Jaccard ≥ threshold.
+
+    Inverted-index algorithm: postings self-join on shingle → per-pair
+    intersection count → Jaccard from |A|+|B|-|A∩B|. The only shuffles are
+    the postings join (keyed by shingle) and the pair aggregation; doc-size
+    side tables join by doc_id (broadcast when small, AQE decides).
+    Output: (a_id, b_id, jaccard) with a_id < b_id.
+    """
+    post = _prune_frequent(shingles(df, text_col, n, id_col), max_shingle_freq)
+    sizes = post.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = post.alias("a")
+    b = post.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# D3. MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+# deterministic odd multipliers/offsets for the k hash family. The family
+# works in a 31-bit space: with h < 2^31 and a,b < 2^31, a·h + b < 2^63 —
+# no long overflow under Spark's ANSI arithmetic (a 61-bit Mersenne space
+# would overflow the multiply).
+_MERSENNE = (1 << 31) - 1
+_HASH_MASK = 0x7FFFFFFF
+
+
+def _hash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    rnd = []
+    x = seed
+    for _ in range(2 * k):
+        # xorshift64* — deterministic, no RNG dependency
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        rnd.append(x & _HASH_MASK)
+    return [(rnd[2 * i] | 1, rnd[2 * i + 1]) for i in range(k)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 128,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """(doc_id, sig: array<long>[num_hashes]) MinHash signature matrix.
+
+    One aggregation over the postings: k universal-hash permutations
+    h_i(x) = (a_i·x + b_i) mod M61 over the shingle's xxhash64. Partial min
+    per map task ⇒ shuffle volume = |docs| × k longs regardless of corpus
+    size. All JVM-side arithmetic in whole-stage codegen.
+    """
+    post = _prune_frequent(shingles(df, text_col, n, id_col), max_shingle_freq)
+    h = F.xxhash64("shingle").bitwiseAND(F.lit(_HASH_MASK))
+    mins = [
+        F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes))
+    ]
+    sig = post.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify: bool = True,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding (+ optional exact verify).
+
+    rows_per_band = num_hashes // bands; a pair collides in a band with
+    probability j^r, in any band 1-(1-j^r)^b — with (128, 32 bands, r=4) the
+    curve is ≈1 above j=0.8 and ≈0 below j=0.4. Candidates come from b
+    equi-joins on (band_id, xxhash64(band slice)); with verify=True each
+    candidate's true Jaccard is recomputed from postings so the output has
+    no false positives (recall is the only probabilistic part).
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n, text_col, id_col, max_shingle_freq)
+    # band structs built with a plan-time Python loop (bands is a small
+    # constant): slice positions must be literals for codegen anyway
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(F.slice("sig", bi * r + 1, r)).alias("bh"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    bands_df = sig.select(
+        "doc_id", F.explode(band_structs).alias("bs")
+    ).select("doc_id", "bs.band", "bs.bh")
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    exact = ngram_jaccard_pairs(
+        df, threshold=0.0, n=n, text_col=text_col, id_col=id_col,
+        max_shingle_freq=max_shingle_freq,
+    )
+    return cand.join(exact, ["a_id", "b_id"]).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# D4. SimHash with banded hamming join
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, simhash: long) 64-bit SimHash over n-gram shingles.
+
+    bit_i(doc) = sign of Σ_shingles (2·bit_i(h) − 1): 64 conditional sums per
+    doc — one aggregation, map-side partials, no UDF.
+    """
+    post = shingles(df, text_col, n, id_col)
+    h = F.xxhash64("shingle")
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(64)
+    ]
+    agg = post.groupBy("doc_id").agg(*sums)
+    bit_terms = [
+        F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long") * F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(63)  # keep sign bit clear so the value stays positive
+    ]
+    sim = bit_terms[0]
+    for t in bit_terms[1:]:
+        sim = sim + t
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs with SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into (max_hamming+1) chunks — any pair
+    within the radius agrees exactly on ≥1 chunk, so candidates come from
+    equi-joins on (chunk_id, chunk_value) instead of a cross join. Exact
+    hamming (bit_count of XOR) then filters candidates. This is the
+    scale-correct plan: shuffle keyed by 16-bit chunk values.
+    """
+    sig = simhash_signatures(df, n, text_col, id_col)
+    nchunks = max_hamming + 1
+    width = 64 // nchunks
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("chunk"),
+                F.shiftright(F.col("simhash"), ci * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("cv"),
+            )
+            for ci in range(nchunks)
+        ]
+    )
+    chunks = sig.select(
+        "doc_id", "simhash", F.explode(chunk_structs).alias("c")
+    ).select("doc_id", "simhash", "c.chunk", "c.cv")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, ["chunk", "cv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

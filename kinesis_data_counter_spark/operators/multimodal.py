@@ -1,0 +1,114 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Beyond-reference operators (SURVEY.md §7 Phase 5). The pattern for opaque
+media at 100 TB: payloads travel as ``binary`` columns with typed metadata
+alongside; decode / feature-extraction runs in ``mapInPandas`` so each Arrow
+batch of payload bytes is handed to Python exactly once — never row-at-a-time.
+
+The container ships no image/audio codecs, so the actual decode step is a
+STUB: ``decode_image``/``decode_audio`` raise NotImplementedError unless the
+optional libs exist. Everything around the stub is real and tested — schema,
+batch iteration, Arrow binary transfer, partition sizing — and
+``media_features`` computes deterministic byte-level features so the pipeline
+has an oracle-checkable output today.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Optional decoders — gate behind import-try (none are bundled here).
+try:  # pragma: no cover - not installed in this container
+    from PIL import Image  # type: ignore
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def decode_image(payload: bytes) -> Any:
+    """Decode an image payload. STUB: requires pillow (not bundled)."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires pillow; install it or use media_features()"
+        )
+    import io
+
+    return Image.open(io.BytesIO(payload))  # pragma: no cover
+
+
+def decode_audio(payload: bytes) -> Any:
+    """Decode an audio payload. STUB: no audio codec is bundled."""
+    raise NotImplementedError("audio decode requires soundfile/librosa (not bundled)")
+
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("head_byte", T.IntegerType()),
+    ]
+)
+
+FRAME_BYTES = 1024  # fake fixed-size frame for frame-sampling simulation
+
+
+def _feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per-Arrow-batch feature extraction over raw payload bytes.
+
+    Deterministic byte-level features stand in for real decode output:
+    payload size, simulated frame count (⌈size/FRAME_BYTES⌉ — where a real
+    pipeline would return sampled video frames), and the first byte (where
+    a real pipeline would sniff the container magic).
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        sizes = payloads.map(lambda b: len(b) if b is not None else 0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "size_bytes": sizes.astype("int64"),
+                "n_frames": ((sizes + FRAME_BYTES - 1) // FRAME_BYTES).astype("int64"),
+                "head_byte": payloads.map(
+                    lambda b: int(b[0]) if b else -1
+                ).astype("int32"),
+            }
+        )
+
+
+def media_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, size_bytes, n_frames, head_byte) via mapInPandas.
+
+    Input: any DataFrame with a binary ``payload_col``. The projection to
+    exactly (id, payload) happens before the Python stage so Arrow transfers
+    only what the extractor needs (column pruning across the UDF boundary is
+    manual — Spark can't prune inside Python).
+    """
+    slim = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(payload_col).alias("payload"),
+    )
+    return slim.mapInPandas(_feature_batches, MEDIA_FEATURE_SCHEMA)
+
+
+def documents_as_media(df: DataFrame) -> DataFrame:
+    """Adapter: wrap the documents fixture's text as a fake binary payload.
+
+    The fixtures carry no real media; UTF-8 bytes of ``text`` make a
+    deterministic payload so the binary plumbing runs (and has a SQL oracle:
+    size_bytes == octet_length(text))."""
+    return df.select(
+        F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
+    )

@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §7 Phase 5).
+
+Language-ID, quality scoring, token counting, and document fingerprinting —
+all pure built-in column expressions (codegen-eligible, zero Python in the
+hot path), each deliberately specified so the identical rule set is
+expressible in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword-hit heuristic.
+# Deliberately tiny and explicit: the oracle mirrors these lists verbatim.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "es": ("el", "la", "que", "de", "es"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("的", "是", "不", "了", "在"),
+}
+# deterministic tie order: higher score wins, then this priority
+LANG_PRIORITY = ("en", "de", "es", "fr", "zh")
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _word_hits(text: Column, words: tuple[str, ...]) -> Column:
+    """Number of tokens of ``text`` that are in ``words`` (whitespace split)."""
+    toks = F.split(F.lower(text), r"\s+")
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    return [(lang, _word_hits(text, ws)) for lang, ws in LANG_MARKERS.items()]
+
+
+def detect_language(text: Column) -> Column:
+    """Stopword-hit language ID: argmax of per-language marker counts.
+
+    Returns 'und' when no marker hits at all. Ties resolve by LANG_PRIORITY
+    order (deterministic, mirrored in the oracle SQL as a CASE chain).
+    """
+    scores = dict(lang_scores(text))
+    best: Column = F.lit("und")
+    best_score: Column = F.lit(0)
+    # priority order with strict >: the first language reaching the max wins
+    # ties (en beats de beats es ...), matching the oracle's CASE chain
+    for lang in LANG_PRIORITY:
+        s = scores[lang]
+        take = s > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (empty string → 0)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: count of word/number/punct chunks.
+
+    A BPE-like regex segmentation (letters runs, digit runs, single
+    punctuation marks) — the cheap proxy pipelines use to budget LLM token
+    counts without a tokenizer dependency.
+    """
+    chunks = F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(chunks)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-signal columns used for corpus filtering.
+
+    - n_tokens: whitespace tokens
+    - mean_token_len: characters per token
+    - punct_ratio: punctuation chars / chars
+    - stopword_ratio: English stopword tokens / tokens
+    - quality_ok: the composite keep/drop gate
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_chars_c = F.length(t)
+    punct = n_chars_c - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    stop_hits = _word_hits(t, STOPWORDS)
+    mean_tok = F.when(n_tok > 0, n_chars_c.cast("double") / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars_c > 0, punct.cast("double") / n_chars_c).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("mean_token_len", F.round(mean_tok, 4))
+        .withColumn("punct_ratio", F.round(punct_ratio, 4))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 4))
+        .withColumn(
+            "quality_ok",
+            (n_tok >= 5) & (mean_tok >= 2.0) & (mean_tok <= 20.0) & (punct_ratio <= 0.2),
+        )
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """128-bit content fingerprint of the normalized text (md5 hex).
+
+    Normalization = lowercase + whitespace collapse, same as exact dedup —
+    so fingerprint equality ⇔ exact-dup group membership.
+    """
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def rolling_hash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 8, stride: int = 4
+) -> DataFrame:
+    """Winnowing-style fingerprints: hash of every ``stride``-th ``window``-gram.
+
+    (doc_id, pos, fp) — the building block for plagiarism-style containment
+    detection. Built-ins only: sequence → transform(slice) → explode.
+    """
+    w = F.split(F.col(text_col), " ")
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(w) - (window - 1), F.lit(1)), F.lit(stride)
+    )
+    grams = F.transform(idx, lambda i: F.struct(
+        i.alias("pos"), F.xxhash64(F.array_join(F.slice(w, i, window), " ")).alias("fp")
+    ))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
+    ).select("doc_id", "g.pos", "g.fp")

@@ -1,0 +1,689 @@
+"""Query registry: every implemented operator as a (Spark builder, DuckDB
+oracle) pair — the contract surface consumed by ``__spark_entry__.py``.
+
+Each builder takes ``(spark, sf_dir)`` and returns a DataFrame; the paired
+oracle is ANSI SQL DuckDB runs over the same parquet tables. Column names are
+aliased identically on both sides (the driver's comparator sorts columns by
+name before hashing). Floating outputs are produced by exact decimal
+arithmetic + final round/cast so the two engines agree bit-for-bit;
+probabilistic operators (HLL, LSH) are compared via the within-tolerance
+boolean pattern — the oracle asserts the *property*, not the raw estimate
+(mirroring the reference's own ε ≤ 0.05 test oracle, counter_test.go:66).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_data_counter_spark.config import CounterSpec
+from kinesis_data_counter_spark.operators.counter import build_counter
+from kinesis_data_counter_spark.operators import dedup as DD
+from kinesis_data_counter_spark.operators import similarity as SIM
+from kinesis_data_counter_spark.operators import text as TX
+from kinesis_data_counter_spark.operators import multimodal as MM
+from kinesis_data_counter_spark.session import load_tables
+
+EVENTS_ARN = "arn:aws:kinesis:us-east-1:111122223333:stream/events"
+HLL_TOL = 0.05  # reference's accepted estimation error (counter_test.go:66)
+JACCARD_T = 0.8
+NGRAM = 5
+Q1_CUTOFF = "1998-09-02"
+Q3_DATE = "1998-01-01"
+
+
+@dataclass
+class QueryDef:
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def _tables(spark: SparkSession, sf_dir: str, *names: str):
+    t = load_tables(spark, sf_dir, names)
+    return [t[n] for n in names]
+
+
+# ---------------------------------------------------------------------------
+# window-shaping SQL fragments shared by the counter oracles
+# ---------------------------------------------------------------------------
+
+def _win_sql(unit: str = "hour", iv: str = "1 HOUR") -> tuple[str, str]:
+    return (
+        f"epoch_ms(date_trunc('{unit}', ts))",
+        f"epoch_ms(date_trunc('{unit}', ts) + INTERVAL {iv})",
+    )
+
+
+def _counter_oracle(value_sql: str, counter_id: str, counter_type: str,
+                    unit: str = "hour", iv: str = "1 HOUR", where: str = "") -> str:
+    ws, we = _win_sql(unit, iv)
+    return f"""
+SELECT '{EVENTS_ARN}' AS event_source_arn,
+       {ws} AS window_start,
+       {we} AS window_end,
+       '{counter_id}' AS counter_id,
+       '{counter_type}' AS counter_type,
+       {value_sql} AS value
+FROM events {where}
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Counter family (reference parity: SURVEY.md §2 A1-A8, F1-F8)
+# ---------------------------------------------------------------------------
+
+def _q_counter_count_all(spark, sf_dir):
+    (ev,) = _tables(spark, sf_dir, "events")
+    spec = CounterSpec(id="req_count", counter_type="count", target_column="*",
+                       window="1 hour", input_stream_arn=EVENTS_ARN).validate()
+    return build_counter(ev, spec, ts_col="ts")
+
+
+def _q_counter_count_column(spark, sf_dir):
+    (ev,) = _tables(spark, sf_dir, "events")
+    spec = CounterSpec(id="user_events", counter_type="count", target_column="user_id",
+                       window="1 hour", input_stream_arn=EVENTS_ARN).validate()
+    return build_counter(ev, spec, ts_col="ts")
+
+
+def _q_counter_count_expr(spark, sf_dir):
+    # boolean target_expr → nil/false rule (SURVEY.md §2.6.1)
+    (ev,) = _tables(spark, sf_dir, "events")
+    spec = CounterSpec(id="click_count", counter_type="count",
+                       target_expr='string_contains(event_type, "click")',
+                       window="1 hour", input_stream_arn=EVENTS_ARN).validate()
+    return build_counter(ev, spec, ts_col="ts")
+
+
+def _q_counter_count_expr_nonbool(spark, sf_dir):
+    # non-boolean expr → only nil excluded (0/'' still count)
+    (ev,) = _tables(spark, sf_dir, "events")
+    spec = CounterSpec(id="big_value_count", counter_type="count",
+                       target_expr="if(value > 100, value, nil)",
+                       window="1 day", input_stream_arn=EVENTS_ARN).validate()
+    return build_counter(ev, spec, ts_col="ts")
+
+
+def _q_counter_json_props(spark, sf_dir):
+    # schemaless/dynamic field access over the JSON props column (S4 analog)
+    (ev,) = _tables(spark, sf_dir, "events")
+    spec = CounterSpec(id="hot_props", counter_type="count",
+                       target_expr="if(cast(get_json_object(props, '$.k') as int) > 50, 1, nil)",
+                       window="1 day", input_stream_arn=EVENTS_ARN).validate()
+    return build_counter(ev, spec, ts_col="ts")
+
+
+def _q_counter_jq_reshape(spark, sf_dir):
+    (ev,) = _tables(spark, sf_dir, "events")
+    spec = CounterSpec(
+        id="req_count", counter_type="count", target_column="*", window="1 hour",
+        input_stream_arn=EVENTS_ARN,
+        jq_expr='{"time": .window_start, "name": "access_log.request_count", "value": .value}',
+    ).validate()
+    return build_counter(ev, spec, ts_col="ts")
+
+
+def _hll_ok(approx, exact):
+    return (F.abs(approx - exact) <= F.greatest(F.lit(1.0), F.lit(HLL_TOL) * exact)).alias("ok")
+
+
+def _q_counter_distinct_user(spark, sf_dir):
+    (ev,) = _tables(spark, sf_dir, "events")
+    agg = ev.groupBy(F.window("ts", "1 hour")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(16))).alias("approx"),
+        F.count_distinct("user_id").alias("exact"),
+    )
+    return agg.select(
+        F.unix_millis("window.start").alias("window_start"),
+        F.unix_millis("window.end").alias("window_end"),
+        _hll_ok(F.col("approx"), F.col("exact")),
+    )
+
+
+def _q_counter_distinct_expr(spark, sf_dir):
+    # distinct-mode expr projection: falsy values count, only nil skipped
+    from kinesis_data_counter_spark.expr import compile_target_expr
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    proj = compile_target_expr('if(string_contains(event_type, "click"), user_id, nil)')
+    agg = ev.groupBy(F.window("ts", "1 day")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(proj, F.lit(16))).alias("approx"),
+        F.count_distinct(proj).alias("exact"),
+    )
+    return agg.select(
+        F.unix_millis("window.start").alias("window_start"),
+        F.unix_millis("window.end").alias("window_end"),
+        _hll_ok(F.col("approx"), F.col("exact")),
+    )
+
+
+def _q_counter_two_level(spark, sf_dir):
+    # A6: partial HLL sketches per (window, shard) → cross-shard union →
+    # estimate, checked against the exact distinct per window
+    (ev,) = _tables(spark, sf_dir, "events")
+    sh = ev.withColumn("shard_id", F.pmod("user_id", F.lit(4)))
+    partial = sh.groupBy(F.window("ts", "1 hour"), "shard_id").agg(
+        F.hll_sketch_agg("user_id", F.lit(16)).alias("sketch")
+    )
+    merged = partial.groupBy("window").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx")
+    )
+    exact = ev.groupBy(F.window("ts", "1 hour")).agg(
+        F.count_distinct("user_id").alias("exact")
+    )
+    j = merged.join(exact, "window")
+    return j.select(
+        F.unix_millis("window.start").alias("window_start"),
+        F.unix_millis("window.end").alias("window_end"),
+        _hll_ok(F.col("approx"), F.col("exact")),
+    )
+
+
+def _q_counter_multi_fanout(spark, sf_dir):
+    # A7: several counters over one shared (cached) scan, results unioned
+    (ev,) = _tables(spark, sf_dir, "events")
+    s1 = CounterSpec(id="req_count", counter_type="count", target_column="*",
+                     window="1 day", input_stream_arn=EVENTS_ARN).validate()
+    s2 = CounterSpec(id="click_count", counter_type="count",
+                     target_expr='string_contains(event_type, "click")',
+                     window="1 day", input_stream_arn=EVENTS_ARN).validate()
+    return build_counter(ev, s1, ts_col="ts").unionByName(
+        build_counter(ev, s2, ts_col="ts")
+    )
+
+
+def _q_streaming_counter(spark, sf_dir):
+    from kinesis_data_counter_spark.streaming.runner import run_counter_stream_once
+
+    spec = CounterSpec(id="req_count", counter_type="count", target_column="*",
+                       window="1 hour", input_stream_arn=EVENTS_ARN).validate()
+    return run_counter_stream_once(spark, f"{sf_dir}/events.parquet", spec)
+
+
+_COUNTER_ORACLES = {
+    "counter_count_all": _counter_oracle("count(*)", "req_count", "count"),
+    "counter_count_column": _counter_oracle("count(user_id)", "user_events", "count"),
+    "counter_count_expr": _counter_oracle(
+        "count(*) FILTER (contains(event_type, 'click'))", "click_count", "count"
+    ),
+    "counter_count_expr_nonbool": _counter_oracle(
+        "count(CASE WHEN value > 100 THEN value END)", "big_value_count", "count",
+        unit="day", iv="1 DAY",
+    ),
+    "counter_json_props": _counter_oracle(
+        "count(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50 THEN 1 END)",
+        "hot_props", "count", unit="day", iv="1 DAY",
+    ),
+    "counter_jq_reshape": """
+SELECT epoch_ms(date_trunc('hour', ts)) AS time,
+       'access_log.request_count' AS name,
+       count(*) AS value
+FROM events GROUP BY 1, 2
+""",
+    "counter_distinct_user": """
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start,
+       epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end,
+       true AS ok
+FROM events GROUP BY 1, 2
+""",
+    "counter_distinct_expr": """
+SELECT epoch_ms(date_trunc('day', ts)) AS window_start,
+       epoch_ms(date_trunc('day', ts) + INTERVAL 1 DAY) AS window_end,
+       true AS ok
+FROM events GROUP BY 1, 2
+""",
+    "counter_two_level": """
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start,
+       epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end,
+       true AS ok
+FROM events GROUP BY 1, 2
+""",
+    "counter_multi_fanout": f"""
+SELECT '{EVENTS_ARN}' AS event_source_arn,
+       epoch_ms(date_trunc('day', ts)) AS window_start,
+       epoch_ms(date_trunc('day', ts) + INTERVAL 1 DAY) AS window_end,
+       'req_count' AS counter_id, 'count' AS counter_type, count(*) AS value
+FROM events GROUP BY 1, 2, 3, 4, 5
+UNION ALL
+SELECT '{EVENTS_ARN}', epoch_ms(date_trunc('day', ts)),
+       epoch_ms(date_trunc('day', ts) + INTERVAL 1 DAY),
+       'click_count', 'count', count(*) FILTER (contains(event_type, 'click'))
+FROM events GROUP BY 1, 2, 3, 4, 5
+""",
+    "streaming_counter": _counter_oracle("count(*)", "req_count", "count"),
+}
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth (joins/sort/limit/set-ops/rollup/window functions —
+# categories the reference lacks, SURVEY.md §2.5; Spark provides natively)
+# ---------------------------------------------------------------------------
+
+def _dec(c: str, p: int = 12, s: int = 2):
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+def _q_tpch_q1(spark, sf_dir):
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_f = one - _dec("l_discount", 4, 2)
+    charge = _dec("l_extendedprice") * disc_f * (one + _dec("l_tax", 4, 2))
+    agg = (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(_dec("l_extendedprice") * disc_f), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return agg
+
+
+def _q_tpch_q3(spark, sf_dir):
+    cu, od, li = _tables(spark, sf_dir, "customer", "orders", "lineitem")
+    disc_f = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    j = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp"))
+            & (F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp"))
+        )
+    )
+    agg = (
+        j.groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(_dec("l_extendedprice") * disc_f), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+    return agg
+
+
+def _q_tpch_q5(spark, sf_dir):
+    cu, od, li, su, na, re = _tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    disc_f = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    j = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(su, (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey))
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.round(F.sum(_dec("l_extendedprice") * disc_f), 2).cast("double").alias("revenue"))
+    )
+
+
+def _q_orders_rollup(spark, sf_dir):
+    (od,) = _tables(spark, sf_dir, "orders")
+    return (
+        od.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+def _q_window_rank_orders(spark, sf_dir):
+    (od,) = _tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        od.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+def _q_set_ops_customers(spark, sf_dir):
+    cu, od = _tables(spark, sf_dir, "customer", "orders")
+    building = cu.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    frequent = (
+        od.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 10)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    negative = cu.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return building.intersect(frequent).exceptAll(negative)
+
+
+_RELATIONAL_ORACLES = {
+    "tpch_q1": f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY 1, 2
+""",
+    "tpch_q3": f"""
+SELECT o_orderkey, o_orderdate,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY 1, 2
+ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 10
+""",
+    "tpch_q5": """
+SELECT n_name,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+""",
+    "orders_rollup": """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    "window_rank_orders": """
+SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+""",
+    "set_ops_customers": """
+(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ INTERSECT
+ SELECT o_custkey AS c_custkey FROM orders GROUP BY 1 HAVING count(*) > 10)
+EXCEPT ALL
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+""",
+}
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (SURVEY.md §7 Phase 5)
+# ---------------------------------------------------------------------------
+
+def _q_dedup_exact_props(spark, sf_dir):
+    (ev,) = _tables(spark, sf_dir, "events")
+    d = ev.select(F.col("event_id").alias("doc_id"), F.col("props").alias("text"))
+    return DD.exact_duplicates(d).select("content_hash", "n_dups", "canonical_id")
+
+
+def _q_dedup_exact_docs(spark, sf_dir):
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return DD.exact_duplicates(docs).select("content_hash", "n_dups", "canonical_id")
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    (docs,) = _tables(spark, sf_dir, "documents")
+    p = DD.ngram_jaccard_pairs(docs, threshold=JACCARD_T, n=NGRAM)
+    return p.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    # LSH banding prunes candidates; exact verify removes false positives, so
+    # the output equals the exact-join oracle (miss probability at j=0.8 with
+    # 128 hashes / 32 bands ≈ 5e-8)
+    (docs,) = _tables(spark, sf_dir, "documents")
+    p = DD.minhash_lsh_pairs(docs, threshold=JACCARD_T, num_hashes=128, bands=32, n=NGRAM)
+    return p.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    # no independent SQL oracle exists for simhash (engine-specific xxhash64),
+    # so assert the banding invariant: the pigeonhole banded join finds
+    # exactly the pairs a brute-force hamming scan finds
+    (docs,) = _tables(spark, sf_dir, "documents")
+    banded = DD.simhash_pairs(docs, max_hamming=3, n=3)
+    sig = DD.simhash_signatures(docs, n=3)
+    a = sig.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"))
+    brute = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+        .select("a_id", "b_id")
+    )
+    n_banded = banded.count()
+    n_brute = brute.count()
+    n_match = banded.select("a_id", "b_id").join(brute, ["a_id", "b_id"]).count()
+    ok = n_banded == n_brute == n_match
+    return spark.createDataFrame([(bool(ok),)], "ok boolean")
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    (em,) = _tables(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(em, em.filter(F.col("vec_id") < 20), k=10)
+
+
+def _q_ann_lsh_recall(spark, sf_dir):
+    # the fixture embeddings are near-isotropic (rank-10 neighbor cosine
+    # ≈ 0.26 — no planted cluster structure), which is the worst case for
+    # any ANN index; the recall floor is set for that regime. 16 tables ×
+    # 8 bits + multiprobe measures ≈ 0.85 recall here.
+    (em,) = _tables(spark, sf_dir, "embeddings")
+    res = SIM.ann_recall_check(
+        em, em.filter(F.col("vec_id") < 20), dim=64, k=10,
+        min_recall=0.6, num_bits=8, num_tables=16, multiprobe=True,
+    )
+    return res.select("ok")
+
+
+def _q_text_lang_id(spark, sf_dir):
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.detect_language(F.col("text")).alias("detected"))
+
+
+def _q_text_quality(spark, sf_dir):
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return TX.quality_features(docs).select(
+        "doc_id", "n_tokens", "mean_token_len", "punct_ratio", "stopword_ratio", "quality_ok"
+    )
+
+
+def _q_text_token_stats(spark, sf_dir):
+    (docs,) = _tables(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        TX.token_count(F.col("text")).alias("n_tok"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.sum("n_bpe").alias("sum_bpe_tokens"),
+    )
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(TX.fingerprint(F.col("text"))).alias("n_unique"),
+    )
+
+
+def _q_multimodal_media(spark, sf_dir):
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return MM.media_features(MM.documents_as_media(docs)).select(
+        "doc_id", "size_bytes", "n_frames"
+    )
+
+
+def _lang_id_oracle() -> str:
+    score_exprs = []
+    for lang, ws in TX.LANG_MARKERS.items():
+        inlist = ", ".join(f"'{w}'" for w in ws)
+        score_exprs.append(
+            f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x IN ({inlist}))) AS s_{lang}"
+        )
+    all_scores = ", ".join(f"s_{l}" for l in TX.LANG_PRIORITY)
+    case = "CASE WHEN greatest({a}) = 0 THEN 'und' ".format(a=all_scores)
+    for lang in TX.LANG_PRIORITY:
+        case += f"WHEN s_{lang} = greatest({all_scores}) THEN '{lang}' "
+    case += "END"
+    return f"""
+SELECT doc_id, {case} AS detected FROM (
+  SELECT doc_id, {', '.join(score_exprs)} FROM documents
+)
+"""
+
+
+def _quality_oracle() -> str:
+    stop_in = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+    return f"""
+SELECT doc_id, n_tokens,
+  round(CASE WHEN n_tokens > 0 THEN n_chars_c * 1.0 / n_tokens ELSE 0.0 END, 4) AS mean_token_len,
+  round(CASE WHEN n_chars_c > 0 THEN punct * 1.0 / n_chars_c ELSE 0.0 END, 4) AS punct_ratio,
+  round(CASE WHEN n_tokens > 0 THEN stop_hits * 1.0 / n_tokens ELSE 0.0 END, 4) AS stopword_ratio,
+  (n_tokens >= 5 AND n_chars_c * 1.0 / n_tokens >= 2.0 AND n_chars_c * 1.0 / n_tokens <= 20.0
+   AND punct * 1.0 / n_chars_c <= 0.2) AS quality_ok
+FROM (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+    length(text) AS n_chars_c,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+    len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x IN ({stop_in}))) AS stop_hits
+  FROM documents
+)
+"""
+
+
+_NORM_SQL = "regexp_replace(lower(trim({c})), '\\s+', ' ', 'g')"
+
+_JACCARD_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(w) - {NGRAM - 1}, 1)),
+               i -> array_to_string(w[i:i+{NGRAM - 1}], ' '))) AS sh
+      FROM t),
+sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      FROM s a JOIN s b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT a_id, b_id, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM i JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_T}
+"""
+
+_PIPELINE_ORACLES = {
+    "dedup_exact_props": f"""
+SELECT md5({_NORM_SQL.format(c='props')}) AS content_hash,
+       count(*) AS n_dups, min(event_id) AS canonical_id
+FROM events GROUP BY 1 HAVING count(*) > 1
+""",
+    "dedup_exact_docs": f"""
+SELECT md5({_NORM_SQL.format(c='text')}) AS content_hash,
+       count(*) AS n_dups, min(doc_id) AS canonical_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+    "dedup_ngram_jaccard": _JACCARD_ORACLE,
+    "dedup_minhash_lsh": _JACCARD_ORACLE,
+    "dedup_simhash": "SELECT true AS ok",
+    "ann_cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+        round(list_dot_product(qv, cv) /
+              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM s)
+SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 10
+""",
+    "ann_lsh_recall": "SELECT true AS ok",
+    "text_lang_id": _lang_id_oracle(),
+    "text_quality": _quality_oracle(),
+    "text_token_stats": r"""
+SELECT lang, count(*) AS n_docs,
+  sum(CASE WHEN trim(text) = '' THEN 0
+           ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS sum_tokens,
+  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS sum_bpe_tokens
+FROM documents GROUP BY 1
+""",
+    "text_fingerprint": f"""
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5({_NORM_SQL.format(c='text')})) AS n_unique
+FROM documents GROUP BY 1
+""",
+    "multimodal_media": """
+SELECT doc_id, octet_length(encode(text)) AS size_bytes,
+       (octet_length(encode(text)) + 1023) // 1024 AS n_frames
+FROM documents
+""",
+}
+
+
+# ---------------------------------------------------------------------------
+# Registry assembly
+# ---------------------------------------------------------------------------
+
+_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "counter_count_all": _q_counter_count_all,
+    "counter_count_column": _q_counter_count_column,
+    "counter_count_expr": _q_counter_count_expr,
+    "counter_count_expr_nonbool": _q_counter_count_expr_nonbool,
+    "counter_json_props": _q_counter_json_props,
+    "counter_jq_reshape": _q_counter_jq_reshape,
+    "counter_distinct_user": _q_counter_distinct_user,
+    "counter_distinct_expr": _q_counter_distinct_expr,
+    "counter_two_level": _q_counter_two_level,
+    "counter_multi_fanout": _q_counter_multi_fanout,
+    "streaming_counter": _q_streaming_counter,
+    "tpch_q1": _q_tpch_q1,
+    "tpch_q3": _q_tpch_q3,
+    "tpch_q5": _q_tpch_q5,
+    "orders_rollup": _q_orders_rollup,
+    "window_rank_orders": _q_window_rank_orders,
+    "set_ops_customers": _q_set_ops_customers,
+    "dedup_exact_props": _q_dedup_exact_props,
+    "dedup_exact_docs": _q_dedup_exact_docs,
+    "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+    "dedup_simhash": _q_dedup_simhash,
+    "ann_cosine_topk": _q_ann_cosine_topk,
+    "ann_lsh_recall": _q_ann_lsh_recall,
+    "text_lang_id": _q_text_lang_id,
+    "text_quality": _q_text_quality,
+    "text_token_stats": _q_text_token_stats,
+    "text_fingerprint": _q_text_fingerprint,
+    "multimodal_media": _q_multimodal_media,
+}
+
+_ORACLES: dict[str, str] = {**_COUNTER_ORACLES, **_RELATIONAL_ORACLES, **_PIPELINE_ORACLES}
+
+QUERIES: dict[str, QueryDef] = {
+    name: QueryDef(builder=fn, oracle=_ORACLES.get(name))
+    for name, fn in _BUILDERS.items()
+}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {n: q.oracle for n, q in QUERIES.items() if q.oracle is not None}

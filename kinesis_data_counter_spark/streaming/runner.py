@@ -1,0 +1,106 @@
+"""Structured Streaming parity layer.
+
+The reference's whole runtime contract — per-shard micro-batches, carried
+window state, final-invoke emission (counter.go:150-344, run.go:17-270) — is
+engine-managed in Structured Streaming: source offsets play GetRecords
+(S1/S2), the state store plays CounterState carry, the watermark plays
+IsFinalInvokeForWindow. The counter itself is the SAME pure transformation
+``build_counter`` used in batch (SURVEY.md §7 design stance).
+
+Two entry points:
+- ``stream_counter``: production shape — readStream → watermark →
+  build_counter → sink via ``foreachBatch`` dispatch (streaming/sinks.py).
+- ``run_counter_stream_once``: test/driver shape — run the stream over a
+  static parquet path with ``availableNow`` + complete mode into a memory
+  sink and hand back the result as a batch DataFrame, so streaming execution
+  is exercised inside the correctness gate with the same DuckDB oracle as
+  the batch path.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesis_data_counter_spark.config import CounterSpec
+from kinesis_data_counter_spark.operators.counter import build_counter
+from kinesis_data_counter_spark.session import configure_session
+
+
+def _read_stream(spark: SparkSession, path: str, ts_col: str) -> DataFrame:
+    """File-based streaming source with the fixture's nanos-timestamp quirk.
+
+    Schema comes from a batch peek (file sources need an explicit schema);
+    TIMESTAMP(NANOS) columns surface as LONG under ``nanosAsLong`` and are
+    converted exactly like the batch loader so both paths see identical data.
+    """
+    configure_session(spark)
+    batch = spark.read.parquet(path)
+    # the streaming file source requires a directory; a concrete file path
+    # becomes dir + pathGlobFilter so sibling tables in the fixture dir are
+    # not picked up
+    reader = spark.readStream.schema(batch.schema)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    sdf = reader.parquet(path)
+    if isinstance(sdf.schema[ts_col].dataType, T.LongType):
+        sdf = sdf.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    return sdf
+
+
+def stream_counter(
+    spark: SparkSession,
+    path: str,
+    spec: CounterSpec,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Unbounded counter: readStream → watermark → tumbling-window agg.
+
+    Append-mode semantics: a window's row is emitted once the watermark
+    passes ``window.end + watermark`` — the engine-managed analog of the
+    reference's IsFinalInvokeForWindow emission (counter.go:339-344), with
+    late-data tolerance the reference lacks (SURVEY.md §2.5).
+    Attach a sink with ``.writeStream`` / ``foreachBatch`` (see sinks.py).
+    """
+    sdf = _read_stream(spark, path, ts_col).withWatermark(ts_col, watermark)
+    return build_counter(sdf, spec, ts_col=ts_col, shard_col=shard_col)
+
+
+def run_counter_stream_once(
+    spark: SparkSession,
+    path: str,
+    spec: CounterSpec,
+    ts_col: str = "ts",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Run the streaming counter over a bounded path and return the result.
+
+    ``availableNow`` drains every file then stops; complete output mode emits
+    all windows (append would withhold windows past the final watermark —
+    documented difference, SURVEY.md §7 hard-part (d)). The memory sink
+    collects on the driver: test/driver harness only, not a production sink.
+    """
+    out = build_counter(
+        _read_stream(spark, path, ts_col), spec, ts_col=ts_col
+    )
+    name = f"counter_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive
+            q.stop()
+    return spark.table(name)

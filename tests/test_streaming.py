@@ -1,0 +1,87 @@
+"""Streaming parity + sink dispatch + JSON source tests."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesis_data_counter_spark.config import CounterSpec
+from kinesis_data_counter_spark.operators.counter import build_counter
+from kinesis_data_counter_spark.session import load_tables
+from kinesis_data_counter_spark.sources import parse_json_records, split_corrupt_records
+from kinesis_data_counter_spark.streaming.runner import run_counter_stream_once
+from kinesis_data_counter_spark.streaming.sinks import console_writer, writer_for_arn
+
+ARN = "arn:aws:kinesis:us-east-1:111122223333:stream/events"
+
+
+def test_stream_equals_batch(spark, sf_dir):
+    spec = CounterSpec(id="req", counter_type="count", target_column="*",
+                       window="1 hour", input_stream_arn=ARN).validate()
+    streamed = run_counter_stream_once(spark, f"{sf_dir}/events.parquet", spec)
+    batch = build_counter(load_tables(spark, sf_dir, ("events",))["events"], spec, ts_col="ts")
+    s = {(r.window_start, r.value) for r in streamed.collect()}
+    b = {(r.window_start, r.value) for r in batch.collect()}
+    assert s == b and len(s) > 0
+
+
+def test_console_writer_json_lines(spark):
+    df = spark.createDataFrame(
+        [(ARN, 0, 60000, "c", "count", None, 5)],
+        "event_source_arn string, window_start long, window_end long, "
+        "counter_id string, counter_type string, shard_id string, value long",
+    )
+    buf = io.StringIO()
+    console_writer(buf)(df, 0)
+    line = buf.getvalue().strip()
+    # shard_id omitted when empty (counter.go:423-425)
+    assert '"shard_id"' not in line
+    assert '"value":5' in line and '"counter_id":"c"' in line
+
+
+def test_writer_dispatch():
+    assert writer_for_arn(None).__qualname__.startswith("console_writer")
+    assert writer_for_arn("arn:aws:kinesis:r:1:stream/s", dry_run=True).__qualname__.startswith(
+        "console_writer"
+    )
+    k = writer_for_arn("arn:aws:kinesis:r:1:stream/s")
+    f = writer_for_arn("arn:aws:firehose:r:1:deliverystream/d")
+    assert k.__qualname__.startswith("kinesis_writer")
+    assert f.__qualname__.startswith("firehose_writer")
+    with pytest.raises(Exception):
+        writer_for_arn("arn:aws:s3:::bucket/x")
+
+
+def test_json_parse_corrupt_routing(spark):
+    df = spark.createDataFrame(
+        [("1", '{"user_id": 7, "path": "/"}'),
+         ("2", "not json at all"),
+         ("3", '{"user_id": 9}')],
+        "seq string, value string",
+    )
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("path", T.StringType())]
+    )
+    parsed = parse_json_records(df, schema, keep_cols=("seq",))
+    clean, failures = split_corrupt_records(parsed)
+    assert {r.seq for r in clean.collect()} == {"1", "3"}
+    fail_rows = failures.collect()
+    assert [r.seq for r in fail_rows] == ["2"]  # ≈ batchItemFailures
+    assert fail_rows[0]._corrupt_record == "not json at all"
+
+
+def test_two_level_sketch_roundtrip_via_binary(spark):
+    # A6 as a cross-job hand-off: sketches survive a write/read boundary
+    df = spark.createDataFrame(
+        [(i, i % 50) for i in range(1000)], "event_id long, user_id long"
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000)))
+    partial = df.groupBy(F.window("ts", "1 minute")).agg(
+        F.hll_sketch_agg("user_id", F.lit(16)).alias("sk")
+    )
+    merged = partial.groupBy("window").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    assert merged.collect()[0].est == pytest.approx(50, rel=0.05)

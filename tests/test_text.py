@@ -1,0 +1,75 @@
+"""Text-analysis operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_data_counter_spark.operators import text as TX
+
+
+def test_detect_language(spark):
+    rows = [
+        (1, "the cat and the dog of the house is here"),
+        (2, "der hund und die katze ist nicht hier"),
+        (3, "el perro es de la casa que vemos"),
+        (4, "le chat et les chiens des villes"),
+        (5, "xyzzy plugh quux"),  # no markers → und
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.d for r in df.select("doc_id", TX.detect_language(F.col("text")).alias("d")).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "und", 6: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "one two  three"), (2, ""), (3, "   "), (4, "don't stop, it's 42km!")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.ws, r.bpe)
+        for r in df.select(
+            "doc_id",
+            TX.token_count(F.col("text")).alias("ws"),
+            TX.bpe_ish_token_count(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    assert got[1] == (3, 3)
+    assert got[2][0] == 0
+    assert got[3][0] == 0
+    # don ' t stop , it ' s 42 km !  → 11 bpe-ish chunks, 4 ws tokens
+    assert got[4] == (4, 11)
+
+
+def test_quality_features(spark):
+    good = "this is a perfectly reasonable sentence with enough words to pass"
+    bad_punct = "!!! ??? ;;; ::: !!!"
+    short = "too short"
+    df = spark.createDataFrame(
+        [(1, good), (2, bad_punct), (3, short)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in TX.quality_features(df).collect()}
+    assert got[1].quality_ok is True
+    assert got[2].quality_ok is False  # punct_ratio way over 0.2
+    assert got[3].quality_ok is False  # n_tokens < 5
+    assert got[1].stopword_ratio > 0
+    assert got[2].punct_ratio > 0.5
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    fps = [r.fp for r in df.select(TX.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_rolling_hash_fingerprints(spark):
+    text = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = TX.rolling_hash_fingerprints(df, window=8, stride=4).collect()
+    # positions 1, 5, 9, 13 (len-7=13 cap)
+    assert [r.pos for r in rows] == [1, 5, 9, 13]
+    assert len({r.fp for r in rows}) == len(rows)
