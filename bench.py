@@ -31,14 +31,19 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q18",
     "window_rank_orders",
     "dedup_exact_props",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "text_lang_id",
     "text_quality",
     "multimodal_media",
+    "json_bad_records",
+    "kpl_roundtrip",
 ]
 
 

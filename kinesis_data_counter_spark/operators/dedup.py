@@ -241,11 +241,39 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    exact = ngram_jaccard_pairs(
-        df, threshold=0.0, n=n, text_col=text_col, id_col=id_col,
-        max_shingle_freq=max_shingle_freq,
+    # Verify ONLY the candidate pairs: semi-join the postings down to docs
+    # that appear in some candidate, run the inverted-index intersection on
+    # that (much smaller) posting set, then keep candidate pairs only. At
+    # scale candidates ≪ corpus, so the exact-Jaccard work is proportional
+    # to the near-dup population, not the corpus — verifying against the
+    # full pair join would redo the O(corpus²-ish) work LSH exists to avoid.
+    # The candidate set is referenced twice below; persist it so the
+    # signature/banding pipeline above it executes once, not per reference.
+    cand = cand.persist()
+    cand_docs = cand.select(
+        F.explode(F.array("a_id", "b_id")).alias("doc_id")
+    ).distinct()
+    post = _prune_frequent(shingles(df, text_col, n, id_col), max_shingle_freq)
+    post_c = post.join(cand_docs, "doc_id")
+    sizes = post_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a2 = post_c.alias("a")
+    b2 = post_c.alias("b")
+    inter = (
+        a2.join(b2, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("c"))
+        .join(cand, ["a_id", "b_id"])  # only candidate pairs survive
     )
-    return cand.join(exact, ["a_id", "b_id"]).filter(F.col("jaccard") >= threshold)
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------

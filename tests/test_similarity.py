@@ -59,3 +59,51 @@ def test_dot_zero_and_orthogonal(spark):
     )
     r = df.select(SIM.dot(F.col("a"), F.col("b")).alias("d")).collect()[0]
     assert r.d == 0.0
+
+
+def test_embedding_near_dup_pairs_exact_parity(vectors):
+    # LSH+bucket-verify output must equal brute force at this tiny scale
+    from pyspark.sql import Window
+
+    exact = (
+        vectors.alias("a")
+        .join(vectors.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round(
+                SIM.batch_cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.9)
+    )
+    got = SIM.embedding_near_dup_pairs(
+        vectors, dim=4, threshold=0.9, num_bits=2, num_tables=16
+    )
+    e = {(r.a_id, r.b_id): r.sim for r in exact.collect()}
+    g = {(r.a_id, r.b_id): r.sim for r in got.collect()}
+    assert e == g and len(e) >= 2  # both clusters produce pairs
+
+
+def test_embedding_near_dup_max_bucket_size_guard(vectors):
+    # cap of 1 → every bucket dropped → no pairs survive
+    got = SIM.embedding_near_dup_pairs(
+        vectors, dim=4, threshold=0.0, num_bits=1, num_tables=2, max_bucket_size=1
+    )
+    assert got.count() == 0
+
+
+def test_ann_ivf_topk_matches_exact_on_clusters(vectors):
+    # 2 clear clusters; IVF with enough probes must find the same top-2
+    exact = SIM.cosine_topk(vectors, vectors, k=2)
+    ivf = SIM.ann_ivf_topk(vectors, vectors, dim=4, k=2, num_lists=3, nprobe=3)
+    e = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    i = {(r.query_id, r.rank): r.neighbor_id for r in ivf.collect()}
+    assert e == i
+
+
+def test_ivf_centroids_deterministic(vectors):
+    c1 = SIM.ivf_centroids(vectors, num_lists=2, dim=4)
+    c2 = SIM.ivf_centroids(vectors, num_lists=2, dim=4)
+    assert c1 == c2
+    assert all(len(v) == 4 for _, v in c1)
