@@ -1,0 +1,117 @@
+"""Temporal windowing beyond the reference's tumbling windows.
+
+The reference supports ONLY tumbling windows (README.md:44, run.go:148-159;
+SURVEY.md §2.5 lists sliding/session as absent). Spark provides both as
+first-class operators — exposing them makes the engine strictly more capable
+with zero custom code, and both keep the partial-agg → single-shuffle plan
+shape of the tumbling counter.
+
+Scale notes:
+- sliding windows multiply input rows by (size/slide) BEFORE the partial
+  aggregation (Spark expands each event into its covering windows); the
+  shuffle still carries only (window × group) partial rows.
+- session windows need a per-key sort inside the state/merge step; the
+  shuffle is keyed by the session key — high-cardinality keys parallelize,
+  a single global session key would not (document, don't hide).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sliding_count(
+    df: DataFrame,
+    ts_col: str = "ts",
+    size: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Event count per sliding window (epoch-aligned starts every ``slide``).
+
+    ``F.window(ts, size, slide)`` assigns each event to size/slide
+    overlapping windows; output shape matches the tumbling counter
+    (epoch-milli bounds).
+    """
+    return (
+        df.groupBy(F.window(ts_col, size, slide))
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(
+            F.unix_millis("window.start").alias("window_start"),
+            F.unix_millis("window.end").alias("window_end"),
+            F.col("value"),
+        )
+    )
+
+
+def session_count(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Per-key session windows: events within ``gap`` of each other merge.
+
+    ``F.session_window`` semantics: a session ends ``gap`` after its last
+    event (window.end = last_ts + gap); an event at exactly last_ts + gap
+    still MERGES (a new session starts only when the gap is exceeded).
+    Output: one row per (key, session) with epoch-milli bounds and the
+    event count.
+    """
+    return (
+        df.groupBy(F.col(key_col), F.session_window(ts_col, gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.unix_millis("session_window.start").alias("session_start"),
+            F.unix_millis("session_window.end").alias("session_end"),
+            F.col("n_events"),
+        )
+    )
+
+
+def salted_count(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    salt_buckets: int = 16,
+    salt_source: str = "event_id",
+) -> DataFrame:
+    """Two-stage skew-safe count per (window, group): salt → partial → merge.
+
+    The explicit form of the mitigation for a pathologically hot group key
+    (one key ≫ everything else): stage 1 groups by
+    (window, group, salt = hash(row) % buckets) so the hot key's rows spread
+    over ``salt_buckets`` reducers; stage 2 merges the per-salt partials.
+    For *counts* Spark's map-side partial aggregation already makes this
+    unnecessary; the pattern matters for aggregates whose partial state is
+    per-group-heavy (collect_list, exact distinct) and is exposed here as
+    the documented, oracle-checkable template. Same result as the unsalted
+    groupBy, two shuffles of (groups × buckets) rows.
+
+    ``salt_source`` must be a PER-ROW-varying column (an id, a sequence
+    number) — salting on the group key itself would hash a hot key to one
+    salt and spread nothing.
+    """
+    salt = F.pmod(
+        F.xxhash64(F.col(salt_source).cast("string"), F.lit(42)), F.lit(salt_buckets)
+    )
+    stage1 = (
+        df.groupBy(
+            F.window(ts_col, window).alias("window"),
+            F.col(group_col).alias("grp"),
+            salt.alias("__salt"),
+        )
+        .agg(F.count(F.lit(1)).alias("partial"))
+    )
+    return (
+        stage1.groupBy("window", "grp")
+        .agg(F.sum("partial").alias("value"))
+        .select(
+            F.unix_millis("window.start").alias("window_start"),
+            F.unix_millis("window.end").alias("window_end"),
+            F.col("grp").alias(group_col),
+            F.col("value"),
+        )
+    )

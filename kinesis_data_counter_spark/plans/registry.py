@@ -197,6 +197,36 @@ def _q_counter_multi_fanout(spark, sf_dir):
     )
 
 
+def _q_window_sliding(spark, sf_dir):
+    from kinesis_data_counter_spark.operators.windows import sliding_count
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    return sliding_count(ev, "ts", size="1 hour", slide="30 minutes")
+
+
+def _q_window_session(spark, sf_dir):
+    from kinesis_data_counter_spark.operators.windows import session_count
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    return session_count(ev, key_col="user_id", ts_col="ts", gap="30 minutes")
+
+
+def _q_counter_salted_skew(spark, sf_dir):
+    from kinesis_data_counter_spark.operators.windows import salted_count
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    return salted_count(
+        ev, group_col="event_type", ts_col="ts", window="1 day",
+        salt_buckets=16, salt_source="event_id",
+    )
+
+
+def _q_streaming_stateful_counts(spark, sf_dir):
+    from kinesis_data_counter_spark.streaming.stateful import run_stateful_counts_once
+
+    return run_stateful_counts_once(spark, f"{sf_dir}/events.parquet", key_col="user_id")
+
+
 def _q_streaming_counter(spark, sf_dir):
     from kinesis_data_counter_spark.streaming.runner import run_counter_stream_once
 
@@ -256,6 +286,37 @@ SELECT '{EVENTS_ARN}', epoch_ms(date_trunc('day', ts)),
 FROM events GROUP BY 1, 2, 3, 4, 5
 """,
     "streaming_counter": _counter_oracle("count(*)", "req_count", "count"),
+    "window_sliding": """
+WITH w AS (
+  SELECT unnest([(epoch_ms(ts) // 1800000) * 1800000 - 1800000,
+                 (epoch_ms(ts) // 1800000) * 1800000]) AS ws
+  FROM events)
+SELECT ws AS window_start, ws + 3600000 AS window_end, count(*) AS value
+FROM w GROUP BY 1, 2
+""",
+    "window_session": """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), i AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id, epoch_ms(min(ts)) AS session_start,
+       epoch_ms(max(ts)) + 1800000 AS session_end, count(*) AS n_events
+FROM i GROUP BY user_id, sid
+""",
+    "counter_salted_skew": """
+SELECT epoch_ms(date_trunc('day', ts)) AS window_start,
+       epoch_ms(date_trunc('day', ts) + INTERVAL 1 DAY) AS window_end,
+       event_type, count(*) AS value
+FROM events GROUP BY 1, 2, 3
+""",
+    "streaming_stateful_counts": """
+SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+""",
 }
 
 
@@ -866,6 +927,10 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_two_level": _q_counter_two_level,
     "counter_multi_fanout": _q_counter_multi_fanout,
     "streaming_counter": _q_streaming_counter,
+    "window_sliding": _q_window_sliding,
+    "window_session": _q_window_session,
+    "counter_salted_skew": _q_counter_salted_skew,
+    "streaming_stateful_counts": _q_streaming_stateful_counts,
     "tpch_q1": _q_tpch_q1,
     "tpch_q3": _q_tpch_q3,
     "tpch_q5": _q_tpch_q5,

@@ -1,0 +1,113 @@
+"""Sliding/session-window and salted-aggregation tests on hand-built data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_data_counter_spark.operators.windows import (
+    salted_count,
+    session_count,
+    sliding_count,
+)
+
+UTC = dt.timezone.utc
+
+
+def _ts(minute: int, second: int = 0):
+    return dt.datetime(2021, 12, 1, 11, minute, second, tzinfo=UTC)
+
+
+@pytest.fixture(scope="module")
+def small_events(spark):
+    rows = [
+        (1, _ts(0), 7, "a"),
+        (2, _ts(10), 7, "a"),
+        (3, _ts(20), 7, "b"),
+        (4, _ts(55), 8, "a"),  # second half-hour
+        (5, _ts(59, 59), 8, "b"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_sliding_count_overlap(spark, small_events):
+    out = {
+        (r.window_start, r.window_end): r.value
+        for r in sliding_count(small_events, size="1 hour", slide="30 minutes").collect()
+    }
+    base = int(_ts(0).timestamp() * 1000)
+    h, hh = 3_600_000, 1_800_000
+    # events at :00-:20 land in windows [10:30,11:30) and [11:00,12:00);
+    # events at :55/:59 land in [11:00,12:00) and [11:30,12:30)
+    assert out[(base - hh, base - hh + h)] == 3
+    assert out[(base, base + h)] == 5
+    assert out[(base + hh, base + hh + h)] == 2
+    assert len(out) == 3
+
+
+def test_session_count_gap_semantics(spark):
+    rows = [
+        (1, _ts(0), 1),
+        (2, _ts(29, 59), 1),   # < 30m after previous → same session
+        (3, _ts(59, 59), 1),   # < 30m after #2 → still same session
+        (4, _ts(0), 2),
+        (5, _ts(30), 2),       # exactly the gap after #4 → still SAME session
+        (6, dt.datetime(2021, 12, 1, 12, 0, 1, tzinfo=UTC), 2),  # > gap → NEW
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = session_count(df, gap="30 minutes").orderBy("user_id", "session_start").collect()
+    assert [(r.user_id, r.n_events) for r in out] == [(1, 3), (2, 2), (2, 1)]
+    s1 = out[0]
+    assert s1.session_start == int(_ts(0).timestamp() * 1000)
+    # session ends gap after the LAST event
+    assert s1.session_end == int(_ts(59, 59).timestamp() * 1000) + 1_800_000
+
+
+def test_salted_count_equals_plain_groupby(spark, small_events):
+    salted = salted_count(
+        small_events, group_col="event_type", window="1 hour", salt_buckets=4
+    )
+    plain = (
+        small_events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .select(
+            F.unix_millis("window.start").alias("window_start"),
+            F.unix_millis("window.end").alias("window_end"),
+            "event_type",
+            "value",
+        )
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_count_spreads_hot_key(spark):
+    # one pathologically hot key: every salt bucket must receive rows
+    rows = [(i, _ts(0, 0), 1, "hot") for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    salt = F.pmod(F.xxhash64(F.col("event_id").cast("string"), F.lit(42)), F.lit(8))
+    n_buckets = df.select(salt.alias("s")).distinct().count()
+    assert n_buckets == 8
+    out = salted_count(df, group_col="event_type", window="1 hour", salt_buckets=8)
+    assert [(r.event_type, r.value) for r in out.collect()] == [("hot", 200)]
+
+
+def test_stateful_running_counts_match_batch(spark, sf_dir):
+    from kinesis_data_counter_spark.session import load_tables
+    from kinesis_data_counter_spark.streaming.stateful import run_stateful_counts_once
+
+    got = {
+        r.user_id: r.n_events
+        for r in run_stateful_counts_once(spark, f"{sf_dir}/events.parquet").collect()
+    }
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    want = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
