@@ -218,3 +218,45 @@ def merge_partials(partials: DataFrame, spec: CounterSpec) -> DataFrame:
 def finalize_counter(df: DataFrame, spec: CounterSpec) -> DataFrame:
     """Apply the jq output transform to merged results (K-side shaping)."""
     return apply_jq(df, spec.jq_expr)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline assembly — F6 (ARN routing) + A7 (multi-counter fan-out)
+# ---------------------------------------------------------------------------
+
+def assemble_counters(
+    df: DataFrame,
+    config,
+    event_source_arn: str,
+    ts_col: str = "ts",
+    shard_col: str | None = None,
+) -> dict[str, DataFrame]:
+    """Route a source to every matching counter, one result DataFrame each.
+
+    ≈ the reference's handler fan-out (counter.go:170-204): ARN-glob routing
+    picks the counters (F6, arn.go:61-86), each runs as an independent
+    aggregation over the SAME scan. Spark shares the scan across the
+    returned plans when they execute in one job (or cache the input df
+    explicitly for repeated separate actions).
+    """
+    return {
+        spec.id: build_counter(
+            df, spec, ts_col=ts_col, shard_col=shard_col,
+            event_source_arn=event_source_arn,
+        )
+        for spec in config.counters_for_source(event_source_arn)
+    }
+
+
+def union_counter_results(results: dict[str, DataFrame]) -> DataFrame:
+    """Union per-counter results ≈ resp.MergeInto (counter.go:125-149).
+
+    ``allowMissingColumns`` handles jq-reshaped counters whose output
+    schema diverges — absent columns become NULL, mirroring how the
+    reference emits heterogeneous JSON lines onto one sink.
+    """
+    dfs = list(results.values())
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out

@@ -221,6 +221,54 @@ def _q_counter_salted_skew(spark, sf_dir):
     )
 
 
+def _q_config_pipeline(spark, sf_dir):
+    # S5+F6+A7 end-to-end: YAML-shaped config → ARN-glob routing → fan-out →
+    # union. The third counter's ARN does not match and must be routed away.
+    from kinesis_data_counter_spark.config import Config
+    from kinesis_data_counter_spark.operators.counter import (
+        assemble_counters,
+        union_counter_results,
+    )
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    cfg = Config.from_dict(
+        {
+            "counters": [
+                {"id": "all_events", "counter_type": "count", "target_column": "*",
+                 "window": "1 day",
+                 "input_stream_arn": "arn:aws:kinesis:*:*:stream/ev*"},
+                {"id": "click_events", "counter_type": "count",
+                 "target_expr": 'string_contains(event_type, "click")',
+                 "window": "1 day", "input_stream_arn": EVENTS_ARN},
+                {"id": "other_stream", "counter_type": "count",
+                 "target_column": "*", "window": "1 day",
+                 "input_stream_arn":
+                     "arn:aws:kinesis:us-east-1:111122223333:stream/other"},
+            ]
+        }
+    )
+    results = assemble_counters(ev, cfg, EVENTS_ARN, ts_col="ts")
+    assert set(results) == {"all_events", "click_events"}
+    return union_counter_results(results)
+
+
+def _q_counter_partial_merge(spark, sf_dir):
+    # A6 via the explicit cross-job API: partial_counter rows are the
+    # engine's IntermediateRecord analog (sinkable anywhere); merge_partials
+    # is the level-2 consumer. Count path → exact oracle.
+    from kinesis_data_counter_spark.operators.counter import (
+        merge_partials,
+        partial_counter,
+    )
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    spec = CounterSpec(id="req_count", counter_type="count", target_column="*",
+                       window="1 hour", input_stream_arn=EVENTS_ARN).validate()
+    sh = ev.withColumn("shard", F.pmod("user_id", F.lit(4)))
+    partials = partial_counter(sh, spec, ts_col="ts", shard_col="shard")
+    return merge_partials(partials, spec)
+
+
 def _q_streaming_stateful_counts(spark, sf_dir):
     from kinesis_data_counter_spark.streaming.stateful import run_stateful_counts_once
 
@@ -317,6 +365,25 @@ FROM events GROUP BY 1, 2, 3
     "streaming_stateful_counts": """
 SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
 """,
+    "config_pipeline": f"""
+SELECT '{EVENTS_ARN}' AS event_source_arn,
+       epoch_ms(date_trunc('day', ts)) AS window_start,
+       epoch_ms(date_trunc('day', ts) + INTERVAL 1 DAY) AS window_end,
+       'all_events' AS counter_id, 'count' AS counter_type, count(*) AS value
+FROM events GROUP BY 1, 2, 3, 4, 5
+UNION ALL
+SELECT '{EVENTS_ARN}', epoch_ms(date_trunc('day', ts)),
+       epoch_ms(date_trunc('day', ts) + INTERVAL 1 DAY),
+       'click_events', 'count', count(*) FILTER (contains(event_type, 'click'))
+FROM events GROUP BY 1, 2, 3, 4, 5
+""",
+    "counter_partial_merge": """
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start,
+       epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end,
+       'req_count' AS counter_id, 'count' AS counter_type,
+       count(*) AS value
+FROM events GROUP BY 1, 2, 3, 4
+""",
 }
 
 
@@ -403,6 +470,71 @@ def _q_orders_rollup(spark, sf_dir):
             "total",
         )
     )
+
+
+def _q_parts_cube(spark, sf_dir):
+    (pa,) = _tables(spark, sf_dir, "part")
+    return (
+        pa.cube("p_brand", "p_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum(_dec("p_retailprice")), 2).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            F.coalesce(F.col("p_size").cast("string"), F.lit("ALL")).alias("size"),
+            "n_parts",
+            "sum_price",
+        )
+    )
+
+
+def _q_tpch_q14_promo(spark, sf_dir):
+    # q14 adapted to the fixture's p_type values: share of revenue from
+    # parts whose type starts with 'PROMO' in one ship-month
+    li, pa = _tables(spark, sf_dir, "lineitem", "part")
+    disc_f = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    rev = _dec("l_extendedprice") * disc_f
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(pa, li.l_partkey == pa.p_partkey)
+    )
+    promo = F.sum(
+        F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )
+    ).cast("double")
+    # exact decimal sums cast to double BEFORE dividing: IEEE division is
+    # identical across engines, decimal-division rounding rules are not
+    return j.agg(
+        F.round(promo * 100 / F.sum(rev).cast("double"), 4).alias("promo_revenue_pct")
+    )
+
+
+def _q_stats_percentiles(spark, sf_dir):
+    # approx_percentile vs exact: the estimate must land within the value
+    # range spanned by the exact p50/p95 neighborhood (property-check
+    # pattern, like the HLL oracles)
+    (ev,) = _tables(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.expr("percentile(value, 0.95)").alias("p95_exact"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    # approx returns an order statistic, exact interpolates — on small
+    # groups the neighbor gap alone reaches ~2% of range, so the property
+    # bound is 5% of range
+    tol = (F.col("hi") - F.col("lo")) * 0.05
+    ok = (F.abs(F.col("p50_approx") - F.col("p50_exact")) <= tol) & (
+        F.abs(F.col("p95_approx") - F.col("p95_exact")) <= tol
+    )
+    return agg.select("event_type", ok.alias("ok"))
 
 
 def _q_window_rank_orders(spark, sf_dir):
@@ -592,6 +724,25 @@ FROM (SELECT l_orderkey, CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) A
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 """,
+    "parts_cube": """
+SELECT coalesce(p_brand, 'ALL') AS brand,
+       coalesce(CAST(p_size AS VARCHAR), 'ALL') AS size,
+       count(*) AS n_parts,
+       CAST(round(sum(CAST(p_retailprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price
+FROM part GROUP BY CUBE (p_brand, p_size)
+""",
+    "tpch_q14_promo": """
+SELECT round(
+  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100 /
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+  4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+""",
+    "stats_percentiles": "SELECT event_type, true AS ok FROM events GROUP BY 1",
 }
 
 
@@ -695,6 +846,21 @@ def _q_text_fingerprint(spark, sf_dir):
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct(TX.fingerprint(F.col("text"))).alias("n_unique"),
+    )
+
+
+def _q_text_winnow(spark, sf_dir):
+    # winnowing fingerprints: fp values are engine-hash-specific (xxhash64 has
+    # no DuckDB twin), so the oracle checks the sampling structure — gram
+    # count and stride positions per document are exact functions of the
+    # word count
+    (docs,) = _tables(spark, sf_dir, "documents")
+    fp = TX.rolling_hash_fingerprints(docs, window=8, stride=4)
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.min("pos").alias("first_pos"),
+        F.max("pos").alias("last_pos"),
+        F.count_distinct("fp").alias("n_unique_fp"),
     )
 
 
@@ -908,6 +1074,16 @@ SELECT count(*) AS n_records,
        sum(octet_length(encode(props))) AS total_bytes
 FROM events
 """,
+    "text_winnow": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(w) - 7, 1), 4),
+               i -> struct_pack(pos := i, gram := array_to_string(w[i:i+7], ' ')))) AS s
+      FROM t)
+SELECT doc_id, count(*) AS n_grams, min(s.pos) AS first_pos,
+       max(s.pos) AS last_pos, count(DISTINCT s.gram) AS n_unique_fp
+FROM g GROUP BY 1
+""",
 }
 
 
@@ -931,6 +1107,8 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_session": _q_window_session,
     "counter_salted_skew": _q_counter_salted_skew,
     "streaming_stateful_counts": _q_streaming_stateful_counts,
+    "config_pipeline": _q_config_pipeline,
+    "counter_partial_merge": _q_counter_partial_merge,
     "tpch_q1": _q_tpch_q1,
     "tpch_q3": _q_tpch_q3,
     "tpch_q5": _q_tpch_q5,
@@ -940,6 +1118,9 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q18": _q_tpch_q18,
     "orders_rollup": _q_orders_rollup,
     "window_rank_orders": _q_window_rank_orders,
+    "parts_cube": _q_parts_cube,
+    "tpch_q14_promo": _q_tpch_q14_promo,
+    "stats_percentiles": _q_stats_percentiles,
     "set_ops_customers": _q_set_ops_customers,
     "dedup_exact_props": _q_dedup_exact_props,
     "dedup_exact_docs": _q_dedup_exact_docs,
@@ -956,6 +1137,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": _q_text_quality,
     "text_token_stats": _q_text_token_stats,
     "text_fingerprint": _q_text_fingerprint,
+    "text_winnow": _q_text_winnow,
     "multimodal_media": _q_multimodal_media,
 }
 

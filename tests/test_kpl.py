@@ -73,3 +73,22 @@ def test_deaggregate_fixture_roundtrip_counts(spark, sf_dir):
     n_events = ev.count()
     assert recs.count() == n_events
     assert recs.filter(F.col("partition_key").isNull()).count() == 0
+
+
+def test_roundtrip_property():
+    # property-based: any (printable-key, bytes) list survives the round trip
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    keys = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x10FF), max_size=40
+    )
+    items = st.lists(st.tuples(keys, st.binary(max_size=200)), max_size=30)
+
+    @settings(max_examples=200, deadline=None)
+    @given(items)
+    def check(xs):
+        # an empty aggregate is a valid blob containing zero user records
+        assert deaggregate_blob(aggregate_records(xs)) == xs
+
+    check()
