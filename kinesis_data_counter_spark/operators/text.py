@@ -26,14 +26,39 @@ LANG_PRIORITY = ("en", "de", "es", "fr", "zh")
 STOPWORDS = LANG_MARKERS["en"]
 
 
-def _word_hits(text: Column, words: tuple[str, ...]) -> Column:
-    """Number of tokens of ``text`` that are in ``words`` (whitespace split)."""
-    toks = F.split(F.lower(text), r"\s+")
+def tokens_lower(text: Column) -> Column:
+    """Lower-cased whitespace tokens — compute ONCE per row and share.
+
+    Each language score filters the same token array; materializing the
+    split in its own projection (``withColumn``) lets every score reuse it
+    instead of re-splitting per language (~2× on the lang-ID path — the
+    duplicate subtrees are not common-subexpression-eliminated across the
+    score expressions otherwise).
+    """
+    return F.split(F.lower(text), r"\s+")
+
+
+def _token_hits(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
-def lang_scores(text: Column) -> list[tuple[str, Column]]:
-    return [(lang, _word_hits(text, ws)) for lang, ws in LANG_MARKERS.items()]
+def _word_hits(text: Column, words: tuple[str, ...]) -> Column:
+    """Number of tokens of ``text`` that are in ``words`` (whitespace split)."""
+    return _token_hits(tokens_lower(text), words)
+
+
+def detect_language_from_tokens(toks: Column) -> Column:
+    """Language ID over a pre-tokenized column (see ``tokens_lower``)."""
+    best: Column = F.lit("und")
+    best_score: Column = F.lit(0)
+    # priority order with strict >: the first language reaching the max wins
+    # ties (en beats de beats es ...), matching the oracle's CASE chain
+    for lang in LANG_PRIORITY:
+        s = _token_hits(toks, LANG_MARKERS[lang])
+        take = s > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best
 
 
 def detect_language(text: Column) -> Column:
@@ -41,18 +66,10 @@ def detect_language(text: Column) -> Column:
 
     Returns 'und' when no marker hits at all. Ties resolve by LANG_PRIORITY
     order (deterministic, mirrored in the oracle SQL as a CASE chain).
+    For bulk use, pre-tokenize with ``tokens_lower`` in a ``withColumn``
+    and call ``detect_language_from_tokens`` — one split per row, not five.
     """
-    scores = dict(lang_scores(text))
-    best: Column = F.lit("und")
-    best_score: Column = F.lit(0)
-    # priority order with strict >: the first language reaching the max wins
-    # ties (en beats de beats es ...), matching the oracle's CASE chain
-    for lang in LANG_PRIORITY:
-        s = scores[lang]
-        take = s > best_score
-        best = F.when(take, F.lit(lang)).otherwise(best)
-        best_score = F.when(take, s).otherwise(best_score)
-    return best
+    return detect_language_from_tokens(tokens_lower(text))
 
 
 def token_count(text: Column) -> Column:

@@ -620,6 +620,36 @@ def _q_tpch_q18(spark, sf_dir):
     )
 
 
+def _q_anti_join_idle_customers(spark, sf_dir):
+    # customers with no orders in 1996H1 — left_anti ≈ NOT EXISTS
+    cu, od = _tables(spark, sf_dir, "customer", "orders")
+    o96 = od.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    idle = cu.join(o96, cu.c_custkey == o96.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_idle"),
+        F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("idle_balance"),
+    )
+
+
+def _q_grouping_sets_orders(spark, sf_dir):
+    # explicit GROUPING SETS (distinct shape from rollup/cube): totals by
+    # status alone and by priority alone in one pass
+    (od,) = _tables(spark, sf_dir, "orders")
+    od.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
 def _q_set_ops_customers(spark, sf_dir):
     cu, od = _tables(spark, sf_dir, "customer", "orders")
     building = cu.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -743,6 +773,23 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
 """,
     "stats_percentiles": "SELECT event_type, true AS ok FROM events GROUP BY 1",
+    "anti_join_idle_customers": """
+SELECT c_mktsegment, count(*) AS n_idle,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS idle_balance
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00')
+GROUP BY 1
+""",
+    "grouping_sets_orders": """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
 }
 
 
@@ -817,7 +864,9 @@ def _q_ann_lsh_recall(spark, sf_dir):
 
 def _q_text_lang_id(spark, sf_dir):
     (docs,) = _tables(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.detect_language(F.col("text")).alias("detected"))
+    return docs.withColumn("__toks", TX.tokens_lower(F.col("text"))).select(
+        "doc_id", TX.detect_language_from_tokens(F.col("__toks")).alias("detected")
+    )
 
 
 def _q_text_quality(spark, sf_dir):
@@ -1122,6 +1171,8 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14_promo": _q_tpch_q14_promo,
     "stats_percentiles": _q_stats_percentiles,
     "set_ops_customers": _q_set_ops_customers,
+    "anti_join_idle_customers": _q_anti_join_idle_customers,
+    "grouping_sets_orders": _q_grouping_sets_orders,
     "dedup_exact_props": _q_dedup_exact_props,
     "dedup_exact_docs": _q_dedup_exact_docs,
     "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
