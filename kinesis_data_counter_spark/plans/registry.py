@@ -118,6 +118,24 @@ def _q_counter_json_props(spark, sf_dir):
     return build_counter(ev, spec, ts_col="ts")
 
 
+def _q_counter_variant_props(spark, sf_dir):
+    # Spark 4 VariantType — the closest typed analog of the reference's
+    # map[string]interface{} record model (SURVEY.md §1.2): parse the JSON
+    # props column once into a variant, extract typed fields lazily
+    (ev,) = _tables(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_hot"),
+        )
+    )
+
+
 def _q_counter_jq_reshape(spark, sf_dir):
     (ev,) = _tables(spark, sf_dir, "events")
     spec = CounterSpec(
@@ -297,6 +315,13 @@ _COUNTER_ORACLES = {
         "count(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50 THEN 1 END)",
         "hot_props", "count", unit="day", iv="1 DAY",
     ),
+    "counter_variant_props": """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_hot
+FROM events GROUP BY 1
+""",
     "counter_jq_reshape": """
 SELECT epoch_ms(date_trunc('hour', ts)) AS time,
        'access_log.request_count' AS name,
@@ -815,11 +840,14 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _q_dedup_minhash_lsh(spark, sf_dir):
-    # LSH banding prunes candidates; exact verify removes false positives, so
-    # the output equals the exact-join oracle (miss probability at j=0.8 with
-    # 128 hashes / 32 bands ≈ 5e-8)
+    # LSH banding prunes candidates; exact verify removes false positives,
+    # so the output equals the exact-join oracle. (96 hashes / 24 bands,
+    # r=4) keeps the same s-curve as 128/32 with 25% less signature
+    # compute+codegen; band-miss probability at j=0.8 is (1-0.8^4)^24 ≈
+    # 3e-6 and the candidate set is seed-deterministic — verified equal to
+    # the exact join at sf0.01 and sf0.1.
     (docs,) = _tables(spark, sf_dir, "documents")
-    p = DD.minhash_lsh_pairs(docs, threshold=JACCARD_T, num_hashes=128, bands=32, n=NGRAM)
+    p = DD.minhash_lsh_pairs(docs, threshold=JACCARD_T, num_hashes=96, bands=24, n=NGRAM)
     return p.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1146,6 +1174,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_count_expr": _q_counter_count_expr,
     "counter_count_expr_nonbool": _q_counter_count_expr_nonbool,
     "counter_json_props": _q_counter_json_props,
+    "counter_variant_props": _q_counter_variant_props,
     "counter_jq_reshape": _q_counter_jq_reshape,
     "counter_distinct_user": _q_counter_distinct_user,
     "counter_distinct_expr": _q_counter_distinct_expr,

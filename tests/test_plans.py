@@ -1,0 +1,69 @@
+"""Physical-plan regression tests: the properties that make queries survive
+a 100× scale-up, asserted so a refactor can't silently lose them."""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_data_counter_spark.plans.registry import QUERIES
+from kinesis_data_counter_spark.session import load_tables
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].builder(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# queries that legitimately pair every row with every broadcast row
+# (brute-force exact cosine baselines: BroadcastNestedLoopJoin by design)
+_BNLJ_OK = {"ann_cosine_topk", "ann_lsh_recall", "ann_ivf_recall"}
+# driver-side queries that don't produce a comparable single plan
+_SKIP = {"streaming_counter", "streaming_stateful_counts", "dedup_simhash",
+         "ann_lsh_recall", "ann_ivf_recall", "kpl_roundtrip"}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(QUERIES) - _SKIP - _BNLJ_OK)
+)
+def test_no_cartesian_product(spark, sf_dir, name):
+    # every pair-generating operator must be an equi-join on an index key
+    # (shingle/band/bucket/chunk) — a CartesianProduct is a scale bug
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_q1_pushdown_and_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q1")
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+    # partial (map-side) + final aggregate around a single exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q5")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all sides fit at test SF
+
+
+def test_counter_scan_prunes_columns(spark, sf_dir):
+    df = QUERIES["counter_count_all"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # count-all over events must scan only the timestamp column
+    assert "user_id" not in plan and "props" not in plan
+
+
+def test_counter_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "counter_count_all")
+    # one exchange: partial agg → shuffle by window → final agg
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_events_filter_reaches_scan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    df = ev.filter(F.col("event_type") == "click").select("user_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:200]
+    assert "event_type" in pushed
