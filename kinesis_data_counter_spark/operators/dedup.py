@@ -37,16 +37,23 @@ def normalize_text(col):
 
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = 5, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingle) postings: distinct n-word shingles per document.
+    """(doc_id, shingle) postings: distinct n-word shingles per document,
+    with the shingle carried as its xxhash64 — an 8-byte join key.
 
-    Entirely built-in: split → sequence → transform(slice+join) →
+    Entirely built-in: split → sequence → transform(slice+join+hash) →
     array_distinct → explode. Documents shorter than n words contribute one
     truncated shingle (matches the DuckDB oracle's slice semantics).
+
+    Hashing before the exchange is the scale move: every downstream
+    shuffle (inverted-index join, stop-shingle count, signature agg) keys
+    on a fixed-width long instead of a ~25-byte string — 3× less shuffle
+    volume and cheaper hash-join probes. Collisions (~|shingles|²/2⁶⁴)
+    are far below any oracle tolerance.
     """
     w = F.split(F.col(text_col), " ")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(w, i, n), " "),
+        lambda i: F.xxhash64(F.array_join(F.slice(w, i, n), " ")),
     )
     return df.select(
         F.col(id_col).alias("doc_id"),
@@ -184,7 +191,9 @@ def minhash_signatures(
     size. All JVM-side arithmetic in whole-stage codegen.
     """
     post = _prune_frequent(shingles(df, text_col, n, id_col), max_shingle_freq)
-    h = F.xxhash64("shingle").bitwiseAND(F.lit(_HASH_MASK))
+    # postings already carry the shingle's xxhash64; fold to the 31-bit
+    # universal-hash domain (low bits of xxhash64 are uniformly mixed)
+    h = F.col("shingle").bitwiseAND(F.lit(_HASH_MASK))
     mins = [
         F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{i}")
         for i, (a, b) in enumerate(_hash_params(num_hashes))
