@@ -54,13 +54,19 @@ def main() -> None:
     # warmup: JVM + parquet footer caches + codegen
     load_tables(spark, SF_DIR, ("events",))["events"].count()
 
+    # min over SPARK_BENCH_RUNS passes: run 1 pays one-time JIT/codegen
+    # compilation per query (±2s noise locally, irrelevant at cluster
+    # scale); the min is the steady-state cost of the physical plan
+    runs = int(os.environ.get("SPARK_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        q = QUERIES[name]
-        t0 = time.time()
-        df = q.builder(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(max(1, runs)):
+        for name in BENCH_QUERIES:
+            q = QUERIES[name]
+            t0 = time.time()
+            df = q.builder(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -72,6 +78,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": max(1, runs),
             }
         )
     )

@@ -182,6 +182,7 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_freq: int | None = None,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig: array<long>[num_hashes]) MinHash signature matrix.
 
@@ -189,8 +190,14 @@ def minhash_signatures(
     h_i(x) = (a_i·x + b_i) mod M61 over the shingle's xxhash64. Partial min
     per map task ⇒ shuffle volume = |docs| × k longs regardless of corpus
     size. All JVM-side arithmetic in whole-stage codegen.
+    ``postings`` lets a caller share one (possibly persisted) posting list
+    across the signature and verification stages.
     """
-    post = _prune_frequent(shingles(df, text_col, n, id_col), max_shingle_freq)
+    post = (
+        postings
+        if postings is not None
+        else _prune_frequent(shingles(df, text_col, n, id_col), max_shingle_freq)
+    )
     # postings already carry the shingle's xxhash64; fold to the 31-bit
     # universal-hash domain (low bits of xxhash64 are uniformly mixed)
     h = F.col("shingle").bitwiseAND(F.lit(_HASH_MASK))
@@ -225,7 +232,16 @@ def minhash_lsh_pairs(
     no false positives (recall is the only probabilistic part).
     """
     r = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, n, text_col, id_col, max_shingle_freq)
+    # ONE posting list feeds both the signature aggregation and (when
+    # verifying) the exact-Jaccard recheck; persisting it trades executor
+    # storage (spill-safe MEMORY_AND_DISK) for not re-shingling the corpus
+    # — the same call MLlib's MinHashLSH makes
+    post = _prune_frequent(shingles(df, text_col, n, id_col), max_shingle_freq)
+    if verify:
+        post = post.persist()
+    sig = minhash_signatures(
+        df, num_hashes, n, text_col, id_col, max_shingle_freq, postings=post
+    )
     # band structs built with a plan-time Python loop (bands is a small
     # constant): slice positions must be literals for codegen anyway
     band_structs = F.array(
@@ -262,7 +278,6 @@ def minhash_lsh_pairs(
     cand_docs = cand.select(
         F.explode(F.array("a_id", "b_id")).alias("doc_id")
     ).distinct()
-    post = _prune_frequent(shingles(df, text_col, n, id_col), max_shingle_freq)
     post_c = post.join(cand_docs, "doc_id")
     sizes = post_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a2 = post_c.alias("a")

@@ -2,5 +2,11 @@ from kinesis_data_counter_spark.sources.json_records import (
     parse_json_records,
     split_corrupt_records,
 )
+from kinesis_data_counter_spark.sources.kpl import aggregate_records, deaggregate
 
-__all__ = ["parse_json_records", "split_corrupt_records"]
+__all__ = [
+    "parse_json_records",
+    "split_corrupt_records",
+    "aggregate_records",
+    "deaggregate",
+]
