@@ -60,6 +60,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # default cache holds 100 generated-code units; a multi-query workload
+        # (the registry has ~50) evicts constantly and recompiles wide operators
+        # (e.g. the 96-min MinHash aggregate) on every run — must be set before
+        # the first codegen because the cache captures the size at JVM init
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
