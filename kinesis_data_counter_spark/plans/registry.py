@@ -645,6 +645,105 @@ def _q_tpch_q18(spark, sf_dir):
     )
 
 
+def _q_tpch_q7(spark, sf_dir):
+    # q7 volume-shipping: revenue flowing from supplier nation to customer
+    # nation per year, both directions of one nation pair. The 25-row nation
+    # dim joins twice — both explicitly broadcast, so the only shuffles are
+    # the three fact-side equi-joins (which AQE plans off the filtered sizes).
+    cu, od, li, su, na = _tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation"
+    )
+    n1 = na.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = na.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    disc_f = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(_dec("l_extendedprice") * disc_f), 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def _q_tpch_q12(spark, sf_dir):
+    # q12 shape adapted to the fixture (no l_shipmode): per returnflag,
+    # conditional counts of high- vs low-priority orders shipped in 1996 —
+    # the join + CASE-sum aggregation pattern
+    od, li = _tables(spark, sf_dir, "orders", "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    j = f.join(od, f.l_orderkey == od.o_orderkey)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def _q_tpch_q16(spark, sf_dir):
+    # q16 shape adapted (no partsupp): distinct supplier count per part
+    # brand observed in lineitem, excluding negative-balance suppliers (the
+    # NOT IN complaints stand-in). distinct-before-anti-join shrinks the
+    # exchange to (brand, suppkey) pairs; the exclusion list is tiny and
+    # broadcast by AQE.
+    pt, li, su = _tables(spark, sf_dir, "part", "lineitem", "supplier")
+    bad = su.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select("p_brand", "l_suppkey")
+        .distinct()
+        .join(bad, F.col("l_suppkey") == bad.s_suppkey, "left_anti")
+    )
+    return (
+        pairs.groupBy("p_brand")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand").asc())
+    )
+
+
+def _q_tpch_q19(spark, sf_dir):
+    # q19 shape: disjunctive predicate join — OR of (brand, size-range,
+    # quantity-range) conjunctions. Catalyst extracts the common l_partkey =
+    # p_partkey equi-condition so this plans as a hash join with the OR as a
+    # post-join filter (plus pushed-down single-sided bounds), not a BNL join.
+    pt, li = _tables(spark, sf_dir, "part", "lineitem")
+    j = li.join(pt, li.l_partkey == pt.p_partkey)
+    c1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(20, 30)
+    )
+    disc_f = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    return j.filter(c1 | c2 | c3).agg(
+        F.round(F.sum(_dec("l_extendedprice") * disc_f), 2).cast("double").alias("revenue")
+    )
+
+
 def _q_anti_join_idle_customers(spark, sf_dir):
     # customers with no orders in 1996H1 — left_anti ≈ NOT EXISTS
     cu, od = _tables(spark, sf_dir, "customer", "orders")
@@ -778,6 +877,50 @@ FROM (SELECT l_orderkey, CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) A
       FROM lineitem GROUP BY 1 HAVING total_qty > 150) big
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
+""",
+    "tpch_q7": """
+SELECT supp_nation, cust_nation, l_year,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year, l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+    "tpch_q12": """
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+""",
+    "tpch_q16": """
+SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT p_brand, l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey) pairs
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1
+ORDER BY supplier_cnt DESC, p_brand ASC
+""",
+    "tpch_q19": """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 20 AND 30)
 """,
     "parts_cube": """
 SELECT coalesce(p_brand, 'ALL') AS brand,
@@ -1194,6 +1337,10 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q4_semi": _q_tpch_q4_semi,
     "tpch_q10": _q_tpch_q10,
     "tpch_q18": _q_tpch_q18,
+    "tpch_q7": _q_tpch_q7,
+    "tpch_q12": _q_tpch_q12,
+    "tpch_q16": _q_tpch_q16,
+    "tpch_q19": _q_tpch_q19,
     "orders_rollup": _q_orders_rollup,
     "window_rank_orders": _q_window_rank_orders,
     "parts_cube": _q_parts_cube,
