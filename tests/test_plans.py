@@ -67,3 +67,26 @@ def test_events_filter_reaches_scan(spark, sf_dir):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters", 1)[1][:200]
     assert "event_type" in pushed
+
+
+def test_q19_disjunctive_pred_is_equi_join(spark, sf_dir):
+    # the OR-of-conjunctions must not defeat the equi-join extraction:
+    # Catalyst keeps l_partkey = p_partkey as the join key and applies the
+    # disjunction as a filter, with single-sided bounds pushed to the scans
+    plan = _plan(spark, sf_dir, "tpch_q19")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters" in plan
+
+
+def test_q7_broadcasts_both_nation_sides(spark, sf_dir):
+    # nation joins twice (supplier side + customer side); both must be
+    # broadcast — a shuffled 25-row dim would add two pointless exchanges
+    plan = _plan(spark, sf_dir, "tpch_q7")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q16_distinct_before_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q16")
+    # the exclusion list is tiny: anti join must be broadcast, not shuffled
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
