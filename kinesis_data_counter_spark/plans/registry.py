@@ -1035,9 +1035,7 @@ def _q_ann_lsh_recall(spark, sf_dir):
 
 def _q_text_lang_id(spark, sf_dir):
     (docs,) = _tables(spark, sf_dir, "documents")
-    return docs.withColumn("__toks", TX.tokens_lower(F.col("text"))).select(
-        "doc_id", TX.detect_language_from_tokens(F.col("__toks")).alias("detected")
-    )
+    return TX.detect_language_bulk(docs)
 
 
 def _q_text_quality(spark, sf_dir):
