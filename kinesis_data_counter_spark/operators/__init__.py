@@ -7,6 +7,7 @@ from kinesis_data_counter_spark.operators.counter import (
     partial_counter,
     union_counter_results,
 )
+from kinesis_data_counter_spark.operators.joins import asof_join
 from kinesis_data_counter_spark.operators.windows import (
     salted_count,
     session_count,
@@ -21,6 +22,7 @@ __all__ = [
     "merge_partials",
     "partial_counter",
     "union_counter_results",
+    "asof_join",
     "salted_count",
     "session_count",
     "sliding_count",

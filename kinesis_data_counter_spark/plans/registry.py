@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from kinesis_data_counter_spark.config import CounterSpec
 from kinesis_data_counter_spark.operators.counter import build_counter
 from kinesis_data_counter_spark.operators import dedup as DD
+from kinesis_data_counter_spark.operators import joins as JN
 from kinesis_data_counter_spark.operators import similarity as SIM
 from kinesis_data_counter_spark.operators import text as TX
 from kinesis_data_counter_spark.operators import multimodal as MM
@@ -744,6 +745,34 @@ def _q_tpch_q19(spark, sf_dir):
     )
 
 
+def _q_asof_user_order(spark, sf_dir):
+    # point-in-time enrichment: each event is joined to the user's most
+    # recent order-day stats as of the event timestamp (ties match) — the
+    # union-sort as-of join (operators/joins.py); DuckDB's native ASOF LEFT
+    # JOIN is the oracle. Aggregated per event_type so the compared result
+    # is small and deterministic.
+    ev, od = _tables(spark, sf_dir, "events", "orders")
+    daily = od.groupBy("o_custkey", "o_orderdate").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    j = JN.asof_join(
+        ev.select("event_id", "ts", "user_id", "event_type"),
+        daily,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("r_o_orderdate").alias("n_matched"),
+        F.sum("r_n_orders").alias("sum_day_orders"),
+        F.round(
+            F.avg(F.datediff(F.to_date("ts"), F.to_date("r_o_orderdate"))), 4
+        ).alias("avg_gap_days"),
+    )
+
+
 def _q_anti_join_idle_customers(spark, sf_dir):
     # customers with no orders in 1996H1 — left_anti ≈ NOT EXISTS
     cu, od = _tables(spark, sf_dir, "customer", "orders")
@@ -921,6 +950,19 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 20 AND 30)
+""",
+    "asof_user_order": """
+WITH daily AS (
+  SELECT o_custkey, o_orderdate, count(*) AS n_orders FROM orders GROUP BY 1, 2
+), j AS (
+  SELECT e.event_type, e.ts, d.o_orderdate, d.n_orders
+  FROM events e ASOF LEFT JOIN daily d
+    ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+)
+SELECT event_type, count(*) AS n_events, count(o_orderdate) AS n_matched,
+  CAST(sum(n_orders) AS BIGINT) AS sum_day_orders,
+  round(avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(ts AS DATE))), 4) AS avg_gap_days
+FROM j GROUP BY 1
 """,
     "parts_cube": """
 SELECT coalesce(p_brand, 'ALL') AS brand,
@@ -1339,6 +1381,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q12": _q_tpch_q12,
     "tpch_q16": _q_tpch_q16,
     "tpch_q19": _q_tpch_q19,
+    "asof_user_order": _q_asof_user_order,
     "orders_rollup": _q_orders_rollup,
     "window_rank_orders": _q_window_rank_orders,
     "parts_cube": _q_parts_cube,

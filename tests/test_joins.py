@@ -1,0 +1,103 @@
+"""As-of join tests on hand-built data, cross-checked against pandas
+``merge_asof`` (an independent reference implementation)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from kinesis_data_counter_spark.operators.joins import asof_join
+
+UTC = dt.timezone.utc
+
+
+def _t(minute: int):
+    return dt.datetime(2021, 6, 1, 12, minute, tzinfo=UTC)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    # key 1: quotes straddle trades incl. an exact-tie timestamp
+    # key 2: trade before any quote (no backward match)
+    # key 3: trades but no quotes at all
+    trades = spark.createDataFrame(
+        [
+            (1, _t(5), "T1"),
+            (1, _t(10), "T2"),  # tie with quote at minute 10
+            (2, _t(1), "T3"),
+            (2, _t(30), "T4"),
+            (3, _t(7), "T5"),
+        ],
+        "key int, ts timestamp, trade_id string",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, _t(4), 100.0),
+            (1, _t(10), 101.0),
+            (1, _t(20), 102.0),
+            (2, _t(2), 200.0),
+        ],
+        "key int, qts timestamp, px double",
+    )
+    return trades, quotes
+
+
+def _spark_result(trades, quotes, direction):
+    out = asof_join(
+        trades, quotes,
+        left_on="key", right_on="key",
+        left_time="ts", right_time="qts",
+        direction=direction,
+    )
+    return (
+        out.select("trade_id", "r_qts", "r_px")
+        .toPandas()
+        .sort_values("trade_id")
+        .reset_index(drop=True)
+    )
+
+
+def _pandas_result(trades, quotes, direction):
+    tp = trades.toPandas().sort_values("ts")
+    qp = quotes.toPandas().sort_values("qts")
+    m = pd.merge_asof(
+        tp, qp, left_on="ts", right_on="qts", by="key", direction=direction
+    )
+    return (
+        m.rename(columns={"qts": "r_qts", "px": "r_px"})[
+            ["trade_id", "r_qts", "r_px"]
+        ]
+        .sort_values("trade_id")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_pandas(spark, frames, direction):
+    trades, quotes = frames
+    got = _spark_result(trades, quotes, direction)
+    want = _pandas_result(trades, quotes, direction)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_asof_tie_matches(spark, frames):
+    trades, quotes = frames
+    got = _spark_result(trades, quotes, "backward").set_index("trade_id")
+    # exact-tie timestamp matches the right row at the same instant
+    assert got.loc["T2", "r_px"] == 101.0
+    # no quote at or before -> nulls, row still present (left join)
+    assert pd.isna(got.loc["T3", "r_px"])
+    assert pd.isna(got.loc["T5", "r_px"])
+
+
+def test_asof_rejects_bad_direction(spark, frames):
+    trades, quotes = frames
+    with pytest.raises(ValueError):
+        asof_join(
+            trades, quotes,
+            left_on="key", right_on="key",
+            left_time="ts", right_time="qts",
+            direction="nearest",
+        )
