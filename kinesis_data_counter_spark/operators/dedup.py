@@ -381,3 +381,91 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# D6. Duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in ``pairs``: cluster_id is the
+    minimum doc_id reachable in the undirected pair graph.
+
+    Pair lists answer "is X a dup of Y"; dedup pipelines need "keep one doc
+    per duplicate GROUP", i.e. the transitive closure. Iterative min-label
+    propagation, the scale formulation (same family as GraphX/GraphFrames
+    CC): each round is one equi-join + min-aggregate shuffle keyed on
+    doc_id, rounds needed = graph diameter (near-dup clusters are shallow —
+    a handful of rounds in practice, ``max_iter`` bounds pathology).
+    ``localCheckpoint`` truncates lineage each round so the plan does not
+    grow with iteration count, and the monotone sum-of-labels is the
+    convergence test (one cheap agg per round, no change-join).
+    """
+    sym = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    edges = sym.persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:  # labels only decrease; fixed sum = converged
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select("node", "label").toDF("doc_id", "cluster_id")
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 96,
+    bands: int = 24,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate clusters: MinHash-LSH pairs → transitive closure.
+
+    Returns (doc_id, cluster_id) for docs in at least one near-dup pair;
+    cluster_id = min doc_id of the group (the canonical survivor a
+    keep-one-per-cluster dedup would retain).
+    """
+    pairs = minhash_lsh_pairs(
+        df,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+        max_shingle_freq=max_shingle_freq,
+    )
+    return connected_components(pairs)

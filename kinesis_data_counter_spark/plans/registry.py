@@ -1036,6 +1036,18 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     return p.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    # transitive closure of the near-dup pair graph: every doc in a pair
+    # gets the min reachable doc_id as its cluster. The oracle computes the
+    # same closure with a recursive CTE over the exact-Jaccard pairs (the
+    # LSH+verify pair set equals the exact pair set, checked separately by
+    # dedup_minhash_lsh).
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return DD.duplicate_clusters(
+        docs, threshold=JACCARD_T, num_hashes=96, bands=24, n=NGRAM
+    )
+
+
 def _q_dedup_simhash(spark, sf_dir):
     # no independent SQL oracle exists for simhash (engine-specific xxhash64),
     # so assert the banding invariant: the pigeonhole banded join finds
@@ -1279,6 +1291,27 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 """,
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
     "dedup_minhash_lsh": _JACCARD_ORACLE,
+    # transitive closure of the pair graph via recursive CTE: reach(node, t)
+    # enumerates every reachable doc; min(t) per node is the cluster id
+    "dedup_clusters": f"""
+WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(w) - {NGRAM - 1}, 1)),
+               i -> array_to_string(w[i:i+{NGRAM - 1}], ' '))) AS sh
+      FROM t),
+sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      FROM s a JOIN s b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+p AS (SELECT a_id, b_id
+      FROM i JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_T}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM p
+          UNION SELECT b_id, a_id FROM p),
+reach AS (SELECT src AS node, src AS tgt FROM edges
+          UNION
+          SELECT r.node, e.dst FROM reach r JOIN edges e ON r.tgt = e.src)
+SELECT node AS doc_id, min(tgt) AS cluster_id FROM reach GROUP BY 1
+""",
     "dedup_simhash": "SELECT true AS ok",
     "ann_cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -1394,6 +1427,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_docs": _q_dedup_exact_docs,
     "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+    "dedup_clusters": _q_dedup_clusters,
     "dedup_simhash": _q_dedup_simhash,
     "dedup_embedding_cosine": _q_dedup_embedding_cosine,
     "ann_cosine_topk": _q_ann_cosine_topk,

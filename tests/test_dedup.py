@@ -88,3 +88,19 @@ def test_stop_shingle_pruning(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pruned = DD.ngram_jaccard_pairs(df, threshold=0.9, n=3, max_shingle_freq=5)
     assert pruned.count() == 0
+
+
+def test_connected_components_chain_and_triangle(spark):
+    from kinesis_data_counter_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), triangle
+    # 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a_id long, b_id long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
