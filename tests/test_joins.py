@@ -101,3 +101,41 @@ def test_asof_rejects_bad_direction(spark, frames):
             left_time="ts", right_time="qts",
             direction="nearest",
         )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_random_bulk_matches_pandas(spark, direction):
+    # seeded bulk-random check: many keys, clustered + missing matches,
+    # unique (key, time) on the right so both engines are deterministic
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    base = dt.datetime(2022, 1, 1, tzinfo=UTC)
+    n_l, n_keys = 2000, 40
+    lk = rng.integers(0, n_keys, n_l)
+    lt = [base + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 50_000, n_l)]
+    left = spark.createDataFrame(
+        [(int(k), t, i) for i, (k, t) in enumerate(zip(lk, lt))],
+        "key int, ts timestamp, lid long",
+    )
+    # keys 30+ have no right rows at all; unique (key, sec) pairs
+    pairs = {(int(k), int(s)) for k, s in
+             zip(rng.integers(0, 30, 1500), rng.integers(0, 50_000, 1500))}
+    right = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s), float(k * 100000 + s))
+         for k, s in sorted(pairs)],
+        "key int, qts timestamp, px double",
+    )
+    got = (
+        asof_join(left, right, left_on="key", right_on="key",
+                  left_time="ts", right_time="qts", direction=direction)
+        .select("lid", "r_qts", "r_px")
+        .toPandas().sort_values("lid").reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.toPandas().sort_values("ts"),
+        right.toPandas().sort_values("qts"),
+        left_on="ts", right_on="qts", by="key", direction=direction,
+    ).rename(columns={"qts": "r_qts", "px": "r_px"})[["lid", "r_qts", "r_px"]]
+    want = want.sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
