@@ -1,0 +1,79 @@
+"""End-to-end corpus cleaning: the composed pipeline a training-data run
+actually executes, built entirely from this engine's operators.
+
+Stage order follows the standard funnel (cheap row-local filters first so
+the expensive pair-generating stages see the smallest survivor set):
+
+  quality gate → language gate → exact dedup → near-dup cluster dedup
+
+Every stage is a pure DataFrame transformation, so the whole pipeline is
+one lazy plan per output; at 100 TB each survivor set feeding two
+consumers (the next stage + its funnel count) should be persisted by the
+caller or checkpointed to a table between stages — here the language
+survivors (the input to shingling) are persisted because the MinHash
+stage scans them twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kinesis_data_counter_spark.operators.dedup import (
+    connected_components,
+    deduplicate_exact,
+    minhash_lsh_pairs,
+)
+from kinesis_data_counter_spark.operators.text import (
+    detect_language_bulk,
+    quality_features,
+)
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    languages: tuple[str, ...] = ("en",),
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 96,
+    bands: int = 24,
+    n: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the cleaning funnel; returns ``(survivors, funnel)``.
+
+    ``survivors`` is the cleaned corpus (original columns). ``funnel`` is a
+    single row (n_total, n_quality, n_lang, n_exact, n_clean) — the
+    per-stage survivor counts a pipeline run reports.
+    """
+    cols = df.columns
+    qual = quality_features(df, text_col).filter(F.col("quality_ok")).select(*cols)
+    lang = detect_language_bulk(qual, text_col, id_col).filter(
+        F.col("detected").isin(*languages)
+    )
+    kept = qual.join(lang.select(F.col("doc_id").alias(id_col)), id_col).persist()
+    exact = deduplicate_exact(kept, text_col, id_col)
+    pairs = minhash_lsh_pairs(
+        exact,
+        threshold=jaccard_threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    clusters = connected_components(pairs)
+    # drop every clustered doc except its canonical (min-id) representative
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    survivors = exact.join(losers, id_col, "left_anti")
+
+    funnel = (
+        df.agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(qual.agg(F.count(F.lit(1)).alias("n_quality")))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_lang")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+        .crossJoin(survivors.agg(F.count(F.lit(1)).alias("n_clean")))
+    )
+    return survivors, funnel

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from kinesis_data_counter_spark.config import CounterSpec
 from kinesis_data_counter_spark.operators.counter import build_counter
 from kinesis_data_counter_spark.operators import dedup as DD
+from kinesis_data_counter_spark.operators import corpus as CP
 from kinesis_data_counter_spark.operators import joins as JN
 from kinesis_data_counter_spark.operators import similarity as SIM
 from kinesis_data_counter_spark.operators import text as TX
@@ -1048,6 +1049,16 @@ def _q_dedup_clusters(spark, sf_dir):
     )
 
 
+def _q_corpus_clean(spark, sf_dir):
+    # the composed cleaning funnel (quality → language → exact dedup →
+    # near-dup cluster dedup) — one row of per-stage survivor counts; the
+    # oracle recomputes the identical funnel in SQL (recursive CTE for the
+    # cluster closure)
+    (docs,) = _tables(spark, sf_dir, "documents")
+    _survivors, funnel = CP.clean_corpus(docs, n=NGRAM, jaccard_threshold=JACCARD_T)
+    return funnel
+
+
 def _q_dedup_simhash(spark, sf_dir):
     # no independent SQL oracle exists for simhash (engine-specific xxhash64),
     # so assert the banding invariant: the pigeonhole banded join finds
@@ -1222,7 +1233,9 @@ def _q_kpl_roundtrip(spark, sf_dir):
     )
 
 
-def _lang_id_oracle() -> str:
+def _lang_sql_parts() -> tuple[str, str]:
+    """(score_exprs, detected_case): the marker-count + argmax SQL shared by
+    the lang-ID oracle and the corpus-cleaning funnel oracle."""
     score_exprs = []
     for lang, ws in TX.LANG_MARKERS.items():
         inlist = ", ".join(f"'{w}'" for w in ws)
@@ -1234,10 +1247,63 @@ def _lang_id_oracle() -> str:
     for lang in TX.LANG_PRIORITY:
         case += f"WHEN s_{lang} = greatest({all_scores}) THEN '{lang}' "
     case += "END"
+    return ", ".join(score_exprs), case
+
+
+def _lang_id_oracle() -> str:
+    scores, case = _lang_sql_parts()
     return f"""
 SELECT doc_id, {case} AS detected FROM (
-  SELECT doc_id, {', '.join(score_exprs)} FROM documents
+  SELECT doc_id, {scores} FROM documents
 )
+"""
+
+
+def _corpus_clean_oracle() -> str:
+    scores, case = _lang_sql_parts()
+    return f"""
+WITH RECURSIVE
+base AS (SELECT doc_id, text FROM documents),
+qstats AS (SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct
+  FROM base),
+qual AS (SELECT doc_id, text FROM qstats
+  WHERE n_tokens >= 5 AND n_chars * 1.0 / n_tokens >= 2.0
+    AND n_chars * 1.0 / n_tokens <= 20.0 AND punct * 1.0 / n_chars <= 0.2),
+scored AS (SELECT doc_id, text, {scores} FROM qual),
+kept AS (SELECT doc_id, text FROM (
+    SELECT doc_id, text, {case} AS detected FROM scored) WHERE detected IN ('en')),
+ex AS (SELECT doc_id, text FROM (
+    SELECT doc_id, text, row_number() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1),
+t2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM ex),
+s2 AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(w) - {NGRAM - 1}, 1)),
+               i -> array_to_string(w[i:i+{NGRAM - 1}], ' '))) AS sh
+      FROM t2),
+sz2 AS (SELECT doc_id, count(*) AS nsh FROM s2 GROUP BY 1),
+i2 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+       FROM s2 a JOIN s2 b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+p2 AS (SELECT a_id, b_id
+       FROM i2 JOIN sz2 sa ON a_id = sa.doc_id JOIN sz2 sb ON b_id = sb.doc_id
+       WHERE c * 1.0 / (sa.nsh + sb.nsh - c) >= {JACCARD_T}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM p2 UNION SELECT b_id, a_id FROM p2),
+reach AS (SELECT src AS node, src AS tgt FROM edges
+          UNION
+          SELECT r.node, e.dst FROM reach r JOIN edges e ON r.tgt = e.src),
+cl AS (SELECT node, min(tgt) AS cluster_id FROM reach GROUP BY 1),
+final AS (SELECT e.doc_id FROM ex e LEFT JOIN cl ON e.doc_id = cl.node
+          WHERE cl.node IS NULL OR cl.cluster_id = e.doc_id)
+SELECT (SELECT count(*) FROM base) AS n_total,
+       (SELECT count(*) FROM qual) AS n_quality,
+       (SELECT count(*) FROM kept) AS n_lang,
+       (SELECT count(*) FROM ex) AS n_exact,
+       (SELECT count(*) FROM final) AS n_clean
 """
 
 
@@ -1327,6 +1393,7 @@ SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 10
 """,
     "ann_lsh_recall": "SELECT true AS ok",
     "text_lang_id": _lang_id_oracle(),
+    "corpus_clean": _corpus_clean_oracle(),
     "text_quality": _quality_oracle(),
     "text_token_stats": r"""
 SELECT lang, count(*) AS n_docs,
@@ -1428,6 +1495,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": _q_dedup_minhash_lsh,
     "dedup_clusters": _q_dedup_clusters,
+    "corpus_clean": _q_corpus_clean,
     "dedup_simhash": _q_dedup_simhash,
     "dedup_embedding_cosine": _q_dedup_embedding_cosine,
     "ann_cosine_topk": _q_ann_cosine_topk,
