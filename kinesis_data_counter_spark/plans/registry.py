@@ -1098,6 +1098,17 @@ def _q_ann_lsh_recall(spark, sf_dir):
     return res.select("ok")
 
 
+def _q_ann_quantized_recall(spark, sf_dir):
+    # int8-quantized cosine top-k vs float brute force: symmetric per-vector
+    # scales cancel in cosine, so recall is the only quantization casualty —
+    # asserted ≥ 0.9 (measured 0.98 on the isotropic fixture)
+    (em,) = _tables(spark, sf_dir, "embeddings")
+    res = SIM.quantized_recall_check(
+        em, em.filter(F.col("vec_id") < 20), k=10, min_recall=0.9
+    )
+    return res.select("ok")
+
+
 def _q_text_lang_id(spark, sf_dir):
     (docs,) = _tables(spark, sf_dir, "documents")
     return TX.detect_language_bulk(docs)
@@ -1421,6 +1432,7 @@ p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
 SELECT a_id, b_id, sim FROM p WHERE sim >= 0.4
 """,
     "ann_ivf_recall": "SELECT true AS ok",
+    "ann_quantized_recall": "SELECT true AS ok",
     "json_bad_records": """
 SELECT event_type,
   count(*) FILTER (event_id % 7 <> 0) AS n_clean,
@@ -1501,6 +1513,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": _q_ann_cosine_topk,
     "ann_lsh_recall": _q_ann_lsh_recall,
     "ann_ivf_recall": _q_ann_ivf_recall,
+    "ann_quantized_recall": _q_ann_quantized_recall,
     "json_bad_records": _q_json_bad_records,
     "kpl_roundtrip": _q_kpl_roundtrip,
     "text_lang_id": _q_text_lang_id,

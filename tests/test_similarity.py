@@ -107,3 +107,45 @@ def test_ivf_centroids_deterministic(vectors):
     c2 = SIM.ivf_centroids(vectors, num_lists=2, dim=4)
     assert c1 == c2
     assert all(len(v) == 4 for _, v in c1)
+
+
+def test_quantize_embeddings_error_bound(spark):
+    # dequantized values must be within half a quantization step of the
+    # original, and codes within int8 range
+    from kinesis_data_counter_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [100.0, -50.0, 0.0, 1.0]), (3, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    orig = {1: [0.5, -1.0, 0.25, 0.0], 2: [100.0, -50.0, 0.0, 1.0], 3: [0.0, 0.0, 0.0, 0.0]}
+    for vid, r in rows.items():
+        scale = r["qscale"]
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+        for q, x in zip(r["qvec"], orig[vid]):
+            assert abs(q * scale - x) <= scale / 2 + 1e-12
+
+
+def test_quantized_topk_matches_exact_on_separated_data(spark):
+    # well-separated vectors: int8 rounding cannot change the ranking
+    from kinesis_data_counter_spark.operators.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    rows = [
+        (i, [1.0 if j == i % 4 else 0.05 * ((i + j) % 3) for j in range(4)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 3")
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(df, q, k=3).collect()
+    }
+    quant = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in quantized_cosine_topk(df, q, k=3).collect()
+    }
+    assert exact == quant
