@@ -1,0 +1,88 @@
+"""Deterministic, engine-portable sampling/splitting for training pipelines.
+
+Random `df.sample()` is useless for dataset curation: splits must be
+REPRODUCIBLE (same row → same split on every run, every engine, every
+partitioning) and STABLE under corpus growth (adding docs never moves an
+existing doc between splits). The standard construction is hash-bucketing:
+split by a threshold on a cryptographic hash of the row key. md5's hex
+form is byte-identical across engines, and hex strings compare
+lexicographically like the numbers they encode, so thresholds are plain
+string comparisons — no host-specific hash functions, no RNG state, and
+the whole rule is expressible in ANSI SQL for the oracle.
+
+Scale: one narrow projection, no shuffle, codegen-eligible; the split
+column is a plain string usable as a partition key on write.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 4  # 16-bit buckets: split fractions resolve to 1/65536
+
+
+def split_column(
+    id_col: Column,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "",
+) -> Column:
+    """Split label for a row key: threshold on the first 16 bits of
+    md5(salt || key). Fractions must sum to 1 (±1e-9); the last split
+    absorbs rounding. ``salt`` derives independent splits from one key.
+    """
+    fracs = [f for _, f in splits]
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {sum(fracs)}")
+    h = F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, _HEX_DIGITS)
+    expr = F.lit(splits[-1][0])
+    acc = 0.0
+    # build the CASE from the right so earlier thresholds take precedence
+    cases: list[tuple[str, str]] = []
+    for name, frac in splits[:-1]:
+        acc += frac
+        cases.append((name, format(int(round(acc * (16**_HEX_DIGITS))), f"0{_HEX_DIGITS}x")))
+    for name, bound in reversed(cases):
+        expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Append a deterministic split label keyed on ``id_col``."""
+    return df.withColumn(split_col, split_column(F.col(id_col), splits, salt))
+
+
+def split_sql_case(
+    id_expr: str,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "",
+) -> str:
+    """The identical rule as ANSI SQL (used by the DuckDB oracle)."""
+    h = f"substring(md5(concat('{salt}', CAST({id_expr} AS VARCHAR))), 1, {_HEX_DIGITS})"
+    acc = 0.0
+    whens = []
+    for name, frac in list(splits)[:-1]:
+        acc += frac
+        bound = format(int(round(acc * (16**_HEX_DIGITS))), f"0{_HEX_DIGITS}x")
+        whens.append(f"WHEN {h} < '{bound}' THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{splits[-1][0]}' END"

@@ -24,6 +24,7 @@ from kinesis_data_counter_spark.operators.counter import build_counter
 from kinesis_data_counter_spark.operators import dedup as DD
 from kinesis_data_counter_spark.operators import corpus as CP
 from kinesis_data_counter_spark.operators import joins as JN
+from kinesis_data_counter_spark.operators import sampling as SP
 from kinesis_data_counter_spark.operators import similarity as SIM
 from kinesis_data_counter_spark.operators import text as TX
 from kinesis_data_counter_spark.operators import multimodal as MM
@@ -1098,6 +1099,18 @@ def _q_ann_lsh_recall(spark, sf_dir):
     return res.select("ok")
 
 
+def _q_sample_hash_split(spark, sf_dir):
+    # reproducible train/val/test assignment: md5-hex threshold on doc_id —
+    # same row → same split on every engine; counts + id-sum checksums per
+    # split are compared exactly against the identical SQL rule
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return (
+        SP.hash_split(docs)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+    )
+
+
 def _q_ann_quantized_recall(spark, sf_dir):
     # int8-quantized cosine top-k vs float brute force: symmetric per-vector
     # scales cancel in cosine, so recall is the only quantization casualty —
@@ -1433,6 +1446,11 @@ SELECT a_id, b_id, sim FROM p WHERE sim >= 0.4
 """,
     "ann_ivf_recall": "SELECT true AS ok",
     "ann_quantized_recall": "SELECT true AS ok",
+    "sample_hash_split": f"""
+SELECT {SP.split_sql_case('doc_id')} AS split,
+  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents GROUP BY 1
+""",
     "json_bad_records": """
 SELECT event_type,
   count(*) FILTER (event_id % 7 <> 0) AS n_clean,
@@ -1514,6 +1532,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_recall": _q_ann_lsh_recall,
     "ann_ivf_recall": _q_ann_ivf_recall,
     "ann_quantized_recall": _q_ann_quantized_recall,
+    "sample_hash_split": _q_sample_hash_split,
     "json_bad_records": _q_json_bad_records,
     "kpl_roundtrip": _q_kpl_roundtrip,
     "text_lang_id": _q_text_lang_id,
