@@ -747,6 +747,305 @@ def _q_tpch_q19(spark, sf_dir):
     )
 
 
+def _q_tpch_q2(spark, sf_dir):
+    # q2 shape adapted (no partsupp): a supplier's "offer" for a part is the
+    # minimum line price observed in lineitem; pick, per part of the chosen
+    # type/size, the cheapest offer among suppliers of one region. The
+    # min-per-part is a window over the partkey-partitioned offers (one
+    # shuffle, reused by the window sort); part/nation/region dims broadcast.
+    li, su, na, re, pt = _tables(spark, sf_dir, "lineitem", "supplier", "nation", "region", "part")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec("l_extendedprice")).alias("cost_dec")
+    )
+    region_nations = (
+        na.join(re, na.n_regionkey == re.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("n_nationkey", "n_name")
+    )
+    eligible = (
+        offers.join(F.broadcast(su), offers.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(region_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    wanted = pt.filter((F.col("p_type") == "STANDARD") & (F.col("p_size") == 5)).select(
+        "p_partkey", "p_name"
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        eligible.join(F.broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("min_cost", F.min("cost_dec").over(w))
+        .filter(F.col("cost_dec") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("cost_dec").cast("double").alias("cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def _q_tpch_q8(spark, sf_dir):
+    # q8 national market share: NATION_1's share of PROMO-part revenue sold
+    # into EUROPE customers per order year. Sums are exact decimals on both
+    # engines; the share division happens once, double-vs-double, after
+    # identical rounding — bit-stable across Spark and DuckDB.
+    li, od, cu, su, na, re, pt = _tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region", "part"
+    )
+    promo = pt.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    euro_nations = (
+        na.join(re, na.n_regionkey == re.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select(F.col("n_nationkey").alias("cust_nkey"))
+    )
+    supp_nation = na.select(
+        F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    disc_f = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    j = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(euro_nations), cu.c_nationkey == F.col("cust_nkey"))
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("supp_nkey"))
+        .withColumn("volume", _dec("l_extendedprice") * disc_f)
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(F.lit(0)))
+                .cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def _q_tpch_q9(spark, sf_dir):
+    # q9 product-type profit adapted (no partsupp → no ps_supplycost): cost
+    # side proxied by p_retailprice * quantity * 0.6, kept in exact decimal
+    # arithmetic end-to-end so both engines round the same sums.
+    li, od, su, na, pt = _tables(spark, sf_dir, "lineitem", "orders", "supplier", "nation", "part")
+    red = pt.filter(F.col("p_name").contains("red")).select("p_partkey", "p_retailprice")
+    disc_f = F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    amount = _dec("l_extendedprice") * disc_f - _dec("p_retailprice") * _dec("l_quantity") * F.lit(
+        "0.6"
+    ).cast("decimal(2,1)")
+    j = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), F.col("s_nationkey") == na.n_nationkey)
+        .withColumn("amount", amount)
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def _q_tpch_q11(spark, sf_dir):
+    # q11 important-stock adapted (no partsupp): a part's "value" held by
+    # NATION_1 suppliers is its lineitem revenue; keep parts above 0.1% of
+    # the national total. The scalar total arrives via a 1-row broadcast
+    # (BroadcastNestedLoopJoin on a single row — constant-size exchange).
+    li, su, na = _tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    n1 = na.filter(F.col("n_name") == "NATION_1").select("n_nationkey")
+    supp1 = su.join(F.broadcast(n1), su.s_nationkey == n1.n_nationkey).select("s_suppkey")
+    eligible = li.join(F.broadcast(supp1), li.l_suppkey == supp1.s_suppkey)
+    per_part = eligible.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(_dec("l_extendedprice")).alias("value_dec")
+    )
+    total = per_part.agg(
+        (F.sum("value_dec") * F.lit("0.001").cast("decimal(4,3)")).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_dec") > F.col("threshold"))
+        .select("partkey", F.round(F.col("value_dec"), 2).cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+def _q_tpch_q13(spark, sf_dir):
+    # q13 customer order-count distribution: LEFT join with the filter inside
+    # the join condition (the o_comment exclusion stand-in is a priority
+    # class), so customers whose only orders are excluded still count as 0.
+    cu, od = _tables(spark, sf_dir, "customer", "orders")
+    j = cu.join(
+        od,
+        (cu.c_custkey == od.o_custkey) & (od.o_orderpriority != "5-LOW"),
+        "left",
+    )
+    counts = j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def _q_tpch_q15(spark, sf_dir):
+    # q15 top supplier: quarterly revenue per supplier, keep the max. The
+    # revenue relation is computed once and reused for the scalar max via a
+    # 1-row broadcast join (not recomputed per row).
+    li, su = _tables(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))),
+                2,
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def _q_tpch_q17(spark, sf_dir):
+    # q17 small-quantity-order revenue. The correlated avg-per-part subquery
+    # becomes one pre-aggregation joined back to lineitem; the 20%-of-average
+    # comparison is cleared of division (l_qty * 5 * cnt < sum_qty) so the
+    # predicate is exact integer/decimal arithmetic on both engines.
+    li, pt = _tables(spark, sf_dir, "lineitem", "part")
+    wanted = pt.filter((F.col("p_brand") == "Brand#1") & (F.col("p_type") == "SMALL")).select(
+        "p_partkey"
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    j = (
+        li.join(F.broadcast(wanted), li.l_partkey == wanted.p_partkey)
+        .join(stats, F.col("l_partkey") == F.col("pk"))
+        .filter(
+            _dec("l_quantity") * F.lit(5) * F.col("cnt").cast("decimal(20,0)")
+            < F.col("sum_qty")
+        )
+    )
+    return j.agg(
+        F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 2).alias("avg_yearly")
+    )
+
+
+def _q_tpch_q20(spark, sf_dir):
+    # q20 shape adapted (no partsupp availqty): suppliers in NATION_1 who
+    # shipped > 300 units of bolt parts during 1996 — the nested-IN chain
+    # becomes pre-agg → semi join → broadcast nation filter.
+    li, su, na, pt = _tables(spark, sf_dir, "lineitem", "supplier", "nation", "part")
+    bolts = pt.filter(F.col("p_name").contains("bolt")).select("p_partkey")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(bolts), li.l_partkey == bolts.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    n1 = na.filter(F.col("n_name") == "NATION_1").select("n_nationkey")
+    return (
+        su.join(shipped, su.s_suppkey == shipped.l_suppkey, "left_semi")
+        .join(F.broadcast(n1), su.s_nationkey == n1.n_nationkey)
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def _q_tpch_q21(spark, sf_dir):
+    # q21 waiting-supplier shape adapted (no receipt/commit dates): "late" is
+    # proxied by l_returnflag = 'R'. Keeps the signature EXISTS (another
+    # supplier on the order) / NOT EXISTS (another supplier also late) pair —
+    # semi + anti joins against distinct (order, supplier) pair sets, hash
+    # joins on orderkey with the inequality as residual condition.
+    li, od, su, na = _tables(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
+    n1 = na.filter(F.col("n_name") == "NATION_1").select("n_nationkey")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(od.filter(F.col("o_orderstatus") == "F"), li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == n1.n_nationkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"), "s_name")
+    )
+    pairs = li.select(F.col("l_orderkey").alias("p_ok"), F.col("l_suppkey").alias("p_sk")).distinct()
+    r_pairs = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("r_ok"), F.col("l_suppkey").alias("r_sk"))
+        .distinct()
+    )
+    waiting = (
+        l1.join(
+            pairs,
+            (F.col("ok") == F.col("p_ok")) & (F.col("sk") != F.col("p_sk")),
+            "left_semi",
+        ).join(
+            r_pairs,
+            (F.col("ok") == F.col("r_ok")) & (F.col("sk") != F.col("r_sk")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+def _q_tpch_q22(spark, sf_dir):
+    # q22 global-sales-opportunity adapted (no c_phone): market segments
+    # stand in for phone country codes, and "never ordered" is scoped to
+    # orders from 2000 on (every fixture customer has *some* order). The
+    # above-average-balance predicate is division-free (c_acctbal * cnt >
+    # total, exact decimals); the no-recent-orders test is an anti join.
+    cu, od = _tables(spark, sf_dir, "customer", "orders")
+    SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE")
+    seg = cu.filter(F.col("c_mktsegment").isin(*SEGMENTS))
+    stats = seg.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("total_bal"),
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n_pos"),
+    )
+    recent = od.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return (
+        seg.join(F.broadcast(stats))
+        .filter(_dec("c_acctbal") * F.col("n_pos") > F.col("total_bal"))
+        .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def _q_asof_user_order(spark, sf_dir):
     # point-in-time enrichment: each event is joined to the user's most
     # recent order-day stats as of the event timestamp (ties match) — the
@@ -952,6 +1251,164 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 20 AND 30)
+""",
+    "tpch_q2": """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost_dec
+  FROM lineitem GROUP BY 1, 2
+), eligible AS (
+  SELECT o.l_partkey, o.cost_dec, s_acctbal, s_name, n_name
+  FROM offers o
+  JOIN supplier ON o.l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, CAST(cost_dec AS DOUBLE) AS cost
+FROM eligible e
+JOIN part ON e.l_partkey = p_partkey
+WHERE p_type = 'STANDARD' AND p_size = 5
+  AND cost_dec = (SELECT min(cost_dec) FROM eligible e2 WHERE e2.l_partkey = e.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    "tpch_q8": """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  round(
+    CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END) AS DOUBLE)
+    / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT o_orderdate, n2.n_name AS supp_nation,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+) all_sales
+GROUP BY 1
+ORDER BY 1
+""",
+    "tpch_q9": """
+SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+         - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.6 AS DECIMAL(2,1)) AS amount
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+""",
+    "tpch_q11": """
+WITH per_part AS (
+  SELECT l_partkey AS partkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY 1
+)
+SELECT partkey, CAST(round(value_dec, 2) AS DOUBLE) AS value
+FROM per_part
+WHERE value_dec > (SELECT sum(value_dec) * CAST(0.001 AS DECIMAL(4,3)) FROM per_part)
+ORDER BY value DESC, partkey
+""",
+    "tpch_q13": """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY 1
+) c_orders
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+""",
+    "tpch_q15": """
+WITH revenue AS (
+  SELECT l_suppkey,
+    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+    "tpch_q17": """
+WITH stats AS (
+  SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty, count(*) AS cnt
+  FROM lineitem GROUP BY 1
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN stats ON pk = l_partkey
+WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'
+  AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sum_qty
+""",
+    "tpch_q20": """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%bolt%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300
+  )
+ORDER BY s_name
+""",
+    "tpch_q21": """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F' AND n_name = 'NATION_1'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+    "tpch_q22": """
+WITH seg AS (
+  SELECT * FROM customer WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE')
+), stats AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS total_bal, CAST(count(*) AS DECIMAL(20,0)) AS n_pos
+  FROM seg WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+  CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+FROM seg, stats
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_pos > total_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1
+ORDER BY 1
 """,
     "asof_user_order": """
 WITH daily AS (
@@ -1511,6 +1968,16 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q12": _q_tpch_q12,
     "tpch_q16": _q_tpch_q16,
     "tpch_q19": _q_tpch_q19,
+    "tpch_q2": _q_tpch_q2,
+    "tpch_q8": _q_tpch_q8,
+    "tpch_q9": _q_tpch_q9,
+    "tpch_q11": _q_tpch_q11,
+    "tpch_q13": _q_tpch_q13,
+    "tpch_q15": _q_tpch_q15,
+    "tpch_q17": _q_tpch_q17,
+    "tpch_q20": _q_tpch_q20,
+    "tpch_q21": _q_tpch_q21,
+    "tpch_q22": _q_tpch_q22,
     "asof_user_order": _q_asof_user_order,
     "orders_rollup": _q_orders_rollup,
     "window_rank_orders": _q_window_rank_orders,
