@@ -181,3 +181,23 @@ def rolling_hash_fingerprints(
     return df.select(
         F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
     ).select("doc_id", "g.pos", "g.fp")
+
+
+def clean_tokens(text: Column) -> Column:
+    """``tokens_lower`` minus empty strings (leading/trailing whitespace
+    produces '' elements in both Spark and DuckDB regex splits — drop them
+    once here so downstream explode/ngram counts agree across engines)."""
+    return F.filter(tokens_lower(text), lambda t: t != "")
+
+
+def bigrams(toks: Column) -> Column:
+    """Adjacent token pairs joined by one space (order-preserving).
+
+    ``zip_with`` over the two shifted slices stays entirely in codegen —
+    no explode-then-self-join, no Python. An n<2 token array yields an
+    empty bigram array (slice handles the negative length).
+    """
+    n = F.size(toks)
+    left = F.slice(toks, F.lit(1), F.greatest(n - 1, F.lit(0)))
+    right = F.slice(toks, F.lit(2), F.greatest(n - 1, F.lit(0)))
+    return F.zip_with(left, right, lambda a, b: F.concat_ws(" ", a, b))

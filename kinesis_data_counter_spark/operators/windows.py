@@ -115,3 +115,81 @@ def salted_count(
             F.col("value"),
         )
     )
+
+
+def rolling_daily_count(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    days: int = 7,
+) -> DataFrame:
+    """Per-key daily activity with an N-day trailing rolling total.
+
+    Two-stage plan built for scale: the raw events first collapse to one
+    row per (key, day) — a partial+final hash aggregate whose shuffle
+    carries only the daily grid, not the events — and the rolling sum then
+    runs as a RANGE-frame window over that tiny grid, partitioned by key
+    (the window sort reuses the aggregate's hash partitioning by key only
+    if co-partitioned; at worst it re-shuffles grid rows, never events).
+    A per-event window frame would sort the full fact table instead.
+    """
+    from pyspark.sql import Window
+
+    daily = df.groupBy(
+        F.col(key_col), F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    # RANGE frame needs a numeric ordering key: days since epoch
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-(days - 1), 0)
+    )
+    return daily.select(
+        F.col(key_col),
+        F.col("day"),
+        F.col("n_events"),
+        F.sum("n_events").over(w).alias(f"rolling_{days}d"),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Analytic (window-function) sessionization: lag-gap → cumulative sum.
+
+    The classic OVER()-based formulation — complements ``session_count``
+    (which uses the engine's ``session_window`` operator): a new session
+    starts where the gap to the previous event exceeds ``gap_ms``; the
+    running sum of the new-session flags is the per-key session ordinal.
+    One shuffle on the key, one per-partition sort shared by both window
+    functions and reused by the final per-session aggregate (same keys).
+    Unlike session_window, session bounds here are the first/last EVENT
+    timestamps (no trailing gap padding).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    ms = F.unix_millis(F.col(ts_col))
+    flagged = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.when(
+            F.lag(ms).over(w).isNull() | (ms - F.lag(ms).over(w) > gap_ms), 1
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    run = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tagged = flagged.select(
+        F.col(key_col), F.col(ts_col), F.sum("new_s").over(run).alias("session_id")
+    )
+    return tagged.groupBy(key_col, "session_id").agg(
+        F.unix_millis(F.min(ts_col)).alias("session_start"),
+        F.unix_millis(F.max(ts_col)).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -28,6 +28,7 @@ from kinesis_data_counter_spark.operators import sampling as SP
 from kinesis_data_counter_spark.operators import similarity as SIM
 from kinesis_data_counter_spark.operators import text as TX
 from kinesis_data_counter_spark.operators import multimodal as MM
+from kinesis_data_counter_spark.operators import windows as WN
 from kinesis_data_counter_spark.session import load_tables
 
 EVENTS_ARN = "arn:aws:kinesis:us-east-1:111122223333:stream/events"
@@ -1628,6 +1629,51 @@ def _q_text_winnow(spark, sf_dir):
     )
 
 
+def _q_window_rolling_7d(spark, sf_dir):
+    # RANGE-frame rolling total over the pre-aggregated daily grid (events
+    # never enter the window sort — see operators/windows.py scale note)
+    (ev,) = _tables(spark, sf_dir, "events")
+    return WN.rolling_daily_count(ev, key_col="user_id", ts_col="ts", days=7)
+
+
+def _q_sessionize_users(spark, sf_dir):
+    # analytic lag-gap sessionization (OVER() formulation; complements the
+    # session_window-based window_session query)
+    (ev,) = _tables(spark, sf_dir, "events")
+    return WN.sessionize(ev, key_col="user_id", ts_col="ts", gap_ms=30 * 60 * 1000)
+
+
+def _q_text_vocab(spark, sf_dir):
+    # vocabulary build: document frequency + collection frequency per token
+    # — the IDF precursor table. explode → single hash agg; top slice by
+    # (df, token) is a total order, so LIMIT is deterministic.
+    (docs,) = _tables(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.clean_tokens(F.col("text"))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count_distinct("doc_id").alias("df"), F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.col("df").desc(), "token")
+        .limit(500)
+    )
+
+
+def _q_text_bigrams(spark, sf_dir):
+    # top adjacent-token pairs: zip_with bigrams stay in codegen, one
+    # explode feeds one partial+final count agg
+    (docs,) = _tables(spark, sf_dir, "documents")
+    bg = docs.select(
+        F.explode(TX.bigrams(TX.clean_tokens(F.col("text")))).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(300)
+    )
+
+
 def _q_multimodal_media(spark, sf_dir):
     (docs,) = _tables(spark, sf_dir, "documents")
     return MM.media_features(MM.documents_as_media(docs)).select(
@@ -1893,6 +1939,51 @@ SELECT doc_id, octet_length(encode(text)) AS size_bytes,
        (octet_length(encode(text)) + 1023) // 1024 AS n_frames
 FROM documents
 """,
+    "window_rolling_7d": """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day, n_events,
+  CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY day
+       RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_7d
+FROM daily
+""",
+    "sessionize_users": """
+WITH x AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM x
+)
+SELECT user_id, session_id, epoch_ms(min(ts)) AS session_start,
+       epoch_ms(max(ts)) AS session_end, count(*) AS n_events
+FROM s GROUP BY 1, 2
+""",
+    "text_vocab": r"""
+SELECT token, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY 1
+ORDER BY df DESC, token
+LIMIT 500
+""",
+    "text_bigrams": r"""
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT bigram, count(*) AS cnt
+FROM (SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, greatest(len(toks), 1))]) AS bigram FROM t)
+GROUP BY 1
+ORDER BY cnt DESC, bigram
+LIMIT 300
+""",
     "dedup_embedding_cosine": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
 p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -2007,6 +2098,10 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": _q_text_token_stats,
     "text_fingerprint": _q_text_fingerprint,
     "text_winnow": _q_text_winnow,
+    "text_vocab": _q_text_vocab,
+    "text_bigrams": _q_text_bigrams,
+    "window_rolling_7d": _q_window_rolling_7d,
+    "sessionize_users": _q_sessionize_users,
     "multimodal_media": _q_multimodal_media,
 }
 

@@ -73,3 +73,17 @@ def test_rolling_hash_fingerprints(spark):
     # positions 1, 5, 9, 13 (len-7=13 cap)
     assert [r.pos for r in rows] == [1, 5, 9, 13]
     assert len({r.fp for r in rows}) == len(rows)
+
+
+def test_bigrams_zip_with(spark):
+    from kinesis_data_counter_spark.operators.text import bigrams, clean_tokens
+
+    df = spark.createDataFrame(
+        [("the quick brown fox",), ("  padded   text  ",), ("one",), ("",)],
+        "text string",
+    )
+    got = df.select(bigrams(clean_tokens(F.col("text"))).alias("bg")).collect()
+    assert got[0].bg == ["the quick", "quick brown", "brown fox"]
+    assert got[1].bg == ["padded text"]
+    assert got[2].bg == []
+    assert got[3].bg == []

@@ -111,3 +111,48 @@ def test_stateful_running_counts_match_batch(spark, sf_dir):
         for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_rolling_daily_count_range_frame(spark):
+    from kinesis_data_counter_spark.operators.windows import rolling_daily_count
+
+    rows = [
+        ("u1", "2024-01-01 10:00:00"),
+        ("u1", "2024-01-01 11:00:00"),
+        ("u1", "2024-01-05 09:00:00"),
+        ("u1", "2024-01-09 09:00:00"),  # day 1 falls out of the 7-day frame
+        ("u2", "2024-01-03 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {
+        (r.user_id, str(r.day)[:10]): (r.n_events, r.rolling_7d)
+        for r in rolling_daily_count(df, key_col="user_id").collect()
+    }
+    assert out[("u1", "2024-01-01")] == (2, 2)
+    assert out[("u1", "2024-01-05")] == (1, 3)   # Jan 1+5 within 7 days
+    assert out[("u1", "2024-01-09")] == (1, 2)   # Jan 1 aged out, Jan 5 kept
+    assert out[("u2", "2024-01-03")] == (1, 1)
+
+
+def test_sessionize_gap_boundary(spark):
+    from kinesis_data_counter_spark.operators.windows import sessionize
+
+    base = "2024-01-01 00:"
+    rows = [
+        ("u1", base + "00:00"),
+        ("u1", base + "30:00"),   # exactly gap → same session (strict >)
+        ("u1", "2024-01-01 01:00:01"),  # 30m01s after previous → new session
+        ("u2", base + "00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = sessionize(df, key_col="user_id").collect()
+    u1 = sorted([r for r in out if r.user_id == "u1"], key=lambda r: r.session_id)
+    assert len(u1) == 2
+    assert u1[0].n_events == 2 and u1[1].n_events == 1
+    # session bounds are event timestamps, no trailing gap padding
+    assert u1[0].session_end - u1[0].session_start == 30 * 60 * 1000
+    assert len([r for r in out if r.user_id == "u2"]) == 1
