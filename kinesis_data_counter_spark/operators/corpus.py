@@ -77,3 +77,34 @@ def clean_corpus(
         .crossJoin(survivors.agg(F.count(F.lit(1)).alias("n_clean")))
     )
     return survivors, funnel
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Flag training documents sharing any ``n``-gram with an eval set.
+
+    Standard benchmark-decontamination construction: distinct eval-set
+    shingles form a (usually small, broadcastable) probe side; one semi
+    join on the 8-byte shingle hash marks contaminated train docs. The
+    shuffle carries hashed shingles, never text; at 100 TB the eval
+    shingle set stays millions of rows — broadcast or a cheap hash join.
+
+    Returns the distinct contaminated (doc_id + passthrough cols) rows.
+    """
+    from kinesis_data_counter_spark.operators.dedup import shingles
+
+    eval_sh = shingles(eval_docs, text_col=text_col, n=n, id_col=id_col).select(
+        "shingle"
+    ).distinct()
+    train_sh = shingles(train, text_col=text_col, n=n, id_col=id_col)
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return train.join(hits, train[id_col] == hits.doc_id, "left_semi")

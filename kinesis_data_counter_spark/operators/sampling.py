@@ -86,3 +86,54 @@ def split_sql_case(
         bound = format(int(round(acc * (16**_HEX_DIGITS))), f"0{_HEX_DIGITS}x")
         whens.append(f"WHEN {h} < '{bound}' THEN '{name}'")
     return "CASE " + " ".join(whens) + f" ELSE '{splits[-1][0]}' END"
+
+
+def stratified_keep(
+    id_col: Column,
+    strata_col: Column,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> Column:
+    """Deterministic per-stratum downsampling predicate.
+
+    Each stratum keeps its own fraction of rows, decided by the same
+    engine-portable md5-hex threshold as ``split_column`` — reproducible,
+    growth-stable, and expressible in ANSI SQL for the oracle. Corpus
+    rebalancing (e.g. downsample over-represented languages) in one
+    codegen-only projection, no shuffle, no RNG.
+    """
+    h = F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, _HEX_DIGITS)
+
+    def bound(rate: float) -> str:
+        # rate ≥ 1 → 'g': lexicographically above every hex string (keep all);
+        # a 1.0 threshold would otherwise format to 5 digits and sort wrong
+        if rate >= 1.0:
+            return "g"
+        return format(int(round(rate * (16**_HEX_DIGITS))), f"0{_HEX_DIGITS}x")
+
+    expr: Column = h < F.lit(bound(default_rate))
+    for stratum, rate in rates.items():
+        expr = F.when(strata_col == stratum, h < F.lit(bound(rate))).otherwise(expr)
+    return expr
+
+
+def stratified_sql_predicate(
+    id_expr: str,
+    strata_expr: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> str:
+    """The identical keep-rule as ANSI SQL (used by the DuckDB oracle)."""
+
+    def bound(rate: float) -> str:
+        if rate >= 1.0:
+            return "g"
+        return format(int(round(rate * (16**_HEX_DIGITS))), f"0{_HEX_DIGITS}x")
+
+    h = f"substring(md5(concat('{salt}', CAST({id_expr} AS VARCHAR))), 1, {_HEX_DIGITS})"
+    cases = " ".join(
+        f"WHEN {strata_expr} = '{s}' THEN {h} < '{bound(r)}'" for s, r in rates.items()
+    )
+    return f"(CASE {cases} ELSE {h} < '{bound(default_rate)}' END)"

@@ -37,6 +37,7 @@ JACCARD_T = 0.8
 NGRAM = 5
 Q1_CUTOFF = "1998-09-02"
 Q3_DATE = "1998-01-01"
+STRAT_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25}
 
 
 @dataclass
@@ -1518,6 +1519,31 @@ def _q_corpus_clean(spark, sf_dir):
     return funnel
 
 
+def _q_corpus_decontaminate(spark, sf_dir):
+    # benchmark decontamination: train docs sharing any 6-gram with the
+    # eval slice (doc_id % 7) are flagged via one semi join on hashed
+    # shingles; the oracle rebuilds the same shingles as raw strings
+    (docs,) = _tables(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    tr = docs.filter(F.col("doc_id") % 7 != 0)
+    return CP.decontaminate(tr, ev, n=6).select("doc_id", "source")
+
+
+def _q_sample_stratified(spark, sf_dir):
+    # corpus rebalancing: per-language keep-rates via the portable md5
+    # threshold (en kept, de halved, fr quartered, rest 10%) — counts +
+    # id-sum checksums per surviving language compared exactly
+    (docs,) = _tables(spark, sf_dir, "documents")
+    keep = SP.stratified_keep(
+        F.col("doc_id"), F.col("lang"), STRAT_RATES, default_rate=0.1
+    )
+    return (
+        docs.filter(keep)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_sum"))
+    )
+
+
 def _q_dedup_simhash(spark, sf_dir):
     # no independent SQL oracle exists for simhash (engine-specific xxhash64),
     # so assert the banding invariant: the pigeonhole banded join finds
@@ -1999,6 +2025,27 @@ SELECT {SP.split_sql_case('doc_id')} AS split,
   count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM documents GROUP BY 1
 """,
+    "sample_stratified": f"""
+SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents
+WHERE {SP.stratified_sql_predicate('doc_id', 'lang', STRAT_RATES, default_rate=0.1)}
+GROUP BY 1
+""",
+    "corpus_decontaminate": r"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS wd FROM documents
+), sh AS (
+  SELECT doc_id, source,
+    unnest(list_distinct([array_to_string(wd[i:i+5], ' ')
+                          for i in range(1, greatest(len(wd) - 5, 1) + 1)])) AS s
+  FROM w
+), ev AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 7 = 0
+)
+SELECT DISTINCT doc_id, source
+FROM sh
+WHERE doc_id % 7 <> 0 AND s IN (SELECT s FROM ev)
+""",
     "json_bad_records": """
 SELECT event_type,
   count(*) FILTER (event_id % 7 <> 0) AS n_clean,
@@ -2091,6 +2138,8 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall": _q_ann_ivf_recall,
     "ann_quantized_recall": _q_ann_quantized_recall,
     "sample_hash_split": _q_sample_hash_split,
+    "sample_stratified": _q_sample_stratified,
+    "corpus_decontaminate": _q_corpus_decontaminate,
     "json_bad_records": _q_json_bad_records,
     "kpl_roundtrip": _q_kpl_roundtrip,
     "text_lang_id": _q_text_lang_id,
