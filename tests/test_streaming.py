@@ -85,3 +85,68 @@ def test_two_level_sketch_roundtrip_via_binary(spark):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
     )
     assert merged.collect()[0].est == pytest.approx(50, rel=0.05)
+
+
+def test_append_mode_drops_late_data(spark, tmp_path):
+    # the watermark IS the reference's IsFinalInvokeForWindow: once it has
+    # passed a window's end, append mode emits the row and later (late)
+    # events for that window are dropped, not re-aggregated. Three files →
+    # three micro-batches (maxFilesPerTrigger=1). Note the one-batch lag:
+    # the watermark computed from batch N's data governs late-row filtering
+    # in batch N+2 (filter uses the start-of-batch value, which itself
+    # trails the data by one batch) — so the late row rides in batch 3.
+    import os
+    import time
+    import uuid
+
+    d = tmp_path / "late_src"
+    d.mkdir()
+
+    def write_batch(name, rows, mtime):
+        df = spark.createDataFrame(rows, "ts string").select(
+            F.col("ts").cast("timestamp").alias("ts")
+        )
+        p = str(d / name)
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(p, (mtime, mtime))
+
+    t0 = time.time() - 100
+    write_batch("b1", [("2024-01-01 10:00:00",), ("2024-01-01 11:30:00",)], t0)
+    write_batch("b2", [("2024-01-01 12:30:00",)], t0 + 30)
+    write_batch("b3", [("2024-01-01 10:15:00",)], t0 + 60)  # 2h15m late
+
+    schema = spark.read.parquet(str(d / "b1")).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d) + "/*")
+    )
+    agg = (
+        sdf.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour"))
+        .count()
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.window.start), str(r.window.end)): r["count"]
+        for r in spark.table(name).collect()
+    }
+    # [10,11) closed with ONE event; the 10:15 arrival in batch 3 is late
+    # against the 12:30 watermark and dropped. [11,12) closes at 12:30.
+    # [12,13) stays open: append mode withholds it past the final batch
+    # (the documented batch/stream emission difference, SURVEY.md §7d).
+    assert got == {
+        ("2024-01-01 10:00:00", "2024-01-01 11:00:00"): 1,
+        ("2024-01-01 11:00:00", "2024-01-01 12:00:00"): 1,
+    }
