@@ -1655,6 +1655,49 @@ def _q_text_winnow(spark, sf_dir):
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_pivot_event_counts(spark, sf_dir):
+    # pivot: one row per day, one column per event type. The explicit value
+    # list keeps the schema static (no extra distinct-values job — at scale
+    # an implicit pivot scans the fact table twice) and the plan is a single
+    # partial+final hash agg over (day), same as any groupBy.
+    (ev,) = _tables(spark, sf_dir, "events")
+    p = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    # absent (day, type) combos pivot to NULL → 0 for oracle parity
+    return p.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+def _q_unpivot_lineitem_metrics(spark, sf_dir):
+    # unpivot/melt: wide metric columns → long (metric, value) rows, then
+    # one aggregate per metric — the normalize-before-aggregate shape.
+    # unpivot is a zero-shuffle row expansion (Expand node), ×3 rows only
+    # into the partial agg, which collapses to 3 output rows pre-exchange.
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    long = li.select(
+        _dec("l_quantity").alias("l_quantity"),
+        _dec("l_extendedprice").alias("l_extendedprice"),
+        _dec("l_discount", 4, 2).alias("l_discount"),
+    ).unpivot([], ["l_quantity", "l_extendedprice", "l_discount"], "metric", "value")
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).cast("double").alias("total"),
+            F.round(F.min("value"), 2).cast("double").alias("vmin"),
+            F.round(F.max("value"), 2).cast("double").alias("vmax"),
+        )
+        .orderBy("metric")
+    )
+
+
 def _q_window_rolling_7d(spark, sf_dir):
     # RANGE-frame rolling total over the pre-aggregated daily grid (events
     # never enter the window sort — see operators/windows.py scale note)
@@ -1965,6 +2008,29 @@ SELECT doc_id, octet_length(encode(text)) AS size_bytes,
        (octet_length(encode(text)) + 1023) // 1024 AS n_frames
 FROM documents
 """,
+    "pivot_event_counts": """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY 1
+""",
+    "unpivot_lineitem_metrics": """
+WITH long AS (
+  SELECT 'l_quantity' AS metric, CAST(l_quantity AS DECIMAL(12,2)) AS value FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', CAST(l_discount AS DECIMAL(4,2)) FROM lineitem
+)
+SELECT metric, count(*) AS n,
+  CAST(round(sum(value), 2) AS DOUBLE) AS total,
+  CAST(round(min(value), 2) AS DOUBLE) AS vmin,
+  CAST(round(max(value), 2) AS DOUBLE) AS vmax
+FROM long GROUP BY 1 ORDER BY 1
+""",
     "window_rolling_7d": """
 WITH daily AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_events
@@ -2151,6 +2217,8 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigrams": _q_text_bigrams,
     "window_rolling_7d": _q_window_rolling_7d,
     "sessionize_users": _q_sessionize_users,
+    "pivot_event_counts": _q_pivot_event_counts,
+    "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
     "multimodal_media": _q_multimodal_media,
 }
 
