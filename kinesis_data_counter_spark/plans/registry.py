@@ -1750,6 +1750,26 @@ def _q_multimodal_media(spark, sf_dir):
     )
 
 
+def _q_dedup_method_agreement(spark, sf_dir):
+    # cross-method audit: how the lexical (n-gram Jaccard) and semantic
+    # (embedding cosine) near-dup definitions agree — the composition a
+    # curation run does before choosing thresholds. Reuses both pair
+    # pipelines unchanged; one full-outer join on the (smaller) pair sets,
+    # three conditional counts.
+    tx = _q_dedup_ngram_jaccard(spark, sf_dir).select(
+        "a_id", "b_id", F.lit(True).alias("is_text")
+    )
+    em = _q_dedup_embedding_cosine(spark, sf_dir).select(
+        "a_id", "b_id", F.lit(True).alias("is_embed")
+    )
+    j = tx.join(em, ["a_id", "b_id"], "full_outer")
+    return j.agg(
+        F.count_if(F.col("is_text").isNotNull() & F.col("is_embed").isNotNull()).alias("n_both"),
+        F.count_if(F.col("is_text").isNotNull() & F.col("is_embed").isNull()).alias("n_text_only"),
+        F.count_if(F.col("is_text").isNull() & F.col("is_embed").isNotNull()).alias("n_embed_only"),
+    )
+
+
 def _q_dedup_embedding_cosine(spark, sf_dir):
     # embedding-cosine near-dup: hyperplane-LSH candidates + exact verify.
     # (4 bits × 48 tables) is calibrated so candidate recall at sim≥0.4 is
@@ -2076,6 +2096,29 @@ GROUP BY 1
 ORDER BY cnt DESC, bigram
 LIMIT 300
 """,
+    "dedup_method_agreement": f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(w) - {NGRAM - 1}, 1)),
+               i -> array_to_string(w[i:i+{NGRAM - 1}], ' '))) AS sh
+      FROM t),
+sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      FROM s a JOIN s b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+tp AS (SELECT a_id, b_id
+       FROM i JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+       WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_T}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+ep AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4)
+SELECT
+  count(*) FILTER (tp.a_id IS NOT NULL AND ep.a_id IS NOT NULL) AS n_both,
+  count(*) FILTER (tp.a_id IS NOT NULL AND ep.a_id IS NULL) AS n_text_only,
+  count(*) FILTER (tp.a_id IS NULL AND ep.a_id IS NOT NULL) AS n_embed_only
+FROM tp FULL OUTER JOIN ep ON tp.a_id = ep.a_id AND tp.b_id = ep.b_id
+""",
     "dedup_embedding_cosine": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
 p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -2199,6 +2242,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_clean": _q_corpus_clean,
     "dedup_simhash": _q_dedup_simhash,
     "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+    "dedup_method_agreement": _q_dedup_method_agreement,
     "ann_cosine_topk": _q_ann_cosine_topk,
     "ann_lsh_recall": _q_ann_lsh_recall,
     "ann_ivf_recall": _q_ann_ivf_recall,
