@@ -129,3 +129,49 @@ def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS od_b")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    # the no-manual-salting path for skewed JOINS: AQE detects the hot
+    # partition at runtime and splits it (salting remains for skewed
+    # AGGREGATES — counter_salted_skew — where AQE can't help). Thresholds
+    # lowered so the fixture-scale hot key trips the detector.
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ]
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        # 90% of the left side lands on one key → one shuffle partition
+        # dwarfs the rest
+        left = spark.range(0, 150_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 1000).cast("string")))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 2000).select(
+            F.when(F.col("id") == 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 1000).cast("string")))
+            .alias("k"),
+            (F.col("id") * 7).alias("w"),
+        )
+        j = left.join(right, "k")
+        assert j.count() > 0  # executing THIS df finalizes its adaptive plan
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
