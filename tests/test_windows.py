@@ -156,3 +156,45 @@ def test_sessionize_gap_boundary(spark):
     # session bounds are event timestamps, no trailing gap padding
     assert u1[0].session_end - u1[0].session_start == 30 * 60 * 1000
     assert len([r for r in out if r.user_id == "u2"]) == 1
+
+
+def test_sessionize_bulk_random_properties(spark):
+    # seeded random stream; verify the session invariants structurally:
+    # (a) within a session, consecutive gaps are <= gap_ms
+    # (b) between consecutive sessions of one user, the gap is > gap_ms
+    # (c) every event lands in exactly one session (counts add up)
+    import numpy as np
+    import pandas as pd
+
+    from kinesis_data_counter_spark.operators.windows import sessionize
+
+    rng = np.random.default_rng(1234)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n),
+            "ts": pd.to_datetime(
+                rng.integers(0, 3 * 24 * 3600, n), unit="s", origin="2024-01-01"
+            ),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    gap_ms = 30 * 60 * 1000
+    out = sessionize(df, key_col="user_id", ts_col="ts", gap_ms=gap_ms).toPandas()
+
+    assert out["n_events"].sum() == n  # (c)
+
+    # recompute per-user gap structure in pandas and compare boundaries
+    pdf = pdf.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    pdf["ms"] = pdf["ts"].astype("int64") // 10**6
+    for uid, g in pdf.groupby("user_id"):
+        gaps = g["ms"].diff()
+        expected_sessions = int((gaps > gap_ms).sum()) + 1
+        got = out[out.user_id == uid].sort_values("session_start")
+        assert len(got) == expected_sessions, uid  # (a)+(b) combined
+        # session bounds nest: starts strictly increase and each start is
+        # > previous end + gap
+        starts = got["session_start"].to_numpy()
+        ends = got["session_end"].to_numpy()
+        assert (ends >= starts).all()
+        assert ((starts[1:] - ends[:-1]) > gap_ms).all()  # (b)
