@@ -1658,6 +1658,28 @@ def _q_text_winnow(spark, sf_dir):
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
+def _q_sql_surface_daily_top_types(spark, sf_dir):
+    # the engine's second query surface: plain Spark SQL (CTE + window
+    # function) over registered views — everything the DataFrame registry
+    # does is equally expressible as SQL; Catalyst plans both identically.
+    (ev,) = _tables(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT date_trunc('day', ts) AS day, event_type,
+                 count(*) AS n, count(DISTINCT user_id) AS n_users
+          FROM events_v GROUP BY 1, 2
+        ), ranked AS (
+          SELECT day, event_type, n, n_users,
+                 rank() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rk
+          FROM daily
+        )
+        SELECT day, event_type, n, n_users, rk FROM ranked WHERE rk <= 2
+        """
+    )
+
+
 def _q_pivot_event_counts(spark, sf_dir):
     # pivot: one row per day, one column per event type. The explicit value
     # list keeps the schema static (no extra distinct-values job — at scale
@@ -2028,6 +2050,18 @@ SELECT doc_id, octet_length(encode(text)) AS size_bytes,
        (octet_length(encode(text)) + 1023) // 1024 AS n_frames
 FROM documents
 """,
+    "sql_surface_daily_top_types": """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         count(*) AS n, count(DISTINCT user_id) AS n_users
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT day, event_type, n, n_users,
+         CAST(rank() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS INT) AS rk
+  FROM daily
+)
+SELECT day, event_type, n, n_users, rk FROM ranked WHERE rk <= 2
+""",
     "pivot_event_counts": """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
@@ -2263,6 +2297,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_users": _q_sessionize_users,
     "pivot_event_counts": _q_pivot_event_counts,
     "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
+    "sql_surface_daily_top_types": _q_sql_surface_daily_top_types,
     "multimodal_media": _q_multimodal_media,
 }
 
