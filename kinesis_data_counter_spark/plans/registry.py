@@ -1765,6 +1765,25 @@ def _q_text_bigrams(spark, sf_dir):
     )
 
 
+def _q_udtf_token_positions(spark, sf_dir):
+    # the UDTF extension point under oracle: LATERAL tokenize over docs,
+    # aggregated to (token, occurrence count, position-sum checksum).
+    # Deliberately the slow-path variant of text_vocab's explode pipeline —
+    # pinned by an oracle so the extension contract can't drift.
+    from kinesis_data_counter_spark.functions.udtfs import tokenize_positions_udtf
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    spark.udtf.register("tokenize_udtf", tokenize_positions_udtf())
+    docs.select("doc_id", "text").createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT t.token, count(*) AS cnt, CAST(sum(t.pos) AS BIGINT) AS sum_pos
+        FROM udtf_docs_v, LATERAL tokenize_udtf(text) t
+        GROUP BY 1
+        """
+    )
+
+
 def _q_multimodal_media(spark, sf_dir):
     (docs,) = _tables(spark, sf_dir, "documents")
     return MM.media_features(MM.documents_as_media(docs)).select(
@@ -2045,6 +2064,16 @@ SELECT source, count(*) AS n_docs,
        count(DISTINCT md5({_NORM_SQL.format(c='text')})) AS n_unique
 FROM documents GROUP BY 1
 """,
+    "udtf_token_positions": r"""
+SELECT token, count(*) AS cnt, CAST(sum(pos) AS BIGINT) AS sum_pos
+FROM (
+  SELECT unnest([{'pos': i - 1, 'token': toks[i]} for i in range(1, len(toks) + 1)],
+                recursive := true)
+  FROM (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        FROM documents)
+)
+GROUP BY 1
+""",
     "multimodal_media": """
 SELECT doc_id, octet_length(encode(text)) AS size_bytes,
        (octet_length(encode(text)) + 1023) // 1024 AS n_frames
@@ -2298,6 +2327,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_event_counts": _q_pivot_event_counts,
     "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
     "sql_surface_daily_top_types": _q_sql_surface_daily_top_types,
+    "udtf_token_positions": _q_udtf_token_positions,
     "multimodal_media": _q_multimodal_media,
 }
 

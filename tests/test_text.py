@@ -87,3 +87,20 @@ def test_bigrams_zip_with(spark):
     assert got[1].bg == ["padded text"]
     assert got[2].bg == []
     assert got[3].bg == []
+
+
+def test_tokenize_udtf_positions_and_nulls(spark):
+    from kinesis_data_counter_spark.functions.udtfs import tokenize_positions_udtf
+
+    spark.udtf.register("tok_test_udtf", tokenize_positions_udtf())
+    spark.createDataFrame(
+        [(1, "  The QUICK  fox "), (2, None), (3, "")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("tok_test_v")
+    rows = spark.sql(
+        "SELECT doc_id, t.pos, t.token FROM tok_test_v, LATERAL tok_test_udtf(text) t"
+    ).collect()
+    got = sorted((r.doc_id, r.pos, r.token) for r in rows)
+    # lowercased, whitespace-run split, 0-based positions; null/empty rows
+    # contribute nothing
+    assert got == [(1, 0, "the"), (1, 1, "quick"), (1, 2, "fox")]
