@@ -150,3 +150,51 @@ def test_append_mode_drops_late_data(spark, tmp_path):
         ("2024-01-01 10:00:00", "2024-01-01 11:00:00"): 1,
         ("2024-01-01 11:00:00", "2024-01-01 12:00:00"): 1,
     }
+
+
+def test_checkpoint_restart_processes_each_file_once(spark, tmp_path):
+    # the exactly-once upgrade over the reference (SURVEY.md §2.5: CLI
+    # restarts lose in-flight windows; LATEST iterator re-reads nothing,
+    # drops everything). With a checkpoint, a restarted query resumes from
+    # committed offsets: files processed before the stop are not re-emitted,
+    # new files are picked up.
+    import uuid
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def add_file(name, n0, n1):
+        spark.range(n0, n1).selectExpr("id AS v").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema("v long")
+            .parquet(str(src) + "/*")
+            .withColumn("doubled", F.col("v") * 2)
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    add_file("b1", 0, 100)
+    run_once()
+    first = spark.read.parquet(sink)
+    assert first.count() == 100
+
+    add_file("b2", 100, 150)
+    run_once()  # restart with the same checkpoint
+    out = spark.read.parquet(sink)
+    # b1 NOT duplicated, b2 picked up, transform applied to both
+    assert out.count() == 150
+    assert out.agg(F.sum("v")).collect()[0][0] == sum(range(150))
+    assert out.filter(F.col("doubled") != F.col("v") * 2).count() == 0
