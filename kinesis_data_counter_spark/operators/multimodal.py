@@ -112,3 +112,52 @@ def documents_as_media(df: DataFrame) -> DataFrame:
     return df.select(
         F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
     )
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_k: int = 2,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One payload row → many (doc_id, frame_idx, frame) rows: every
+    ``every_k``-th fixed-size chunk of the payload (a real pipeline would
+    decode the container and sample actual video frames — the stubbed
+    chunking keeps the one-to-many mapInPandas batch shape, the binary
+    frame column, and the fan-out factor real and oracle-checkable).
+
+    Scale note: output rows ≈ input_bytes / (FRAME_BYTES × every_k) — the
+    fan-out multiplies downstream shuffle volume, so frame-level operators
+    should aggregate or filter before any wide transformation.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if not payload:
+                    continue
+                n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, every_k):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
+            yield pd.DataFrame(
+                {"doc_id": pd.array(ids, dtype="int64"),
+                 "frame_idx": pd.array(idxs, dtype="int32"),
+                 "frame": pd.array(frames, dtype=object)}
+            )
+
+    slim = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+    return slim.mapInPandas(_frames, FRAME_SAMPLE_SCHEMA)

@@ -1765,6 +1765,20 @@ def _q_text_bigrams(spark, sf_dir):
     )
 
 
+def _q_multimodal_frame_sample(spark, sf_dir):
+    # one-to-many frame sampling over binary payloads (every 2nd 1 KB
+    # chunk); projected to chunk arithmetic + head byte so the DuckDB
+    # oracle can recompute it from the text the payload wraps
+    (docs,) = _tables(spark, sf_dir, "documents")
+    frames = MM.sample_frames(MM.documents_as_media(docs), every_k=2)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame").cast("int").alias("frame_len"),
+        F.ascii(F.decode(F.col("frame"), "UTF-8")).cast("int").alias("head_byte"),
+    )
+
+
 def _q_udtf_token_positions(spark, sf_dir):
     # the UDTF extension point under oracle: LATERAL tokenize over docs,
     # aggregated to (token, occurrence count, position-sum checksum).
@@ -2064,6 +2078,19 @@ SELECT source, count(*) AS n_docs,
        count(DISTINCT md5({_NORM_SQL.format(c='text')})) AS n_unique
 FROM documents GROUP BY 1
 """,
+    "multimodal_frame_sample": """
+WITH d AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+), f AS (
+  SELECT doc_id, text, n,
+         unnest(range(0, CAST(ceil(n / 1024.0) AS INT), 2)) AS i
+  FROM d WHERE n > 0
+)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       CAST(least(1024, n - i * 1024) AS INT) AS frame_len,
+       CAST(ascii(substr(text, i * 1024 + 1, 1)) AS INT) AS head_byte
+FROM f
+""",
     "udtf_token_positions": r"""
 SELECT token, count(*) AS cnt, CAST(sum(pos) AS BIGINT) AS sum_pos
 FROM (
@@ -2328,6 +2355,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
     "sql_surface_daily_top_types": _q_sql_surface_daily_top_types,
     "udtf_token_positions": _q_udtf_token_positions,
+    "multimodal_frame_sample": _q_multimodal_frame_sample,
     "multimodal_media": _q_multimodal_media,
 }
 
