@@ -1,0 +1,157 @@
+"""Mergeable-sketch operators beyond HLL: exact-capable top-k and theta sets.
+
+The reference's only sketch is HLL++ p=16 for ``approx_count_distinct``
+(counter.go:206-208), merged across shards via IntermediateRecord
+(counter.go:348-412). This module widens the same partial → exchange → merge
+topology to the two other sketch families Spark 4 ships natively:
+
+- ``approx_top_k_accumulate / _combine / _estimate`` — heavy hitters. The
+  state is mergeable, so the per-shard accumulate plays the reference's
+  shard-partial role and the combine plays the aggregate-stream merge.
+  With ``max_items_tracked`` ≥ the true cardinality the counts are EXACT
+  (the sketch only degrades once eviction starts); at 100 TB the guarantee
+  degrades gracefully to "any key with frequency ≥ 1/max_items survives".
+- ``theta_sketch_agg / theta_union_agg`` + scalar
+  ``theta_union / theta_intersection / theta_difference`` — distinct
+  counting like HLL, but closed under set algebra: |A ∩ B| and |A \\ B|
+  are impossible with HLL sketches alone and one scalar call here.
+
+Scale notes:
+- Both sketches do map-side partial aggregation: the shuffle carries one
+  bounded-size state per (group × partition), not per input row. Top-k
+  state is O(max_items_tracked); theta state is O(2^lgk) (default lgk=12).
+- Everything stays JVM-side (Catalyst expressions, whole-stage codegen
+  around the agg); no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Tracking capacity: exact for every test SF (≤1.5k distinct users) and a
+# reasonable heavy-hitter budget at cluster scale (any key holding ≥1/4096
+# of the stream is guaranteed to survive eviction).
+DEFAULT_MAX_ITEMS = 4096
+
+
+def _as_col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def topk_two_level(
+    df: DataFrame,
+    item_col: str | Column,
+    k: int = 10,
+    max_items_tracked: int = DEFAULT_MAX_ITEMS,
+    shard_col: str | Column | None = None,
+) -> DataFrame:
+    """Top-k heavy hitters via the two-level sketch topology.
+
+    Per-shard ``approx_top_k_accumulate`` → single ``approx_top_k_combine``
+    → ``approx_top_k_estimate``, exploded to one row per item with a
+    deterministic rank by (count desc, item asc). With ``shard_col=None``
+    a single accumulate runs and Catalyst still splits it partial/final —
+    the explicit shard level exists to mirror the reference's
+    aggregate-stream hand-off (counter.go:348-412), where the combine step
+    may run in a different job than the accumulate.
+
+    Returns (rank int, item, cnt bigint), ``k`` rows (fewer if the input
+    has fewer distinct items).
+    """
+    m, k = int(max_items_tracked), int(k)
+    if shard_col is None:
+        slim = df.select(_as_col(item_col).alias("__item"))
+        partial = slim.agg(
+            F.expr(f"approx_top_k_accumulate(__item, {m})").alias("state")
+        )
+    else:
+        slim = df.select(
+            _as_col(item_col).alias("__item"), _as_col(shard_col).alias("__shard")
+        )
+        partial = slim.groupBy("__shard").agg(
+            F.expr(f"approx_top_k_accumulate(__item, {m})").alias("state")
+        )
+    combined = partial.agg(
+        F.expr(f"approx_top_k_combine(state, {m})").alias("state")
+    )
+    # estimate the FULL tracked set, then cut to k under a deterministic
+    # (cnt desc, item asc) rank — the sketch's own top-k picks an arbitrary
+    # subset among items tied at the cutoff, which breaks reproducibility
+    est = combined.select(
+        F.explode(F.expr(f"approx_top_k_estimate(state, {m})")).alias("e")
+    ).select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+    # single-row source → the unpartitioned window is cheap (≤ m rows)
+    w = Window.orderBy(F.desc("cnt"), F.asc("item"))
+    return est.select(
+        F.row_number().over(w).cast("int").alias("rank"), "item", "cnt"
+    ).where(F.col("rank") <= k)
+
+
+def theta_distinct_windowed(
+    df: DataFrame,
+    col: str | Column,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    shard_col: str | Column | None = None,
+) -> DataFrame:
+    """Per-tumbling-window distinct count via theta sketches (A3/A4 shape).
+
+    Same partial-sketch-per-shard → ``theta_union_agg`` merge → estimate
+    topology as the HLL counter; exact while the sketch stays in exact mode
+    (cardinality < 2^lgk = 4096 per group). Returns
+    (window_start, window_end epoch-millis, approx bigint).
+    """
+    slim_cols = [_as_col(col).alias("__v"), F.col(ts_col).alias("__ts")]
+    if shard_col is not None:
+        slim_cols.append(_as_col(shard_col).alias("__shard"))
+    slim = df.select(*slim_cols)
+    win = F.window("__ts", window)
+    if shard_col is None:
+        merged = slim.groupBy(win.alias("window")).agg(
+            F.expr("theta_sketch_agg(__v)").alias("sketch")
+        )
+    else:
+        partial = slim.groupBy(win.alias("window"), F.col("__shard")).agg(
+            F.expr("theta_sketch_agg(__v)").alias("sketch")
+        )
+        merged = partial.groupBy("window").agg(
+            F.expr("theta_union_agg(sketch)").alias("sketch")
+        )
+    return merged.select(
+        F.unix_millis("window.start").alias("window_start"),
+        F.unix_millis("window.end").alias("window_end"),
+        F.expr("cast(theta_sketch_estimate(sketch) as bigint)").alias("approx"),
+    )
+
+
+def theta_set_cardinalities(
+    df: DataFrame, member_a: Column, member_b: Column
+) -> DataFrame:
+    """One-pass |A|, |B|, |A∩B|, |A\\B|, |A∪B| over two membership predicates.
+
+    ``member_a`` / ``member_b`` are expressions yielding the set element
+    when the row belongs to the set and NULL otherwise (aggregates skip
+    nulls). One scan builds both sketches; the set algebra is scalar calls
+    on the merged states — the operation HLL fundamentally cannot express.
+    At 100 TB: the scan is the only data-sized cost; the algebra runs on
+    two ≤32 KB states.
+    """
+    sk = df.select(member_a.alias("__a"), member_b.alias("__b")).agg(
+        F.expr("theta_sketch_agg(__a)").alias("ska"),
+        F.expr("theta_sketch_agg(__b)").alias("skb"),
+    )
+    return sk.select(
+        F.expr("cast(theta_sketch_estimate(ska) as bigint)").alias("n_a"),
+        F.expr("cast(theta_sketch_estimate(skb) as bigint)").alias("n_b"),
+        F.expr(
+            "cast(theta_sketch_estimate(theta_intersection(ska, skb)) as bigint)"
+        ).alias("n_inter"),
+        F.expr(
+            "cast(theta_sketch_estimate(theta_difference(ska, skb)) as bigint)"
+        ).alias("n_diff"),
+        F.expr(
+            "cast(theta_sketch_estimate(theta_union(ska, skb)) as bigint)"
+        ).alias("n_union"),
+    )

@@ -28,6 +28,7 @@ from kinesis_data_counter_spark.operators import sampling as SP
 from kinesis_data_counter_spark.operators import similarity as SIM
 from kinesis_data_counter_spark.operators import text as TX
 from kinesis_data_counter_spark.operators import multimodal as MM
+from kinesis_data_counter_spark.operators import sketches as SK
 from kinesis_data_counter_spark.operators import windows as WN
 from kinesis_data_counter_spark.session import load_tables
 
@@ -207,6 +208,37 @@ def _q_counter_two_level(spark, sf_dir):
     )
 
 
+def _q_counter_topk_users(spark, sf_dir):
+    # heavy hitters via the two-level approx_top_k sketch (accumulate per
+    # shard → combine → estimate); maxItemsTracked=4096 exceeds user
+    # cardinality at every test SF, so the counts are exact and the oracle
+    # is plain GROUP BY + rank (SK module docstring covers the 100 TB
+    # degradation guarantee)
+    (ev,) = _tables(spark, sf_dir, "events")
+    sh = ev.withColumn("shard_id", F.pmod("user_id", F.lit(4)))
+    return SK.topk_two_level(sh, "user_id", k=10, shard_col="shard_id")
+
+
+def _q_counter_distinct_theta(spark, sf_dir):
+    # A3/A4 with theta sketches instead of HLL: partial per shard →
+    # theta_union_agg → estimate. Exact mode holds while per-window
+    # cardinality < 4096 (true at every test SF), so the oracle compares
+    # exact values — stronger than the HLL ε-boolean
+    (ev,) = _tables(spark, sf_dir, "events")
+    sh = ev.withColumn("shard_id", F.pmod("user_id", F.lit(4)))
+    return SK.theta_distinct_windowed(sh, "user_id", "1 hour", "ts", "shard_id")
+
+
+def _q_theta_set_ops_users(spark, sf_dir):
+    # sketch set algebra: |A|, |B|, |A∩B|, |A\B|, |A∪B| over two event
+    # cohorts in one scan — the op HLL cannot express (theta sketches are
+    # closed under intersection/difference)
+    (ev,) = _tables(spark, sf_dir, "events")
+    a = F.when((F.col("event_type") == "click") & (F.col("value") > 200), F.col("user_id"))
+    b = F.when((F.col("event_type") == "purchase") & (F.col("value") > 200), F.col("user_id"))
+    return SK.theta_set_cardinalities(ev, a, b)
+
+
 def _q_counter_multi_fanout(spark, sf_dir):
     # A7: several counters over one shared (cached) scan, results unioned
     (ev,) = _tables(spark, sf_dir, "events")
@@ -344,6 +376,27 @@ SELECT epoch_ms(date_trunc('day', ts)) AS window_start,
        epoch_ms(date_trunc('day', ts) + INTERVAL 1 DAY) AS window_end,
        true AS ok
 FROM events GROUP BY 1, 2
+""",
+    "counter_topk_users": """
+WITH c AS (SELECT user_id AS item, count(*) AS cnt FROM events GROUP BY 1),
+r AS (SELECT item, cnt, row_number() OVER (ORDER BY cnt DESC, item) AS rank FROM c)
+SELECT CAST(rank AS INT) AS rank, item, CAST(cnt AS BIGINT) AS cnt
+FROM r WHERE rank <= 10
+""",
+    "counter_distinct_theta": """
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start,
+       epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS approx
+FROM events GROUP BY 1, 2
+""",
+    "theta_set_ops_users": """
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 200),
+     b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 200)
+SELECT (SELECT count(*) FROM a) AS n_a,
+       (SELECT count(*) FROM b) AS n_b,
+       (SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS n_inter,
+       (SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b)) AS n_diff,
+       (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS n_union
 """,
     "counter_two_level": """
 SELECT epoch_ms(date_trunc('hour', ts)) AS window_start,
@@ -2286,6 +2339,9 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_distinct_user": _q_counter_distinct_user,
     "counter_distinct_expr": _q_counter_distinct_expr,
     "counter_two_level": _q_counter_two_level,
+    "counter_topk_users": _q_counter_topk_users,
+    "counter_distinct_theta": _q_counter_distinct_theta,
+    "theta_set_ops_users": _q_theta_set_ops_users,
     "counter_multi_fanout": _q_counter_multi_fanout,
     "streaming_counter": _q_streaming_counter,
     "window_sliding": _q_window_sliding,

@@ -1,0 +1,107 @@
+"""Sketch family beyond HLL: two-level approx_top_k and theta set algebra.
+
+Covers both regimes: exact mode (tracked capacity ≥ cardinality — counts and
+estimates must equal the plain GROUP BY answer) and the degraded regime
+(eviction / sampling), where only the heavy-hitter guarantee survives.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from kinesis_data_counter_spark.operators import sketches as SK
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, value double")
+
+
+def test_topk_two_level_exact_matches_groupby(spark):
+    rng = random.Random(7)
+    # zipf-ish skew over 40 keys
+    rows = [(rng.randint(0, rng.choice([3, 9, 39])),) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "user_id long").withColumn(
+        "shard_id", F.pmod("user_id", F.lit(5))
+    )
+    got = SK.topk_two_level(df, "user_id", k=10, shard_col="shard_id").collect()
+    exact = {r["user_id"]: r["n"] for r in df.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["item"], r["cnt"]) for r in got] == want
+    assert [r["rank"] for r in got] == list(range(1, 11))
+
+
+def test_topk_without_shard_level_same_answer(spark):
+    rows = [(i % 7,) for i in range(700)] + [(99,)] * 50
+    df = spark.createDataFrame(rows, "user_id long")
+    a = SK.topk_two_level(df, "user_id", k=3).collect()
+    b = SK.topk_two_level(df.withColumn("s", F.pmod("user_id", F.lit(3))), "user_id", k=3, shard_col="s").collect()
+    assert [(r["item"], r["cnt"]) for r in a] == [(r["item"], r["cnt"]) for r in b]
+
+
+def test_topk_eviction_regime_keeps_heavy_hitter(spark):
+    # 5000 distinct light keys + one key holding ~20% of the stream, but
+    # only 64 tracked slots: the heavy hitter must survive eviction at rank 1
+    rows = [(i,) for i in range(5000)] + [(777_777,)] * 1200
+    df = spark.createDataFrame(rows, "user_id long")
+    got = SK.topk_two_level(df, "user_id", k=1, max_items_tracked=64).collect()
+    assert got[0]["item"] == 777_777
+    # sketch over-counts evicted-then-reinserted keys, never undercounts its
+    # own guarantee range; the heavy hitter's count is at least the truth
+    assert got[0]["cnt"] >= 1200
+
+
+def test_theta_distinct_windowed_exact_mode(spark):
+    rows = [
+        (u, f"2024-01-01 0{h}:{m:02d}:00")
+        for u in range(30)
+        for h, m in [(0, 5), (0, 40), (1, 10)]
+        if (u + h + m) % 3 != 0
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    ).withColumn("shard_id", F.pmod("user_id", F.lit(4)))
+    got = {
+        (r["window_start"], r["window_end"]): r["approx"]
+        for r in SK.theta_distinct_windowed(df, "user_id", "1 hour", "ts", "shard_id").collect()
+    }
+    exact = {
+        (r["ws"], r["we"]): r["n"]
+        for r in df.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .select(F.unix_millis("w.start").alias("ws"), F.unix_millis("w.end").alias("we"), "n")
+        .collect()
+    }
+    assert got == exact
+
+
+def test_theta_set_cardinalities_match_set_math(spark):
+    rng = random.Random(11)
+    rows = [
+        (rng.randint(0, 99), rng.choice(["click", "view", "purchase"]), rng.uniform(0, 500.0))
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    a_set = {u for u, e, v in rows if e == "click" and v > 250}
+    b_set = {u for u, e, v in rows if e == "purchase" and v > 250}
+    got = SK.theta_set_cardinalities(
+        df,
+        F.when((F.col("event_type") == "click") & (F.col("value") > 250), F.col("user_id")),
+        F.when((F.col("event_type") == "purchase") & (F.col("value") > 250), F.col("user_id")),
+    ).collect()[0]
+    assert got["n_a"] == len(a_set)
+    assert got["n_b"] == len(b_set)
+    assert got["n_inter"] == len(a_set & b_set)
+    assert got["n_diff"] == len(a_set - b_set)
+    assert got["n_union"] == len(a_set | b_set)
+
+
+def test_theta_empty_set_edges(spark):
+    df = spark.createDataFrame([(1, "view", 10.0)], "user_id long, event_type string, value double")
+    got = SK.theta_set_cardinalities(
+        df,
+        F.when(F.col("event_type") == "click", F.col("user_id")),
+        F.when(F.col("event_type") == "purchase", F.col("user_id")),
+    ).collect()[0]
+    assert (got["n_a"], got["n_b"], got["n_inter"], got["n_diff"], got["n_union"]) == (0, 0, 0, 0, 0)
