@@ -198,3 +198,76 @@ def test_checkpoint_restart_processes_each_file_once(spark, tmp_path):
     assert out.count() == 150
     assert out.agg(F.sum("v")).collect()[0][0] == sum(range(150))
     assert out.filter(F.col("doubled") != F.col("v") * 2).count() == 0
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeMapState:
+    def __init__(self):
+        self._m = {}
+
+    def containsKey(self, k):
+        return k in self._m
+
+    def getValue(self, k):
+        return self._m[k]
+
+    def updateValue(self, k, v):
+        self._m[k] = v
+
+    def keys(self):
+        return iter(self._m)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def getMapState(self, name, kschema, vschema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeMapState())
+
+
+def test_tws_processor_accumulates_across_batches():
+    # the transformWithState runtime needs protobuf (absent here); the
+    # processor's accumulation logic is still exercised via a fake handle
+    import pandas as pd
+
+    from kinesis_data_counter_spark.streaming.stateful import RunningAggregateProcessor
+
+    p = RunningAggregateProcessor()
+    p.init(_FakeHandle())
+    b1 = pd.DataFrame({"event_type": ["click", "click", "view"]})
+    b2 = pd.DataFrame({"event_type": ["purchase", "click"]})
+    out1 = list(p.handleInputRows((7,), iter([b1]), None))[0]
+    out2 = list(p.handleInputRows((7,), iter([b2]), None))[0]
+    assert out1.to_dict("records") == [{"key": 7, "n_events": 3, "n_types": 2}]
+    assert out2.to_dict("records") == [{"key": 7, "n_events": 5, "n_types": 3}]
+    # per-type map state carries exact counts across batches
+    assert p.types.getValue(("click",)) == (3,)
+
+
+def test_tws_wrapper_raises_without_protobuf(spark):
+    import pytest
+
+    from kinesis_data_counter_spark.streaming import stateful as ST
+
+    if ST.HAS_TWS_RUNTIME:  # pragma: no cover - container has no protobuf
+        pytest.skip("protobuf present; gate not applicable")
+    df = spark.createDataFrame([(1,)], "user_id long")
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        ST.stateful_running_counts_tws(df)
