@@ -1787,6 +1787,49 @@ def _q_sessionize_users(spark, sf_dir):
     return WN.sessionize(ev, key_col="user_id", ts_col="ts", gap_ms=30 * 60 * 1000)
 
 
+def _q_retention_cohorts(spark, sf_dir):
+    # classic cohort retention: cohort = first-seen day per user; for each
+    # (cohort_day, day_offset) count distinct active users. Two hash aggs +
+    # one join on user_id — at 100 TB the join co-partitions on the same
+    # key as the first agg's shuffle, so AQE reuses the exchange layout;
+    # distinct-count agg is partial+final as usual
+    (ev,) = _tables(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    j = ev.join(first, "user_id")
+    return (
+        j.groupBy(
+            "cohort_day",  # timestamp on both sides (DATE pandas dtypes diverge)
+            F.datediff(
+                F.col("ts").cast("date"), F.col("cohort_day").cast("date")
+            ).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def _q_funnel_signup_purchase(spark, sf_dir):
+    # ordered-event funnel: per user, did a purchase follow the first
+    # signup? One conditional-min agg per user (no self-join, no window) —
+    # the funnel stages compile to min(CASE WHEN ...) inside a single
+    # partial+final hash agg, then a count roll-up
+    (ev,) = _tables(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        F.sum(
+            F.when(
+                F.col("last_purchase") > F.col("first_signup"), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("n_converted"),
+    )
+
+
 def _q_text_vocab(spark, sf_dir):
     # vocabulary build: document frequency + collection frequency per token
     # — the IDF precursor table. explode → single hash agg; top slice by
@@ -2144,6 +2187,29 @@ SELECT doc_id, CAST(i AS INT) AS frame_idx,
        CAST(ascii(substr(text, i * 1024 + 1, 1)) AS INT) AS head_byte
 FROM f
 """,
+    "retention_cohorts": """
+WITH first AS (
+  SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day
+  FROM events GROUP BY 1
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', CAST(f.cohort_day AS DATE), CAST(e.ts AS DATE)) AS INT) AS day_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN first f USING (user_id)
+GROUP BY 1, 2
+""",
+    "funnel_signup_purchase": """
+WITH pu AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+  FROM events GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(first_signup) AS BIGINT) AS n_signed_up,
+       CAST(sum(CASE WHEN last_purchase > first_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM pu
+""",
     "udtf_token_positions": r"""
 SELECT token, count(*) AS cnt, CAST(sum(pos) AS BIGINT) AS sum_pos
 FROM (
@@ -2407,6 +2473,8 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigrams": _q_text_bigrams,
     "window_rolling_7d": _q_window_rolling_7d,
     "sessionize_users": _q_sessionize_users,
+    "retention_cohorts": _q_retention_cohorts,
+    "funnel_signup_purchase": _q_funnel_signup_purchase,
     "pivot_event_counts": _q_pivot_event_counts,
     "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
     "sql_surface_daily_top_types": _q_sql_surface_daily_top_types,
