@@ -22,6 +22,8 @@ a double-digit percent of the corpus, pre-split by time range instead.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -88,3 +90,50 @@ def asof_join(
         F.col(f"__m.{c}").alias(f"{right_prefix}{c}") for c in r_payload_cols
     ]
     return matched.select(*out_cols)
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    keys: Sequence[str] = (),
+    bin_width: int = 3_600_000,
+) -> DataFrame:
+    """Interval-containment join (point BETWEEN start AND end) via binning.
+
+    OSS Spark plans a raw range predicate as a broadcast-nested-loop join —
+    O(points × intervals) and a non-starter at scale. The standard fix is
+    to discretize the range dimension: each interval is replicated onto
+    every ``bin_width``-sized bin it overlaps, each point lands in exactly
+    one bin, and the planner sees a plain equi-join on (keys…, bin) that it
+    hash-partitions like any other; the BETWEEN predicate then refines the
+    candidates. Every true match shares a bin, so the result is exact.
+
+    Costs to size consciously at 100 TB:
+    - interval replication factor ≈ avg_interval_length / bin_width + 1 —
+      pick bin_width near the TYPICAL interval length so the factor stays
+      ~2 while bins stay selective;
+    - each point joins only its own bin's intervals, so the per-task work
+      is local and the shuffle is the same hash exchange a normal join pays.
+
+    ``point_col``/``start_col``/``end_col`` must be numeric in the same
+    units (e.g. epoch millis). Returns matched rows with all columns from
+    both sides (shared ``keys`` once).
+    """
+    bw = int(bin_width)
+    p = points.withColumn("__bin", F.floor(F.col(point_col) / F.lit(bw)))
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bw)),
+                F.floor(F.col(end_col) / F.lit(bw)),
+            )
+        ),
+    )
+    joined = p.join(iv, [*keys, "__bin"]).where(
+        F.col(point_col).between(F.col(start_col), F.col(end_col))
+    )
+    return joined.drop("__bin")

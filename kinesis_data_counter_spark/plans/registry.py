@@ -1787,6 +1787,24 @@ def _q_sessionize_users(spark, sf_dir):
     return WN.sessionize(ev, key_col="user_id", ts_col="ts", gap_ms=30 * 60 * 1000)
 
 
+def _q_range_join_session_events(spark, sf_dir):
+    # interval-containment join demonstrated end-to-end: sessionize gives
+    # per-user [start, end] intervals; the binned range join re-assigns
+    # every event to its containing session via an equi-join on
+    # (user_id, hour-bin) + BETWEEN refine — no nested-loop join anywhere.
+    # Recounting events per session must reproduce sessionize's own count,
+    # which the oracle computes independently
+    (ev,) = _tables(spark, sf_dir, "events")
+    sessions = WN.sessionize(ev, key_col="user_id", ts_col="ts").drop("n_events")
+    points = ev.select("user_id", F.unix_millis("ts").alias("ts_ms"))
+    j = JN.range_join_binned(
+        points, sessions, "ts_ms", "session_start", "session_end", keys=("user_id",)
+    )
+    return j.groupBy("user_id", "session_id", "session_start").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
 def _q_retention_cohorts(spark, sf_dir):
     # classic cohort retention: cohort = first-seen day per user; for each
     # (cohort_day, day_offset) count distinct active users. Two hash aggs +
@@ -2187,6 +2205,21 @@ SELECT doc_id, CAST(i AS INT) AS frame_idx,
        CAST(ascii(substr(text, i * 1024 + 1, 1)) AS INT) AS head_byte
 FROM f
 """,
+    "range_join_session_events": """
+WITH x AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM x
+)
+SELECT user_id, session_id, epoch_ms(min(ts)) AS session_start, count(*) AS n_events
+FROM s GROUP BY 1, 2
+""",
     "retention_cohorts": """
 WITH first AS (
   SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day
@@ -2474,6 +2507,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rolling_7d": _q_window_rolling_7d,
     "sessionize_users": _q_sessionize_users,
     "retention_cohorts": _q_retention_cohorts,
+    "range_join_session_events": _q_range_join_session_events,
     "funnel_signup_purchase": _q_funnel_signup_purchase,
     "pivot_event_counts": _q_pivot_event_counts,
     "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,

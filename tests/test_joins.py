@@ -139,3 +139,58 @@ def test_asof_random_bulk_matches_pandas(spark, direction):
     ).rename(columns={"qts": "r_qts", "px": "r_px"})[["lid", "r_qts", "r_px"]]
     want = want.sort_values("lid").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_range_join_binned_containment_exact(spark):
+    from kinesis_data_counter_spark.operators.joins import range_join_binned
+
+    points = spark.createDataFrame(
+        [(1, 50), (1, 150), (1, 250), (2, 150), (1, 1000)],
+        "user_id long, ts_ms long",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 100, 300, "a"), (2, 0, 200, "b"), (1, 400, 500, "c")],
+        "user_id long, s long, e long, tag string",
+    )
+    got = {
+        (r["user_id"], r["ts_ms"], r["tag"])
+        for r in range_join_binned(
+            points, intervals, "ts_ms", "s", "e", keys=("user_id",), bin_width=100
+        ).collect()
+    }
+    # brute-force oracle
+    want = {
+        (pu, pt, tag)
+        for pu, pt in [(1, 50), (1, 150), (1, 250), (2, 150), (1, 1000)]
+        for iu, s, e, tag in [(1, 100, 300, "a"), (2, 0, 200, "b"), (1, 400, 500, "c")]
+        if pu == iu and s <= pt <= e
+    }
+    assert got == want
+    # boundary points (ts == start, ts == end) included
+    assert (1, 250, "a") in got
+
+
+def test_range_join_binned_boundaries_and_bin_spans(spark):
+    from kinesis_data_counter_spark.operators.joins import range_join_binned
+
+    # interval spanning many bins still matches a point in its middle bin
+    points = spark.createDataFrame([(1, 5000)], "k long, t long")
+    intervals = spark.createDataFrame([(1, 0, 10000)], "k long, s long, e long")
+    out = range_join_binned(points, intervals, "t", "s", "e", keys=("k",), bin_width=7)
+    assert out.count() == 1
+    # exact-boundary point at interval end
+    pts2 = spark.createDataFrame([(1, 10000), (1, 10001)], "k long, t long")
+    out2 = range_join_binned(pts2, intervals, "t", "s", "e", keys=("k",), bin_width=7)
+    assert [r["t"] for r in out2.collect()] == [10000]
+
+
+def test_range_join_binned_no_keys(spark):
+    from kinesis_data_counter_spark.operators.joins import range_join_binned
+
+    points = spark.createDataFrame([(10,), (20,), (35,)], "t long")
+    intervals = spark.createDataFrame([(15, 30, "x")], "s long, e long, tag string")
+    got = sorted(
+        r["t"]
+        for r in range_join_binned(points, intervals, "t", "s", "e", bin_width=8).collect()
+    )
+    assert got == [20]
