@@ -194,3 +194,41 @@ def test_range_join_binned_no_keys(spark):
         for r in range_join_binned(points, intervals, "t", "s", "e", bin_width=8).collect()
     )
     assert got == [20]
+
+
+def test_range_join_binned_random_bulk_matches_bruteforce(spark):
+    # seeded bulk-random check across several bin widths, including widths
+    # much smaller and much larger than typical interval length
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    n_pts, n_iv, n_keys = 3000, 400, 12
+    pk = rng.integers(0, n_keys, n_pts)
+    pt = rng.integers(0, 100_000, n_pts)
+    ik = rng.integers(0, n_keys, n_iv)
+    s = rng.integers(0, 100_000, n_iv)
+    ln = rng.integers(0, 5_000, n_iv)
+    points = spark.createDataFrame(
+        [(int(k), int(t), i) for i, (k, t) in enumerate(zip(pk, pt))],
+        "k long, t long, pid long",
+    )
+    intervals = spark.createDataFrame(
+        [(int(k), int(a), int(a + d), j) for j, (k, a, d) in enumerate(zip(ik, s, ln))],
+        "k long, s long, e long, iid long",
+    )
+    want = {
+        (i, j)
+        for i, (kp, tp) in enumerate(zip(pk, pt))
+        for j, (ki, a, d) in enumerate(zip(ik, s, ln))
+        if kp == ki and a <= tp <= a + d
+    }
+    from kinesis_data_counter_spark.operators.joins import range_join_binned
+
+    for bw in (100, 2_500, 50_000):
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join_binned(
+                points, intervals, "t", "s", "e", keys=("k",), bin_width=bw
+            ).collect()
+        }
+        assert got == want, f"bin_width={bw}: {len(got)} vs {len(want)}"
