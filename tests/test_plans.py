@@ -175,3 +175,29 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_range_join_is_equi_hash_not_nested_loop(spark, sf_dir):
+    # the binned formulation must hand Catalyst an equi-join on
+    # (user_id, __bin) with BETWEEN as a residual — never a nested loop
+    plan = _plan(spark, sf_dir, "range_join_session_events")
+    assert "NestedLoop" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "__bin" in plan  # the bin key actually participates in the join
+
+
+def test_retention_scan_prunes_to_two_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "retention_cohorts")
+    scan = plan.split("ReadSchema", 1)[1][:200]
+    assert "ts" in scan and "user_id" in scan
+    for unused in ("event_type", "props", "value", "event_id"):
+        assert unused not in scan, f"scan reads unused column {unused}"
+
+
+def test_topk_two_level_bounded_exchanges(spark, sf_dir):
+    # sketch states are bounded, so the whole query is: shard-partial
+    # exchange -> combine exchange (single row) -> rank; anything beyond
+    # three exchanges means the plan re-shuffles data it shouldn't
+    plan = _plan(spark, sf_dir, "counter_topk_users")
+    assert plan.count("Exchange") <= 3, plan[:2000]
+    assert "ObjectHashAggregate" in plan  # sketch agg path, partial+final
