@@ -44,6 +44,12 @@ BENCH_QUERIES = [
     "multimodal_media",
     "json_bad_records",
     "kpl_roundtrip",
+    # round-1 additions: sketch, temporal-join, and product-analytics shapes
+    "counter_topk_users",
+    "theta_set_ops_users",
+    "retention_cohorts",
+    "funnel_signup_purchase",
+    "range_join_session_events",
 ]
 
 

@@ -92,3 +92,74 @@ def upsert_partitions(
         )
     finally:
         spark.conf.set(key, prev)
+
+
+def compact_dataset(
+    spark,
+    path: str,
+    partition_by: Sequence[str] = (),
+    sort_by: Sequence[str] = (),
+    target_file_mb: int = 128,
+) -> dict:
+    """Rewrite a parquet dataset into near-target-size files (compaction).
+
+    Streaming sinks and fine-grained upserts accrete small files; at
+    100 TB the resulting footer/open overhead dominates scan time long
+    before data volume does (a 1 KB file costs the same task-scheduling
+    and S3-GET latency as a 128 MB one). This job measures the dataset's
+    real bytes-per-row, derives ``maxRecordsPerFile`` for the target file
+    size, and rewrites through :func:`write_curated` (so partitioning and
+    rowgroup sort order are preserved or newly imposed).
+
+    The rewrite stages into ``<path>.__compacting`` and swaps directories
+    at the end — readers racing the swap see either the old or the new
+    complete dataset, never a partial mix, but this is NOT transactional
+    across concurrent writers (that is a table-format concern; parquet
+    directories have no commit protocol).
+
+    Returns ``{"files_before", "files_after", "rows", "bytes"}``.
+    Local-filesystem paths only (os.walk); object stores would use the
+    Hadoop FileSystem API instead.
+    """
+    import os
+    import shutil
+
+    def _layout(p: str) -> tuple[int, int]:
+        n, b = 0, 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    b += os.path.getsize(os.path.join(root, f))
+        return n, b
+
+    files_before, bytes_total = _layout(path)
+    df = spark.read.parquet(path)
+    rows = df.count()
+    if rows == 0:
+        return {"files_before": files_before, "files_after": files_before,
+                "rows": 0, "bytes": bytes_total}
+    bytes_per_row = max(1.0, bytes_total / rows)
+    max_records = max(1, int(target_file_mb * (1 << 20) / bytes_per_row))
+
+    tmp = path.rstrip("/") + ".__compacting"
+    out = df
+    if not partition_by:
+        # aim every task at ~target-size output; +1 avoids coalesce(0)
+        n_files = int(rows // max_records) + 1
+        out = out.coalesce(n_files)
+    write_curated(
+        out,
+        tmp,
+        partition_by=partition_by,
+        sort_by=sort_by,
+        max_records_per_file=max_records,
+        mode="overwrite",
+    )
+    old = path.rstrip("/") + ".__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    files_after, _ = _layout(path)
+    return {"files_before": files_before, "files_after": files_after,
+            "rows": rows, "bytes": bytes_total}

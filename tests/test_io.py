@@ -79,3 +79,37 @@ def test_upsert_partitions_requires_partition_cols(spark):
     df = spark.createDataFrame([(1,)], "a long")
     with pytest.raises(ValueError, match="partition column"):
         upsert_partitions(df, "/tmp/nope", partition_by=())
+
+
+def test_compact_dataset_merges_small_files(spark, tmp_path):
+    from kinesis_data_counter_spark.io import compact_dataset
+
+    path = str(tmp_path / "fragmented")
+    df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS grp", "id * 1.5 AS v")
+    df.repartition(50).write.parquet(path)  # 50 tiny files
+
+    stats = compact_dataset(spark, path, sort_by=("id",), target_file_mb=64)
+    assert stats["files_before"] == 50
+    assert stats["files_after"] < 5
+    assert stats["rows"] == 10_000
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.selectExpr("sum(id)").collect()[0][0] == sum(range(10_000))
+
+
+def test_compact_dataset_preserves_partitioning(spark, tmp_path):
+    from kinesis_data_counter_spark.io import compact_dataset
+
+    path = str(tmp_path / "parts")
+    df = spark.range(0, 2_000).selectExpr("id", "CAST(id % 3 AS STRING) AS lang")
+    df.repartition(20).write.partitionBy("lang").parquet(path)
+    before = spark.read.parquet(path).groupBy("lang").count().collect()
+
+    stats = compact_dataset(spark, path, partition_by=("lang",), target_file_mb=64)
+    assert stats["files_after"] <= 3  # one per partition dir
+    import os
+    assert sorted(d for d in os.listdir(path) if d.startswith("lang=")) == [
+        "lang=0", "lang=1", "lang=2"
+    ]
+    after = spark.read.parquet(path).groupBy("lang").count().collect()
+    assert {(r["lang"], r["count"]) for r in after} == {(r["lang"], r["count"]) for r in before}
