@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import uuid
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,12 +32,19 @@ from kinesis_data_counter_spark.operators.counter import build_counter
 from kinesis_data_counter_spark.session import configure_session
 
 
-def _read_stream(spark: SparkSession, path: str, ts_col: str) -> DataFrame:
+def _read_stream(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-based streaming source with the fixture's nanos-timestamp quirk.
 
     Schema comes from a batch peek (file sources need an explicit schema);
     TIMESTAMP(NANOS) columns surface as LONG under ``nanosAsLong`` and are
     converted exactly like the batch loader so both paths see identical data.
+    ``max_files_per_trigger`` splits a bounded drain into several
+    micro-batches (tests use it to exercise cross-batch state).
     """
     configure_session(spark)
     batch = spark.read.parquet(path)
@@ -44,6 +52,8 @@ def _read_stream(spark: SparkSession, path: str, ts_col: str) -> DataFrame:
     # becomes dir + pathGlobFilter so sibling tables in the fixture dir are
     # not picked up
     reader = spark.readStream.schema(batch.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
@@ -91,6 +101,70 @@ def run_counter_stream_once(
         _read_stream(spark, path, ts_col), spec, ts_col=ts_col
     )
     name = f"counter_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive
+            q.stop()
+    return spark.table(name)
+
+
+def stream_dedup(
+    spark: SparkSession,
+    path: str,
+    id_cols: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming exactly-once-by-key ingestion: drop re-delivered records.
+
+    The reference re-emits every record after a CLI restart (LATEST
+    iterator, run.go:74) and leaves dedup to downstream consumers;
+    Kinesis itself is at-least-once. ``dropDuplicatesWithinWatermark``
+    turns that into exactly-once-by-id inside the engine: the state store
+    remembers each id until the watermark passes, so a duplicate arriving
+    within the re-delivery horizon is dropped and state is bounded by
+    (arrival rate × watermark) instead of growing forever — the property
+    plain ``dropDuplicates`` on a stream lacks.
+
+    Scale note: state is hash-partitioned by id across executors; size the
+    watermark to the real re-delivery horizon (Kinesis resharding/retry ≈
+    minutes), not to the analytics window.
+    """
+    sdf = _read_stream(spark, path, ts_col, max_files_per_trigger).withWatermark(
+        ts_col, watermark
+    )
+    return sdf.dropDuplicatesWithinWatermark(list(id_cols))
+
+
+def run_dedup_counter_once(
+    spark: SparkSession,
+    path: str,
+    spec: CounterSpec,
+    id_cols: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    timeout_sec: int = 300,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Dedup → counter over a bounded path (test/driver harness).
+
+    Composition of the two streaming stages: re-delivered records are
+    dropped first, then the surviving stream feeds the windowed counter —
+    so a doubled input produces the same counts as the clean input.
+    """
+    deduped = stream_dedup(
+        spark, path, id_cols, ts_col, max_files_per_trigger=max_files_per_trigger
+    )
+    out = build_counter(deduped, spec, ts_col=ts_col)
+    name = f"dedup_counter_{uuid.uuid4().hex[:12]}"
     q = (
         out.writeStream.format("memory")
         .queryName(name)

@@ -271,3 +271,33 @@ def test_tws_wrapper_raises_without_protobuf(spark):
     df = spark.createDataFrame([(1,)], "user_id long")
     with pytest.raises(NotImplementedError, match="protobuf"):
         ST.stateful_running_counts_tws(df)
+
+
+def test_stream_dedup_drops_redelivered_records(spark, sf_dir, tmp_path):
+    # simulate at-least-once delivery: the same events land twice (two
+    # parquet files with identical event_ids); the dedup-counter must
+    # produce the counts of the CLEAN input
+    import shutil
+
+    from kinesis_data_counter_spark.streaming.runner import run_dedup_counter_once
+
+    src = f"{sf_dir}/events.parquet"
+    d = tmp_path / "redelivered"
+    d.mkdir()
+    shutil.copy(src, d / "a.parquet")
+    shutil.copy(src, d / "b.parquet")
+
+    spec = CounterSpec(id="req", counter_type="count", target_column="*",
+                       window="1 hour", input_stream_arn=ARN).validate()
+    clean = build_counter(
+        load_tables(spark, sf_dir, ("events",))["events"], spec, ts_col="ts"
+    )
+    want = {(r.window_start, r.value) for r in clean.collect()}
+    # within one micro-batch AND across micro-batches (maxFilesPerTrigger=1
+    # forces the redelivery into a later batch, exercising the state store)
+    for mfpt in (None, 1):
+        deduped = run_dedup_counter_once(
+            spark, str(d), spec, max_files_per_trigger=mfpt
+        )
+        got = {(r.window_start, r.value) for r in deduped.collect()}
+        assert got == want and len(got) > 0, f"maxFilesPerTrigger={mfpt}"
