@@ -301,3 +301,17 @@ def test_stream_dedup_drops_redelivered_records(spark, sf_dir, tmp_path):
         )
         got = {(r.window_start, r.value) for r in deduped.collect()}
         assert got == want and len(got) > 0, f"maxFilesPerTrigger={mfpt}"
+
+
+def test_stream_distinct_counter_equals_batch(spark, sf_dir):
+    # the reference's OTHER counter mode: approx_count_distinct must stream
+    # identically to batch (same HLL sketch algorithm on both paths, so the
+    # estimates are bit-identical, not just within tolerance)
+    spec = CounterSpec(id="du", counter_type="approx_count_distinct",
+                       target_column="user_id", window="1 hour",
+                       input_stream_arn=ARN).validate()
+    streamed = run_counter_stream_once(spark, f"{sf_dir}/events.parquet", spec)
+    batch = build_counter(load_tables(spark, sf_dir, ("events",))["events"], spec, ts_col="ts")
+    s = {(r.window_start, r.value) for r in streamed.collect()}
+    b = {(r.window_start, r.value) for r in batch.collect()}
+    assert s == b and len(s) > 0
