@@ -118,13 +118,31 @@ def _rewrite_if_to_case(expr: str) -> str:
         lowered = lowered[: m.start()] + repl + lowered[i:]
 
 
+def _requote_string_literals(expr: str) -> str:
+    """Convert the grammar's double-quoted string literals to SQL single
+    quotes. In (Duck)SQL ``"x"`` is an *identifier*, so leaving the
+    evaluator-style literal untouched would resolve ``"click"`` as a column
+    reference (or fail on ``""``). Backslash escapes inside the literal are
+    unescaped; embedded single quotes are SQL-doubled."""
+    out: list[str] = []
+    for m in _TOKEN_RX.finditer(expr):
+        tok = m.group(0)
+        if m.lastgroup == "str" and tok.startswith('"'):
+            inner = tok[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+            tok = "'" + inner.replace("'", "''") + "'"
+        out.append(tok)
+    return "".join(out)
+
+
 def translate_target_expr_duckdb(expr: str) -> str:
     """evaluator-grammar string → DuckDB SQL (for the oracle harness).
 
     ``as_string(x)`` needs a structural rewrite (DuckDB has no ``string()``
-    cast function), done with the same balanced-paren scanner as ``if``.
+    cast function), done with the same balanced-paren scanner as ``if``;
+    double-quoted string literals become single-quoted SQL literals.
     """
-    s = _rename_tokens(expr.strip(), _DUCKDB_RENAMES)
+    s = _requote_string_literals(expr.strip())
+    s = _rename_tokens(s, _DUCKDB_RENAMES)
     s = _rewrite_if_to_case(s)
     # as_string(x) -> CAST(x AS VARCHAR): reuse the scanner by temporary alias
     while True:

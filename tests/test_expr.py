@@ -31,7 +31,9 @@ def test_spark_translation(src, expected):
 
 def test_duckdb_if_rewrite():
     out = translate_target_expr_duckdb('if(string_contains(path,"x"), user_id, nil)')
-    assert out == '(CASE WHEN contains(path,"x") THEN user_id ELSE NULL END)'
+    # the double-quoted grammar literal becomes a SQL string literal —
+    # in DuckDB "x" would be an identifier
+    assert out == "(CASE WHEN contains(path,'x') THEN user_id ELSE NULL END)"
 
 
 def test_duckdb_nested_if():
@@ -41,7 +43,19 @@ def test_duckdb_nested_if():
 
 def test_duckdb_as_string():
     out = translate_target_expr_duckdb('as_string(coalesce(x, ""))')
-    assert out == 'CAST(coalesce(x, "") AS VARCHAR)'
+    assert out == "CAST(coalesce(x, '') AS VARCHAR)"
+
+
+def test_duckdb_literal_requoting_edge_cases():
+    # embedded escaped double quote and single quote survive correctly
+    assert translate_target_expr_duckdb('string_contains(a, "it\\"s")') == (
+        "contains(a, 'it\"s')"
+    )
+    assert translate_target_expr_duckdb("string_contains(a, \"o'clock\")") == (
+        "contains(a, 'o''clock')"
+    )
+    # renames never fire inside literals
+    assert translate_target_expr_duckdb('"nil as_string"') == "'nil as_string'"
 
 
 def test_if_arity_error():
