@@ -1893,6 +1893,22 @@ def _q_multimodal_frame_sample(spark, sf_dir):
     )
 
 
+def _q_udaf_weighted_median(spark, sf_dir):
+    # the custom-aggregate extension tier: exact lower weighted median per
+    # event_type via a GROUPED_AGG pandas UDF (non-algebraic — no bounded
+    # mergeable state computes it exactly; see functions/udafs.py for when
+    # NOT to use this tier). Weight is a deterministic function of user_id
+    from kinesis_data_counter_spark.functions.udafs import weighted_median
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    wt = ((F.col("user_id") % 5) + 1).cast("double")
+    return (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(weighted_median(F.col("value"), wt).alias("wmedian"))
+    )
+
+
 def _q_udtf_token_positions(spark, sf_dir):
     # the UDTF extension point under oracle: LATERAL tokenize over docs,
     # aggregated to (token, occurrence count, position-sum checksum).
@@ -2243,6 +2259,20 @@ SELECT CAST(count(*) AS BIGINT) AS n_users,
        CAST(sum(CASE WHEN last_purchase > first_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
 FROM pu
 """,
+    "udaf_weighted_median": """
+WITH w AS (
+  SELECT event_type, value AS v, CAST(user_id % 5 + 1 AS DOUBLE) AS wt
+  FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT event_type, v,
+         sum(wt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+         sum(wt) OVER (PARTITION BY event_type) AS total
+  FROM w
+)
+SELECT event_type, min(v) AS wmedian
+FROM c WHERE cum >= total / 2.0
+GROUP BY 1
+""",
     "udtf_token_positions": r"""
 SELECT token, count(*) AS cnt, CAST(sum(pos) AS BIGINT) AS sum_pos
 FROM (
@@ -2513,6 +2543,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
     "sql_surface_daily_top_types": _q_sql_surface_daily_top_types,
     "udtf_token_positions": _q_udtf_token_positions,
+    "udaf_weighted_median": _q_udaf_weighted_median,
     "multimodal_frame_sample": _q_multimodal_frame_sample,
     "multimodal_media": _q_multimodal_media,
 }
