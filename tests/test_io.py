@@ -113,3 +113,51 @@ def test_compact_dataset_preserves_partitioning(spark, tmp_path):
     ]
     after = spark.read.parquet(path).groupBy("lang").count().collect()
     assert {(r["lang"], r["count"]) for r in after} == {(r["lang"], r["count"]) for r in before}
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import os
+
+    from kinesis_data_counter_spark.io import write_zordered
+
+    # two independent uniform dimensions
+    df = spark.range(0, 40_000).selectExpr(
+        "CAST(id % 200 AS LONG) AS a",
+        "CAST((id * 7919) % 1000 AS LONG) AS b",
+    )
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "lexico")
+    write_zordered(df, zpath, cols=("a", "b"), n_files=16)
+    # baseline: range-partition + sort lexicographically by (a, b)
+    (df.repartitionByRange(16, "a", "b").sortWithinPartitions("a", "b")
+       .write.mode("overwrite").parquet(lpath))
+
+    def files_possibly_containing(path, col, val):
+        hits, total = 0, 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = md.schema.names.index(col)
+            stats = [md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)]
+            lo = min(s.min for s in stats)
+            hi = max(s.max for s in stats)
+            if lo <= val <= hi:
+                hits += 1
+        return hits, total
+
+    za, zt = files_possibly_containing(zpath, "a", 100)
+    zb, _ = files_possibly_containing(zpath, "b", 500)
+    la, lt = files_possibly_containing(lpath, "a", 100)
+    lb, _ = files_possibly_containing(lpath, "b", 500)
+
+    # z-order: BOTH dims skip a majority of files
+    assert za <= zt // 2, (za, zt)
+    assert zb <= zt // 2, (zb, zt)
+    # lexicographic: leading col skips, trailing col cannot
+    assert la <= lt // 2
+    assert lb >= lt - 1, (lb, lt)  # ~every file may contain any b
+    # and the data survives the layout intact
+    assert spark.read.parquet(zpath).count() == 40_000
