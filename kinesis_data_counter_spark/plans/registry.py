@@ -1159,6 +1159,29 @@ def _q_grouping_sets_orders(spark, sf_dir):
     )
 
 
+def _q_rollup_time_hierarchy(spark, sf_dir):
+    # hypertable-style continuous-aggregate shape: hour, day, and grand
+    # totals in ONE scan via GROUPING SETS over time truncations — the
+    # partial aggregates share the scan and the exchange carries one row
+    # per (bucket, level), so the hierarchy costs one pass, not three
+    (ev,) = _tables(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__events_rth")
+    return spark.sql(
+        """
+        WITH t AS (
+          SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d
+          FROM __events_rth
+        )
+        SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
+                    WHEN grouping(d) = 0 THEN 'day'
+                    ELSE 'total' END AS level,
+               coalesce(h, d, timestamp '1970-01-01 00:00:00') AS bucket,
+               count(*) AS n
+        FROM t GROUP BY GROUPING SETS ((h), (d), ())
+        """
+    )
+
+
 def _q_set_ops_customers(spark, sf_dir):
     cu, od = _tables(spark, sf_dir, "customer", "orders")
     building = cu.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -1513,6 +1536,19 @@ SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
        count(*) AS n_orders
 FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+    "rollup_time_hierarchy": """
+WITH t AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+  FROM events
+)
+SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
+            WHEN grouping(d) = 0 THEN 'day'
+            ELSE 'total' END AS level,
+       coalesce(h, d, TIMESTAMP '1970-01-01 00:00:00') AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY GROUPING SETS ((h), (d), ())
 """,
 }
 
@@ -2509,6 +2545,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_customers": _q_set_ops_customers,
     "anti_join_idle_customers": _q_anti_join_idle_customers,
     "grouping_sets_orders": _q_grouping_sets_orders,
+    "rollup_time_hierarchy": _q_rollup_time_hierarchy,
     "dedup_exact_props": _q_dedup_exact_props,
     "dedup_exact_docs": _q_dedup_exact_docs,
     "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
