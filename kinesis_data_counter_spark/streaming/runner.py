@@ -178,3 +178,57 @@ def run_dedup_counter_once(
         if q.isActive:  # pragma: no cover - defensive
             q.stop()
     return spark.table(name)
+
+
+def stream_stream_interval_join(
+    spark: SparkSession,
+    path: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon: str = "INTERVAL 2 HOURS",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked stream-stream join: attribute each right event to the
+    same user's left events within ``horizon`` after them.
+
+    The canonical attribution shape (click → purchase). Both sides carry
+    watermarks and the join condition bounds right.ts to
+    [left.ts, left.ts + horizon], which is what lets the engine EXPIRE
+    join state: a buffered left row can be dropped once the right
+    watermark passes its ts + horizon — without the time bound the state
+    grows forever (Spark rejects unbounded stream-stream inner joins on
+    append). The reference has no join at all (SURVEY.md §2.5); this is
+    the streaming-native upgrade of the batch range join in
+    operators/joins.py.
+
+    Scale note: state is hash-partitioned by user_id; its size is bounded
+    by (arrival rate × (horizon + watermark)) per side — size the horizon
+    to the real attribution window.
+    """
+    base = _read_stream(spark, path, ts_col)
+    left = (
+        base.where(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id"),
+            F.col(ts_col).alias("l_ts"),
+            F.col("event_id").alias("l_id"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        base.where(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col(ts_col).alias("r_ts"),
+            F.col("event_id").alias("r_id"),
+            F.col("value"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return left.join(
+        right,
+        F.expr(
+            f"user_id = r_user_id AND r_ts >= l_ts AND r_ts <= l_ts + {horizon}"
+        ),
+    ).select("user_id", "l_id", "r_id", "l_ts", "r_ts", "value")

@@ -315,3 +315,45 @@ def test_stream_distinct_counter_equals_batch(spark, sf_dir):
     s = {(r.window_start, r.value) for r in streamed.collect()}
     b = {(r.window_start, r.value) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    # click→purchase attribution as a watermarked stream-stream join; the
+    # bounded condition lets state expire. availableNow drain must produce
+    # exactly the batch join's row set
+    import uuid
+
+    from kinesis_data_counter_spark.streaming.runner import (
+        stream_stream_interval_join,
+    )
+
+    out = stream_stream_interval_join(spark, f"{sf_dir}/events.parquet")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.l_id, r.r_id) for r in spark.table(name).collect()
+    }
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    l = ev.where(F.col("event_type") == "click").selectExpr(
+        "user_id", "ts AS l_ts", "event_id AS l_id"
+    )
+    r = ev.where(F.col("event_type") == "purchase").selectExpr(
+        "user_id AS r_user_id", "ts AS r_ts", "event_id AS r_id"
+    )
+    batch = l.join(
+        r,
+        F.expr(
+            "user_id = r_user_id AND r_ts >= l_ts "
+            "AND r_ts <= l_ts + INTERVAL 2 HOURS"
+        ),
+    )
+    expected = {(row.l_id, row.r_id) for row in batch.collect()}
+    assert streamed == expected and len(expected) > 0
