@@ -232,3 +232,24 @@ def stream_stream_interval_join(
             f"user_id = r_user_id AND r_ts >= l_ts AND r_ts <= l_ts + {horizon}"
         ),
     ).select("user_id", "l_id", "r_id", "l_ts", "r_ts", "value")
+
+
+def stream_enrich(
+    spark: SparkSession,
+    path: str,
+    dim: DataFrame,
+    on: Sequence[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join the stream to a batch dim.
+
+    The third join shape next to batch (operators/joins.py) and
+    stream-stream (above): the static side is planned as a broadcast hash
+    join per micro-batch, so enrichment adds NO streaming state at all —
+    the dimension rides to executors once per plan. This is how per-event
+    lookups (user → segment, stream → config) run at 100 TB: broadcast if
+    the dim fits, else pre-bucket both sides on the key.
+    """
+    from pyspark.sql.functions import broadcast
+
+    return _read_stream(spark, path, ts_col).join(broadcast(dim), list(on))

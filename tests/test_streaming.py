@@ -357,3 +357,34 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     )
     expected = {(row.l_id, row.r_id) for row in batch.collect()}
     assert streamed == expected and len(expected) > 0
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_dir):
+    # stream-static join: per-event dimension lookup with no streaming
+    # state; result must equal the batch join
+    import uuid
+
+    from kinesis_data_counter_spark.streaming.runner import stream_enrich
+
+    dim = spark.createDataFrame(
+        [(i, "seg_" + str(i % 3)) for i in range(200)], "user_id long, segment string"
+    )
+    out = stream_enrich(spark, f"{sf_dir}/events.parquet", dim, on=("user_id",))
+    agg = out.groupBy("segment").count()
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {(r.segment, r["count"]) for r in spark.table(name).collect()}
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    want = {
+        (r.segment, r["count"])
+        for r in ev.join(dim, "user_id").groupBy("segment").count().collect()
+    }
+    assert streamed == want and len(want) > 0
