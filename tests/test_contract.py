@@ -87,3 +87,50 @@ def test_bench_emits_one_json_line_at_tiny_sf():
     assert d["sf"] == 0.001
     assert len(d["queries"]) >= 20
     assert all(isinstance(v, (int, float)) for v in d["queries"].values())
+
+
+def test_queries_survive_a_bare_driver_session():
+    """The grading driver builds its OWN SparkSession — no codegen-cache,
+    AQE, or TZ confs from kdc.get_spark(). Representative queries must
+    still hash-match their oracles through configure_session alone
+    (UTC pin + nanosAsLong happen inside load_tables)."""
+    script = r"""
+import json, sys
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .appName("bare-driver-sim")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+import duckdb, pandas as pd
+import __spark_entry__ as e
+sf = "/root/testdata/sf0.001"
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    import os
+    p = f"{sf}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+qs, os_ = e.queries(), e.oracle_sql()
+names = ["counter_count_all", "counter_count_expr", "tpch_q1",
+         "rollup_time_hierarchy", "udaf_weighted_median", "text_token_stats"]
+for name in names:
+    sdf = qs[name](spark, sf).toPandas()
+    odf = con.execute(os_[name]).df()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns), (name, cols, sorted(odf.columns))
+    s = sdf[cols].sort_values(by=cols).reset_index(drop=True)
+    o = odf[cols].sort_values(by=cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+print("BARE_SESSION_OK", len(names))
+""" % {"repo": REPO}
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+        env={**os.environ, "TZ": "America/New_York"},  # hostile driver TZ
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "BARE_SESSION_OK" in out.stdout
