@@ -1841,6 +1841,43 @@ def _q_range_join_session_events(spark, sf_dir):
     )
 
 
+def _q_recursive_session_chains(spark, sf_dir):
+    # WITH RECURSIVE (Spark 4): re-derive per-session event counts by
+    # walking successor edges (next event of the same user within the
+    # gap). The edge relation is a DAG — strictly increasing ts per user —
+    # so the recursion terminates at chain ends; depth is bounded by the
+    # longest session, not the data size. A third independent derivation
+    # of sessionization (after the window-function and session_window
+    # forms), cross-checked by the lag-gap oracle.
+    (ev,) = _tables(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__events_rc")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+          SELECT user_id, ts,
+                 lag(ts)  OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+          FROM __events_rc
+        ),
+        chain (user_id, start_ts, cur_ts, depth) AS (
+          SELECT user_id, ts, ts, 1
+          FROM edges
+          WHERE prev_ts IS NULL
+             OR unix_millis(ts) - unix_millis(prev_ts) > 1800000
+          UNION ALL
+          SELECT c.user_id, c.start_ts, e.next_ts, c.depth + 1
+          FROM chain c
+          JOIN edges e ON e.user_id = c.user_id AND e.ts = c.cur_ts
+          WHERE e.next_ts IS NOT NULL
+            AND unix_millis(e.next_ts) - unix_millis(e.ts) <= 1800000
+        )
+        SELECT user_id, unix_millis(start_ts) AS session_start,
+               CAST(max(depth) AS BIGINT) AS n_events
+        FROM chain GROUP BY 1, 2
+        """
+    )
+
+
 def _q_retention_cohorts(spark, sf_dir):
     # classic cohort retention: cohort = first-seen day per user; for each
     # (cohort_day, day_offset) count distinct active users. Two hash aggs +
@@ -2272,6 +2309,28 @@ WITH x AS (
 SELECT user_id, session_id, epoch_ms(min(ts)) AS session_start, count(*) AS n_events
 FROM s GROUP BY 1, 2
 """,
+    "recursive_session_chains": """
+WITH RECURSIVE edges AS (
+  SELECT user_id, ts,
+         lag(ts)  OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+  FROM events
+),
+chain (user_id, start_ts, cur_ts, depth) AS (
+  SELECT user_id, ts, ts, 1
+  FROM edges
+  WHERE prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+  UNION ALL
+  SELECT c.user_id, c.start_ts, e.next_ts, c.depth + 1
+  FROM chain c
+  JOIN edges e ON e.user_id = c.user_id AND e.ts = c.cur_ts
+  WHERE e.next_ts IS NOT NULL
+    AND epoch_ms(e.next_ts) - epoch_ms(e.ts) <= 1800000
+)
+SELECT user_id, epoch_ms(start_ts) AS session_start,
+       CAST(max(depth) AS BIGINT) AS n_events
+FROM chain GROUP BY 1, 2
+""",
     "retention_cohorts": """
 WITH first AS (
   SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day
@@ -2575,6 +2634,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_users": _q_sessionize_users,
     "retention_cohorts": _q_retention_cohorts,
     "range_join_session_events": _q_range_join_session_events,
+    "recursive_session_chains": _q_recursive_session_chains,
     "funnel_signup_purchase": _q_funnel_signup_purchase,
     "pivot_event_counts": _q_pivot_event_counts,
     "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
