@@ -1,0 +1,138 @@
+"""CLI entry point: ``python -m kinesis_data_counter_spark``.
+
+Mirrors the reference CLI's surface (cmd/kinesis-data-counter/main.go):
+`-stream` becomes ``--path`` (a parquet file/directory standing in for the
+Kinesis stream — the only unbounded source this container can host),
+``--window`` accepts Go-style durations (``1m``, ``30s``, ``1h``) or Spark
+interval strings, and counters come either from flags (single counter) or
+``--config`` YAML (multi-counter fan-out, ≈ the reference's config mode).
+Results print as JSON lines on stdout exactly like the reference's default
+io.Writer sink (run.go console output).
+
+``--follow`` runs the streaming path (availableNow drain — bounded here,
+continuous on a real stream); the reference's <15-minute window limit
+(main.go:113-116) is enforced only in this mode, where it originates: it
+exists because the CLI buffers per-window state in memory, which Spark's
+state store makes unnecessary in batch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import re
+import sys
+
+_GO_DURATION = re.compile(r"^(\d+)(s|m|h|d)$")
+_UNIT = {"s": "seconds", "m": "minutes", "h": "hours", "d": "days"}
+
+
+def parse_window(text: str) -> str:
+    """``1m``/``30s``/``2h`` → Spark interval string; pass through others."""
+    m = _GO_DURATION.match(text.strip())
+    if m:
+        return f"{m.group(1)} {_UNIT[m.group(2)]}"
+    return text
+
+
+def window_minutes(window: str) -> float:
+    n, unit = window.split(None, 1)
+    scale = {"seconds": 1 / 60, "minutes": 1, "hours": 60, "days": 1440}
+    return float(n) * scale[unit.rstrip("s") + "s"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="kinesis_data_counter_spark",
+        description="Windowed stream counting on Spark (reference-parity CLI)",
+    )
+    p.add_argument("--path", required=True, help="parquet file/dir standing in for the stream")
+    p.add_argument("--window", default="1m", help="tumbling window (1m, 30s, '1 hour')")
+    p.add_argument("--counter-id", default="counter")
+    p.add_argument("--counter-type", default="count",
+                   choices=["count", "approx_count_distinct"])
+    p.add_argument("--target-column", default=None)
+    p.add_argument("--target-expr", default=None)
+    p.add_argument("--jq-expr", default=None)
+    p.add_argument("--config", default=None, help="YAML config for multi-counter mode")
+    p.add_argument("--stream-arn",
+                   default="arn:aws:kinesis:us-east-1:000000000000:stream/cli-input",
+                   help="ARN the input claims to be (drives config routing)")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--follow", action="store_true",
+                   help="streaming mode (reference CLI semantics incl. <15m window limit)")
+    return p
+
+
+def main(argv: list[str] | None = None, out: io.TextIOBase | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    out = out or sys.stdout
+
+    from kinesis_data_counter_spark.config import Config, CounterSpec
+    from kinesis_data_counter_spark.operators.counter import (
+        assemble_counters,
+        build_counter,
+        union_counter_results,
+    )
+    from kinesis_data_counter_spark.session import get_spark
+    from kinesis_data_counter_spark.streaming.sinks import console_writer
+
+    window = parse_window(args.window)
+    if args.follow and window_minutes(window) >= 15:
+        # reference CLI validation, main.go:113-116
+        print("error: streaming window must be < 15 minutes", file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name="kdc-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    arn = args.stream_arn
+    if args.config:
+        cfg = Config.load(args.config)
+        frames = assemble_counters(
+            _load_input(spark, args.path, args.ts_col), cfg, arn, ts_col=args.ts_col
+        )
+        result = union_counter_results(frames)
+    else:
+        if args.target_column is None and args.target_expr is None:
+            args.target_column = "*"
+        spec = CounterSpec(
+            id=args.counter_id,
+            counter_type=args.counter_type,
+            target_column=args.target_column,
+            target_expr=args.target_expr,
+            jq_expr=args.jq_expr,
+            window=window,
+            input_stream_arn=arn,
+        ).validate()
+        if args.follow:
+            from kinesis_data_counter_spark.streaming.runner import (
+                run_counter_stream_once,
+            )
+
+            result = run_counter_stream_once(spark, args.path, spec, ts_col=args.ts_col)
+        else:
+            result = build_counter(
+                _load_input(spark, args.path, args.ts_col), spec, ts_col=args.ts_col
+            )
+
+    console_writer(out)(result.orderBy(*result.columns[:2]), 0)
+    return 0
+
+
+def _load_input(spark, path: str, ts_col: str):
+    """Load the input through the same nanos-aware path as the fixtures."""
+    import os
+
+    from kinesis_data_counter_spark.session import load_tables
+
+    d, base = os.path.dirname(path), os.path.basename(path)
+    name = base.removesuffix(".parquet")
+    tables = load_tables(spark, d, (name,))
+    if name in tables:
+        return tables[name]
+    return spark.read.parquet(path)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

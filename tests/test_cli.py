@@ -1,0 +1,103 @@
+"""CLI entry point (python -m kinesis_data_counter_spark)."""
+
+from __future__ import annotations
+
+import io
+import json
+
+from kinesis_data_counter_spark.__main__ import main, parse_window, window_minutes
+
+
+def test_parse_window_go_durations():
+    assert parse_window("1m") == "1 minutes"
+    assert parse_window("30s") == "30 seconds"
+    assert parse_window("2h") == "2 hours"
+    assert parse_window("1 hour") == "1 hour"
+    assert window_minutes("30 seconds") == 0.5
+    assert window_minutes("2 hours") == 120
+
+
+def test_cli_batch_count(spark, sf_dir):
+    buf = io.StringIO()
+    rc = main(
+        ["--path", f"{sf_dir}/events.parquet", "--window", "1h",
+         "--counter-id", "req"],
+        out=buf,
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
+    assert len(lines) > 0
+    assert lines[0]["counter_id"] == "req"
+    assert lines[0]["counter_type"] == "count"
+    assert sum(l["value"] for l in lines) == spark.read.parquet(
+        f"{sf_dir}/events.parquet"
+    ).count()
+
+
+def test_cli_follow_streaming_matches_batch(spark, sf_dir):
+    b1, b2 = io.StringIO(), io.StringIO()
+    assert main(["--path", f"{sf_dir}/events.parquet", "--window", "10m"], out=b1) == 0
+    assert main(
+        ["--path", f"{sf_dir}/events.parquet", "--window", "10m", "--follow"], out=b2
+    ) == 0
+    batch = {(j["window_start"], j["value"]) for j in map(json.loads, b1.getvalue().strip().splitlines())}
+    stream = {(j["window_start"], j["value"]) for j in map(json.loads, b2.getvalue().strip().splitlines())}
+    assert batch == stream
+
+
+def test_cli_follow_rejects_reference_window_limit(sf_dir):
+    # reference CLI validation (main.go:113-116): streaming windows < 15m
+    assert main(
+        ["--path", f"{sf_dir}/events.parquet", "--window", "15m", "--follow"],
+        out=io.StringIO(),
+    ) == 2
+
+
+def test_cli_expr_counter(spark, sf_dir):
+    buf = io.StringIO()
+    rc = main(
+        ["--path", f"{sf_dir}/events.parquet", "--window", "1d",
+         "--target-expr", 'string_contains(event_type, "click")',
+         "--counter-id", "clicks"],
+        out=buf,
+    )
+    assert rc == 0
+    total = sum(json.loads(l)["value"] for l in buf.getvalue().strip().splitlines())
+    assert total == spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        "event_type LIKE '%click%'"
+    ).count()
+
+
+def test_cli_config_multi_counter_fanout(spark, sf_dir, tmp_path):
+    cfg = tmp_path / "counters.yaml"
+    cfg.write_text(
+        """
+counters:
+  - id: req_count
+    counter_type: count
+    target_column: "*"
+    window: 1 hour
+    input_stream_arn: "*"
+  - id: click_count
+    counter_type: count
+    target_expr: 'string_contains(event_type, "click")'
+    window: 1 hour
+    input_stream_arn: "*"
+  - id: other_stream_only
+    counter_type: count
+    target_column: "*"
+    window: 1 hour
+    input_stream_arn: "arn:aws:kinesis:eu-west-1:9:stream/not-this-one"
+"""
+    )
+    buf = io.StringIO()
+    rc = main(
+        ["--path", f"{sf_dir}/events.parquet", "--config", str(cfg)], out=buf
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
+    ids = {l["counter_id"] for l in lines}
+    # ARN routing: the '*' counters run, the eu-west-1-only one does not
+    assert ids == {"req_count", "click_count"}
+    req_total = sum(l["value"] for l in lines if l["counter_id"] == "req_count")
+    assert req_total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
