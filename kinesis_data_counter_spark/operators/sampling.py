@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX_DIGITS = 4  # 16-bit buckets: split fractions resolve to 1/65536
@@ -137,3 +137,45 @@ def stratified_sql_predicate(
         f"WHEN {strata_expr} = '{s}' THEN {h} < '{bound(r)}'" for s, r in rates.items()
     )
     return f"(CASE {cases} ELSE {h} < '{bound(default_rate)}' END)"
+
+
+def weighted_ticket_sample(
+    df: DataFrame,
+    weight_col: Column,
+    k: int = 20,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "wts1",
+) -> DataFrame:
+    """Deterministic weighted sampling: top-``k`` per group by lottery ticket.
+
+    Each row gets ``w`` (integer weight, clamped to [1, 16]) tickets —
+    ``md5(salt ∥ id ∥ '-' ∥ i)`` — and its priority is the MINIMUM ticket;
+    the k smallest priorities per group win. A row with twice the tickets
+    has roughly twice the chance its minimum lands in the winning range
+    (exactly the weighted-reservoir intuition with integer weights), and
+    the whole scheme is engine-portable because priorities are hex STRINGS
+    compared lexicographically — no float conversion whose last-ulp
+    behavior could differ between engines (see module doc).
+
+    Scale notes: the ticket array is ≤16 elements per row built inside the
+    row's task (no shuffle), and the per-group top-k is one window rank —
+    at 100 TB prefer grouping into enough strata that each group's rank
+    sort stays within a task's memory.
+    """
+    w = F.least(F.lit(16), F.greatest(F.lit(1), weight_col.cast("int")))
+    ticket = lambda i: F.md5(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"), F.lit("-"), i.cast("string"))
+    )
+    pri = F.array_min(F.transform(F.sequence(F.lit(1), w), ticket))
+    ranked = df.select(
+        F.col(group_col), F.col(id_col), w.alias("w"), pri.alias("pri")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy("pri", id_col)
+        ),
+    )
+    return ranked.where(F.col("rn") <= k).select(
+        group_col, id_col, "w", "pri"
+    )

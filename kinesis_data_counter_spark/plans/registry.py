@@ -1921,6 +1921,15 @@ def _q_funnel_signup_purchase(spark, sf_dir):
     )
 
 
+def _q_sample_weighted_topk(spark, sf_dir):
+    # deterministic weighted sampling: ~1 ticket per 200 chars of text,
+    # per-source top-20 by minimum md5 ticket (hex-string priorities —
+    # bit-exact across engines, no float conversion)
+    (docs,) = _tables(spark, sf_dir, "documents")
+    weight = (F.floor(F.length("text") / 200) + 1).cast("int")
+    return SP.weighted_ticket_sample(docs, weight, k=20)
+
+
 def _q_text_vocab(spark, sf_dir):
     # vocabulary build: document frequency + collection frequency per token
     # — the IDF precursor table. explode → single hash agg; top slice by
@@ -2309,6 +2318,22 @@ WITH x AS (
 SELECT user_id, session_id, epoch_ms(min(ts)) AS session_start, count(*) AS n_events
 FROM s GROUP BY 1, 2
 """,
+    "sample_weighted_topk": """
+WITH t AS (
+  SELECT source, doc_id,
+         least(16, greatest(1, CAST(floor(length(text) / 200) AS INT) + 1)) AS w
+  FROM documents
+), p AS (
+  SELECT source, doc_id, w,
+         list_min([md5('wts1' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR))
+                   for i in range(1, w + 1)]) AS pri
+  FROM t
+)
+SELECT source, doc_id, w, pri FROM (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn
+  FROM p
+) WHERE rn <= 20
+""",
     "recursive_session_chains": """
 WITH RECURSIVE edges AS (
   SELECT user_id, ts,
@@ -2620,6 +2645,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_quantized_recall": _q_ann_quantized_recall,
     "sample_hash_split": _q_sample_hash_split,
     "sample_stratified": _q_sample_stratified,
+    "sample_weighted_topk": _q_sample_weighted_topk,
     "corpus_decontaminate": _q_corpus_decontaminate,
     "json_bad_records": _q_json_bad_records,
     "kpl_roundtrip": _q_kpl_roundtrip,

@@ -82,3 +82,36 @@ def test_decontaminate_planted_overlap(spark):
     ev = spark.createDataFrame([(100, f"prefix {phrase} suffix")], "doc_id long, text string")
     got = sorted(r.doc_id for r in decontaminate(train, ev, n=6).collect())
     assert got == [1]
+
+
+def test_weighted_ticket_sample_bias_and_determinism(spark):
+    from kinesis_data_counter_spark.operators.sampling import weighted_ticket_sample
+
+    # 500 light rows (w=1) vs 500 heavy rows (w=10) in one group: heavy rows
+    # must win far more of the 50 slots than light ones
+    df = spark.createDataFrame(
+        [("g", i, 10 if i < 500 else 1) for i in range(1000)],
+        "source string, doc_id long, wt long",
+    )
+    from pyspark.sql import functions as F
+
+    out1 = weighted_ticket_sample(df, F.col("wt"), k=50).collect()
+    out2 = weighted_ticket_sample(df, F.col("wt"), k=50).collect()
+    assert [r["doc_id"] for r in out1] == [r["doc_id"] for r in out2]  # deterministic
+    heavy = sum(1 for r in out1 if r["doc_id"] < 500)
+    assert heavy >= 35, heavy  # ≈ 10:1 odds per slot; 35+ of 50 with margin
+    assert len(out1) == 50
+    # weight clamped into [1, 16]
+    assert all(1 <= r["w"] <= 16 for r in out1)
+
+
+def test_weighted_ticket_sample_small_group_returns_all(spark):
+    from pyspark.sql import functions as F
+
+    from kinesis_data_counter_spark.operators.sampling import weighted_ticket_sample
+
+    df = spark.createDataFrame(
+        [("a", 1, 3), ("a", 2, 1), ("b", 3, 1)], "source string, doc_id long, wt long"
+    )
+    out = weighted_ticket_sample(df, F.col("wt"), k=10).collect()
+    assert {(r["source"], r["doc_id"]) for r in out} == {("a", 1), ("a", 2), ("b", 3)}
