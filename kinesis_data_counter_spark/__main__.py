@@ -36,9 +36,24 @@ def parse_window(text: str) -> str:
 
 
 def window_minutes(window: str) -> float:
-    n, unit = window.split(None, 1)
-    scale = {"seconds": 1 / 60, "minutes": 1, "hours": 60, "days": 1440}
-    return float(n) * scale[unit.rstrip("s") + "s"]
+    """Total minutes of a (possibly multi-unit) interval string.
+
+    Accepts every form the CLI documents — ``10 minutes``, ``1 hour
+    30 minutes`` — and raises ``ValueError`` (not a raw KeyError) on
+    anything unparseable so callers can route it to the clean error path.
+    """
+    scale = {"second": 1 / 60, "minute": 1, "hour": 60, "day": 1440}
+    pairs = re.findall(r"(\d+(?:\.\d+)?)\s*([a-zA-Z]+)", window)
+    joined = "".join(f"{n} {u} " for n, u in pairs).strip()
+    if not pairs or joined.replace(" ", "") != window.replace(" ", ""):
+        raise ValueError(f"unparseable window: {window!r}")
+    total = 0.0
+    for n, unit in pairs:
+        u = unit.lower().rstrip("s")
+        if u not in scale:
+            raise ValueError(f"unknown window unit {unit!r} in {window!r}")
+        total += float(n) * scale[u]
+    return total
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -77,11 +92,26 @@ def main(argv: list[str] | None = None, out: io.TextIOBase | None = None) -> int
     from kinesis_data_counter_spark.session import get_spark
     from kinesis_data_counter_spark.streaming.sinks import console_writer
 
-    window = parse_window(args.window)
-    if args.follow and window_minutes(window) >= 15:
-        # reference CLI validation, main.go:113-116
-        print("error: streaming window must be < 15 minutes", file=sys.stderr)
+    if args.config and args.follow:
+        # config mode currently runs the batch fan-out; silently ignoring
+        # --follow would hand the user batch semantics they didn't ask for
+        print(
+            "error: --config with --follow is not supported; run one "
+            "counter per --follow invocation",
+            file=sys.stderr,
+        )
         return 2
+    window = parse_window(args.window)
+    if args.follow:
+        try:
+            minutes = window_minutes(window)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        if minutes >= 15:
+            # reference CLI validation, main.go:113-116
+            print("error: streaming window must be < 15 minutes", file=sys.stderr)
+            return 2
 
     spark = get_spark(app_name="kdc-cli")
     spark.sparkContext.setLogLevel("ERROR")

@@ -134,14 +134,38 @@ def _requote_string_literals(expr: str) -> str:
     return "".join(out)
 
 
+_SQL_LITERAL_RX = re.compile(r"'(?:[^']|'')*'")
+
+
+def _shelter_literals(expr: str) -> tuple[str, list[str]]:
+    """Replace single-quoted SQL literals with opaque sentinels.
+
+    The structural rewrites (if→CASE, as_string→CAST) scan for parens,
+    commas, and keywords; a literal CONTAINING ``if(`` or ``as_string(``
+    (or ending in a backslash) must never be rewritten or treated as
+    syntax. Sentinels contain no scannable characters, so every later pass
+    is literal-safe by construction; the caller restores them at the end.
+    """
+    shelf: list[str] = []
+
+    def stash(m: re.Match[str]) -> str:
+        shelf.append(m.group(0))
+        return f"\x00{len(shelf) - 1}\x00"
+
+    return _SQL_LITERAL_RX.sub(stash, expr), shelf
+
+
 def translate_target_expr_duckdb(expr: str) -> str:
     """evaluator-grammar string → DuckDB SQL (for the oracle harness).
 
     ``as_string(x)`` needs a structural rewrite (DuckDB has no ``string()``
     cast function), done with the same balanced-paren scanner as ``if``;
-    double-quoted string literals become single-quoted SQL literals.
+    double-quoted string literals become single-quoted SQL literals and
+    are sheltered behind sentinels while the structural passes run, so
+    literal CONTENT can never be mistaken for syntax.
     """
     s = _requote_string_literals(expr.strip())
+    s, shelf = _shelter_literals(s)
     s = _rename_tokens(s, _DUCKDB_RENAMES)
     s = _rewrite_if_to_case(s)
     # as_string(x) -> CAST(x AS VARCHAR): reuse the scanner by temporary alias
@@ -158,4 +182,6 @@ def translate_target_expr_duckdb(expr: str) -> str:
             i += 1
         inner = s[m.end() : i - 1]
         s = s[: m.start()] + f"CAST({inner} AS VARCHAR)" + s[i:]
+    for idx, lit in enumerate(shelf):
+        s = s.replace(f"\x00{idx}\x00", lit)
     return s

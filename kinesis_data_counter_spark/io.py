@@ -112,30 +112,36 @@ def compact_dataset(
     rowgroup sort order are preserved or newly imposed).
 
     The rewrite stages into ``<path>.__compacting`` and swaps directories
-    at the end — readers racing the swap see either the old or the new
-    complete dataset, never a partial mix, but this is NOT transactional
-    across concurrent writers (that is a table-format concern; parquet
-    directories have no commit protocol).
+    with two renames. The swap is NOT atomic: there is a brief window in
+    which ``path`` does not exist (a racing reader errors rather than
+    seeing a partial mix), and a crash inside the window strands the data
+    under ``<path>.__old`` — recoverable by hand, but a real deployment
+    wanting transactional swaps needs a table format with a commit
+    protocol; bare parquet directories cannot provide one.
 
     Returns ``{"files_before", "files_after", "rows", "bytes"}``.
     Local-filesystem paths only (os.walk); object stores would use the
-    Hadoop FileSystem API instead.
+    Hadoop FileSystem API instead. Row count and sizes come from parquet
+    FOOTERS — the only full read of the data is the rewrite itself.
     """
     import os
     import shutil
 
-    def _layout(p: str) -> tuple[int, int]:
-        n, b = 0, 0
+    import pyarrow.parquet as pq
+
+    def _layout(p: str) -> tuple[int, int, int]:
+        n, b, r = 0, 0, 0
         for root, _dirs, files in os.walk(p):
             for f in files:
                 if f.endswith(".parquet"):
+                    fp = os.path.join(root, f)
                     n += 1
-                    b += os.path.getsize(os.path.join(root, f))
-        return n, b
+                    b += os.path.getsize(fp)
+                    r += pq.ParquetFile(fp).metadata.num_rows
+        return n, b, r
 
-    files_before, bytes_total = _layout(path)
+    files_before, bytes_total, rows = _layout(path)
     df = spark.read.parquet(path)
-    rows = df.count()
     if rows == 0:
         return {"files_before": files_before, "files_after": files_before,
                 "rows": 0, "bytes": bytes_total}
@@ -160,7 +166,7 @@ def compact_dataset(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
-    files_after, _ = _layout(path)
+    files_after, _b, _r = _layout(path)
     return {"files_before": files_before, "files_after": files_after,
             "rows": rows, "bytes": bytes_total}
 
@@ -186,6 +192,13 @@ def zorder_key(cols: Sequence, bits: int = 16):
     from pyspark.sql import functions as F
 
     n = len(cols)
+    if int(bits) * n > 63:
+        # JVM shiftleft wraps shift amounts mod 64 and bit 63 is the sign
+        # bit — beyond this the key silently stops being a Morton order
+        raise ValueError(
+            f"zorder_key needs bits × n_cols ≤ 63 (got {bits} × {n}); "
+            "lower bits= or split the clustering columns"
+        )
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     terms = []
     for i in range(int(bits)):

@@ -390,12 +390,17 @@ SELECT epoch_ms(date_trunc('hour', ts)) AS window_start,
 FROM events GROUP BY 1, 2
 """,
     "theta_set_ops_users": """
-WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 200),
-     b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 200)
+WITH a AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'click' AND value > 200 AND user_id IS NOT NULL),
+     b AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase' AND value > 200 AND user_id IS NOT NULL)
 SELECT (SELECT count(*) FROM a) AS n_a,
        (SELECT count(*) FROM b) AS n_b,
        (SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS n_inter,
-       (SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b)) AS n_diff,
+       -- NOT EXISTS, not NOT IN: a NULL in b would collapse NOT IN to
+       -- zero rows while the null-skipping sketches report the true size
+       (SELECT count(*) FROM a WHERE NOT EXISTS
+          (SELECT 1 FROM b WHERE b.user_id = a.user_id)) AS n_diff,
        (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS n_union
 """,
     "counter_two_level": """
@@ -1849,26 +1854,32 @@ def _q_recursive_session_chains(spark, sf_dir):
     # longest session, not the data size. A third independent derivation
     # of sessionization (after the window-function and session_window
     # forms), cross-checked by the lag-gap oracle.
+    # chains are linked by the UNIQUE event_id, not ts: with a ts-keyed
+    # link, two same-user events at an identical timestamp would join the
+    # chain row back to itself and recurse forever. (ts, event_id) is a
+    # strict total order per user, so the walk is a DAG and depth is
+    # bounded by the longest session (well under Spark's recursion limit).
     (ev,) = _tables(spark, sf_dir, "events")
     ev.createOrReplaceTempView("__events_rc")
     return spark.sql(
         """
         WITH RECURSIVE edges AS (
-          SELECT user_id, ts,
-                 lag(ts)  OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts,
-                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+          SELECT user_id, event_id, ts,
+                 lag(ts)        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+                 lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_id,
+                 lead(ts)       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
           FROM __events_rc
         ),
-        chain (user_id, start_ts, cur_ts, depth) AS (
-          SELECT user_id, ts, ts, 1
+        chain (user_id, start_ts, cur_id, depth) AS (
+          SELECT user_id, ts, event_id, 1
           FROM edges
           WHERE prev_ts IS NULL
              OR unix_millis(ts) - unix_millis(prev_ts) > 1800000
           UNION ALL
-          SELECT c.user_id, c.start_ts, e.next_ts, c.depth + 1
+          SELECT c.user_id, c.start_ts, e.next_id, c.depth + 1
           FROM chain c
-          JOIN edges e ON e.user_id = c.user_id AND e.ts = c.cur_ts
-          WHERE e.next_ts IS NOT NULL
+          JOIN edges e ON e.user_id = c.user_id AND e.event_id = c.cur_id
+          WHERE e.next_id IS NOT NULL
             AND unix_millis(e.next_ts) - unix_millis(e.ts) <= 1800000
         )
         SELECT user_id, unix_millis(start_ts) AS session_start,
@@ -1967,11 +1978,14 @@ def _q_multimodal_frame_sample(spark, sf_dir):
     # oracle can recompute it from the text the payload wraps
     (docs,) = _tables(spark, sf_dir, "documents")
     frames = MM.sample_frames(MM.documents_as_media(docs), every_k=2)
+    # head_hex: hex of the frame's FIRST BYTE — binary substring + hex are
+    # byte-exact in both engines for any content (an ascii()-of-decoded-
+    # text projection would diverge on multi-byte UTF-8 at chunk splits)
     return frames.select(
         "doc_id",
         "frame_idx",
         F.octet_length("frame").cast("int").alias("frame_len"),
-        F.ascii(F.decode(F.col("frame"), "UTF-8")).cast("int").alias("head_byte"),
+        F.hex(F.substring(F.col("frame"), 1, 1)).alias("head_hex"),
     )
 
 
@@ -2292,15 +2306,20 @@ FROM documents GROUP BY 1
 """,
     "multimodal_frame_sample": """
 WITH d AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+  -- hex() the whole payload once; byte k is hex chars [2k+1, 2k+2] —
+  -- DuckDB has no BLOB substring, but string-slicing the hex is
+  -- byte-exact for any content
+  SELECT doc_id, hex(encode(text)) AS payload_hex,
+         octet_length(encode(text)) AS n
+  FROM documents
 ), f AS (
-  SELECT doc_id, text, n,
+  SELECT doc_id, payload_hex, n,
          unnest(range(0, CAST(ceil(n / 1024.0) AS INT), 2)) AS i
   FROM d WHERE n > 0
 )
 SELECT doc_id, CAST(i AS INT) AS frame_idx,
        CAST(least(1024, n - i * 1024) AS INT) AS frame_len,
-       CAST(ascii(substr(text, i * 1024 + 1, 1)) AS INT) AS head_byte
+       substring(payload_hex, CAST(i AS INT) * 2048 + 1, 2) AS head_hex
 FROM f
 """,
     "range_join_session_events": """
@@ -2336,20 +2355,21 @@ SELECT source, doc_id, w, pri FROM (
 """,
     "recursive_session_chains": """
 WITH RECURSIVE edges AS (
-  SELECT user_id, ts,
-         lag(ts)  OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts,
-         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+  SELECT user_id, event_id, ts,
+         lag(ts)        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+         lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_id,
+         lead(ts)       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
   FROM events
 ),
-chain (user_id, start_ts, cur_ts, depth) AS (
-  SELECT user_id, ts, ts, 1
+chain (user_id, start_ts, cur_id, depth) AS (
+  SELECT user_id, ts, event_id, 1
   FROM edges
   WHERE prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
   UNION ALL
-  SELECT c.user_id, c.start_ts, e.next_ts, c.depth + 1
+  SELECT c.user_id, c.start_ts, e.next_id, c.depth + 1
   FROM chain c
-  JOIN edges e ON e.user_id = c.user_id AND e.ts = c.cur_ts
-  WHERE e.next_ts IS NOT NULL
+  JOIN edges e ON e.user_id = c.user_id AND e.event_id = c.cur_id
+  WHERE e.next_id IS NOT NULL
     AND epoch_ms(e.next_ts) - epoch_ms(e.ts) <= 1800000
 )
 SELECT user_id, epoch_ms(start_ts) AS session_start,

@@ -101,3 +101,27 @@ counters:
     assert ids == {"req_count", "click_count"}
     req_total = sum(l["value"] for l in lines if l["counter_id"] == "req_count")
     assert req_total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_cli_config_follow_combination_rejected(sf_dir, tmp_path):
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("counters:\n  - id: x\n    counter_type: count\n    target_column: '*'\n")
+    assert main(
+        ["--path", f"{sf_dir}/events.parquet", "--config", str(cfg), "--follow"],
+        out=io.StringIO(),
+    ) == 2
+
+
+def test_cli_window_parse_errors_are_clean(sf_dir):
+    import pytest
+
+    # multi-unit intervals are valid and summed
+    assert window_minutes("1 hour 30 minutes") == 90
+    for bad in ("1 week", "90", "soon"):
+        with pytest.raises(ValueError):
+            window_minutes(bad)
+    # and --follow routes them to exit code 2, not a traceback
+    assert main(
+        ["--path", f"{sf_dir}/events.parquet", "--window", "1 week", "--follow"],
+        out=io.StringIO(),
+    ) == 2

@@ -70,3 +70,21 @@ def test_expr_evaluates_in_spark(spark):
     col = compile_target_expr('if(string_contains(path,"my_page"), user_id, nil)')
     vals = [r[0] for r in df.select(col).collect()]
     assert vals == [1, None]
+
+
+def test_duckdb_structural_rewrites_never_touch_literal_content():
+    # literal content that LOOKS like rewritable syntax must pass through
+    assert translate_target_expr_duckdb('string_contains(a, "use as_string(x) here")') == (
+        "contains(a, 'use as_string(x) here')"
+    )
+    assert translate_target_expr_duckdb('string_contains(a, "if(a,b,c)")') == (
+        "contains(a, 'if(a,b,c)')"
+    )
+    # literal ending in a backslash must not derail the paren scanner
+    assert translate_target_expr_duckdb('string_contains(a, "x\\\\")') == (
+        "contains(a, 'x\\')"
+    )
+    # rewrites still fire OUTSIDE literals in the same expression
+    assert translate_target_expr_duckdb('if(string_contains(a, "if("), as_string(b), nil)') == (
+        "(CASE WHEN contains(a, 'if(') THEN CAST(b AS VARCHAR) ELSE NULL END)"
+    )

@@ -161,3 +161,13 @@ def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
     assert lb >= lt - 1, (lb, lt)  # ~every file may contain any b
     # and the data survives the layout intact
     assert spark.read.parquet(zpath).count() == 40_000
+
+
+def test_zorder_key_rejects_64bit_overflow(spark):
+    import pytest
+
+    from kinesis_data_counter_spark.io import zorder_key
+
+    with pytest.raises(ValueError, match="bits"):
+        zorder_key(["a", "b", "c", "d", "e"], bits=16)  # 80 bits > 63
+    zorder_key(["a", "b", "c"], bits=21)  # 63 bits: allowed
