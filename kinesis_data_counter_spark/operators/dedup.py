@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kinesis_data_counter_spark.session import fan_out
+
 # ---------------------------------------------------------------------------
 # Tokenize / shingle plumbing (shared by jaccard, minhash, simhash)
 # ---------------------------------------------------------------------------
@@ -36,28 +38,38 @@ def normalize_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def shingle_hash_array(text_col="text", n: int = 5):
+    """Column expr: distinct xxhash64 n-word shingles of a document, as an
+    array — the narrow (no explode, no shuffle) form of the posting list.
+
+    split → sequence → transform(slice+join+hash) → array_distinct, all
+    inside whole-stage codegen. Documents shorter than n words contribute
+    one truncated shingle (matches the DuckDB oracle's slice semantics).
+    """
+    w = F.split(F.col(text_col) if isinstance(text_col, str) else text_col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+            lambda i: F.xxhash64(F.array_join(F.slice(w, i, n), " ")),
+        )
+    )
+
+
 def shingles(df: DataFrame, text_col: str = "text", n: int = 5, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, shingle) postings: distinct n-word shingles per document,
     with the shingle carried as its xxhash64 — an 8-byte join key.
-
-    Entirely built-in: split → sequence → transform(slice+join+hash) →
-    array_distinct → explode. Documents shorter than n words contribute one
-    truncated shingle (matches the DuckDB oracle's slice semantics).
 
     Hashing before the exchange is the scale move: every downstream
     shuffle (inverted-index join, stop-shingle count, signature agg) keys
     on a fixed-width long instead of a ~25-byte string — 3× less shuffle
     volume and cheaper hash-join probes. Collisions (~|shingles|²/2⁶⁴)
-    are far below any oracle tolerance.
+    are far below any oracle tolerance. Input is fanned out to session
+    parallelism first: split+hash per shingle dominates a small exchange.
     """
-    w = F.split(F.col(text_col), " ")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-        lambda i: F.xxhash64(F.array_join(F.slice(w, i, n), " ")),
-    )
+    df = fan_out(df, id_col)
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(sh)).alias("shingle"),
+        F.explode(shingle_hash_array(text_col, n)).alias("shingle"),
     )
 
 
@@ -186,24 +198,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<long>[num_hashes]) MinHash signature matrix.
 
-    One aggregation over the postings: k universal-hash permutations
-    h_i(x) = (a_i·x + b_i) mod M61 over the shingle's xxhash64. Partial min
-    per map task ⇒ shuffle volume = |docs| × k longs regardless of corpus
-    size. All JVM-side arithmetic in whole-stage codegen.
-    ``postings`` lets a caller share one (possibly persisted) posting list
-    across the signature and verification stages.
+    k universal-hash permutations h_i(x) = (a_i·x + b_i) mod M31 over the
+    shingle's xxhash64, folded to the 31-bit domain (low bits of xxhash64
+    are uniformly mixed; with h, a, b < 2^31 the product stays < 2^63 —
+    no long overflow under ANSI arithmetic).
+
+    One aggregation over the postings: partial min per map task ⇒ shuffle
+    volume = |docs| × k longs regardless of corpus size, and every
+    expression stays inside whole-stage codegen. (A zero-shuffle per-row
+    variant via ``array_min``/``transform`` was measured ~30% SLOWER:
+    higher-order array functions are interpreted, not codegen'd — the
+    tiny post-combine shuffle is the cheaper currency.)
+    ``postings`` lets a caller share an already-built posting list.
     """
+    params = _hash_params(num_hashes)
     post = (
         postings
         if postings is not None
         else _prune_frequent(shingles(df, text_col, n, id_col), max_shingle_freq)
     )
-    # postings already carry the shingle's xxhash64; fold to the 31-bit
-    # universal-hash domain (low bits of xxhash64 are uniformly mixed)
     h = F.col("shingle").bitwiseAND(F.lit(_HASH_MASK))
     mins = [
         F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_hash_params(num_hashes))
+        for i, (a, b) in enumerate(params)
     ]
     sig = post.groupBy("doc_id").agg(*mins)
     return sig.select(
@@ -232,12 +249,14 @@ def minhash_lsh_pairs(
     no false positives (recall is the only probabilistic part).
     """
     r = num_hashes // bands
-    # ONE posting list feeds both the signature aggregation and (when
-    # verifying) the exact-Jaccard recheck; persisting it trades executor
-    # storage (spill-safe MEMORY_AND_DISK) for not re-shingling the corpus
-    # — the same call MLlib's MinHashLSH makes
+    # the signature aggregation consumes the posting list ONCE — no persist
+    # needed: the verify stage below re-shingles only the CANDIDATE docs,
+    # which at scale is the near-dup population, not the corpus. (With
+    # stop-shingle pruning the pruned universe must also be what verify
+    # sees, so the pruned postings are kept and persisted instead.)
+    pruning = max_shingle_freq is not None
     post = _prune_frequent(shingles(df, text_col, n, id_col), max_shingle_freq)
-    if verify:
+    if pruning and verify:
         post = post.persist()
     sig = minhash_signatures(
         df, num_hashes, n, text_col, id_col, max_shingle_freq, postings=post
@@ -278,7 +297,22 @@ def minhash_lsh_pairs(
     cand_docs = cand.select(
         F.explode(F.array("a_id", "b_id")).alias("doc_id")
     ).distinct()
-    post_c = post.join(cand_docs, "doc_id")
+    if not pruning:
+        # shingle only the candidate docs: semi-join prunes the corpus scan
+        # to the docs LSH actually surfaced (broadcast-sized at sane
+        # thresholds), then explode just those
+        post_c = shingles(
+            df.join(
+                cand_docs.withColumnRenamed("doc_id", "__cid"),
+                F.col(id_col) == F.col("__cid"),
+                "left_semi",
+            ),
+            text_col,
+            n,
+            id_col,
+        )
+    else:
+        post_c = post.join(cand_docs, "doc_id")
     sizes = post_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a2 = post_c.alias("a")
     b2 = post_c.alias("b")

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kinesis_data_counter_spark.session import fan_out
+
 # Optional decoders — gate behind import-try (none are bundled here).
 try:  # pragma: no cover - not installed in this container
     from PIL import Image  # type: ignore
@@ -96,7 +98,7 @@ def media_features(
     only what the extractor needs (column pruning across the UDF boundary is
     manual — Spark can't prune inside Python).
     """
-    slim = df.select(
+    slim = fan_out(df, id_col).select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(payload_col).alias("payload"),
     )
@@ -157,7 +159,7 @@ def sample_frames(
                  "frame": pd.array(frames, dtype=object)}
             )
 
-    slim = df.select(
+    slim = fan_out(df, id_col).select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(payload_col).alias("payload")
     )
     return slim.mapInPandas(_frames, FRAME_SAMPLE_SCHEMA)

@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
+from kinesis_data_counter_spark.session import fan_out
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ via built-in higher-order functions (JVM-side, no UDF)."""
@@ -84,7 +86,9 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(
+    # fan the (possibly single-split) corpus out so the scoring UDF runs
+    # on every core; the broadcast side is unaffected
+    c = fan_out(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     sim = F.round(batch_cosine(F.col("qv"), F.col("cv")), round_digits)
@@ -151,6 +155,7 @@ def hyperplane_buckets(
         for b in range(num_bits):
             cols.append(planes[b * dim : (b + 1) * dim])
     w = np.array(cols, dtype=np.float64).T  # (dim, T*r)
+    df = fan_out(df, id_col)  # signature matmul must run on every core
     nb, nt = num_bits, num_tables
     weights = (1 << np.arange(nb)).astype(np.int64)
 
@@ -323,6 +328,7 @@ def ivf_assign(
     every centroid is an unrolled codegen expression and the assignment
     never shuffles. Output: one row per (vector × probe) with ``list_id``.
     """
+    df = fan_out(df, id_col)  # assignment matmul must run on every core
     cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
     cmat = np.array([v for _, v in centroids], dtype=np.float64)  # (C, dim)
     np_probe = min(nprobe, len(centroids))
@@ -526,7 +532,7 @@ def quantized_cosine_topk(
     """Top-k by cosine over int8-quantized vectors — ``cosine_topk``'s plan
     (broadcast queries, scan-local scoring, |queries|×k ranking exchange)
     at a quarter of the memory traffic."""
-    qc = quantize_embeddings(corpus, id_col, vec_col).select(
+    qc = quantize_embeddings(fan_out(corpus, id_col), id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cq")
     )
     qq = quantize_embeddings(queries, id_col, vec_col).select(

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kinesis_data_counter_spark.session import fan_out
+
 # Marker stopwords per language for the n-gram/stopword-hit heuristic.
 # Deliberately tiny and explicit: the oracle mirrors these lists verbatim.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -86,7 +88,7 @@ def detect_language_bulk(
     independent of text length. ``explode_outer`` keeps zero-token docs
     ('und') in the output.
     """
-    toks = df.select(
+    toks = fan_out(df, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(tokens_lower(F.col(text_col))).alias("tok"),
     )
@@ -134,6 +136,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     - stopword_ratio: English stopword tokens / tokens
     - quality_ok: the composite keep/drop gate
     """
+    # regex feature extraction dominates the exchange cost; hash on the
+    # text itself (no id column in this signature): one cheap xxhash64
+    from pyspark.sql import functions as _F
+    df = fan_out(df, _F.xxhash64(_F.col(text_col)))
     t = F.col(text_col)
     n_tok = token_count(t)
     n_chars_c = F.length(t)

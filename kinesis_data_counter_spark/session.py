@@ -125,3 +125,37 @@ def load_tables(
 
 # fixture columns written as parquet TIMESTAMP(NANOS) (see TESTDATA.md)
 _NANO_TS_COLUMNS = {"events": ("ts",)}
+
+
+def fan_out(df: DataFrame, key=None, min_parts: int | None = None) -> DataFrame:
+    """Give a compute-heavy stage at least session-level parallelism.
+
+    A single-file, single-row-group local input plans as ONE scan task, so
+    per-row-expensive downstream work (shingling + k-hash signatures,
+    Pandas-UDF codecs, regex feature extraction) serializes on one core. A
+    real deployment's input arrives in many splits and never hits this; one
+    cheap exchange of the small local input restores that layout. No-op
+    when the plan already has enough partitions — i.e. on any multi-split
+    source — so at cluster scale this adds nothing.
+
+    ``key`` (a column name/expr, normally the row id) selects HASH
+    partitioning. Always pass one when available: keyless round-robin
+    repartition first SORTS every partition on all columns for retry
+    determinism (spark.sql.execution.sortBeforeRepartition) — measured 2×
+    slower here on wide text/embedding rows than the hash exchange.
+
+    Only use where per-row compute dominates the exchange cost (measured:
+    ~3× faster for shingle/regex/Pandas-UDF stages, but SLOWER for plain
+    columnar aggregation, where the scan-stage partial agg is cheaper than
+    the extra shuffle).
+    """
+    if df.isStreaming:
+        return df
+    n = min_parts or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    if key is None:
+        return df.repartition(n)
+    from pyspark.sql import functions as F
+
+    return df.repartition(n, F.col(key) if isinstance(key, str) else key)

@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kinesis_data_counter_spark.session import fan_out
+
 CORRUPT_COL = "_corrupt_record"
 
 
@@ -30,6 +32,8 @@ def parse_json_records(
     """
     if CORRUPT_COL not in [f.name for f in schema.fields]:
         schema = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+    # per-row JSON parse dominates a small exchange; hash the payload
+    df = fan_out(df, F.xxhash64(F.col(value_col)))
     raw = F.col(value_col).cast("string")
     parsed = F.from_json(
         raw, schema, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL}
