@@ -201,3 +201,27 @@ def test_topk_two_level_bounded_exchanges(spark, sf_dir):
     plan = _plan(spark, sf_dir, "counter_topk_users")
     assert plan.count("Exchange") <= 3, plan[:2000]
     assert "ObjectHashAggregate" in plan  # sketch agg path, partial+final
+
+
+def test_fan_out_hash_exchange_no_sort(spark, sf_dir):
+    # fan_out must hash-partition (keyless round-robin inserts a
+    # sort-before-repartition over all columns — 2x slower on wide rows)
+    # and must be a no-op once the input already has enough partitions
+    from pyspark.sql import functions as F
+
+    from kinesis_data_counter_spark.session import fan_out
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    f = fan_out(docs, "doc_id")
+    plan = f._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(doc_id" in plan, plan[:500]
+    assert "roundrobin" not in plan
+    wide = docs.repartition(64, F.col("doc_id"))
+    assert fan_out(wide, "doc_id") is wide
+
+
+def test_text_quality_stage_is_parallel(spark, sf_dir):
+    # the regex feature stage must not serialize on a single-split scan
+    df = QUERIES["text_quality"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" in plan, plan[:800]
