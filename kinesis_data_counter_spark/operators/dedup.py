@@ -285,34 +285,46 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    # Verify ONLY the candidate pairs: semi-join the postings down to docs
-    # that appear in some candidate, run the inverted-index intersection on
-    # that (much smaller) posting set, then keep candidate pairs only. At
-    # scale candidates ≪ corpus, so the exact-Jaccard work is proportional
-    # to the near-dup population, not the corpus — verifying against the
-    # full pair join would redo the O(corpus²-ish) work LSH exists to avoid.
-    # The candidate set is referenced twice below; persist it so the
-    # signature/banding pipeline above it executes once, not per reference.
+    # Verify ONLY the candidate pairs. At scale candidates ≪ corpus, so the
+    # exact-Jaccard work is proportional to the near-dup population, not
+    # the corpus — verifying against the full pair join would redo the
+    # O(corpus²-ish) work LSH exists to avoid. The candidate set is
+    # referenced twice below; persist it so the signature/banding pipeline
+    # above it executes once, not per reference.
     cand = cand.persist()
     cand_docs = cand.select(
         F.explode(F.array("a_id", "b_id")).alias("doc_id")
     ).distinct()
     if not pruning:
-        # shingle only the candidate docs: semi-join prunes the corpus scan
-        # to the docs LSH actually surfaced (broadcast-sized at sane
-        # thresholds), then explode just those
-        post_c = shingles(
-            df.join(
-                cand_docs.withColumnRenamed("doc_id", "__cid"),
-                F.col(id_col) == F.col("__cid"),
-                "left_semi",
-            ),
-            text_col,
-            n,
-            id_col,
+        # Flat verification: semi-join the corpus down to candidate docs,
+        # carry each doc's distinct shingle set as an ARRAY, and attach both
+        # sides' arrays to each pair — Jaccard is then one
+        # ``array_intersect`` per pair, with no posting explode, no
+        # inverted-index self-join, and no aggregation. The per-doc array
+        # table is broadcast-sized whenever the candidate population is
+        # sane, so both attach joins are broadcasts.
+        arrs = df.join(
+            cand_docs.withColumnRenamed("doc_id", "__cid"),
+            F.col(id_col) == F.col("__cid"),
+            "left_semi",
+        ).select(
+            F.col(id_col).alias("doc_id"),
+            shingle_hash_array(text_col, n).alias("sh"),
         )
-    else:
-        post_c = post.join(cand_docs, "doc_id")
+        sa = arrs.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sha"))
+        sb = arrs.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("shb"))
+        c = F.size(F.array_intersect("sha", "shb"))
+        jac = c / (F.size("sha") + F.size("shb") - c)
+        return (
+            cand.join(sa, "a_id")
+            .join(sb, "b_id")
+            .select("a_id", "b_id", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    # With stop-shingle pruning the pruned posting universe must also be
+    # what verify sees, so the Jaccard recheck runs as an inverted-index
+    # intersection over the (persisted) pruned postings of candidate docs.
+    post_c = post.join(cand_docs, "doc_id")
     sizes = post_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a2 = post_c.alias("a")
     b2 = post_c.alias("b")
