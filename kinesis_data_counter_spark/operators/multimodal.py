@@ -116,6 +116,76 @@ def documents_as_media(df: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_w", T.IntegerType()),
+        T.StructField("orig_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    out_w: int = 16,
+    out_h: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Nearest-neighbor resize of media payloads to ``out_w × out_h``.
+
+    A real pipeline decodes the payload (``decode_image`` — stubbed without
+    pillow) and resizes pixels; here the payload's bytes ARE the pixels of a
+    square-ish ``orig_w × orig_h`` grid (``orig_w = ⌈√n⌉``), and the resize
+    is a genuine 2-D nearest-neighbor downsample done as one numpy fancy-
+    index per payload. That keeps every production-relevant part real —
+    Arrow binary transfer both directions, typed dimension metadata
+    alongside the opaque payload, the vectorized batch kernel, output size
+    bounded by ``out_w × out_h`` regardless of input size (the property
+    that makes a 100 TB media table shrink to a broadcastable feature
+    table). Output dims clamp to the original (never upsample).
+    """
+    import math
+
+    import numpy as np
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ows, ohs, tws, ths, outs = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                n = len(p)
+                if n == 0:
+                    ids.append(doc_id); ows.append(0); ohs.append(0)
+                    tws.append(0); ths.append(0); outs.append(b"")
+                    continue
+                ow = int(math.ceil(math.sqrt(n)))
+                oh = int(math.ceil(n / ow))
+                tw, th = min(out_w, ow), min(out_h, oh)
+                m = np.frombuffer(p.ljust(ow * oh, b"\0"), dtype=np.uint8).reshape(oh, ow)
+                xs = (np.arange(tw) * ow) // tw
+                ys = (np.arange(th) * oh) // th
+                ids.append(doc_id); ows.append(ow); ohs.append(oh)
+                tws.append(tw); ths.append(th)
+                outs.append(m[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame(
+                {"doc_id": pd.array(ids, dtype="int64"),
+                 "orig_w": pd.array(ows, dtype="int32"),
+                 "orig_h": pd.array(ohs, dtype="int32"),
+                 "out_w": pd.array(tws, dtype="int32"),
+                 "out_h": pd.array(ths, dtype="int32"),
+                 "resized": pd.array(outs, dtype=object)}
+            )
+
+    slim = fan_out(df, id_col).select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+    return slim.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
 FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -2031,6 +2031,25 @@ def _q_multimodal_media(spark, sf_dir):
     )
 
 
+def _q_multimodal_resize(spark, sf_dir):
+    # resize stub: payload bytes form a ⌈√n⌉-wide pixel grid, downsampled
+    # 2-D nearest-neighbor to ≤16×16. The oracle recomputes the dimension
+    # arithmetic (identical IEEE-double ceil/sqrt in both engines) and
+    # byte-checks the (0,0) output pixel, which nearest-neighbor maps to
+    # the payload's first byte — hex on both sides for byte-exactness.
+    (docs,) = _tables(spark, sf_dir, "documents")
+    r = MM.resize_media(MM.documents_as_media(docs), out_w=16, out_h=16)
+    return r.select(
+        "doc_id",
+        "orig_w",
+        "orig_h",
+        "out_w",
+        "out_h",
+        F.octet_length("resized").cast("int").alias("out_len"),
+        F.hex(F.substring(F.col("resized"), 1, 1)).alias("p00_hex"),
+    )
+
+
 def _q_dedup_method_agreement(spark, sf_dir):
     # cross-method audit: how the lexical (n-gram Jaccard) and semantic
     # (embedding cosine) near-dup definitions agree — the composition a
@@ -2428,6 +2447,27 @@ SELECT doc_id, octet_length(encode(text)) AS size_bytes,
        (octet_length(encode(text)) + 1023) // 1024 AS n_frames
 FROM documents
 """,
+    "multimodal_resize": """
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         substring(hex(encode(text)), 1, 2) AS h1
+  FROM documents
+), w AS (
+  SELECT doc_id, n, h1,
+         CASE WHEN n = 0 THEN 0 ELSE CAST(ceil(sqrt(n)) AS INT) END AS ow
+  FROM d
+), wh AS (
+  SELECT doc_id, n, h1, ow,
+         CASE WHEN n = 0 THEN 0 ELSE CAST(ceil(n / ow) AS INT) END AS oh
+  FROM w
+)
+SELECT doc_id, ow AS orig_w, oh AS orig_h,
+       CAST(least(16, ow) AS INT) AS out_w,
+       CAST(least(16, oh) AS INT) AS out_h,
+       CAST(least(16, ow) * least(16, oh) AS INT) AS out_len,
+       CASE WHEN n = 0 THEN '' ELSE h1 END AS p00_hex
+FROM wh
+""",
     "sql_surface_daily_top_types": """
 WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
@@ -2689,6 +2729,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udaf_weighted_median": _q_udaf_weighted_median,
     "multimodal_frame_sample": _q_multimodal_frame_sample,
     "multimodal_media": _q_multimodal_media,
+    "multimodal_resize": _q_multimodal_resize,
 }
 
 _ORACLES: dict[str, str] = {**_COUNTER_ORACLES, **_RELATIONAL_ORACLES, **_PIPELINE_ORACLES}

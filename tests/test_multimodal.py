@@ -96,3 +96,33 @@ def test_decode_stubs_raise_without_codecs(spark):
             MM.decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         MM.decode_audio(b"RIFF")
+
+
+def test_resize_media_exact_nearest_neighbor(spark):
+    # 9 bytes -> 3x3 grid; resize to 2x2 must pick src pixels (0,0) (0,1)
+    # via xs=[0,1], ys=[0,1]: rows 0,1 / cols 0,1 of the 3x3 grid
+    payload = bytes(range(9))  # grid [[0,1,2],[3,4,5],[6,7,8]]
+    df = _payloads(spark, [(1, payload)])
+    (r,) = MM.resize_media(df, out_w=2, out_h=2).collect()
+    assert (r["orig_w"], r["orig_h"], r["out_w"], r["out_h"]) == (3, 3, 2, 2)
+    assert bytes(r["resized"]) == bytes([0, 1, 3, 4])
+
+
+def test_resize_media_clamps_and_pads(spark):
+    # 5 bytes -> 3x2 grid (ceil(sqrt(5))=3, ceil(5/3)=2), last cell padded;
+    # out 16x16 clamps to 3x2 = identity (with the pad byte materialized)
+    df = _payloads(spark, [(1, bytes([9, 8, 7, 6, 5])), (2, b"")])
+    rows = {r["doc_id"]: r for r in MM.resize_media(df).collect()}
+    r = rows[1]
+    assert (r["orig_w"], r["orig_h"], r["out_w"], r["out_h"]) == (3, 2, 3, 2)
+    assert bytes(r["resized"]) == bytes([9, 8, 7, 6, 5, 0])
+    z = rows[2]
+    assert (z["orig_w"], z["out_w"], len(bytes(z["resized"]))) == (0, 0, 0)
+
+
+def test_resize_media_output_is_bounded(spark):
+    # any payload collapses to at most out_w*out_h bytes — the property
+    # that makes the feature table broadcastable at scale
+    df = _payloads(spark, [(1, bytes(10_000))])
+    (r,) = MM.resize_media(df, out_w=8, out_h=8).collect()
+    assert len(bytes(r["resized"])) == 64
