@@ -151,7 +151,17 @@ def fan_out(df: DataFrame, key=None, min_parts: int | None = None) -> DataFrame:
     """
     if df.isStreaming:
         return df
-    n = min_parts or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    spark = df.sparkSession
+    if min_parts is not None:
+        n = min_parts
+    else:
+        # clamp by actual cores: on an externally-created session (the
+        # driver harness) shuffle.partitions keeps its 200 default, and
+        # 200 tiny tasks on a 32-core local session is pure overhead
+        n = min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            spark.sparkContext.defaultParallelism,
+        )
     if df.rdd.getNumPartitions() >= n:
         return df
     if key is None:

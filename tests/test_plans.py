@@ -225,3 +225,12 @@ def test_text_quality_stage_is_parallel(spark, sf_dir):
     df = QUERIES["text_quality"].builder(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" in plan, plan[:800]
+
+
+def test_fan_out_streaming_passthrough(spark):
+    # streaming plans can't be repartition-introspected; fan_out must be
+    # an identity there so batch operators stay reusable under readStream
+    from kinesis_data_counter_spark.session import fan_out
+
+    stream = spark.readStream.format("rate").load()
+    assert fan_out(stream, "value") is stream
