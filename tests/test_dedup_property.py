@@ -1,0 +1,104 @@
+"""Differential property test: MinHash-LSH + exact verify vs a pure-Python
+exact-Jaccard oracle on randomized near-dup clusters.
+
+The LSH pair set is supposed to EQUAL the brute-force pair set at the
+operating threshold (verification removes false positives; banding recall at
+j ≥ 0.8 with 96 hashes / 24 bands is ≈ 1 - 3e-6 per pair). Randomized
+corpora probe the whole pipeline — shingling edge cases (short docs,
+repeated words), signature arithmetic, banding, and the flat
+array_intersect verify — against an implementation that shares no code
+with it.
+"""
+
+from __future__ import annotations
+
+import random
+
+import kinesis_data_counter_spark.operators.dedup as DD
+
+N = 4  # shingle width
+THRESHOLD = 0.8
+VOCAB = [f"w{i}" for i in range(50)]
+
+
+def _python_shingles(text: str, n: int = N) -> frozenset[str]:
+    w = text.split(" ")
+    k = max(len(w) - n + 1, 1)
+    return frozenset(" ".join(w[i : i + n]) for i in range(k))
+
+
+def _python_pairs(docs: dict[int, str]) -> dict[tuple[int, int], float]:
+    sh = {i: _python_shingles(t) for i, t in docs.items()}
+    out = {}
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if not inter:
+                continue
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if j >= THRESHOLD:
+                out[(a, b)] = round(j, 9)
+    return out
+
+
+def _random_corpus(rng: random.Random) -> dict[int, str]:
+    """Clusters of perturbed copies — the only way random text produces
+    high-Jaccard pairs (independent random docs almost never do)."""
+    docs = {}
+    doc_id = 0
+    for _cluster in range(10):
+        base = [rng.choice(VOCAB) for _ in range(rng.randint(6, 60))]
+        for _member in range(rng.randint(1, 4)):
+            words = list(base)
+            # light perturbation: delete/replace up to ~8% of words
+            for _ in range(rng.randint(0, max(1, len(words) // 12))):
+                op = rng.random()
+                pos = rng.randrange(len(words))
+                if op < 0.5 and len(words) > 2:
+                    del words[pos]
+                else:
+                    words[pos] = rng.choice(VOCAB)
+            docs[doc_id] = " ".join(words)
+            doc_id += 1
+    # plus isolated noise docs that must never pair up
+    for _ in range(15):
+        docs[doc_id] = " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 40)))
+        doc_id += 1
+    return docs
+
+
+def test_minhash_lsh_equals_bruteforce_on_random_clusters(spark):
+    rng = random.Random(20260813)
+    for trial in range(3):
+        docs = _random_corpus(rng)
+        expected = _python_pairs(docs)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in docs.items()], "doc_id long, text string"
+        )
+        got = {
+            (r.a_id, r.b_id): round(r.jaccard, 9)
+            for r in DD.minhash_lsh_pairs(
+                df, threshold=THRESHOLD, num_hashes=96, bands=24, n=N
+            ).collect()
+        }
+        assert got == expected, (
+            f"trial {trial}: missing={set(expected) - set(got)} "
+            f"extra={set(got) - set(expected)}"
+        )
+
+
+def test_ngram_jaccard_equals_bruteforce_on_random_clusters(spark):
+    # the inverted-index exact join must agree with the same oracle —
+    # no probabilistic step at all here
+    rng = random.Random(424242)
+    docs = _random_corpus(rng)
+    expected = _python_pairs(docs)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in DD.ngram_jaccard_pairs(df, threshold=THRESHOLD, n=N).collect()
+    }
+    assert got == expected
