@@ -108,3 +108,61 @@ def decontaminate(
         .distinct()
     )
     return train.join(hits, train[id_col] == hits.doc_id, "left_semi")
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    n_groups: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing for LLM pretraining batches.
+
+    Documents are concatenated in id order and chunked into fixed
+    ``budget``-token sequences — the packing GPT-style pretraining uses
+    (docs straddle sequence boundaries; nothing is dropped). Packing runs
+    independently inside ``n_groups`` hash groups (``doc_id % n_groups``):
+    a single global concatenation order would funnel the cumulative sum
+    through ONE window partition (the classic running-total scale trap),
+    while group-local packing gives one window partition per group —
+    embarrassingly parallel, costing at most ``n_groups`` partially-filled
+    tail sequences, negligible against any real corpus.
+
+    Returns one row per document with its placement:
+    (doc_id, grp, n_tokens, start_seq, start_offset, end_seq) — sequence
+    ids are group-local; a consumer materializing actual token blocks
+    reads each doc once and scatters it to [start_seq .. end_seq].
+    """
+    from pyspark.sql import Window
+
+    from kinesis_data_counter_spark.operators.text import token_count
+
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_groups).alias("grp"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_end", F.sum("n_tokens").over(w))
+    start = F.col("cum_end") - F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        "grp",
+        "n_tokens",
+        start.cast("long").alias("__s"),
+        "cum_end",
+    ).select(
+        "doc_id",
+        "grp",
+        "n_tokens",
+        F.expr(f"__s div {budget}").alias("start_seq"),
+        (F.col("__s") % budget).alias("start_offset"),
+        F.when(F.col("n_tokens") == 0, F.expr(f"__s div {budget}"))
+        .otherwise(F.expr(f"(cum_end - 1) div {budget}"))
+        .alias("end_seq"),
+    )

@@ -1623,6 +1623,15 @@ def _q_corpus_decontaminate(spark, sf_dir):
     return CP.decontaminate(tr, ev, n=6).select("doc_id", "source")
 
 
+def _q_corpus_pack_sequences(spark, sf_dir):
+    # concat-then-chunk packing of documents into 2048-token sequences,
+    # group-local (doc_id % 32) so the cumulative sum never funnels
+    # through one window partition; the oracle replays the identical
+    # integer arithmetic with a SQL running sum
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return CP.pack_sequences(docs, budget=2048, n_groups=32)
+
+
 def _q_sample_stratified(spark, sf_dir):
     # corpus rebalancing: per-language keep-rates via the portable md5
     # threshold (en kept, de halved, fr quartered, rest 10%) — counts +
@@ -2592,6 +2601,25 @@ FROM documents
 WHERE {SP.stratified_sql_predicate('doc_id', 'lang', STRAT_RATES, default_rate=0.1)}
 GROUP BY 1
 """,
+    "corpus_pack_sequences": r"""
+WITH t AS (
+  SELECT doc_id, doc_id % 32 AS grp,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, grp, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+  FROM t
+)
+SELECT doc_id, grp, n_tokens,
+       (cum_end - n_tokens) // 2048 AS start_seq,
+       (cum_end - n_tokens) % 2048 AS start_offset,
+       CASE WHEN n_tokens = 0 THEN (cum_end - n_tokens) // 2048
+            ELSE (cum_end - 1) // 2048 END AS end_seq
+FROM c
+""",
     "corpus_decontaminate": r"""
 WITH w AS (
   SELECT doc_id, source, string_split(text, ' ') AS wd FROM documents
@@ -2707,6 +2735,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": _q_sample_stratified,
     "sample_weighted_topk": _q_sample_weighted_topk,
     "corpus_decontaminate": _q_corpus_decontaminate,
+    "corpus_pack_sequences": _q_corpus_pack_sequences,
     "json_bad_records": _q_json_bad_records,
     "kpl_roundtrip": _q_kpl_roundtrip,
     "text_lang_id": _q_text_lang_id,

@@ -1,0 +1,63 @@
+"""Unit tests for corpus-pipeline operators (packing; the cleaning funnel
+and decontamination are covered end-to-end by their registry oracles)."""
+
+from __future__ import annotations
+
+import random
+
+from kinesis_data_counter_spark.operators.corpus import pack_sequences
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_sequences_pinned_example(spark):
+    # token counts [4, 3, 8, 10, 0, 2], budget 10, single group:
+    # concatenation offsets 0,4,7,15,25,25 — doc2 and doc3 straddle chunks
+    rows = [
+        (0, "a b c d"),
+        (1, "a b c"),
+        (2, "a b c d e f g h"),
+        (3, "a b c d e f g h i j"),
+        (4, ""),
+        (5, "a b"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(_docs(spark, rows), budget=10, n_groups=1).collect()
+    }
+    expect = {
+        0: (0, 0, 0),
+        1: (0, 4, 0),
+        2: (0, 7, 1),   # straddles 0 → 1
+        3: (1, 5, 2),   # straddles 1 → 2
+        4: (2, 5, 2),   # zero tokens: degenerate placement, drops nothing
+        5: (2, 5, 2),
+    }
+    for doc_id, (sseq, soff, eseq) in expect.items():
+        r = out[doc_id]
+        assert (r["start_seq"], r["start_offset"], r["end_seq"]) == (sseq, soff, eseq), doc_id
+
+
+def test_pack_sequences_is_contiguous_and_lossless(spark):
+    # within every group, each doc starts exactly where the previous one
+    # ended (concat-then-chunk drops and duplicates nothing)
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join("w" for _ in range(rng.randint(0, 50)))) for i in range(200)
+    ]
+    out = pack_sequences(_docs(spark, rows), budget=64, n_groups=4).collect()
+    by_grp: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["grp"], r["doc_id"])):
+        by_grp.setdefault(r["grp"], []).append(r)
+    total = 0
+    for grp, rs in by_grp.items():
+        pos = 0
+        for r in rs:
+            assert r["start_seq"] * 64 + r["start_offset"] == pos, (grp, r)
+            pos += r["n_tokens"]
+            if r["n_tokens"] > 0:
+                assert r["end_seq"] == (pos - 1) // 64
+        total += pos
+    assert total == sum(len(t.split()) for _, t in rows if t.strip())
