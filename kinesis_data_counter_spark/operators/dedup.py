@@ -346,6 +346,106 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_band_table(
+    df: DataFrame,
+    num_hashes: int = 96,
+    bands: int = 24,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, band, bh) — the persistable LSH index of a corpus.
+
+    This is the table an incremental dedup deployment maintains between
+    runs: O(|docs| × bands) fixed-width rows, appended as increments
+    arrive, bucketed/partitioned on (band, bh) so the probe join needs no
+    shuffle of the history side.
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(F.slice("sig", bi * r + 1, r)).alias("bh"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "bs.band", "bs.bh"
+    )
+
+
+def incremental_minhash_pairs(
+    increment: DataFrame,
+    history: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 96,
+    bands: int = 24,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    history_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING the increment: new×new and new×history,
+    never history×history.
+
+    The incremental-curation shape: a daily increment is deduped against a
+    huge accumulated corpus. Recomputing all pairs would redo
+    history×history — quadratically dominant and already known. Here the
+    increment's band table is the probe side of ONE equi-join against
+    (history ∪ increment) bands, so candidate generation is proportional
+    to |increment| × bands, and the probe side broadcasts whenever the
+    increment is small. ``history_bands`` accepts the persisted index from
+    ``minhash_band_table`` so the history side is never re-hashed — the
+    steady-state deployment reads it, probes it, appends the increment's
+    bands to it. Doc ids must be disjoint across the two inputs.
+
+    Output: (a_id, b_id, jaccard) with a_id < b_id, exact-verified — same
+    contract as ``minhash_lsh_pairs`` minus the history-internal pairs.
+    """
+    inc_bands = minhash_band_table(increment, num_hashes, bands, n, text_col, id_col)
+    hist_bands = (
+        history_bands
+        if history_bands is not None
+        else minhash_band_table(history, num_hashes, bands, n, text_col, id_col)
+    )
+    all_bands = hist_bands.unionByName(inc_bands)
+    cand = (
+        inc_bands.alias("a")
+        .join(all_bands.alias("b"), ["band", "bh"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("a_id"),
+            F.greatest("a.doc_id", "b.doc_id").alias("b_id"),
+        )
+        .distinct()
+        .persist()
+    )
+    cand_docs = cand.select(
+        F.explode(F.array("a_id", "b_id")).alias("doc_id")
+    ).distinct()
+    corpus = increment.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).unionByName(
+        history.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    )
+    arrs = corpus.join(cand_docs, "doc_id", "left_semi").select(
+        "doc_id", shingle_hash_array("__text", n).alias("sh")
+    )
+    sa = arrs.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sha"))
+    sb = arrs.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("shb"))
+    c = F.size(F.array_intersect("sha", "shb"))
+    jac = c / (F.size("sha") + F.size("shb") - c)
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # D4. SimHash with banded hamming join
 # ---------------------------------------------------------------------------

@@ -1623,6 +1623,20 @@ def _q_corpus_decontaminate(spark, sf_dir):
     return CP.decontaminate(tr, ev, n=6).select("doc_id", "source")
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    # incremental curation: the doc_id % 5 == 0 slice plays the daily
+    # increment, the rest the accumulated history. Pairs touching the
+    # increment only — the band probe join never generates the
+    # (quadratically dominant, already-known) history×history candidates.
+    (docs,) = _tables(spark, sf_dir, "documents")
+    inc = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    p = DD.incremental_minhash_pairs(
+        inc, hist, threshold=JACCARD_T, num_hashes=96, bands=24, n=NGRAM
+    )
+    return p.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _q_corpus_pack_sequences(spark, sf_dir):
     # concat-then-chunk packing of documents into 2048-token sequences,
     # group-local (doc_id % 32) so the cumulative sum never funnels
@@ -2282,6 +2296,9 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 """,
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
     "dedup_minhash_lsh": _JACCARD_ORACLE,
+    # the exact pair set minus history-internal pairs (history = id % 5 != 0)
+    "dedup_incremental": _JACCARD_ORACLE
+    + "  AND NOT (a_id % 5 != 0 AND b_id % 5 != 0)\n",
     # transitive closure of the pair graph via recursive CTE: reach(node, t)
     # enumerates every reachable doc; min(t) per node is the cluster id
     "dedup_clusters": f"""
@@ -2736,6 +2753,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_weighted_topk": _q_sample_weighted_topk,
     "corpus_decontaminate": _q_corpus_decontaminate,
     "corpus_pack_sequences": _q_corpus_pack_sequences,
+    "dedup_incremental": _q_dedup_incremental,
     "json_bad_records": _q_json_bad_records,
     "kpl_roundtrip": _q_kpl_roundtrip,
     "text_lang_id": _q_text_lang_id,

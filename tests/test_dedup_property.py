@@ -102,3 +102,41 @@ def test_ngram_jaccard_equals_bruteforce_on_random_clusters(spark):
         for r in DD.ngram_jaccard_pairs(df, threshold=THRESHOLD, n=N).collect()
     }
     assert got == expected
+
+
+def test_incremental_equals_full_minus_history_pairs(spark):
+    # pairs(increment vs all) must equal the full pair set minus pairs
+    # internal to history — and the precomputed-band-table path must give
+    # byte-identical results (the steady-state deployment never re-hashes
+    # history)
+    rng = random.Random(99)
+    docs = _random_corpus(rng)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    inc = df.filter("doc_id % 3 = 0")
+    hist = df.filter("doc_id % 3 != 0")
+
+    full = _python_pairs(docs)
+    expected = {
+        pair: j
+        for pair, j in full.items()
+        if not (pair[0] % 3 != 0 and pair[1] % 3 != 0)
+    }
+    got = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in DD.incremental_minhash_pairs(
+            inc, hist, threshold=THRESHOLD, num_hashes=96, bands=24, n=N
+        ).collect()
+    }
+    assert got == expected
+
+    bands = DD.minhash_band_table(hist, num_hashes=96, bands=24, n=N)
+    got_precomputed = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in DD.incremental_minhash_pairs(
+            inc, hist, threshold=THRESHOLD, num_hashes=96, bands=24, n=N,
+            history_bands=bands,
+        ).collect()
+    }
+    assert got_precomputed == expected
