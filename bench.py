@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "retention_cohorts",
     "funnel_signup_purchase",
     "range_join_session_events",
+    # incremental curation + packing + bounded-output multimodal
+    "dedup_incremental",
+    "corpus_pack_sequences",
+    "multimodal_resize",
 ]
 
 

@@ -405,6 +405,10 @@ def incremental_minhash_pairs(
     Output: (a_id, b_id, jaccard) with a_id < b_id, exact-verified — same
     contract as ``minhash_lsh_pairs`` minus the history-internal pairs.
     """
+    # the increment's bands feed both the probe side and the union side;
+    # recomputing them beats a persist here (measured: the materialization
+    # barrier costs more than one extra signature pass over the small
+    # increment — exchange reuse already dedups the shuffle)
     inc_bands = minhash_band_table(increment, num_hashes, bands, n, text_col, id_col)
     hist_bands = (
         history_bands
