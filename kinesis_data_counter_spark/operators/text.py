@@ -207,3 +207,82 @@ def bigrams(toks: Column) -> Column:
     left = F.slice(toks, F.lit(1), F.greatest(n - 1, F.lit(0)))
     right = F.slice(toks, F.lit(2), F.greatest(n - 1, F.lit(0)))
     return F.zip_with(left, right, lambda a, b: F.concat_ws(" ", a, b))
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals for corpus filtering
+    (Rae et al. 2021's repetition rules, the public heuristic family):
+
+    - ``n_words``: token count
+    - ``dup_word_frac``: fraction of tokens whose word occurs more than
+      once in the document
+    - ``top_bigram``: the most frequent adjacent word pair (ties broken by
+      descending lexicographic order — deterministic for oracles)
+    - ``top_bigram_cnt`` / ``top_bigram_char_frac``: its occurrence count
+      and the fraction of document characters its occurrences cover
+
+    Formulated as explode → two-level hash aggregation (whole-stage
+    codegen; shuffle volume = distinct (doc, term) pairs after map-side
+    combine) — a per-row HOF formulation would be interpreted per element.
+    Docs with fewer than two tokens get a NULL top bigram and zero
+    fractions.
+    """
+    from kinesis_data_counter_spark.session import fan_out
+
+    base = fan_out(df, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        clean_tokens(F.col(text_col)).alias("__toks"),
+        F.length(F.trim(F.col(text_col))).cast("long").alias("n_chars"),
+    )
+    words = base.select("doc_id", "n_chars", F.explode("__toks").alias("w"))
+    word_stats = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_w"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(F.col("dup_w") / F.col("n_words"), 6).alias("dup_word_frac"),
+        )
+    )
+    bg = base.select(
+        "doc_id", "n_chars", F.explode(bigrams(F.col("__toks"))).alias("bg")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("bg").desc()
+    )
+    top = (
+        bg.groupBy("doc_id", "n_chars", "bg")
+        .agg(F.count("*").alias("c"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bg").alias("top_bigram"),
+            F.col("c").alias("top_bigram_cnt"),
+            F.round(
+                F.col("c") * F.length("bg") / F.greatest("n_chars", F.lit(1)), 6
+            ).alias("top_bigram_char_frac"),
+        )
+    )
+    return (
+        word_stats.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "dup_word_frac",
+            "top_bigram",
+            F.coalesce("top_bigram_cnt", F.lit(0)).alias("top_bigram_cnt"),
+            F.coalesce("top_bigram_char_frac", F.lit(0.0)).alias(
+                "top_bigram_char_frac"
+            ),
+        )
+    )

@@ -1735,6 +1735,14 @@ def _q_text_quality(spark, sf_dir):
     )
 
 
+def _q_text_repetition(spark, sf_dir):
+    # Gopher-style repetition rules: duplicate-word fraction + top-bigram
+    # character coverage per document, tie-broken deterministically so the
+    # SQL oracle lands on the identical bigram
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return TX.repetition_features(docs)
+
+
 def _q_text_token_stats(spark, sf_dir):
     (docs,) = _tables(spark, sf_dir, "documents")
     t = docs.select(
@@ -2337,6 +2345,39 @@ SELECT query_id, rank, neighbor_id, sim FROM r WHERE rank <= 10
     "text_lang_id": _lang_id_oracle(),
     "corpus_clean": _corpus_clean_oracle(),
     "text_quality": _quality_oracle(),
+    "text_repetition": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks,
+         length(trim(text)) AS n_chars
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(toks) AS w FROM t
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2
+), ws AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS dup_word_frac
+  FROM wc GROUP BY 1
+), bg AS (
+  SELECT doc_id, n_chars,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM t WHERE len(toks) >= 2
+), bc AS (
+  SELECT doc_id, n_chars, bg, count(*) AS c FROM bg GROUP BY 1, 2, 3
+), top AS (
+  SELECT doc_id, bg AS top_bigram, CAST(c AS BIGINT) AS top_bigram_cnt,
+         round(c * length(bg) * 1.0 / greatest(n_chars, 1), 6) AS top_bigram_char_frac,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg DESC) AS rn
+  FROM bc
+)
+SELECT ws.doc_id, ws.n_words, ws.dup_word_frac,
+       top.top_bigram,
+       coalesce(top.top_bigram_cnt, 0) AS top_bigram_cnt,
+       coalesce(top.top_bigram_char_frac, 0.0) AS top_bigram_char_frac
+FROM ws LEFT JOIN top ON ws.doc_id = top.doc_id AND top.rn = 1
+""",
     "text_token_stats": r"""
 SELECT lang, count(*) AS n_docs,
   sum(CASE WHEN trim(text) = '' THEN 0
@@ -2758,6 +2799,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kpl_roundtrip": _q_kpl_roundtrip,
     "text_lang_id": _q_text_lang_id,
     "text_quality": _q_text_quality,
+    "text_repetition": _q_text_repetition,
     "text_token_stats": _q_text_token_stats,
     "text_fingerprint": _q_text_fingerprint,
     "text_winnow": _q_text_winnow,

@@ -104,3 +104,38 @@ def test_tokenize_udtf_positions_and_nulls(spark):
     # lowercased, whitespace-run split, 0-based positions; null/empty rows
     # contribute nothing
     assert got == [(1, 0, "the"), (1, 1, "quick"), (1, 2, "fox")]
+
+
+def test_repetition_features_pinned(spark):
+    import kinesis_data_counter_spark.operators.text as TX
+
+    rows = [
+        # "spam spam spam ham": dup words 3/4; top bigram "spam spam" ×2,
+        # chars = 2*9/18
+        (1, "spam spam spam ham"),
+        (2, "all words unique here"),
+        (3, "solo"),  # no bigram: NULL top, zero fractions
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.repetition_features(df).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 4 and r1["dup_word_frac"] == 0.75
+    assert r1["top_bigram"] == "spam spam" and r1["top_bigram_cnt"] == 2
+    assert r1["top_bigram_char_frac"] == 1.0  # 2*9 chars / 18 chars
+    r2 = out[2]
+    assert r2["dup_word_frac"] == 0.0 and r2["top_bigram_cnt"] == 1
+    r3 = out[3]
+    assert r3["n_words"] == 1 and r3["top_bigram"] is None
+    assert r3["top_bigram_cnt"] == 0 and r3["top_bigram_char_frac"] == 0.0
+
+
+def test_repetition_tie_break_is_deterministic(spark):
+    import kinesis_data_counter_spark.operators.text as TX
+
+    # "b b" and "a a" both occur once... build a doc where two bigrams tie
+    # at the top: "x y x y" -> "x y"×2, "y x"×1. Use "a b a b c d c d":
+    # "a b"×2, "b a"×1, "b c"×1, "c d"×2, "d c"×1 — tie between "a b" and
+    # "c d"; descending lexicographic picks "c d"
+    df = spark.createDataFrame([(1, "a b a b c d c d")], "doc_id long, text string")
+    (r,) = TX.repetition_features(df).collect()
+    assert r["top_bigram"] == "c d" and r["top_bigram_cnt"] == 2
