@@ -286,3 +286,48 @@ def repetition_features(
             ),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (keyword extraction).
+
+    tf = term count in the doc; idf = ln((N+1)/(df+1)) + 1 (smoothed);
+    ranking orders by the ROUNDED score (then term ascending) so the
+    ordering is reproducible across engines even when ln() differs in the
+    last ulp. Two shuffles total: (doc, term) counts, then term document
+    frequencies joined back (term-keyed, AQE-broadcast when the vocabulary
+    is small); the corpus size N rides in as a broadcast scalar, never a
+    driver-side collect in the plan-building path.
+    """
+    from pyspark.sql import Window
+
+    from kinesis_data_counter_spark.session import fan_out
+
+    toks = fan_out(df, id_col).select(
+        F.col(id_col).alias("doc_id"), F.explode(clean_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    n = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n") + 1) / (F.col("df_docs") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df_docs", "tfidf")
+    )

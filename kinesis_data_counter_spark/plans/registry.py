@@ -1743,6 +1743,13 @@ def _q_text_repetition(spark, sf_dir):
     return TX.repetition_features(docs)
 
 
+def _q_text_tfidf(spark, sf_dir):
+    # keyword extraction: top-3 TF-IDF terms per doc; the rank orders by
+    # the ROUNDED score so both engines sort identically at ulp noise
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return TX.tfidf_top_terms(docs, k=3)
+
+
 def _q_text_token_stats(spark, sf_dir):
     (docs,) = _tables(spark, sf_dir, "documents")
     t = docs.select(
@@ -2378,6 +2385,29 @@ SELECT ws.doc_id, ws.n_words, ws.dup_word_frac,
        coalesce(top.top_bigram_char_frac, 0.0) AS top_bigram_char_frac
 FROM ws LEFT JOIN top ON ws.doc_id = top.doc_id AND top.rn = 1
 """,
+    "text_tfidf": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_docs,
+         round(tf.tf * (ln((n.n_docs + 1) * 1.0 / (dfreq.df_docs + 1)) + 1), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df_docs, tfidf
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+""",
     "text_token_stats": r"""
 SELECT lang, count(*) AS n_docs,
   sum(CASE WHEN trim(text) = '' THEN 0
@@ -2800,6 +2830,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": _q_text_lang_id,
     "text_quality": _q_text_quality,
     "text_repetition": _q_text_repetition,
+    "text_tfidf": _q_text_tfidf,
     "text_token_stats": _q_text_token_stats,
     "text_fingerprint": _q_text_fingerprint,
     "text_winnow": _q_text_winnow,

@@ -139,3 +139,21 @@ def test_repetition_tie_break_is_deterministic(spark):
     df = spark.createDataFrame([(1, "a b a b c d c d")], "doc_id long, text string")
     (r,) = TX.repetition_features(df).collect()
     assert r["top_bigram"] == "c d" and r["top_bigram_cnt"] == 2
+
+
+def test_tfidf_top_terms_pinned(spark):
+    import math
+
+    import kinesis_data_counter_spark.operators.text as TX
+
+    df = spark.createDataFrame([(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    out = {(r["doc_id"], r["rank"]): r for r in TX.tfidf_top_terms(df, k=2).collect()}
+    # N=2; df: a->1, b->2, c->1; idf(a)=idf(c)=ln(3/2)+1, idf(b)=ln(1)+1=1
+    idf_rare = round(math.log(3 / 2) + 1, 6)
+    r11 = out[(1, 1)]
+    assert r11["term"] == "a" and r11["tf"] == 2
+    assert abs(r11["tfidf"] - round(2 * (math.log(3 / 2) + 1), 6)) < 1e-9
+    assert out[(1, 2)]["term"] == "b" and out[(1, 2)]["tfidf"] == 1.0
+    r21 = out[(2, 1)]
+    assert r21["term"] == "c" and abs(r21["tfidf"] - idf_rare) < 1e-9
+    assert out[(2, 2)]["term"] == "b"
