@@ -2120,6 +2120,20 @@ def _q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def _q_dedup_embedding_clusters(spark, sf_dir):
+    # semantic duplicate GROUPS: the embedding-cosine pair graph closed
+    # into connected components (the same keep-one-per-cluster contract as
+    # the lexical dedup_clusters, but in angle space). Oracle recomputes
+    # the closure with a recursive CTE over the exact-cosine pairs.
+    (em,) = _tables(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_near_dup_pairs(
+        em, dim=64, threshold=0.4, num_bits=4, num_tables=48
+    )
+    return DD.connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
 def _q_ann_ivf_recall(spark, sf_dir):
     # IVF: deterministic seeds + 2 k-means passes, 16 inverted lists,
     # nprobe=6 → measured recall ≈ 0.88 on the isotropic fixture (no
@@ -2676,6 +2690,20 @@ p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       FROM e a JOIN e b ON a.vec_id < b.vec_id)
 SELECT a_id, b_id, sim FROM p WHERE sim >= 0.4
 """,
+    "dedup_embedding_clusters": """
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      -- threshold on the ROUNDED sim, matching the engine's verify stage
+      WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4),
+edges AS (SELECT a_id AS src, b_id AS dst FROM p
+          UNION SELECT b_id, a_id FROM p),
+reach AS (SELECT src AS node, src AS tgt FROM edges
+          UNION
+          SELECT r.node, e2.dst FROM reach r JOIN edges e2 ON r.tgt = e2.src)
+SELECT node AS vec_id, min(tgt) AS cluster_id FROM reach GROUP BY 1
+""",
     "ann_ivf_recall": "SELECT true AS ok",
     "ann_quantized_recall": "SELECT true AS ok",
     "sample_hash_split": f"""
@@ -2814,6 +2842,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_clean": _q_corpus_clean,
     "dedup_simhash": _q_dedup_simhash,
     "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+    "dedup_embedding_clusters": _q_dedup_embedding_clusters,
     "dedup_method_agreement": _q_dedup_method_agreement,
     "ann_cosine_topk": _q_ann_cosine_topk,
     "ann_lsh_recall": _q_ann_lsh_recall,
