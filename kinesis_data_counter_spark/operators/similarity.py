@@ -576,3 +576,41 @@ def quantized_recall_check(
         [(bool(recall >= min_recall), float(round(recall, 2)))],
         "ok boolean, recall double",
     )
+
+
+def vector_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group elementwise embedding mean (class prototypes / cluster
+    centers), in long format: one row per (group, dimension).
+
+    The scale formulation for vector aggregation: ``posexplode`` turns the
+    array into (group, pos, x) rows and ONE hash aggregate keyed on
+    (group, pos) does the rest — map-side partial sums make the shuffle
+    |groups| × dim regardless of corpus size, and everything stays in
+    whole-stage codegen (an elementwise ``aggregate`` HOF over arrays
+    would be interpreted per element, and a Pandas UDF would cross the
+    Arrow boundary for arithmetic Spark does natively). Means are rounded
+    so cross-engine summation-order ulp noise can't leak into oracles.
+    """
+    ex = fan_out(df, id_col).select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(vec_col).alias("pos", "x"),
+    )
+    return (
+        ex.groupBy("grp", "pos")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), round_digits).alias("mean_x"),
+            F.count("*").alias("n_vectors"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("pos").cast("int").alias("pos"),
+            "mean_x",
+            "n_vectors",
+        )
+    )

@@ -2134,6 +2134,13 @@ def _q_dedup_embedding_clusters(spark, sf_dir):
     )
 
 
+def _q_embedding_centroids(spark, sf_dir):
+    # class prototypes: per-label elementwise mean in long format — one
+    # posexplode + one (label, pos)-keyed aggregate, shuffle = labels×dim
+    (em,) = _tables(spark, sf_dir, "embeddings")
+    return SIM.vector_centroids(em, group_col="label")
+
+
 def _q_ann_ivf_recall(spark, sf_dir):
     # IVF: deterministic seeds + 2 k-means passes, 16 inverted lists,
     # nprobe=6 → measured recall ≈ 0.88 on the isotropic fixture (no
@@ -2704,6 +2711,16 @@ reach AS (SELECT src AS node, src AS tgt FROM edges
           SELECT r.node, e2.dst FROM reach r JOIN edges e2 ON r.tgt = e2.src)
 SELECT node AS vec_id, min(tgt) AS cluster_id FROM reach GROUP BY 1
 """,
+    "embedding_centroids": """
+SELECT label, CAST(idx - 1 AS INT) AS pos,
+       round(avg(x), 6) AS mean_x,
+       count(*) AS n_vectors
+FROM (SELECT label,
+             unnest(CAST(embedding AS DOUBLE[])) AS x,
+             generate_subscripts(embedding, 1) AS idx
+      FROM embeddings)
+GROUP BY 1, 2
+""",
     "ann_ivf_recall": "SELECT true AS ok",
     "ann_quantized_recall": "SELECT true AS ok",
     "sample_hash_split": f"""
@@ -2844,6 +2861,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": _q_dedup_embedding_cosine,
     "dedup_embedding_clusters": _q_dedup_embedding_clusters,
     "dedup_method_agreement": _q_dedup_method_agreement,
+    "embedding_centroids": _q_embedding_centroids,
     "ann_cosine_topk": _q_ann_cosine_topk,
     "ann_lsh_recall": _q_ann_lsh_recall,
     "ann_ivf_recall": _q_ann_ivf_recall,
