@@ -253,3 +253,59 @@ def stream_enrich(
     from pyspark.sql.functions import broadcast
 
     return _read_stream(spark, path, ts_col).join(broadcast(dim), list(on))
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    path: str,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Unbounded sessionization: ``session_window`` merges events closer
+    than ``gap`` in event time, per key.
+
+    Reuses the batch ``session_count`` operator unchanged (the batch-core
+    design stance): the state store keeps one open session per active key,
+    the watermark closes and evicts sessions whose end has passed — the
+    dynamic-gap analog of the tumbling counter's window close. In append
+    mode a session row is final once emitted; state is bounded by the
+    number of keys active inside the watermark horizon, not by history.
+    """
+    from kinesis_data_counter_spark.operators.windows import session_count
+
+    sdf = _read_stream(spark, path, ts_col).withWatermark(ts_col, watermark)
+    return session_count(sdf, key_col=key_col, ts_col=ts_col, gap=gap)
+
+
+def run_sessionize_stream_once(
+    spark: SparkSession,
+    path: str,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Drain a bounded path through the streaming sessionizer (test/driver
+    harness; complete output mode emits every session like the batch op —
+    append would withhold sessions past the final watermark)."""
+    from kinesis_data_counter_spark.operators.windows import session_count
+
+    out = session_count(
+        _read_stream(spark, path, ts_col), key_col=key_col, ts_col=ts_col, gap=gap
+    )
+    name = f"sessionize_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive
+            q.stop()
+    return spark.table(name)

@@ -388,3 +388,26 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir):
         for r in ev.join(dim, "user_id").groupBy("segment").count().collect()
     }
     assert streamed == want and len(want) > 0
+
+
+def test_stream_sessionize_matches_batch(spark, sf_dir):
+    # the batch session_count operator run under readStream must produce
+    # the identical session set (batch-core design stance: same function,
+    # engine-managed state instead of a shuffle-wide sort)
+    from kinesis_data_counter_spark.operators.windows import session_count
+    from kinesis_data_counter_spark.session import load_tables
+    from kinesis_data_counter_spark.streaming.runner import (
+        run_sessionize_stream_once,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in run_sessionize_stream_once(spark, path, gap="30 minutes").collect()
+    }
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_count(ev, gap="30 minutes").collect()
+    }
+    assert streamed == batch and len(batch) > 0
