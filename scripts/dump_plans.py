@@ -69,6 +69,19 @@ SHOWCASE: dict[str, str] = {
         "bounds the per-key fan-out, so the join parallelizes like any "
         "hash join at 100 TB."
     ),
+    "dedup_incremental": (
+        "Incremental curation: the increment's band table probes "
+        "(history ∪ increment) bands in one equi-join — history×history "
+        "candidates are never generated, so daily work scales with the "
+        "increment. In production the history side is the persisted "
+        "minhash_band_table index, read not recomputed."
+    ),
+    "corpus_pack_sequences": (
+        "Sequence packing as pure window arithmetic: one hash exchange on "
+        "the group key, then a running sum inside each of the 32 groups — "
+        "the global-cumsum single-partition trap never appears, and no "
+        "Python touches the hot path."
+    ),
 }
 
 
