@@ -113,7 +113,10 @@ for t in "region nation customer supplier part orders lineitem events documents 
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 qs, os_ = e.queries(), e.oracle_sql()
 names = ["counter_count_all", "counter_count_expr", "tpch_q1",
-         "rollup_time_hierarchy", "udaf_weighted_median", "text_token_stats"]
+         "rollup_time_hierarchy", "udaf_weighted_median", "text_token_stats",
+         # fan_out users: a bare session keeps shuffle.partitions=200, so
+         # these also prove the defaultParallelism clamp
+         "text_quality", "dedup_minhash_lsh", "corpus_pack_sequences"]
 for name in names:
     sdf = qs[name](spark, sf).toPandas()
     odf = con.execute(os_[name]).df()
