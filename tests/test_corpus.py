@@ -61,3 +61,26 @@ def test_pack_sequences_is_contiguous_and_lossless(spark):
                 assert r["end_seq"] == (pos - 1) // 64
         total += pos
     assert total == sum(len(t.split()) for _, t in rows if t.strip())
+
+
+def test_curation_example_runs_end_to_end(tmp_path):
+    # the worked example must keep running as the operator APIs evolve
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "examples", "curation_pipeline.py"),
+            "/root/testdata/sf0.001",
+            str(tmp_path / "curated"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "'n_written':" in out.stdout and "'n_total':" in out.stdout
