@@ -122,3 +122,48 @@ def apply_jq(df: DataFrame, program: str | None) -> DataFrame:
     if not fields:
         return df
     return df.select(*[jq_field_to_column(f) for f in fields])
+
+
+def apply_jq_generic(df: DataFrame, program: str) -> DataFrame:
+    """Full-generality jq fallback: run a real jq program per row.
+
+    For programs outside the projection subset (pipes, filters, iteration —
+    ``apply_jq`` raises :class:`JqUnsupported` on them). Each row is
+    serialized to a JSON object, run through the jq program, and every
+    emitted output becomes one row of JSON text (jq programs may emit
+    0..n outputs per input, mirroring the reference's iterator loop,
+    counter.go:439-466). Output schema is a single ``value: STRING``
+    column — jq output is dynamically typed, so downstream code re-parses
+    with ``from_json`` under whatever schema it expects.
+
+    Gated on the optional ``jq`` Python binding (Arrow-batched via
+    ``mapInPandas``; the program compiles ONCE per executor, not per row).
+    Not bundled in this container — raises ImportError with guidance; the
+    built-in subset covers the reference's entire observed usage, so this
+    path exists for user programs beyond it.
+    """
+    try:
+        import jq as _jq  # type: ignore
+    except ImportError as e:  # pragma: no cover - exercised by the gate test
+        raise ImportError(
+            "apply_jq_generic needs the 'jq' Python binding; the built-in "
+            "apply_jq subset covers object-construction programs without it"
+        ) from e
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    cols = df.columns
+    compiled_src = program
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        prog = _jq.compile(compiled_src)  # once per executor/partition set
+        for pdf in batches:
+            out: list[str] = []
+            for rec in pdf[cols].to_dict("records"):
+                for emitted in prog.input(rec):
+                    out.append(json.dumps(emitted, separators=(",", ":")))
+            yield pd.DataFrame({"value": pd.array(out, dtype=object)})
+
+    return df.mapInPandas(_batches, "value string")

@@ -86,3 +86,25 @@ def test_out_of_subset_programs_raise(spark):
     for prog in [".value + 1", "{\"a\": (.value * 2)}", ".[] | .value", "map(.)"]:
         with pytest.raises(JqUnsupported):
             apply_jq(df, prog)
+
+
+def test_generic_fallback_is_import_gated(spark):
+    # the container bundles no jq Python binding: the full-generality path
+    # must fail loudly with guidance, never silently degrade
+    import pytest
+
+    from kinesis_data_counter_spark.jq import apply_jq_generic
+
+    df = spark.createDataFrame([(1,)], "a long")
+    try:
+        import jq  # noqa: F401
+
+        has_jq = True
+    except ImportError:
+        has_jq = False
+    if has_jq:  # pragma: no cover - not in this container
+        out = apply_jq_generic(df, ".a").collect()
+        assert [r["value"] for r in out] == ["1"]
+    else:
+        with pytest.raises(ImportError, match="apply_jq subset"):
+            apply_jq_generic(df, ".a")
