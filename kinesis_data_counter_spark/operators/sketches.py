@@ -155,3 +155,50 @@ def theta_set_cardinalities(
             "cast(theta_sketch_estimate(theta_union(ska, skb)) as bigint)"
         ).alias("n_union"),
     )
+
+
+def topk_windowed(
+    df: DataFrame,
+    item_col: str | Column,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    k: int = 5,
+    max_items_tracked: int = DEFAULT_MAX_ITEMS,
+) -> DataFrame:
+    """Trending items: top-k heavy hitters per tumbling window.
+
+    One ``approx_top_k_accumulate`` keyed by the window (Catalyst splits
+    it partial/final, so the exchange carries one bounded sketch per
+    window per map task — never raw items), estimated and cut to ``k``
+    under the deterministic (count desc, item asc) rank inside each
+    window. Below ``max_items_tracked`` distinct items per window the
+    sketch is exact; above it, approximate with the sketch's guarantees —
+    either way the rank cut is reproducible (the sketch's OWN top-k picks
+    arbitrarily among cutoff ties).
+
+    Returns (window_start, window_end, rank, item, cnt) epoch-milli rows.
+    """
+    m, k = int(max_items_tracked), int(k)
+    slim = df.select(
+        F.window(ts_col, window).alias("__w"), _as_col(item_col).alias("__item")
+    ).filter(F.col("__item").isNotNull())
+    st = slim.groupBy("__w").agg(
+        F.expr(f"approx_top_k_accumulate(__item, {m})").alias("state")
+    )
+    est = st.select(
+        "__w", F.explode(F.expr(f"approx_top_k_estimate(state, {m})")).alias("e")
+    ).select(
+        "__w", F.col("e.item").alias("item"), F.col("e.count").alias("cnt")
+    )
+    w = Window.partitionBy("__w").orderBy(F.desc("cnt"), F.asc("item"))
+    return (
+        est.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.unix_millis("__w.start").alias("window_start"),
+            F.unix_millis("__w.end").alias("window_end"),
+            "rank",
+            "item",
+            "cnt",
+        )
+    )

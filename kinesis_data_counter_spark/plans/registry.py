@@ -208,6 +208,15 @@ def _q_counter_two_level(spark, sf_dir):
     )
 
 
+def _q_counter_topk_windowed(spark, sf_dir):
+    # trending users per hour: windowed heavy hitters — one sketch per
+    # window rides the exchange; per-window cardinality ≪ 4096 tracked
+    # at every test SF, so counts are exact and the oracle is GROUP BY +
+    # row_number (nulls excluded on both sides)
+    (ev,) = _tables(spark, sf_dir, "events")
+    return SK.topk_windowed(ev, "user_id", window="1 hour", k=5)
+
+
 def _q_counter_topk_users(spark, sf_dir):
     # heavy hitters via the two-level approx_top_k sketch (accumulate per
     # shard → combine → estimate); maxItemsTracked=4096 exceeds user
@@ -382,6 +391,21 @@ WITH c AS (SELECT user_id AS item, count(*) AS cnt FROM events GROUP BY 1),
 r AS (SELECT item, cnt, row_number() OVER (ORDER BY cnt DESC, item) AS rank FROM c)
 SELECT CAST(rank AS INT) AS rank, item, CAST(cnt AS BIGINT) AS cnt
 FROM r WHERE rank <= 10
+""",
+    "counter_topk_windowed": """
+WITH c AS (
+  SELECT epoch_ms(date_trunc('hour', ts)) AS window_start,
+         epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end,
+         user_id AS item, count(*) AS cnt
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY cnt DESC, item) AS rank
+  FROM c
+)
+SELECT window_start, window_end, CAST(rank AS INT) AS rank,
+       item, CAST(cnt AS BIGINT) AS cnt
+FROM r WHERE rank <= 5
 """,
     "counter_distinct_theta": """
 SELECT epoch_ms(date_trunc('hour', ts)) AS window_start,
@@ -2810,6 +2834,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_distinct_expr": _q_counter_distinct_expr,
     "counter_two_level": _q_counter_two_level,
     "counter_topk_users": _q_counter_topk_users,
+    "counter_topk_windowed": _q_counter_topk_windowed,
     "counter_distinct_theta": _q_counter_distinct_theta,
     "theta_set_ops_users": _q_theta_set_ops_users,
     "counter_multi_fanout": _q_counter_multi_fanout,
