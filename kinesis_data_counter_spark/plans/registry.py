@@ -626,6 +626,35 @@ def _q_tpch_q14_promo(spark, sf_dir):
     )
 
 
+def _q_stats_histogram(spark, sf_dir):
+    # value-distribution profile: fixed-width price histogram. Bucket id
+    # is plain floor division (portable — DuckDB lacks width_bucket; the
+    # 2-decimal prices and the 5000 divisor are double-exact, so both
+    # engines bucket identically). Sums stay exact decimals until the
+    # final round, the TPC-H oracle pattern.
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    price_d = F.col("l_extendedprice").cast("double")
+    bucket = F.floor(price_d / 5000.0).cast("int")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(price_d).alias("lo"),
+            F.max(price_d).alias("hi"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            (F.col("bucket") * 5000).cast("double").alias("bucket_lo"),
+            "n",
+            "lo",
+            "hi",
+            "sum_price",
+        )
+    )
+
+
 def _q_stats_percentiles(spark, sf_dir):
     # approx_percentile vs exact: the estimate must land within the value
     # range spanned by the exact p50/p95 neighborhood (property-check
@@ -1547,6 +1576,14 @@ SELECT round(
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+""",
+    "stats_histogram": """
+SELECT CAST(CAST(floor(CAST(l_extendedprice AS DOUBLE) / 5000.0) AS INT) * 5000 AS DOUBLE) AS bucket_lo,
+       count(*) AS n,
+       min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+       max(CAST(l_extendedprice AS DOUBLE)) AS hi,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY 1
 """,
     "stats_percentiles": "SELECT event_type, true AS ok FROM events GROUP BY 1",
     "anti_join_idle_customers": """
@@ -2871,6 +2908,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rank_orders": _q_window_rank_orders,
     "parts_cube": _q_parts_cube,
     "tpch_q14_promo": _q_tpch_q14_promo,
+    "stats_histogram": _q_stats_histogram,
     "stats_percentiles": _q_stats_percentiles,
     "set_ops_customers": _q_set_ops_customers,
     "anti_join_idle_customers": _q_anti_join_idle_customers,
