@@ -179,3 +179,55 @@ def weighted_ticket_sample(
     return ranked.where(F.col("rn") <= k).select(
         group_col, id_col, "w", "pri"
     )
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    budget: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group keep rates for temperature-based corpus mixing.
+
+    The standard multilingual rebalancing rule (XLM-R-style temperature
+    sampling, public): target share of group g ∝ count_g^alpha — alpha=1
+    keeps natural proportions, alpha→0 flattens toward uniform, lifting
+    low-resource groups. With a total ``budget`` of rows, the keep rate is
+    ``min(1, budget·share/count)`` (a group can't be sampled above 1.0 —
+    upsampling is a separate concern); with no budget, rates are
+    normalized so the largest group keeps 1.0.
+
+    One aggregate over the corpus plus a broadcast of the (tiny) group
+    table back onto itself — no driver-side collect; the result feeds
+    ``stratified_keep`` directly. All arithmetic is deterministic given
+    (alpha, budget) and emitted rounded, so the oracle replays it exactly.
+
+    Returns (group, n_docs, share, keep_rate, expected_kept).
+    """
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))).alias("__z")
+    )
+    scored = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "share", w / F.col("__z")
+    )
+    if budget is not None:
+        rate = F.least(
+            F.lit(1.0), F.lit(float(budget)) * F.col("share") / F.col("n_docs")
+        )
+    else:
+        # normalize so the most-sampled group (max share/count) keeps 1.0
+        m = scored.agg(F.max(F.col("share") / F.col("n_docs")).alias("__m"))
+        scored = scored.crossJoin(F.broadcast(m))
+        rate = (F.col("share") / F.col("n_docs")) / F.col("__m")
+    return scored.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        F.round("share", round_digits).alias("share"),
+        F.round(rate, round_digits).alias("keep_rate"),
+        F.round(rate * F.col("n_docs"), 2).alias("expected_kept"),
+    )

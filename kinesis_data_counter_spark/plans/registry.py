@@ -1707,6 +1707,14 @@ def _q_corpus_pack_sequences(spark, sf_dir):
     return CP.pack_sequences(docs, budget=2048, n_groups=32)
 
 
+def _q_sample_mix_rates(spark, sf_dir):
+    # multilingual rebalancing: temperature-sampling keep rates per lang
+    # (alpha=0.5 lifts low-resource languages) under a 200-doc budget —
+    # pure aggregate arithmetic, oracle replays it exactly
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return SP.temperature_mix_rates(docs, "lang", alpha=0.5, budget=200)
+
+
 def _q_sample_stratified(spark, sf_dir):
     # corpus rebalancing: per-language keep-rates via the portable md5
     # threshold (en kept, de halved, fr quartered, rest 10%) — counts +
@@ -2789,6 +2797,18 @@ SELECT {SP.split_sql_case('doc_id')} AS split,
   count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM documents GROUP BY 1
 """,
+    "sample_mix_rates": """
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+z AS (SELECT sum(pow(n_docs, 0.5)) AS z FROM c),
+s AS (SELECT lang, n_docs, pow(n_docs, 0.5) / z.z AS share FROM c CROSS JOIN z),
+r AS (SELECT lang, n_docs, share,
+             least(1.0, 200 * share / n_docs) AS rate
+      FROM s)
+SELECT lang, n_docs, round(share, 6) AS share,
+       round(rate, 6) AS keep_rate,
+       round(rate * n_docs, 2) AS expected_kept
+FROM r
+""",
     "sample_stratified": f"""
 SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM documents
@@ -2930,6 +2950,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall": _q_ann_ivf_recall,
     "ann_quantized_recall": _q_ann_quantized_recall,
     "sample_hash_split": _q_sample_hash_split,
+    "sample_mix_rates": _q_sample_mix_rates,
     "sample_stratified": _q_sample_stratified,
     "sample_weighted_topk": _q_sample_weighted_topk,
     "corpus_decontaminate": _q_corpus_decontaminate,

@@ -115,3 +115,23 @@ def test_weighted_ticket_sample_small_group_returns_all(spark):
     )
     out = weighted_ticket_sample(df, F.col("wt"), k=10).collect()
     assert {(r["source"], r["doc_id"]) for r in out} == {("a", 1), ("a", 2), ("b", 3)}
+
+
+def test_temperature_mix_rates_semantics(spark):
+    from kinesis_data_counter_spark.operators.sampling import temperature_mix_rates
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    # alpha=0: uniform shares regardless of size
+    out = {r["lang"]: r for r in temperature_mix_rates(df, alpha=0.0, budget=100).collect()}
+    assert out["big"]["share"] == out["small"]["share"] == 0.5
+    # the small group's keep rate must exceed the big group's (lifted)
+    assert out["small"]["keep_rate"] > out["big"]["keep_rate"]
+    # alpha=1 + no budget: natural proportions, max group at rate 1.0
+    nat = {r["lang"]: r for r in temperature_mix_rates(df, alpha=1.0).collect()}
+    assert nat["big"]["keep_rate"] == 1.0 == nat["small"]["keep_rate"]
+    # budget respected in expectation
+    tot = sum(r["expected_kept"] for r in out.values())
+    assert abs(tot - 100) < 1.0
