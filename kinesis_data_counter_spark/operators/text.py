@@ -331,3 +331,36 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tf", "df_docs", "tfidf")
     )
+
+
+# dialect-portable PII patterns: no lookarounds, no shorthand classes that
+# differ between Java regex (Spark) and RE2 (DuckDB oracle)
+PII_EMAIL_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_PHONE_RX = "[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub emails and phone-shaped numbers from a text column.
+
+    Standard curation hygiene before training-data release. Appends
+    ``n_emails`` / ``n_phones`` match counts (for the removal report) and
+    ``text_redacted`` with matches replaced by fixed tags. Pure
+    ``regexp_replace``/``regexp_count`` projections — codegen, no Python,
+    no shuffle; patterns are deliberately lookaround-free so the exact
+    rule is portable to the RE2-based SQL oracle.
+    """
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_emails", F.regexp_count(t, F.lit(PII_EMAIL_RX)))
+        .withColumn("n_phones", F.regexp_count(t, F.lit(PII_PHONE_RX)))
+        .withColumn(
+            "text_redacted",
+            F.regexp_replace(
+                F.regexp_replace(t, PII_EMAIL_RX, "<EMAIL>"),
+                PII_PHONE_RX,
+                "<PHONE>",
+            ),
+        )
+    )

@@ -1819,6 +1819,33 @@ def _q_text_tfidf(spark, sf_dir):
     return TX.tfidf_top_terms(docs, k=3)
 
 
+def _q_text_redact_pii(spark, sf_dir):
+    # curation hygiene: PII scrub with deterministic injection (every 11th
+    # doc gains an email, every 13th a phone) so the redaction path has
+    # real traffic; output is the removal report + a redaction checksum
+    (docs,) = _tables(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" call 555-012-3456")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    r = TX.redact_pii(salted)
+    return r.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
 def _q_text_token_stats(spark, sf_dir):
     (docs,) = _tables(spark, sf_dir, "documents")
     t = docs.select(
@@ -2498,6 +2525,23 @@ FROM (
 )
 WHERE rank <= 3
 """,
+    "text_redact_pii": """
+WITH salted AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 11 = 0
+              THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+         CASE WHEN doc_id % 13 = 0 THEN ' call 555-012-3456' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text, '[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}')) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+FROM salted
+""",
     "text_token_stats": r"""
 SELECT lang, count(*) AS n_docs,
   sum(CASE WHEN trim(text) = '' THEN 0
@@ -2962,6 +3006,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": _q_text_quality,
     "text_repetition": _q_text_repetition,
     "text_tfidf": _q_text_tfidf,
+    "text_redact_pii": _q_text_redact_pii,
     "text_token_stats": _q_text_token_stats,
     "text_fingerprint": _q_text_fingerprint,
     "text_winnow": _q_text_winnow,

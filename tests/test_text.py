@@ -157,3 +157,20 @@ def test_tfidf_top_terms_pinned(spark):
     r21 = out[(2, 1)]
     assert r21["term"] == "c" and abs(r21["tfidf"] - idf_rare) < 1e-9
     assert out[(2, 2)]["term"] == "b"
+
+
+def test_redact_pii_pinned(spark):
+    import kinesis_data_counter_spark.operators.text as TX
+
+    rows = [
+        (1, "mail me at a.b+c@test.org or call 555-123-4567 ok"),
+        (2, "no pii here"),
+        (3, "two mails x@y.io and z@w.co"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.redact_pii(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert out[1]["text_redacted"] == "mail me at <EMAIL> or call <PHONE> ok"
+    assert out[2]["n_emails"] == 0 and out[2]["text_redacted"] == "no pii here"
+    assert out[3]["n_emails"] == 2
+    assert out[3]["text_redacted"] == "two mails <EMAIL> and <EMAIL>"
