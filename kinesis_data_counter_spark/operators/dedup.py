@@ -405,17 +405,29 @@ def incremental_minhash_pairs(
     Output: (a_id, b_id, jaccard) with a_id < b_id, exact-verified — same
     contract as ``minhash_lsh_pairs`` minus the history-internal pairs.
     """
-    # the increment's bands feed both the probe side and the union side;
-    # recomputing them beats a persist here (measured: the materialization
-    # barrier costs more than one extra signature pass over the small
-    # increment — exchange reuse already dedups the shuffle)
-    inc_bands = minhash_band_table(increment, num_hashes, bands, n, text_col, id_col)
-    hist_bands = (
-        history_bands
-        if history_bands is not None
-        else minhash_band_table(history, num_hashes, bands, n, text_col, id_col)
-    )
-    all_bands = hist_bands.unionByName(inc_bands)
+    if history_bands is not None:
+        # production path: the persisted history index is read, not
+        # recomputed; only the increment is hashed
+        inc_bands = minhash_band_table(
+            increment, num_hashes, bands, n, text_col, id_col
+        )
+        all_bands = history_bands.unionByName(inc_bands)
+    else:
+        # one-shot path: signature the UNION once and persist the band
+        # table (fixed-width docs × bands rows) — it feeds both join
+        # sides, and one persisted pass beats two full signature passes
+        corpus_all = increment.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+        ).unionByName(
+            history.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+            )
+        )
+        all_bands = minhash_band_table(
+            corpus_all, num_hashes, bands, n, "__text", "doc_id"
+        ).persist()
+        inc_ids = increment.select(F.col(id_col).alias("doc_id"))
+        inc_bands = all_bands.join(F.broadcast(inc_ids), "doc_id", "left_semi")
     cand = (
         inc_bands.alias("a")
         .join(all_bands.alias("b"), ["band", "bh"])
