@@ -678,6 +678,38 @@ def _q_stats_percentiles(spark, sf_dir):
     return agg.select("event_type", ok.alias("ok"))
 
 
+def _q_rfm_segments(spark, sf_dir):
+    # RFM segmentation: per-customer recency / frequency / monetary
+    # quartiles via ntile over a deterministic total order (metric, then
+    # custkey), reported as segment-cell sizes. Monetary stays an exact
+    # decimal through the ordering so both engines quartile identically.
+    # SCALE NOTE: an unpartitioned ntile is a single-partition sort — fine
+    # for a per-customer table (already |customers| rows after the first
+    # agg, ~1e8 at 100 TB: one fat but feasible task), but the unbounded
+    # formulation is percentile_approx quartile THRESHOLDS broadcast back
+    # as a bucket-by-comparison projection; exact ntile is kept here
+    # because the oracle contract needs deterministic bucket membership.
+    (od,) = _tables(spark, sf_dir, "orders")
+    per_cust = od.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("spend"),
+    )
+    q = lambda col, key: F.ntile(4).over(  # noqa: E731
+        Window.orderBy(F.col(col).asc(), F.col(key).asc())
+    )
+    seg = per_cust.select(
+        "o_custkey",
+        q("last_order", "o_custkey").alias("r_q"),
+        q("n_orders", "o_custkey").alias("f_q"),
+        q("spend", "o_custkey").alias("m_q"),
+    )
+    return seg.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("o_custkey").alias("custkey_sum"),
+    )
+
+
 def _q_window_rank_orders(spark, sf_dir):
     (od,) = _tables(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -1292,6 +1324,23 @@ SELECT coalesce(o_orderstatus, 'ALL') AS status,
        count(*) AS n_orders,
        CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    "rfm_segments": """
+WITH per_cust AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         count(*) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS spend
+  FROM orders GROUP BY 1
+), seg AS (
+  SELECT o_custkey,
+         ntile(4) OVER (ORDER BY last_order ASC, o_custkey ASC) AS r_q,
+         ntile(4) OVER (ORDER BY n_orders ASC, o_custkey ASC) AS f_q,
+         ntile(4) OVER (ORDER BY spend ASC, o_custkey ASC) AS m_q
+  FROM per_cust
+)
+SELECT r_q, f_q, m_q, count(*) AS n_customers,
+       CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+FROM seg GROUP BY 1, 2, 3
 """,
     "window_rank_orders": """
 SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
@@ -2969,6 +3018,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q22": _q_tpch_q22,
     "asof_user_order": _q_asof_user_order,
     "orders_rollup": _q_orders_rollup,
+    "rfm_segments": _q_rfm_segments,
     "window_rank_orders": _q_window_rank_orders,
     "parts_cube": _q_parts_cube,
     "tpch_q14_promo": _q_tpch_q14_promo,
