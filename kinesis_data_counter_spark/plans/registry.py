@@ -678,6 +678,33 @@ def _q_stats_percentiles(spark, sf_dir):
     return agg.select("event_type", ok.alias("ok"))
 
 
+def _q_events_daily_anomaly(spark, sf_dir):
+    # pipeline monitoring: daily volume z-scores per event type — two
+    # aggregates (day counts, then per-type mean/stddev over days joined
+    # back; the per-type stats table is broadcast-sized). Rounded z keeps
+    # cross-engine summation-order noise out of the hash compare.
+    (ev,) = _tables(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = F.when(
+        F.col("sigma") > 0, (F.col("n") - F.col("mu")) / F.col("sigma")
+    ).otherwise(F.lit(0.0))
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.col("day"),
+            "n",
+            F.round(z, 4).alias("z"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+    )
+
+
 def _q_rfm_segments(spark, sf_dir):
     # RFM segmentation: per-customer recency / frequency / monetary
     # quartiles via ntile over a deterministic total order (metric, then
@@ -1324,6 +1351,20 @@ SELECT coalesce(o_orderstatus, 'ALL') AS status,
        count(*) AS n_orders,
        CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    "events_daily_anomaly": """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n,
+       round(CASE WHEN s.sigma > 0 THEN (d.n - s.mu) / s.sigma ELSE 0.0 END, 4) AS z,
+       abs(CASE WHEN s.sigma > 0 THEN (d.n - s.mu) / s.sigma ELSE 0.0 END) > 2.0 AS is_anomaly
+FROM daily d JOIN stats s USING (event_type)
 """,
     "rfm_segments": """
 WITH per_cust AS (
@@ -3018,6 +3059,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q22": _q_tpch_q22,
     "asof_user_order": _q_asof_user_order,
     "orders_rollup": _q_orders_rollup,
+    "events_daily_anomaly": _q_events_daily_anomaly,
     "rfm_segments": _q_rfm_segments,
     "window_rank_orders": _q_window_rank_orders,
     "parts_cube": _q_parts_cube,
