@@ -678,6 +678,32 @@ def _q_stats_percentiles(spark, sf_dir):
     return agg.select("event_type", ok.alias("ok"))
 
 
+def _q_events_interarrival(spark, sf_dir):
+    # traffic shape: per-user inter-arrival gaps (lag over the per-user
+    # event sequence — one window partition per user, embarrassingly
+    # parallel) aggregated to per-type median/mean/max. Exact interpolated
+    # percentile matches DuckDB's quantile_cont on identical inputs; the
+    # mean is rounded for summation-order safety.
+    (ev,) = _tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gaps = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            (
+                F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)
+            ).alias("gap_ms"),
+        )
+        .filter(F.col("gap_ms").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("percentile(gap_ms, 0.5)").alias("median_gap_ms"),
+        F.round(F.avg("gap_ms"), 3).alias("mean_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+    )
+
+
 def _q_events_daily_anomaly(spark, sf_dir):
     # pipeline monitoring: daily volume z-scores per event type — two
     # aggregates (day counts, then per-type mean/stddev over days joined
@@ -1351,6 +1377,20 @@ SELECT coalesce(o_orderstatus, 'ALL') AS status,
        count(*) AS n_orders,
        CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    "events_interarrival": """
+WITH g AS (
+  SELECT event_type,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT event_type, count(*) AS n_gaps,
+       quantile_cont(gap_ms, 0.5) AS median_gap_ms,
+       round(avg(gap_ms), 3) AS mean_gap_ms,
+       CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
+FROM g WHERE gap_ms IS NOT NULL
+GROUP BY 1
 """,
     "events_daily_anomaly": """
 WITH daily AS (
@@ -3059,6 +3099,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q22": _q_tpch_q22,
     "asof_user_order": _q_asof_user_order,
     "orders_rollup": _q_orders_rollup,
+    "events_interarrival": _q_events_interarrival,
     "events_daily_anomaly": _q_events_daily_anomaly,
     "rfm_segments": _q_rfm_segments,
     "window_rank_orders": _q_window_rank_orders,
