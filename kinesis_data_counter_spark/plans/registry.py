@@ -364,7 +364,7 @@ _COUNTER_ORACLES = {
     "counter_variant_props": """
 SELECT event_type,
        count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_hot
 FROM events GROUP BY 1
 """,
@@ -2674,9 +2674,9 @@ FROM salted
 """,
     "text_token_stats": r"""
 SELECT lang, count(*) AS n_docs,
-  sum(CASE WHEN trim(text) = '' THEN 0
-           ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS sum_tokens,
-  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS sum_bpe_tokens
+  CAST(sum(CASE WHEN trim(text) = '' THEN 0
+           ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS sum_tokens,
+  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_bpe_tokens
 FROM documents GROUP BY 1
 """,
     "text_fingerprint": f"""
@@ -3027,13 +3027,13 @@ WHERE doc_id % 7 <> 0 AND s IN (SELECT s FROM ev)
 SELECT event_type,
   count(*) FILTER (event_id % 7 <> 0) AS n_clean,
   count(*) FILTER (event_id % 7 = 0) AS n_bad,
-  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) FILTER (event_id % 7 <> 0) AS sum_k
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) FILTER (event_id % 7 <> 0) AS BIGINT) AS sum_k
 FROM events GROUP BY 1
 """,
     "kpl_roundtrip": """
 SELECT count(*) AS n_records,
        count(DISTINCT user_id) AS n_keys,
-       sum(octet_length(encode(props))) AS total_bytes
+       CAST(sum(octet_length(encode(props))) AS BIGINT) AS total_bytes
 FROM events
 """,
     "text_winnow": """

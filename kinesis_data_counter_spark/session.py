@@ -65,6 +65,9 @@ def get_spark(
         # (e.g. the 96-min MinHash aggregate) on every run — must be set before
         # the first codegen because the cache captures the size at JVM init
         .config("spark.sql.codegen.cache.maxEntries", "4096")
+        # timezone-less parquet µs timestamps → TIMESTAMP (LTZ, UTC session),
+        # not NTZ: keeps unix_millis/window() valid on fixture ts columns
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
@@ -83,6 +86,10 @@ def configure_session(spark: SparkSession) -> SparkSession:
         # fixture events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos
         # timestamp — read as long and convert explicitly in load_tables
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # fixture timestamps are timezone-less parquet µs; with a UTC session
+        # reading them as TIMESTAMP (LTZ) preserves the instant and keeps
+        # unix_millis/window arithmetic valid (NTZ rejects unix_millis)
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
     ):
         try:
             spark.conf.set(k, v)
@@ -119,6 +126,10 @@ def load_tables(
                 df = df.withColumn(
                     fld.name, F.timestamp_micros(F.expr(f"{fld.name} div 1000"))
                 )
+            elif isinstance(fld.dataType, T.TimestampNTZType):
+                # belt-and-suspenders vs inferTimestampNTZ: under the UTC
+                # session TZ this cast preserves the instant exactly
+                df = df.withColumn(fld.name, F.col(fld.name).cast(T.TimestampType()))
         out[name] = df
     return out
 

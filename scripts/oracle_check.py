@@ -68,6 +68,13 @@ def main() -> int:
         cols = sorted(sdf.columns)
         s = sdf[cols].sort_values(by=cols).reset_index(drop=True)
         o = odf[cols].sort_values(by=cols).reset_index(drop=True)
+        # the driver's value hash can be dtype-sensitive (e.g. DuckDB HUGEINT →
+        # pandas float64 vs Spark int64 renders 99111.0 vs 99111); surface it
+        for c in cols:
+            sk, ok_ = s[c].dtype.kind, o[c].dtype.kind
+            if sk != ok_ and {sk, ok_} <= {"i", "u", "f"}:
+                print(f"warn {name}: column {c!r} dtype {s[c].dtype} (spark) vs "
+                      f"{o[c].dtype} (oracle) — CAST the oracle to match")
         try:
             pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
             print(f"OK   {name} ({len(s)} rows, {dt:.1f}s)")
