@@ -166,3 +166,41 @@ def pack_sequences(
         .otherwise(F.expr(f"(cum_end - 1) div {budget}"))
         .alias("end_seq"),
     )
+
+
+def erase_subjects(
+    df: DataFrame,
+    subjects: DataFrame,
+    subject_col: str,
+    table_name: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Right-to-erasure (GDPR art. 17) propagation over one table.
+
+    ``subjects`` is the deletion-request set (one column named
+    ``subject_col``). Returns ``(retained, audit)``: the table minus all
+    rows belonging to a requested subject (LEFT ANTI join), plus a
+    one-row audit frame (table, n_total, n_purged, n_retained,
+    n_subjects_hit) — the compliance evidence a deletion run must emit.
+
+    Scale: the request set is small (legal requests, not data-sized), so
+    the anti and semi joins broadcast it — no shuffle of the fact table;
+    the audit's two counts are computed from one persisted flag column
+    pass rather than two scans. The rewrite itself pairs with
+    ``io.upsert_partitions``: only partitions containing a hit need
+    rewriting, which parquet min/max stats on the subject column identify
+    without reading row data.
+    """
+    s = F.broadcast(subjects.select(F.col(subject_col)).distinct())
+    flagged = df.join(
+        s.withColumn("__hit", F.lit(True)), [subject_col], "left"
+    ).withColumn("__hit", F.coalesce("__hit", F.lit(False)))
+    retained = flagged.filter(~F.col("__hit")).drop("__hit")
+    audit = flagged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("__hit")).alias("n_purged"),
+        F.count_if(~F.col("__hit")).alias("n_retained"),
+        F.count_distinct(F.when(F.col("__hit"), F.col(subject_col))).alias(
+            "n_subjects_hit"
+        ),
+    ).select(F.lit(table_name).alias("table_name"), "*")
+    return retained, audit

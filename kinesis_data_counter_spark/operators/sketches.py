@@ -202,3 +202,53 @@ def topk_windowed(
             "cnt",
         )
     )
+
+
+def hll_rollup_hierarchy(
+    df: DataFrame,
+    value_col: str | Column,
+    ts_col: str = "ts",
+    base_window: str = "1 hour",
+    day_window: str = "1 day",
+    lg_k: int = 16,
+) -> DataFrame:
+    """Hour → day → total distinct-count rollup from ONE pass over the data.
+
+    The hypertable-rollup pattern for distinct counts: raw rows are
+    sketched once at the finest grain (``hll_sketch_agg`` per hour); every
+    coarser level is built by merging the finer level's sketches with
+    ``hll_union_agg`` — the day level unions 24 hourly sketches, the total
+    unions the days. Raw data is scanned exactly once; each rollup stage
+    moves only bounded sketch states (p=16 ≈ 64 KB dense, the reference's
+    precision, counter.go:206-208). This is what a 100 TB continuous
+    aggregate does: persist the hourly sketch table, serve any coarser
+    window by unioning sketches, never re-scan history.
+
+    Returns (level string, window_start bigint epoch-millis, approx bigint):
+    one row per hour, one per day, one ``total`` row with window_start -1.
+    """
+    v = _as_col(value_col)
+    hours = df.select(F.window(ts_col, base_window).alias("__w"), v.alias("__v")).groupBy(
+        "__w"
+    ).agg(F.hll_sketch_agg("__v", F.lit(lg_k)).alias("sketch"))
+    hours = hours.persist()  # feeds all three levels; |hours| bounded rows
+    hour_rows = hours.select(
+        F.lit("hour").alias("level"),
+        F.unix_millis("__w.start").alias("window_start"),
+        F.hll_sketch_estimate("sketch").alias("approx"),
+    )
+    days = hours.groupBy(
+        F.window(F.col("__w.start"), day_window).alias("__d")
+    ).agg(F.hll_union_agg("sketch").alias("sketch"))
+    days = days.persist()
+    day_rows = days.select(
+        F.lit("day").alias("level"),
+        F.unix_millis("__d.start").alias("window_start"),
+        F.hll_sketch_estimate("sketch").alias("approx"),
+    )
+    total_rows = days.agg(F.hll_union_agg("sketch").alias("sketch")).select(
+        F.lit("total").alias("level"),
+        F.lit(-1).cast("long").alias("window_start"),
+        F.hll_sketch_estimate("sketch").alias("approx"),
+    )
+    return hour_rows.unionByName(day_rows).unionByName(total_rows)

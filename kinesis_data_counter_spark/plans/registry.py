@@ -30,6 +30,7 @@ from kinesis_data_counter_spark.operators import text as TX
 from kinesis_data_counter_spark.operators import multimodal as MM
 from kinesis_data_counter_spark.operators import sketches as SK
 from kinesis_data_counter_spark.operators import windows as WN
+from kinesis_data_counter_spark.operators import history as HS
 from kinesis_data_counter_spark.session import load_tables
 
 EVENTS_ARN = "arn:aws:kinesis:us-east-1:111122223333:stream/events"
@@ -3053,6 +3054,68 @@ FROM g GROUP BY 1
 # Registry assembly
 # ---------------------------------------------------------------------------
 
+def _q_scd2_user_state(spark, sf_dir):
+    # CDC → SCD type-2: each event sets its user's current state; output is
+    # one validity interval per state run (operators/history.py). The
+    # reference never versions state — this is the warehouse-side shape its
+    # stream would land in.
+    (ev,) = _tables(spark, sf_dir, "events")
+    return HS.scd2_intervals(ev)
+
+
+def _q_events_transitions(spark, sf_dir):
+    # first-order Markov transition matrix of per-user event sequences
+    (ev,) = _tables(spark, sf_dir, "events")
+    return HS.transition_counts(ev)
+
+
+def _q_hll_rollup_hierarchy(spark, sf_dir):
+    # hour→day→total distinct-user rollup from ONE sketch pass
+    # (operators/sketches.py::hll_rollup_hierarchy); exact levels computed
+    # only to drive the within-tolerance boolean the oracle asserts
+    (ev,) = _tables(spark, sf_dir, "events")
+    roll = SK.hll_rollup_hierarchy(ev, "user_id")
+    hour = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .select(
+            F.lit("hour").alias("level"),
+            F.unix_millis("w.start").alias("window_start"),
+            "exact",
+        )
+    )
+    day = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .select(
+            F.lit("day").alias("level"),
+            F.unix_millis("w.start").alias("window_start"),
+            "exact",
+        )
+    )
+    total = ev.agg(F.count_distinct("user_id").alias("exact")).select(
+        F.lit("total").alias("level"),
+        F.lit(-1).cast("long").alias("window_start"),
+        "exact",
+    )
+    exact = hour.unionByName(day).unionByName(total)
+    return roll.join(exact, ["level", "window_start"]).select(
+        "level", "window_start", _hll_ok(F.col("approx"), F.col("exact"))
+    )
+
+
+def _q_gdpr_erasure_audit(spark, sf_dir):
+    # right-to-erasure propagation across two fact tables with a broadcast
+    # request set (operators/corpus.py::erase_subjects); synthetic request
+    # set = subjects with id % 97 == 0 so the oracle is deterministic
+    ev, orders = _tables(spark, sf_dir, "events", "orders")
+    subj_ev = ev.select("user_id").filter(F.col("user_id") % 97 == 0).distinct()
+    _, audit_ev = CP.erase_subjects(ev, subj_ev, "user_id", "events")
+    subj_o = orders.select("o_custkey").filter(F.col("o_custkey") % 97 == 0).distinct()
+    _, audit_o = CP.erase_subjects(orders, subj_o, "o_custkey", "orders")
+    return audit_ev.unionByName(audit_o)
+
+
 _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_count_all": _q_counter_count_all,
     "counter_count_column": _q_counter_count_column,
@@ -3159,9 +3222,69 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_sample": _q_multimodal_frame_sample,
     "multimodal_media": _q_multimodal_media,
     "multimodal_resize": _q_multimodal_resize,
+    "scd2_user_state": _q_scd2_user_state,
+    "events_transitions": _q_events_transitions,
+    "hll_rollup_hierarchy": _q_hll_rollup_hierarchy,
+    "gdpr_erasure_audit": _q_gdpr_erasure_audit,
 }
 
-_ORACLES: dict[str, str] = {**_COUNTER_ORACLES, **_RELATIONAL_ORACLES, **_PIPELINE_ORACLES}
+_HISTORY_ORACLES = {
+    "scd2_user_state": """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+runs AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id AS key, event_type AS state,
+       epoch_ms(ts) AS valid_from,
+       epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+FROM runs
+""",
+    "events_transitions": """
+WITH seq AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+  FROM events)
+SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) / sum(count(*)) OVER (PARTITION BY from_state), 6) AS p
+FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+""",
+    "hll_rollup_hierarchy": """
+SELECT 'hour' AS level, epoch_ms(date_trunc('hour', ts)) AS window_start, true AS ok
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'day', epoch_ms(date_trunc('day', ts)), true FROM events GROUP BY 2
+UNION ALL
+SELECT 'total', CAST(-1 AS BIGINT), true
+""",
+    "gdpr_erasure_audit": """
+SELECT 'events' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (user_id % 97 = 0) AS BIGINT) AS n_purged,
+       CAST(count(*) FILTER (user_id % 97 <> 0) AS BIGINT) AS n_retained,
+       CAST(count(DISTINCT CASE WHEN user_id % 97 = 0 THEN user_id END) AS BIGINT)
+         AS n_subjects_hit
+FROM events
+UNION ALL
+SELECT 'orders',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (o_custkey % 97 = 0) AS BIGINT),
+       CAST(count(*) FILTER (o_custkey % 97 <> 0) AS BIGINT),
+       CAST(count(DISTINCT CASE WHEN o_custkey % 97 = 0 THEN o_custkey END) AS BIGINT)
+FROM orders
+""",
+}
+
+
+_ORACLES: dict[str, str] = {
+    **_COUNTER_ORACLES,
+    **_RELATIONAL_ORACLES,
+    **_PIPELINE_ORACLES,
+    **_HISTORY_ORACLES,
+}
 
 QUERIES: dict[str, QueryDef] = {
     name: QueryDef(builder=fn, oracle=_ORACLES.get(name))

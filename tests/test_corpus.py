@@ -84,3 +84,21 @@ def test_curation_example_runs_end_to_end(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-3000:]
     assert "'n_written':" in out.stdout and "'n_total':" in out.stdout
+
+
+def test_erase_subjects_purges_and_audits(spark):
+    from kinesis_data_counter_spark.operators.corpus import erase_subjects
+
+    df = spark.createDataFrame(
+        [(u, i) for u in range(10) for i in range(u + 1)], "user_id long, x long"
+    )
+    subjects = spark.createDataFrame([(2,), (5,), (99,)], "user_id long")
+    retained, audit = erase_subjects(df, subjects, "user_id", "t")
+    got = retained.select("user_id").distinct().collect()
+    assert {r.user_id for r in got} == set(range(10)) - {2, 5}
+    a = audit.collect()[0]
+    assert a.table_name == "t"
+    assert a.n_total == df.count()
+    assert a.n_purged == 3 + 6  # user 2 has 3 rows, user 5 has 6
+    assert a.n_retained == a.n_total - a.n_purged
+    assert a.n_subjects_hit == 2  # 99 never appears in the table

@@ -105,3 +105,28 @@ def test_theta_empty_set_edges(spark):
         F.when(F.col("event_type") == "purchase", F.col("user_id")),
     ).collect()[0]
     assert (got["n_a"], got["n_b"], got["n_inter"], got["n_diff"], got["n_union"]) == (0, 0, 0, 0, 0)
+
+
+def test_hll_rollup_levels_are_consistent(spark):
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2021, 12, 1, h, m), u)
+        for h in (0, 1, 2)
+        for m in (0, 30)
+        for u in range(h * 10, h * 10 + 20)  # hours overlap in users
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = SK.hll_rollup_hierarchy(df, "user_id").collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r.level, []).append(r)
+    assert len(by_level["hour"]) == 3
+    assert len(by_level["day"]) == 1
+    assert len(by_level["total"]) == 1
+    # p=16 sketches are exact at this cardinality
+    assert sorted(r.approx for r in by_level["hour"]) == [20, 20, 20]
+    exact_day = len({u for _, u in rows})
+    assert by_level["day"][0].approx == exact_day
+    assert by_level["total"][0].approx == exact_day
+    assert by_level["total"][0].window_start == -1
