@@ -82,6 +82,21 @@ SHOWCASE: dict[str, str] = {
         "the global-cumsum single-partition trap never appears, and no "
         "Python touches the hot path."
     ),
+    "scd2_user_state": (
+        "CDC → SCD2 as one window shuffle keyed by the entity: the sort "
+        "for lag/lead happens inside each hash partition (SortExec under "
+        "WindowExec, no global sort), and the run-collapse filter sits "
+        "between the two window passes so interval rows are proportional "
+        "to state CHANGES, not events."
+    ),
+    "hll_rollup_hierarchy": (
+        "Continuous-aggregate rollup: raw rows are sketched ONCE at hour "
+        "grain (ObjectHashAggregate partial+final); the day and total "
+        "levels consume the persisted hourly sketch table via "
+        "hll_union_agg — InMemoryTableScan feeds both, raw data is "
+        "scanned exactly once and every later exchange carries bounded "
+        "sketch states."
+    ),
 }
 
 

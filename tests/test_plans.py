@@ -234,3 +234,20 @@ def test_fan_out_streaming_passthrough(spark):
 
     stream = spark.readStream.format("rate").load()
     assert fan_out(stream, "value") is stream
+
+
+def test_scd2_single_window_shuffle_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scd2_user_state")
+    # both lag and lead reuse ONE hash exchange on the entity key; the
+    # sort is per-partition under WindowExec, never a global range sort
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "Window" in plan
+
+
+def test_hll_rollup_scans_raw_data_once(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "hll_rollup_hierarchy")
+    # the approx path reads the persisted hourly sketch table, not the
+    # parquet, for coarser levels: parquet scans = 1 (sketch pass) + 3
+    # exact-verification aggregations, never more
+    assert plan.count("InMemoryTableScan") >= 2
