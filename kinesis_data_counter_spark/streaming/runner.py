@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kinesis_data_counter_spark.config import CounterSpec
-from kinesis_data_counter_spark.operators.counter import build_counter
+from kinesis_data_counter_spark.operators.counter import (
+    build_counter,
+    merge_partials,
+    partial_counter,
+)
 from kinesis_data_counter_spark.session import configure_session
 
 
@@ -114,6 +118,53 @@ def run_counter_stream_once(
         if q.isActive:  # pragma: no cover - defensive
             q.stop()
     return spark.table(name)
+
+
+def stream_two_level(
+    spark: SparkSession,
+    path: str,
+    spec: CounterSpec,
+    exchange_dir: str,
+    ts_col: str = "ts",
+    shard_col: str | None = None,
+    max_files_per_trigger: int | None = 1,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """The reference's two-level aggregate-stream topology across a REAL
+    job/storage boundary.
+
+    Level 1 (≈ the per-shard Lambda): each micro-batch is partially
+    aggregated with ``partial_counter`` and APPENDED to a parquet
+    "aggregate stream" (≈ putIntermediateRecord, counter.go:493-512).
+    Several batches emit several partial rows for the same window — the
+    state is mergeable by construction, exactly like the reference's
+    per-invoke CounterState carries.
+
+    Level 2 (≈ runAggregate, run.go:201-270 — a separate job in
+    production): read the exchange and ``merge_partials`` → one global row
+    per window. At scale the exchange holds (windows × shards ×
+    micro-batches) bounded sketch/count rows, never raw records, so the
+    hand-off stream stays tiny regardless of input volume.
+    """
+    sdf = _read_stream(spark, path, ts_col, max_files_per_trigger)
+
+    def _emit(batch_df: DataFrame, _epoch: int) -> None:
+        partial_counter(
+            batch_df, spec, ts_col=ts_col, shard_col=shard_col
+        ).write.mode("append").parquet(exchange_dir)
+
+    q = (
+        sdf.writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", exchange_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive
+            q.stop()
+    return merge_partials(spark.read.parquet(exchange_dir), spec)
 
 
 def stream_dedup(

@@ -411,3 +411,38 @@ def test_stream_sessionize_matches_batch(spark, sf_dir):
         for r in session_count(ev, gap="30 minutes").collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_two_level_count_and_distinct_match_batch(spark, sf_dir, tmp_path):
+    from kinesis_data_counter_spark.streaming.runner import stream_two_level
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    # several input files → several micro-batches → several partial rows
+    # per window on the exchange, so the merge is exercised for real
+    src = str(tmp_path / "events_split")
+    ev.repartition(4).write.parquet(src)
+
+    spec = CounterSpec(id="req", counter_type="count", target_column="*",
+                       window="1 hour", input_stream_arn=ARN).validate()
+    merged = stream_two_level(spark, src, spec, str(tmp_path / "exchange_c"))
+    got = {(r.window_start, r.value) for r in merged.collect()}
+    want = {
+        (r.window_start, r.value)
+        for r in build_counter(ev, spec, ts_col="ts").collect()
+    }
+    assert got == want and len(got) > 0
+
+    dspec = CounterSpec(id="uniq", counter_type="approx_count_distinct",
+                        target_column="user_id", window="1 hour",
+                        input_stream_arn=ARN).validate()
+    dmerged = stream_two_level(spark, src, dspec, str(tmp_path / "exchange_d"))
+    # p=16 sketches are exact at fixture cardinality: cross-batch union of
+    # partial sketches must equal the exact per-window distinct
+    exact = {
+        (r.window_start, r.exact)
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .select(F.unix_millis("w.start").alias("window_start"), "exact")
+        .collect()
+    }
+    assert {(r.window_start, r.value) for r in dmerged.collect()} == exact
