@@ -252,3 +252,29 @@ def hll_rollup_hierarchy(
         F.hll_sketch_estimate("sketch").alias("approx"),
     )
     return hour_rows.unionByName(day_rows).unionByName(total_rows)
+
+
+def cross_table_key_overlap(
+    a: DataFrame, a_key: str, b: DataFrame, b_key: str
+) -> DataFrame:
+    """Estimate join-key overlap between two tables without joining them.
+
+    One scan per side builds a theta sketch of its join-key domain; the
+    scalar set algebra on the two ≤32 KB states estimates |keys(A)|,
+    |keys(B)| and |keys(A) ∩ keys(B)| — the numbers a planner (or a data
+    engineer sizing a backfill) needs to predict join selectivity and
+    pick broadcast vs shuffle BEFORE paying for the join. At 100 TB the
+    cost is two scans and a 1×1 join of sketch states; the exact
+    alternative is a distinct + inner join of both key sets.
+
+    Returns one row: (n_a, n_b, n_common bigint).
+    """
+    sa = a.agg(F.expr(f"theta_sketch_agg({a_key})").alias("ska"))
+    sb = b.agg(F.expr(f"theta_sketch_agg({b_key})").alias("skb"))
+    return sa.crossJoin(sb).select(
+        F.expr("cast(theta_sketch_estimate(ska) as bigint)").alias("n_a"),
+        F.expr("cast(theta_sketch_estimate(skb) as bigint)").alias("n_b"),
+        F.expr(
+            "cast(theta_sketch_estimate(theta_intersection(ska, skb)) as bigint)"
+        ).alias("n_common"),
+    )

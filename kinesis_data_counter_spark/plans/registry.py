@@ -3104,6 +3104,28 @@ def _q_hll_rollup_hierarchy(spark, sf_dir):
     )
 
 
+def _q_join_cardinality_sketch(spark, sf_dir):
+    # pre-join selectivity estimation: theta sketches of each side's key
+    # domain + scalar intersection (sketches.py::cross_table_key_overlap);
+    # the exact sides drive the within-tolerance booleans the oracle asserts
+    orders, cust = _tables(spark, sf_dir, "orders", "customer")
+    est = SK.cross_table_key_overlap(orders, "o_custkey", cust, "c_custkey")
+    exact = (
+        orders.select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .join(cust.select(F.col("c_custkey").alias("k")).distinct(), "k")
+        .agg(F.count(F.lit(1)).alias("x_common"))
+        .crossJoin(orders.agg(F.count_distinct("o_custkey").alias("x_a")))
+        .crossJoin(cust.agg(F.count_distinct("c_custkey").alias("x_b")))
+    )
+    j = est.crossJoin(exact)
+    return j.select(
+        _hll_ok(F.col("n_a"), F.col("x_a")).alias("ok_a"),
+        _hll_ok(F.col("n_b"), F.col("x_b")).alias("ok_b"),
+        _hll_ok(F.col("n_common"), F.col("x_common")).alias("ok_common"),
+    )
+
+
 def _q_gdpr_erasure_audit(spark, sf_dir):
     # right-to-erasure propagation across two fact tables with a broadcast
     # request set (operators/corpus.py::erase_subjects); synthetic request
@@ -3226,6 +3248,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_transitions": _q_events_transitions,
     "hll_rollup_hierarchy": _q_hll_rollup_hierarchy,
     "gdpr_erasure_audit": _q_gdpr_erasure_audit,
+    "join_cardinality_sketch": _q_join_cardinality_sketch,
 }
 
 _HISTORY_ORACLES = {
@@ -3259,6 +3282,9 @@ UNION ALL
 SELECT 'day', epoch_ms(date_trunc('day', ts)), true FROM events GROUP BY 2
 UNION ALL
 SELECT 'total', CAST(-1 AS BIGINT), true
+""",
+    "join_cardinality_sketch": """
+SELECT true AS ok_a, true AS ok_b, true AS ok_common
 """,
     "gdpr_erasure_audit": """
 SELECT 'events' AS table_name,

@@ -20,8 +20,24 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # accepts positional [sf_dir] [query ...] and --sf/--only flag spellings;
+    # comma-separated query lists split. Unknown query names are an error —
+    # a filter that matches nothing must not report a vacuous ALL OK.
+    args = sys.argv[1:]
+    sf, names = None, []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--sf":
+            sf = args[i + 1]; i += 2
+        elif a == "--only":
+            names.extend(args[i + 1].split(",")); i += 2
+        elif sf is None and (os.path.isdir(a) or "/" in a):
+            sf = a; i += 1
+        else:
+            names.extend(a.split(",")); i += 1
+    sf = sf or "/root/testdata/sf0.01"
+    only = {n for n in names if n}
 
     import __spark_entry__ as e
     import kinesis_data_counter_spark as kdc
@@ -34,6 +50,10 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown queries: {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -130,3 +130,10 @@ def test_hll_rollup_levels_are_consistent(spark):
     assert by_level["day"][0].approx == exact_day
     assert by_level["total"][0].approx == exact_day
     assert by_level["total"][0].window_start == -1
+
+
+def test_cross_table_key_overlap_exact_at_small_cardinality(spark):
+    a = spark.createDataFrame([(i,) for i in range(100)] * 3, "k long")
+    b = spark.createDataFrame([(i,) for i in range(60, 200)], "k long")
+    got = SK.cross_table_key_overlap(a, "k", b, "k").collect()[0]
+    assert (got.n_a, got.n_b, got.n_common) == (100, 140, 40)
