@@ -1,0 +1,194 @@
+"""``kinesis_replay`` — a Kinesis-wire-shaped custom Python data source.
+
+The reference's S1 source is a per-shard GetRecords poller
+(run.go:17-53, 70-131): one goroutine per shard, a shard iterator that
+advances by sequence number, LATEST vs TRIM_HORIZON start positions, and
+records carrying (partition key, approximate arrival time, data bytes).
+This module reimplements that *contract* on Spark 4's public Python
+DataSource API (``pyspark.sql.datasource``) over local shard files, so the
+engine has a first-class source whose unit of parallelism IS the shard —
+no connector jar, no AWS dependency.
+
+Wire layout: a directory with one ``shard-*.jsonl`` file per shard; each
+line is one record's data (JSON). Optional envelope keys ``__pk`` (partition
+key) and ``__arrival_ms`` (approximate arrival time) are lifted into columns
+when present, mirroring the Kinesis record metadata the reference reads
+(run.go:107); the full line stays in ``data`` for the engine's JSON-decode
+stage (S4).
+
+Output schema (per record ≈ KinesisEventRecord):
+  shard_id string, sequence_number bigint, partition_key string,
+  approximate_arrival timestamp, data string
+
+Semantics carried over from the reference:
+- **one input partition per shard** → per-shard task parallelism (run.go:38-48);
+- **offsets are per-shard sequence numbers** (line index), advanced
+  monotonically like shard iterators;
+- **start position**: ``startingPosition=trim_horizon`` (default) reads from
+  the beginning, ``latest`` starts at the current end — the CLI's
+  GetShardIterator(LATEST) behavior (run.go:74);
+- **resharding**: a shard file appearing between two offsets starts at
+  sequence 0, like a child shard after a split.
+
+Scale: each micro-batch plans one task per shard reading only
+[start, end) lines — the same bounded-increment contract as GetRecords
+(limit 1000/call, run.go:62-64). For real Kinesis, swap the file tail for
+boto3 get_records inside ``read``; the offset/partition algebra is
+identical, which is the point of isolating it here.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from collections.abc import Iterator, Sequence
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+SCHEMA = (
+    "shard_id string, sequence_number bigint, partition_key string, "
+    "approximate_arrival timestamp, data string"
+)
+
+
+def _shard_files(path: str) -> dict[str, str]:
+    return {
+        os.path.basename(p).removesuffix(".jsonl"): p
+        for p in sorted(glob.glob(os.path.join(path, "shard-*.jsonl")))
+    }
+
+
+def _count_lines(p: str) -> int:
+    n = 0
+    with open(p, "rb") as f:
+        for _ in f:
+            n += 1
+    return n
+
+
+def _rows(shard: str, path: str, start: int, end: int | None) -> Iterator[tuple]:
+    """Yield records [start, end) of one shard file (end=None → EOF)."""
+    with open(path, "r", encoding="utf-8") as f:
+        for seq, line in enumerate(f):
+            if seq < start:
+                continue
+            if end is not None and seq >= end:
+                break
+            line = line.strip()
+            if not line:
+                continue
+            pk, arrival_ms = None, 0
+            try:
+                obj = json.loads(line)
+                if isinstance(obj, dict):
+                    pk = obj.get("__pk")
+                    arrival_ms = int(obj.get("__arrival_ms", 0))
+            except ValueError:
+                pass  # corrupt lines still flow to the S4 bad-record router
+            ts = datetime.fromtimestamp(arrival_ms / 1000.0, tz=timezone.utc)
+            yield (shard, seq, pk, ts, line)
+
+
+class _ShardSlice(InputPartition):
+    def __init__(self, shard: str, path: str, start: int, end: int | None):
+        self.shard, self.path, self.start, self.end = shard, path, start, end
+
+
+class _ReplayBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _ShardSlice(shard, p, 0, None)
+            for shard, p in _shard_files(self.path).items()
+        ]
+
+    def read(self, partition: _ShardSlice) -> Iterator[tuple]:
+        return _rows(partition.shard, partition.path, partition.start, partition.end)
+
+
+class _ReplayStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        self.starting = (options.get("startingPosition") or "trim_horizon").lower()
+
+    def initialOffset(self) -> dict:
+        files = _shard_files(self.path)
+        if self.starting == "latest":
+            return {s: _count_lines(p) for s, p in files.items()}
+        return {s: 0 for s in files}
+
+    def latestOffset(self) -> dict:
+        return {s: _count_lines(p) for s, p in _shard_files(self.path).items()}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        files = _shard_files(self.path)
+        out = []
+        for shard, hi in end.items():
+            lo = start.get(shard, 0)  # new (child) shard → sequence 0
+            if hi > lo and shard in files:
+                out.append(_ShardSlice(shard, files[shard], lo, hi))
+        return out
+
+    def read(self, partition: _ShardSlice) -> Iterator[tuple]:
+        return _rows(partition.shard, partition.path, partition.start, partition.end)
+
+    def commit(self, end: dict) -> None:
+        pass  # file replay needs no server-side trim
+
+    def stop(self) -> None:
+        pass
+
+
+class KinesisReplayDataSource(DataSource):
+    """Register with ``spark.dataSource.register(KinesisReplayDataSource)``,
+    then ``spark.read.format("kinesis_replay").option("path", d).load()`` or
+    ``spark.readStream.format(...)`` with ``startingPosition`` latest /
+    trim_horizon."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kinesis_replay"
+
+    def schema(self) -> str | StructType:
+        return SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _ReplayBatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _ReplayStreamReader(self.options)
+
+
+def write_shard_files(
+    records: Iterator[tuple[str | None, str]], path: str, num_shards: int = 3
+) -> None:
+    """Helper for tests/demos: spray (partition_key, data_json) records across
+    ``num_shards`` shard files by md5(pk) — the PutRecord routing rule."""
+    import hashlib
+
+    os.makedirs(path, exist_ok=True)
+    handles = [
+        open(os.path.join(path, f"shard-{i:03d}.jsonl"), "a", encoding="utf-8")
+        for i in range(num_shards)
+    ]
+    try:
+        for pk, data in records:
+            i = (
+                int(hashlib.md5((pk or "").encode()).hexdigest(), 16) % num_shards
+                if pk
+                else 0
+            )
+            handles[i].write(data.rstrip("\n") + "\n")
+    finally:
+        for h in handles:
+            h.close()
