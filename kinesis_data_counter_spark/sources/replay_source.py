@@ -45,11 +45,16 @@ import os
 from collections.abc import Iterator, Sequence
 from datetime import datetime, timezone
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -168,6 +173,12 @@ class KinesisReplayDataSource(DataSource):
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _ReplayStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return _ReplayBatchWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _ReplayStreamWriter(self.options)
+
 
 def write_shard_files(
     records: Iterator[tuple[str | None, str]], path: str, num_shards: int = 3
@@ -192,3 +203,90 @@ def write_shard_files(
     finally:
         for h in handles:
             h.close()
+
+
+# ---------------------------------------------------------------------------
+# Writer side: PutRecord parity (K2) on the same wire layout
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _StagedBatch(WriterCommitMessage):
+    staged_path: str
+    n: int
+
+
+class _ReplayWriterBase:
+    """Two-phase shard-file writer ≈ PutRecords batching (counter.go:525-537).
+
+    Executor tasks STAGE their rows (one temp file per task, no shared-file
+    races); the driver-side ``commit`` routes staged records to
+    ``shard-*.jsonl`` by md5(partition_key) — the reference's partition-key
+    rule — in one place, exactly once per epoch under checkpointing. Like
+    PutRecord itself the sink is at-least-once on crash between commit and
+    checkpoint write; records carry their pk so downstream dedup
+    (``stream_dedup``) can collapse replays. The stage-then-commit file
+    hand-off assumes a filesystem visible to driver and executors (local
+    mode / NFS / fuse-mounted object store); a real Kinesis deployment
+    replaces ``_apply`` with put_records and drops the staging entirely.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        self.num_shards = int(options.get("numShards", "3") or "3")
+        os.makedirs(self.path, exist_ok=True)
+        self.stage_dir = os.path.join(self.path, "_staging")
+        os.makedirs(self.stage_dir, exist_ok=True)
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import tempfile
+
+        fd, staged = tempfile.mkstemp(dir=self.stage_dir, suffix=".jsonl")
+        n = 0
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            for row in iterator:
+                d = row.asDict() if hasattr(row, "asDict") else dict(row)
+                pk = d.get("partition_key")
+                data = d.get("data")
+                if data is None:  # whole row becomes the record body
+                    data = json.dumps(
+                        {k: v for k, v in d.items() if k != "partition_key"},
+                        default=str,
+                    )
+                f.write(json.dumps({"pk": pk, "data": data}) + "\n")
+                n += 1
+        return _StagedBatch(staged_path=staged, n=n)
+
+    def _apply(self, messages) -> None:
+        def _records():
+            for m in messages:
+                if m is None:
+                    continue
+                with open(m.staged_path, "r", encoding="utf-8") as f:
+                    for line in f:
+                        rec = json.loads(line)
+                        yield rec["pk"], rec["data"]
+
+        write_shard_files(_records(), self.path, self.num_shards)
+        self._cleanup(messages)
+
+    def _cleanup(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged_path):
+                os.remove(m.staged_path)
+
+
+class _ReplayBatchWriter(_ReplayWriterBase, DataSourceWriter):
+    def commit(self, messages) -> None:
+        self._apply(messages)
+
+    def abort(self, messages) -> None:  # pragma: no cover - defensive
+        self._cleanup(messages)
+
+
+class _ReplayStreamWriter(_ReplayWriterBase, DataSourceStreamWriter):
+    def commit(self, messages, batchId: int) -> None:
+        self._apply(messages)
+
+    def abort(self, messages, batchId: int) -> None:  # pragma: no cover
+        self._cleanup(messages)
