@@ -3104,6 +3104,47 @@ def _q_hll_rollup_hierarchy(spark, sf_dir):
     )
 
 
+def _q_counter_replay_source(spark, sf_dir):
+    # S1 end-to-end through the custom Python data source: events are
+    # written to Kinesis-shaped shard files (PutRecord pk routing), read
+    # back via the kinesis_replay source (one partition per shard,
+    # arrival-timestamp metadata), and counted per tumbling window through
+    # the two-level shard topology. The oracle counts the same events
+    # straight off parquet — the wire round-trip must be lossless.
+    import json as _json
+    import tempfile
+
+    from kinesis_data_counter_spark.sources.replay_source import (
+        KinesisReplayDataSource,
+        write_shard_files,
+    )
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    spark.dataSource.register(KinesisReplayDataSource)
+    d = tempfile.mkdtemp(prefix="kdc_replay_")
+    rows = ev.select(
+        F.col("user_id").cast("string").alias("pk"),
+        F.unix_millis("ts").alias("ms"),
+    ).collect()
+    write_shard_files(
+        (
+            (r.pk, _json.dumps({"__pk": r.pk, "__arrival_ms": r.ms}))
+            for r in rows
+        ),
+        d,
+        num_shards=4,
+    )
+    src = spark.read.format("kinesis_replay").option("path", d).load()
+    partial = src.groupBy(
+        F.window("approximate_arrival", "1 hour").alias("w"), "shard_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return partial.groupBy("w").agg(F.sum("n").cast("long").alias("value")).select(
+        F.unix_millis("w.start").alias("window_start"),
+        F.unix_millis("w.end").alias("window_end"),
+        "value",
+    )
+
+
 def _q_join_cardinality_sketch(spark, sf_dir):
     # pre-join selectivity estimation: theta sketches of each side's key
     # domain + scalar intersection (sketches.py::cross_table_key_overlap);
@@ -3249,6 +3290,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_rollup_hierarchy": _q_hll_rollup_hierarchy,
     "gdpr_erasure_audit": _q_gdpr_erasure_audit,
     "join_cardinality_sketch": _q_join_cardinality_sketch,
+    "counter_replay_source": _q_counter_replay_source,
 }
 
 _HISTORY_ORACLES = {
@@ -3282,6 +3324,12 @@ UNION ALL
 SELECT 'day', epoch_ms(date_trunc('day', ts)), true FROM events GROUP BY 2
 UNION ALL
 SELECT 'total', CAST(-1 AS BIGINT), true
+""",
+    "counter_replay_source": """
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start,
+       epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end,
+       CAST(count(*) AS BIGINT) AS value
+FROM events GROUP BY 1, 2
 """,
     "join_cardinality_sketch": """
 SELECT true AS ok_a, true AS ok_b, true AS ok_common
