@@ -151,11 +151,23 @@ def main(argv: list[str] | None = None, out: io.TextIOBase | None = None) -> int
 
 
 def _load_input(spark, path: str, ts_col: str):
-    """Load the input through the same nanos-aware path as the fixtures."""
+    """Load the input through the same nanos-aware path as the fixtures.
+
+    A directory of ``shard-*.jsonl`` files is read through the
+    kinesis_replay data source with the JSON body lifted to columns — the
+    CLI then points at a (simulated) stream exactly like the reference's
+    ``-stream`` flag, not just at parquet.
+    """
     import os
 
     from kinesis_data_counter_spark.session import load_tables
+    from kinesis_data_counter_spark.sources.replay_source import (
+        is_shard_dir,
+        open_shard_records,
+    )
 
+    if is_shard_dir(path):
+        return open_shard_records(spark, path, streaming=False, ts_col=ts_col)
     d, base = os.path.dirname(path), os.path.basename(path)
     name = base.removesuffix(".parquet")
     tables = load_tables(spark, d, (name,))

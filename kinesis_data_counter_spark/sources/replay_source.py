@@ -290,3 +290,61 @@ class _ReplayStreamWriter(_ReplayWriterBase, DataSourceStreamWriter):
 
     def abort(self, messages, batchId: int) -> None:  # pragma: no cover
         self._cleanup(messages)
+
+
+# ---------------------------------------------------------------------------
+# Record-level view: shard wire → the engine's event-record shape
+# ---------------------------------------------------------------------------
+
+
+def is_shard_dir(path: str) -> bool:
+    """True when ``path`` is a kinesis_replay shard directory."""
+    return os.path.isdir(path) and bool(_shard_files(path))
+
+
+def open_shard_records(spark, path: str, streaming: bool = False, ts_col: str = "ts"):
+    """Read a shard dir as parsed event records (the CLI/stream entry shape).
+
+    The JSON body of each record is lifted into columns (schema inferred
+    from the first record, like the reference's schemaless per-record
+    decode, counter.go:241-252 — but resolved ONCE at plan time so the
+    executors run a typed, codegen'd from_json). ``ts_col`` falls back to
+    the record's approximate arrival time when the body has no such field
+    — exactly the reference's arrival-time windowing (run.go:107).
+    """
+    from pyspark.sql import functions as F
+
+    spark.dataSource.register(KinesisReplayDataSource)
+    reader = (spark.readStream if streaming else spark.read).format(
+        "kinesis_replay"
+    ).option("path", path)
+    df = reader.load()
+
+    sample = None
+    for p in _shard_files(path).values():
+        with open(p, "r", encoding="utf-8") as f:
+            for line in f:
+                if line.strip():
+                    sample = line.strip()
+                    break
+        if sample:
+            break
+    if sample is None:
+        return df  # empty stream: serve the raw wire schema
+
+    parsed = df.withColumn(
+        "__j", F.from_json("data", F.schema_of_json(F.lit(sample)))
+    )
+    body_cols = [
+        c for c in parsed.select("__j.*").columns if not c.startswith("__")
+    ]
+    out = parsed.select(
+        "shard_id",
+        "sequence_number",
+        "partition_key",
+        "approximate_arrival",
+        *[F.col(f"__j.{c}").alias(c) for c in body_cols],
+    )
+    if ts_col not in out.columns:
+        out = out.withColumn(ts_col, F.col("approximate_arrival"))
+    return out

@@ -51,6 +51,15 @@ def _read_stream(
     micro-batches (tests use it to exercise cross-batch state).
     """
     configure_session(spark)
+    from kinesis_data_counter_spark.sources.replay_source import (
+        is_shard_dir,
+        open_shard_records,
+    )
+
+    if is_shard_dir(path):
+        # a simulated Kinesis stream: the replay source already yields
+        # micro-batches bounded by per-shard sequence offsets
+        return open_shard_records(spark, path, streaming=True, ts_col=ts_col)
     batch = spark.read.parquet(path)
     # the streaming file source requires a directory; a concrete file path
     # becomes dir + pathGlobFilter so sibling tables in the fixture dir are

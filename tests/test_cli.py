@@ -125,3 +125,61 @@ def test_cli_window_parse_errors_are_clean(sf_dir):
         ["--path", f"{sf_dir}/events.parquet", "--window", "1 week", "--follow"],
         out=io.StringIO(),
     ) == 2
+
+
+def _make_stream_dir(tmp_path):
+    import datetime as dt
+
+    from kinesis_data_counter_spark.sources.replay_source import write_shard_files
+
+    d = str(tmp_path / "stream")
+    base = int(dt.datetime(2021, 12, 1, 11, 0, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    recs = [
+        (
+            f"u{i % 7}",
+            json.dumps(
+                {"__pk": f"u{i % 7}", "__arrival_ms": base + i * 1500,
+                 "user_id": i % 7, "event_type": "click" if i % 3 else "view"}
+            ),
+        )
+        for i in range(200)
+    ]
+    write_shard_files(iter(recs), d, num_shards=3)
+    return d
+
+
+def test_cli_counts_a_shard_stream_dir(spark, tmp_path):
+    # the reference CLI points at a STREAM; ours accepts a shard dir and
+    # windows on arrival time (run.go:107 semantics) without --ts-col games
+    d = _make_stream_dir(tmp_path)
+    buf = io.StringIO()
+    rc = main(["--path", d, "--window", "1m", "--counter-id", "req",
+               "--ts-col", "approximate_arrival"], out=buf)
+    assert rc == 0
+    lines = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
+    assert sum(l["value"] for l in lines) == 200
+    assert len(lines) == 5  # 200 records * 1.5s spacing = 300s = 5 windows
+
+
+def test_cli_follow_on_shard_stream_matches_batch(spark, tmp_path):
+    d = _make_stream_dir(tmp_path)
+    b1, b2 = io.StringIO(), io.StringIO()
+    args = ["--path", d, "--window", "1m", "--ts-col", "approximate_arrival"]
+    assert main(args, out=b1) == 0
+    assert main(args + ["--follow"], out=b2) == 0
+    batch = {(j["window_start"], j["value"]) for j in map(json.loads, b1.getvalue().strip().splitlines())}
+    stream = {(j["window_start"], j["value"]) for j in map(json.loads, b2.getvalue().strip().splitlines())}
+    assert batch == stream and len(batch) == 5
+
+
+def test_cli_target_column_from_stream_json_body(spark, tmp_path):
+    # body fields lifted to columns: target_expr filters on event_type
+    d = _make_stream_dir(tmp_path)
+    buf = io.StringIO()
+    rc = main(["--path", d, "--window", "10m", "--counter-id", "clicks",
+               "--target-expr", 'string_contains(event_type, "click")',
+               "--ts-col", "approximate_arrival"], out=buf)
+    assert rc == 0
+    lines = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
+    # 2 of every 3 records are clicks
+    assert sum(l["value"] for l in lines) == sum(1 for i in range(200) if i % 3)
