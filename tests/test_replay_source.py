@@ -175,3 +175,18 @@ def test_stream_writer_roundtrip_counter_results(spark, shard_dir, tmp_path):
         "shard-000.jsonl",
         "shard-001.jsonl",
     }
+
+
+def test_stream_demo_example_runs(tmp_path):
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [_sys.executable, os.path.join(repo, "examples", "stream_demo.py"), "2"],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    lines = [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+    assert lines and all(l["counter_id"] == "unique_user" for l in lines)
+    assert {l["value"] for l in lines} == {10}  # 10 distinct users per poll
