@@ -50,3 +50,47 @@ def observed_stage(
         rows_kept=F.count(F.when(keep, 1)),
     )
     return metered.where(keep), obs
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass column profile: (col_name, n_nulls, n_distinct, min_num,
+    max_num) per column.
+
+    The data-quality precheck a 100 TB ingest runs before anything else —
+    null rates, key cardinalities, numeric ranges — folded into a SINGLE
+    wide aggregate (one scan, partial+final like any hash agg) and
+    unpivoted from the 1-row result with ``stack``. Timestamps profile as
+    epoch-millis; non-numeric columns carry NULL ranges (their min/max
+    would be engine-collation-dependent).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = list(cols or df.columns)
+    num = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+           T.DoubleType, T.FloatType, T.DecimalType)
+    aggs = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.TimestampType):
+            v = F.unix_millis(F.col(c)).cast("double")
+        elif isinstance(dt, num):
+            v = F.col(c).cast("double")
+        else:
+            v = F.lit(None).cast("double")
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__n_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__d_{c}"),
+            F.min(v).alias(f"__lo_{c}"),
+            F.max(v).alias(f"__hi_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __n_{c}, __d_{c}, __lo_{c}, __hi_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) as "
+            "(col_name, n_nulls, n_distinct, min_num, max_num)"
+        )
+    )

@@ -3104,6 +3104,16 @@ def _q_hll_rollup_hierarchy(spark, sf_dir):
     )
 
 
+def _q_profile_events(spark, sf_dir):
+    # one-scan data-quality profile (metrics.py::profile_columns): null
+    # counts, cardinalities, numeric/epoch ranges for every column of the
+    # stream table — the ingest precheck, as one wide partial+final agg
+    from kinesis_data_counter_spark.metrics import profile_columns
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    return profile_columns(ev)
+
+
 def _q_counter_replay_source(spark, sf_dir):
     # S1 end-to-end through the custom Python data source: events are
     # written to Kinesis-shaped shard files (PutRecord pk routing), read
@@ -3291,6 +3301,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gdpr_erasure_audit": _q_gdpr_erasure_audit,
     "join_cardinality_sketch": _q_join_cardinality_sketch,
     "counter_replay_source": _q_counter_replay_source,
+    "profile_events": _q_profile_events,
 }
 
 _HISTORY_ORACLES = {
@@ -3324,6 +3335,28 @@ UNION ALL
 SELECT 'day', epoch_ms(date_trunc('day', ts)), true FROM events GROUP BY 2
 UNION ALL
 SELECT 'total', CAST(-1 AS BIGINT), true
+""",
+    "profile_events": """
+WITH m AS (
+  SELECT
+    count(*) FILTER (event_id IS NULL) AS n_event_id, count(DISTINCT event_id) AS d_event_id,
+    CAST(min(event_id) AS DOUBLE) AS lo_event_id, CAST(max(event_id) AS DOUBLE) AS hi_event_id,
+    count(*) FILTER (ts IS NULL) AS n_ts, count(DISTINCT ts) AS d_ts,
+    CAST(epoch_ms(min(ts)) AS DOUBLE) AS lo_ts, CAST(epoch_ms(max(ts)) AS DOUBLE) AS hi_ts,
+    count(*) FILTER (user_id IS NULL) AS n_user_id, count(DISTINCT user_id) AS d_user_id,
+    CAST(min(user_id) AS DOUBLE) AS lo_user_id, CAST(max(user_id) AS DOUBLE) AS hi_user_id,
+    count(*) FILTER (event_type IS NULL) AS n_event_type, count(DISTINCT event_type) AS d_event_type,
+    count(*) FILTER (value IS NULL) AS n_value, count(DISTINCT value) AS d_value,
+    min(value) AS lo_value, max(value) AS hi_value,
+    count(*) FILTER (props IS NULL) AS n_props, count(DISTINCT props) AS d_props
+  FROM events)
+SELECT 'event_id' AS col_name, CAST(n_event_id AS BIGINT) AS n_nulls,
+       CAST(d_event_id AS BIGINT) AS n_distinct, lo_event_id AS min_num, hi_event_id AS max_num FROM m
+UNION ALL SELECT 'ts', CAST(n_ts AS BIGINT), CAST(d_ts AS BIGINT), lo_ts, hi_ts FROM m
+UNION ALL SELECT 'user_id', CAST(n_user_id AS BIGINT), CAST(d_user_id AS BIGINT), lo_user_id, hi_user_id FROM m
+UNION ALL SELECT 'event_type', CAST(n_event_type AS BIGINT), CAST(d_event_type AS BIGINT), NULL, NULL FROM m
+UNION ALL SELECT 'value', CAST(n_value AS BIGINT), CAST(d_value AS BIGINT), lo_value, hi_value FROM m
+UNION ALL SELECT 'props', CAST(n_props AS BIGINT), CAST(d_props AS BIGINT), NULL, NULL FROM m
 """,
     "counter_replay_source": """
 SELECT epoch_ms(date_trunc('hour', ts)) AS window_start,

@@ -39,3 +39,19 @@ def test_observed_stage_funnel_selectivity(spark, sf_dir):
     assert m1["rows_kept"] == ev.where("event_type = 'click'").count()
     assert m2["rows_in"] == m1["rows_kept"]
     assert m2["rows_kept"] == n_final
+
+
+def test_profile_columns_one_pass(spark):
+    from kinesis_data_counter_spark.metrics import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, 5.0, "b"), (3, 7.5, None), (3, 7.5, "b")],
+        "k long, v double, s string",
+    )
+    prof = {r.col_name: r for r in profile_columns(df).collect()}
+    assert prof["k"].n_nulls == 0 and prof["k"].n_distinct == 3
+    assert prof["k"].min_num == 1.0 and prof["k"].max_num == 3.0
+    assert prof["v"].n_nulls == 1 and prof["v"].n_distinct == 2
+    assert prof["v"].max_num == 7.5
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert prof["s"].min_num is None  # non-numeric: no collation-dependent range
