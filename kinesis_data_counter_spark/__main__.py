@@ -92,15 +92,6 @@ def main(argv: list[str] | None = None, out: io.TextIOBase | None = None) -> int
     from kinesis_data_counter_spark.session import get_spark
     from kinesis_data_counter_spark.streaming.sinks import console_writer
 
-    if args.config and args.follow:
-        # config mode currently runs the batch fan-out; silently ignoring
-        # --follow would hand the user batch semantics they didn't ask for
-        print(
-            "error: --config with --follow is not supported; run one "
-            "counter per --follow invocation",
-            file=sys.stderr,
-        )
-        return 2
     window = parse_window(args.window)
     if args.follow:
         try:
@@ -119,9 +110,30 @@ def main(argv: list[str] | None = None, out: io.TextIOBase | None = None) -> int
     arn = args.stream_arn
     if args.config:
         cfg = Config.load(args.config)
-        frames = assemble_counters(
-            _load_input(spark, args.path, args.ts_col), cfg, arn, ts_col=args.ts_col
-        )
+        if args.follow:
+            # streaming fan-out ≈ the reference's goroutine-per-counter
+            # (counter.go:176-196): each matching counter drains the same
+            # bounded stream through its own query; results union like
+            # resp.MergeInto
+            from kinesis_data_counter_spark.streaming.runner import (
+                run_counter_stream_once,
+            )
+
+            frames = {
+                spec.id: run_counter_stream_once(
+                    spark, args.path, spec, ts_col=args.ts_col,
+                    event_source_arn=arn,
+                )
+                for spec in cfg.counters_for_source(arn)
+            }
+        else:
+            frames = assemble_counters(
+                _load_input(spark, args.path, args.ts_col), cfg, arn, ts_col=args.ts_col
+            )
+        if not frames:
+            print("error: no counter in the config matches "
+                  f"--stream-arn {arn}", file=sys.stderr)
+            return 2
         result = union_counter_results(frames)
     else:
         if args.target_column is None and args.target_expr is None:

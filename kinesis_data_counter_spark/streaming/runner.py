@@ -102,6 +102,7 @@ def run_counter_stream_once(
     spec: CounterSpec,
     ts_col: str = "ts",
     timeout_sec: int = 300,
+    event_source_arn: str | None = None,
 ) -> DataFrame:
     """Run the streaming counter over a bounded path and return the result.
 
@@ -111,7 +112,8 @@ def run_counter_stream_once(
     collects on the driver: test/driver harness only, not a production sink.
     """
     out = build_counter(
-        _read_stream(spark, path, ts_col), spec, ts_col=ts_col
+        _read_stream(spark, path, ts_col), spec, ts_col=ts_col,
+        event_source_arn=event_source_arn,
     )
     name = f"counter_stream_{uuid.uuid4().hex[:12]}"
     q = (

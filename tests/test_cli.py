@@ -103,13 +103,27 @@ counters:
     assert req_total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
 
-def test_cli_config_follow_combination_rejected(sf_dir, tmp_path):
+def test_cli_config_follow_runs_multi_counter_stream(spark, sf_dir, tmp_path):
+    # streaming fan-out parity: every routed counter drains the stream and
+    # the unioned output matches the batch config run
     cfg = tmp_path / "c.yaml"
-    cfg.write_text("counters:\n  - id: x\n    counter_type: count\n    target_column: '*'\n")
-    assert main(
-        ["--path", f"{sf_dir}/events.parquet", "--config", str(cfg), "--follow"],
-        out=io.StringIO(),
-    ) == 2
+    cfg.write_text(
+        "counters:\n"
+        "  - id: req_count\n    counter_type: count\n    target_column: '*'\n"
+        "    window: 1 hour\n"
+        "  - id: uniq_users\n    counter_type: approx_count_distinct\n"
+        "    target_column: user_id\n    window: 1 hour\n"
+    )
+    b1, b2 = io.StringIO(), io.StringIO()
+    args = ["--path", f"{sf_dir}/events.parquet", "--config", str(cfg)]
+    assert main(args, out=b1) == 0
+    assert main(args + ["--follow"], out=b2) == 0
+    batch = {(j["counter_id"], j["window_start"], j["value"])
+             for j in map(json.loads, b1.getvalue().strip().splitlines())}
+    stream = {(j["counter_id"], j["window_start"], j["value"])
+              for j in map(json.loads, b2.getvalue().strip().splitlines())}
+    assert batch == stream
+    assert {c for c, _, _ in batch} == {"req_count", "uniq_users"}
 
 
 def test_cli_window_parse_errors_are_clean(sf_dir):
