@@ -79,8 +79,31 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _apply_env_defaults(parser) -> None:
+    """≈ envToFlag (cmd/kinesis-data-counter/main.go:129-134): every flag
+    falls back to KINESIS_DATA_COUNTER_<NAME> (dashes → underscores)."""
+    import os
+
+    for action in parser._actions:
+        for opt in action.option_strings:
+            if not opt.startswith("--"):
+                continue
+            env = "KINESIS_DATA_COUNTER_" + opt[2:].replace("-", "_").upper()
+            if env in os.environ:
+                v = os.environ[env]
+                if isinstance(action.default, bool) or action.const is True:
+                    parser.set_defaults(
+                        **{action.dest: v.lower() in ("1", "true", "yes", "on")}
+                    )
+                else:
+                    parser.set_defaults(**{action.dest: v})
+                action.required = False  # an env-provided flag is satisfied
+
+
 def main(argv: list[str] | None = None, out: io.TextIOBase | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    _apply_env_defaults(parser)
+    args = parser.parse_args(argv)
     out = out or sys.stdout
 
     from kinesis_data_counter_spark.config import Config, CounterSpec
@@ -109,7 +132,16 @@ def main(argv: list[str] | None = None, out: io.TextIOBase | None = None) -> int
 
     arn = args.stream_arn
     if args.config:
+        from kinesis_data_counter_spark import __version__
+        from kinesis_data_counter_spark.config import ConfigError
+
         cfg = Config.load(args.config)
+        try:
+            # ≈ main.go:82: the config may pin which engine versions run it
+            cfg.validate_version(__version__)
+        except ConfigError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         if args.follow:
             # streaming fan-out ≈ the reference's goroutine-per-counter
             # (counter.go:176-196): each matching counter drains the same

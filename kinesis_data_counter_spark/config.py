@@ -126,10 +126,87 @@ class CounterSpec:
         return self.input_arn.match(event_source_arn)
 
 
+def _parse_version(s: str) -> tuple[int, ...] | None:
+    """Dotted numeric version; pre-release after '-' dropped (config.go:127)."""
+    core = s.strip().lstrip("vV").split("-", 1)[0]
+    if not core:
+        return None
+    parts = core.split(".")
+    if not all(p.isdigit() for p in parts):
+        return None
+    return tuple(int(p) for p in parts)
+
+
+_CONSTRAINT_RX = re.compile(r"^\s*(~>|>=|<=|!=|==|=|>|<)?\s*([vV]?[\w.\-]+)\s*$")
+
+
+def parse_version_constraints(spec: str):
+    """Compile a hashicorp-style constraint list (">= 0.2.0, < 1.0.0").
+
+    Supported operators: ``>= <= > < = == != ~>`` (pessimistic: ``~> 1.2``
+    allows 1.x, ``~> 1.2.3`` allows 1.2.x). Raises ``ConfigError`` on
+    malformed constraints — the reference rejects these at config load
+    (config.go:56-59).
+    """
+    checks = []
+    for part in spec.split(","):
+        m = _CONSTRAINT_RX.match(part)
+        ver = _parse_version(m.group(2)) if m else None
+        if m is None or ver is None:
+            raise ConfigError(f"required_version has invalid format: {part.strip()!r}")
+        op = m.group(1) or "="
+
+        def mk(op: str, ver: tuple[int, ...]):
+            def pad(v, n):
+                return tuple(v) + (0,) * (n - len(v))
+
+            def check(x: tuple[int, ...]) -> bool:
+                n = max(len(x), len(ver))
+                a, b = pad(x, n), pad(ver, n)
+                if op in ("=", "=="):
+                    return a == b
+                if op == "!=":
+                    return a != b
+                if op == ">":
+                    return a > b
+                if op == ">=":
+                    return a >= b
+                if op == "<":
+                    return a < b
+                if op == "<=":
+                    return a <= b
+                # ~> : at least ver, below the next increment of its
+                # second-to-last component
+                upper = list(ver[:-1]) or [ver[0]]
+                upper[-1] += 1
+                return a >= pad(ver, n) and a < pad(tuple(upper), n)
+
+            return check
+
+        checks.append(mk(op, ver))
+    return checks
+
+
 @dataclass
 class Config:
     counters: list[CounterSpec] = field(default_factory=list)
     required_version: str | None = None
+
+    def validate_version(self, version: str) -> "Config":
+        """≈ Config.ValidateVersion (config.go:122-138): no constraint or an
+        unparseable running version (e.g. "current") skips the check; a
+        parseable version failing the constraints is an error."""
+        if not self.required_version:
+            return self
+        v = _parse_version(version)
+        if v is None:  # "current", dev builds — always allowed
+            return self
+        if not all(c(v) for c in parse_version_constraints(self.required_version)):
+            raise ConfigError(
+                f"version {version} does not satisfy constraints "
+                f"required_version: {self.required_version}"
+            )
+        return self
 
     @classmethod
     def load(cls, path: str, env: dict[str, str] | None = None) -> "Config":
@@ -159,6 +236,8 @@ class Config:
             for c in data.get("counters", [])
         ]
         cfg = cls(counters=counters, required_version=data.get("required_version"))
+        if cfg.required_version:
+            parse_version_constraints(cfg.required_version)  # reject bad syntax at load
         return cfg.validate()
 
     def validate(self) -> "Config":

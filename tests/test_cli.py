@@ -197,3 +197,29 @@ def test_cli_target_column_from_stream_json_body(spark, tmp_path):
     lines = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
     # 2 of every 3 records are clicks
     assert sum(l["value"] for l in lines) == sum(1 for i in range(200) if i % 3)
+
+
+def test_cli_env_flag_fallback(spark, sf_dir, monkeypatch):
+    # envToFlag parity (main.go:129-134): flags fall back to
+    # KINESIS_DATA_COUNTER_<NAME>, explicit argv still wins
+    monkeypatch.setenv("KINESIS_DATA_COUNTER_PATH", f"{sf_dir}/events.parquet")
+    monkeypatch.setenv("KINESIS_DATA_COUNTER_WINDOW", "1h")
+    monkeypatch.setenv("KINESIS_DATA_COUNTER_COUNTER_ID", "from_env")
+    buf = io.StringIO()
+    assert main([], out=buf) == 0
+    lines = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
+    assert lines and lines[0]["counter_id"] == "from_env"
+    buf2 = io.StringIO()
+    assert main(["--counter-id", "cli_wins"], out=buf2) == 0
+    assert json.loads(buf2.getvalue().splitlines()[0])["counter_id"] == "cli_wins"
+
+
+def test_cli_config_version_gate(spark, sf_dir, tmp_path):
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(
+        "required_version: '>=99.0.0'\n"
+        "counters:\n  - id: x\n    counter_type: count\n    target_column: '*'\n"
+        "    window: 1 hour\n"
+    )
+    assert main(["--path", f"{sf_dir}/events.parquet", "--config", str(cfg)],
+                out=io.StringIO()) == 2

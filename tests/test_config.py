@@ -80,3 +80,35 @@ def test_jq_subset():
 def test_jq_rejects_general_programs():
     with pytest.raises(JqUnsupported):
         parse_jq_projection(".[] | select(.x > 1)")
+
+
+def test_version_constraints_semantics():
+    import pytest
+
+    from kinesis_data_counter_spark.config import (
+        Config,
+        ConfigError,
+        parse_version_constraints,
+    )
+
+    cfg = Config.from_dict(
+        {"required_version": ">=0.1.0, <1.0.0",
+         "counters": [{"id": "a", "counter_type": "count", "target_column": "*"}]}
+    )
+    cfg.validate_version("0.1.0")          # satisfied
+    cfg.validate_version("v0.2.5-rc1")     # pre-release part dropped
+    cfg.validate_version("current")        # unparseable running version: skip
+    with pytest.raises(ConfigError):
+        cfg.validate_version("1.0.0")
+    # no constraint → always fine
+    Config.from_dict({"counters": [{"id": "a", "counter_type": "count",
+                                    "target_column": "*"}]}).validate_version("9.9")
+    # malformed constraints rejected at load (config.go:56-59)
+    with pytest.raises(ConfigError):
+        Config.from_dict({"required_version": ">= not.a.version",
+                          "counters": [{"id": "a", "counter_type": "count",
+                                        "target_column": "*"}]})
+    # pessimistic operator
+    ck = parse_version_constraints("~> 1.2.3")
+    assert all(c((1, 2, 9)) for c in ck)
+    assert not all(c((1, 3, 0)) for c in ck)
