@@ -176,11 +176,16 @@ def partial_counter(
         agg = agg.withColumn("row_count", F.lit(None).cast("long"))
 
     arn = event_source_arn or spec.input_stream_arn
+    from kinesis_data_counter_spark import __version__
+
     return agg.select(
         F.lit(arn).alias("event_source_arn"),
         F.col("shard_id"),
         F.lit(spec.id).alias("counter_id"),
         F.lit(spec.counter_type).alias("counter_type"),
+        # producer version on the wire ≈ IntermediateRecord.CounterVersion
+        # (counter.go:488, 499); consumers process mismatches but can audit
+        F.lit(__version__).alias("counter_version"),
         F.col("window"),
         F.col("row_count"),
         F.col("hll_sketch"),
