@@ -190,3 +190,41 @@ def test_stream_demo_example_runs(tmp_path):
     lines = [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
     assert lines and all(l["counter_id"] == "unique_user" for l in lines)
     assert {l["value"] for l in lines} == {10}  # 10 distinct users per poll
+
+
+def test_kpl_blobs_on_the_replay_wire(spark, tmp_path):
+    # S1 + S3 composition: KPL-aggregated payloads ride the shard wire as
+    # base64 lines; the replay source delivers them per shard and the KPL
+    # deaggregator unpacks the user records losslessly
+    import base64
+
+    from pyspark.sql import functions as F
+
+    from kinesis_data_counter_spark.sources.kpl import aggregate_records, deaggregate
+
+    _register(spark)
+    d = str(tmp_path / "kpl_stream")
+    user_records = [(f"u{i % 4}", json.dumps({"i": i}).encode()) for i in range(50)]
+    blobs = [
+        aggregate_records(user_records[k : k + 10]) for k in range(0, 50, 10)
+    ]
+    write_shard_files(
+        iter(
+            (f"agg{j}", json.dumps({"__pk": f"agg{j}",
+                                    "blob": base64.b64encode(b).decode()}))
+            for j, b in enumerate(blobs)
+        ),
+        d,
+        num_shards=2,
+    )
+    wire = spark.read.format("kinesis_replay").option("path", d).load()
+    payloads = wire.select(
+        "shard_id",
+        F.unbase64(F.get_json_object("data", "$.blob")).alias("data"),
+    )
+    recs = deaggregate(payloads, keep_cols=("shard_id",))
+    got = sorted(
+        (r.partition_key, bytes(r.data).decode()) for r in recs.collect()
+    )
+    want = sorted((pk, body.decode()) for pk, body in user_records)
+    assert got == want  # every user record, exactly once, pk preserved
