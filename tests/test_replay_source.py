@@ -228,3 +228,56 @@ def test_kpl_blobs_on_the_replay_wire(spark, tmp_path):
     )
     want = sorted((pk, body.decode()) for pk, body in user_records)
     assert got == want  # every user record, exactly once, pk preserved
+
+
+def test_watermark_append_semantics_on_replay_stream(spark, tmp_path):
+    # production emission semantics on the custom source: append mode +
+    # watermark across checkpointed restarts — the watermark survives the
+    # restart and late records are dropped, not re-aggregated (the
+    # engine-managed IsFinalInvokeForWindow)
+    from pyspark.sql import functions as F
+
+    _register(spark)
+    d, ckpt = str(tmp_path / "wm_stream"), str(tmp_path / "wm_ckpt")
+
+    def put(ts: str):
+        ms = int(
+            dt.datetime.fromisoformat(ts).replace(tzinfo=dt.timezone.utc).timestamp()
+            * 1000
+        )
+        write_shard_files(
+            iter([("k", json.dumps({"__pk": "k", "__arrival_ms": ms}))]), d, 1
+        )
+
+    import datetime as dt
+
+    emitted: list = []
+
+    def drain():
+        src = spark.readStream.format("kinesis_replay").option("path", d).load()
+        agg = (
+            src.withWatermark("approximate_arrival", "0 seconds")
+            .groupBy(F.window("approximate_arrival", "1 hour").alias("w"))
+            .count()
+            .select(F.unix_millis("w.start").alias("ws"), "count")
+        )
+        q = (
+            agg.writeStream.foreachBatch(lambda b, _e: emitted.extend(b.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    put("2024-01-01 10:00:00"); put("2024-01-01 11:30:00")
+    drain()
+    put("2024-01-01 12:30:00")
+    drain()                      # watermark 11:30 → closes the 10:00 window
+    put("2024-01-01 10:15:00")   # 2h+ late
+    drain()                      # watermark 12:30 → late row dropped
+
+    counts = {r.ws: r["count"] for r in emitted}
+    h10 = int(dt.datetime(2024, 1, 1, 10, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert counts.get(h10) == 1  # closed once, late arrival NOT re-counted
+    assert len(emitted) == len(set(r.ws for r in emitted))  # no re-emission
