@@ -43,15 +43,20 @@ _DUCKDB_RENAMES = {
     "string_contains": "contains",
 }
 
-# identifiers / string literals / everything else
+# identifiers / string literals / C-style logical operators / everything else
 _TOKEN_RX = re.compile(
     r"""
     (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')   # quoted string literal
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)              # identifier / function name
+  | (?P<op>&&|\|\||!(?!=))                         # Go-style and/or/not
   | (?P<other>.)                                   # any other single char
     """,
     re.VERBOSE | re.DOTALL,
 )
+
+# the evaluator grammar is Go-flavored; SQL engines want keywords. `||`
+# MUST be rewritten for the DuckDB oracle, where it means string concat.
+_OP_RENAMES = {"&&": " AND ", "||": " OR ", "!": " NOT "}
 
 
 def _rename_tokens(expr: str, renames: dict[str, str]) -> str:
@@ -59,6 +64,8 @@ def _rename_tokens(expr: str, renames: dict[str, str]) -> str:
     for m in _TOKEN_RX.finditer(expr):
         if m.lastgroup == "ident":
             out.append(renames.get(m.group("ident"), m.group("ident")))
+        elif m.lastgroup == "op":
+            out.append(_OP_RENAMES[m.group("op")])
         else:
             out.append(m.group(0))
     return "".join(out)

@@ -88,3 +88,14 @@ def test_duckdb_structural_rewrites_never_touch_literal_content():
     assert translate_target_expr_duckdb('if(string_contains(a, "if("), as_string(b), nil)') == (
         "(CASE WHEN contains(a, 'if(') THEN CAST(b AS VARCHAR) ELSE NULL END)"
     )
+
+
+def test_c_style_logical_operators_translate(spark):
+    from kinesis_data_counter_spark.expr import compile_target_expr, translate_target_expr
+
+    assert translate_target_expr("a && b || !c").split() == ["a", "AND", "b", "OR", "NOT", "c"]
+    # `!=` must survive untouched (not lexed as `!` + `=`)
+    assert translate_target_expr('x != "a&&b"') == 'x != "a&&b"'  # literal opaque
+    df = spark.createDataFrame([(True, False), (False, False)], "a boolean, b boolean")
+    got = df.select(compile_target_expr("a && !b").alias("v")).collect()
+    assert [r.v for r in got] == [True, False]
