@@ -513,6 +513,7 @@ def simhash_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs with SimHash hamming distance ≤ max_hamming.
 
@@ -521,8 +522,16 @@ def simhash_pairs(
     equi-joins on (chunk_id, chunk_value) instead of a cross join. Exact
     hamming (bit_count of XOR) then filters candidates. This is the
     scale-correct plan: shuffle keyed by 16-bit chunk values.
+
+    The signature table feeds both self-join sides, so it is persisted
+    (|docs| fixed-width rows); pass ``signatures`` to reuse an
+    already-computed table instead.
     """
-    sig = simhash_signatures(df, n, text_col, id_col)
+    sig = (
+        signatures
+        if signatures is not None
+        else simhash_signatures(df, n, text_col, id_col).persist()
+    )
     nchunks = max_hamming + 1
     width = 64 // nchunks
     chunk_structs = F.array(

@@ -1866,8 +1866,11 @@ def _q_dedup_simhash(spark, sf_dir):
     # so assert the banding invariant: the pigeonhole banded join finds
     # exactly the pairs a brute-force hamming scan finds
     (docs,) = _tables(spark, sf_dir, "documents")
-    banded = DD.simhash_pairs(docs, max_hamming=3, n=3)
-    sig = DD.simhash_signatures(docs, n=3)
+    # ONE persisted signature pass feeds the banded join (both sides) AND
+    # the brute-force check — the 64-conditional-sum aggregate is the
+    # expensive stage and must not recompute per join side
+    sig = DD.simhash_signatures(docs, n=3).persist()
+    banded = DD.simhash_pairs(docs, max_hamming=3, n=3, signatures=sig)
     a = sig.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"))
     b = sig.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"))
     brute = (
