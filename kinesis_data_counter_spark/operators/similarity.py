@@ -614,3 +614,76 @@ def vector_centroids(
             "n_vectors",
         )
     )
+
+
+def batch_qdot(qa: pd.Series, qb: pd.Series, scale: float = 1000.0) -> pd.Series:
+    """Row-wise dot product of floor(x·scale)-quantized vectors.
+
+    Quantized components are integer-valued doubles, so the sum is exact
+    in ANY accumulation order — numpy's pairwise summation, Spark's
+    aggregate fold, and an oracle engine's left fold all produce the
+    identical integer, which makes similarity rankings reproducible
+    across engines (float cosine rank-flips on near-ties)."""
+    if len(qa) == 0:
+        return pd.Series([], dtype="float64")
+    ma = np.floor(np.array(qa.tolist(), dtype=np.float64) * scale)
+    mb = np.floor(np.array(qb.tolist(), dtype=np.float64) * scale)
+    return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+
+_batch_qdot_udf = None
+
+
+def knn_classify(
+    labeled: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Majority-vote kNN label propagation (auto-labeling).
+
+    The training-data move for extending a small labeled seed set over an
+    unlabeled corpus: each query vector takes the majority label of its k
+    nearest labeled neighbors under the quantized-dot-product metric
+    (``batch_qdot`` — exact integers, so neighbor ranking is deterministic
+    and oracle-reproducible; ties break by neighbor id, votes by smaller
+    label).
+
+    Plan shape = ``cosine_topk``: the labeled corpus scans un-shuffled
+    against the broadcast query block; only |queries|×k neighbor rows
+    reach the ranking shuffle, then a tiny (query, label) vote aggregate.
+    Output: (vec_id, predicted_label, votes bigint).
+    """
+    global _batch_qdot_udf
+    if _batch_qdot_udf is None:
+        from pyspark.sql.functions import pandas_udf
+
+        def _qdot(qa: pd.Series, qb: pd.Series) -> pd.Series:
+            return batch_qdot(qa, qb)
+
+        _batch_qdot_udf = pandas_udf(_qdot, "double")
+
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    c = fan_out(labeled, id_col).select(
+        F.col(id_col).alias("rid"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("label"),
+    )
+    pairs = c.join(F.broadcast(q), F.lit(True)).select(
+        "qid", "rid", "label", _batch_qdot_udf("qv", "cv").alias("dot")
+    )
+    wn = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("rid").asc())
+    topk = pairs.withColumn("rk", F.row_number().over(wn)).filter(F.col("rk") <= k)
+    votes = topk.groupBy("qid", "label").agg(F.count(F.lit(1)).alias("votes"))
+    wv = Window.partitionBy("qid").orderBy(F.col("votes").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("label").alias("predicted_label"),
+            "votes",
+        )
+    )

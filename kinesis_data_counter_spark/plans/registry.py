@@ -3180,6 +3180,18 @@ def _q_join_cardinality_sketch(spark, sf_dir):
     )
 
 
+def _q_knn_label_propagation(spark, sf_dir):
+    # auto-labeling: vec_id % 5 == 0 plays the unlabeled pool, the rest the
+    # labeled seed set; majority vote of the 5 nearest neighbors under the
+    # engine-exact quantized-dot metric (similarity.py::knn_classify)
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 5 == 0)
+    labeled = emb.filter(F.col("vec_id") % 5 != 0)
+    return SIM.knn_classify(labeled, queries, k=5).withColumn(
+        "predicted_label", F.col("predicted_label").cast("int")
+    )
+
+
 def _q_gdpr_erasure_audit(spark, sf_dir):
     # right-to-erasure propagation across two fact tables with a broadcast
     # request set (operators/corpus.py::erase_subjects); synthetic request
@@ -3305,6 +3317,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_cardinality_sketch": _q_join_cardinality_sketch,
     "counter_replay_source": _q_counter_replay_source,
     "profile_events": _q_profile_events,
+    "knn_label_propagation": _q_knn_label_propagation,
 }
 
 _HISTORY_ORACLES = {
@@ -3369,6 +3382,25 @@ FROM events GROUP BY 1, 2
 """,
     "join_cardinality_sketch": """
 SELECT true AS ok_a, true AS ok_b, true AS ok_common
+""",
+    "knn_label_propagation": """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+r AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 <> 0),
+sims AS (
+  SELECT q.vec_id AS qid, r.vec_id AS rid, r.label,
+         list_dot_product(list_transform(q.embedding, x -> floor(x*1000)),
+                          list_transform(r.embedding, x -> floor(x*1000))) AS dot
+  FROM q, r),
+topk AS (
+  SELECT qid, label FROM (
+    SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, rid) AS rk
+    FROM sims) WHERE rk <= 5),
+votes AS (SELECT qid, label, count(*) AS v FROM topk GROUP BY 1, 2)
+SELECT qid AS vec_id, CAST(label AS INT) AS predicted_label, CAST(v AS BIGINT) AS votes
+FROM (SELECT qid, label, v,
+             row_number() OVER (PARTITION BY qid ORDER BY v DESC, label) AS rk
+      FROM votes)
+WHERE rk = 1
 """,
     "gdpr_erasure_audit": """
 SELECT 'events' AS table_name,

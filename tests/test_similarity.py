@@ -149,3 +149,37 @@ def test_quantized_topk_matches_exact_on_separated_data(spark):
         for r in quantized_cosine_topk(df, q, k=3).collect()
     }
     assert exact == quant
+
+
+def test_knn_classify_majority_vote(spark):
+    from kinesis_data_counter_spark.operators.similarity import knn_classify
+
+    # axis-aligned clusters: queries sit nearest their own cluster
+    def vec(axis, mag):
+        v = [0.0] * 4
+        v[axis] = mag
+        return v
+
+    labeled = spark.createDataFrame(
+        [(i * 10 + a, vec(a, 1.0 + 0.001 * i), a) for a in range(3) for i in range(4)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(100, vec(0, 2.0)), (101, vec(2, 0.5))],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: (r.predicted_label, r.votes) for r in
+           knn_classify(labeled, queries, k=3).collect()}
+    assert out[100] == (0, 3) and out[101] == (2, 3)
+
+
+def test_batch_qdot_is_exact_integers():
+    import numpy as np
+    import pandas as pd
+
+    from kinesis_data_counter_spark.operators.similarity import batch_qdot
+
+    a = pd.Series([[0.0015, -0.25]])
+    b = pd.Series([[1.0, 0.5]])
+    # floor(1.5)=1, floor(-250)=-250, floor(1000)=1000, floor(500)=500
+    assert batch_qdot(a, b).iloc[0] == 1 * 1000 + (-250) * 500
