@@ -231,3 +231,37 @@ def temperature_mix_rates(
         F.round(rate, round_digits).alias("keep_rate"),
         F.round(rate * F.col("n_docs"), 2).alias("expected_kept"),
     )
+
+
+def class_balance(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+    cap: int | None = None,
+) -> DataFrame:
+    """Downsample every class to the minority class size (or ``cap``).
+
+    The class-imbalance fix for a labeled training set, deterministic and
+    engine-portable: within each label, rows rank by md5(id) (a stable
+    pseudo-random order — same survivors every run and engine) and only
+    the first ``min_class_count`` (or ``cap``) survive.
+
+    Plan: one count aggregate for the minority size (broadcast to every
+    row), one window shuffle keyed by the label for the rank. The rank
+    window is per-label, so skewed majority classes parallelize only up
+    to one partition per label — at extreme scale swap the row_number for
+    a threshold on the md5 hex itself (≈ keep_fraction = target/size,
+    zero window), traded here for the exact-count guarantee.
+    """
+    ticket = F.md5(F.col(id_col).cast("string"))
+    sizes = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n"))
+    target = sizes.agg(F.min("__n").alias("__target"))
+    if cap is not None:
+        target = target.select(F.least("__target", F.lit(cap)).alias("__target"))
+    w = Window.partitionBy(label_col).orderBy(ticket.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(target))
+        .filter(F.col("__rk") <= F.col("__target"))
+        .drop("__rk", "__target")
+    )

@@ -3180,6 +3180,19 @@ def _q_join_cardinality_sketch(spark, sf_dir):
     )
 
 
+def _q_sample_class_balance(spark, sf_dir):
+    # class-imbalance fix (sampling.py::class_balance): every label
+    # downsampled to the minority class size by stable md5 rank; the query
+    # reports the per-label survivor count and a survivor checksum so the
+    # oracle pins WHICH rows survive, not just how many
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    kept = SP.class_balance(emb, "label", "vec_id")
+    return kept.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("vec_id").alias("id_sum"),
+    )
+
+
 def _q_knn_label_propagation(spark, sf_dir):
     # auto-labeling: vec_id % 5 == 0 plays the unlabeled pool, the rest the
     # labeled seed set; majority vote of the 5 nearest neighbors under the
@@ -3318,6 +3331,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_replay_source": _q_counter_replay_source,
     "profile_events": _q_profile_events,
     "knn_label_propagation": _q_knn_label_propagation,
+    "sample_class_balance": _q_sample_class_balance,
 }
 
 _HISTORY_ORACLES = {
@@ -3382,6 +3396,14 @@ FROM events GROUP BY 1, 2
 """,
     "join_cardinality_sketch": """
 SELECT true AS ok_a, true AS ok_b, true AS ok_common
+""",
+    "sample_class_balance": """
+WITH t AS (SELECT min(n) AS target FROM (SELECT count(*) AS n FROM embeddings GROUP BY label)),
+r AS (SELECT label, vec_id,
+             row_number() OVER (PARTITION BY label ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      FROM embeddings)
+SELECT label, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM r, t WHERE rk <= target GROUP BY label
 """,
     "knn_label_propagation": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),

@@ -135,3 +135,24 @@ def test_temperature_mix_rates_semantics(spark):
     # budget respected in expectation
     tot = sum(r["expected_kept"] for r in out.values())
     assert abs(tot - 100) < 1.0
+
+
+def test_class_balance_downsamples_to_minority(spark):
+    from kinesis_data_counter_spark.operators.sampling import class_balance
+
+    df = spark.createDataFrame(
+        [(i, "maj") for i in range(100)]
+        + [(1000 + i, "mid") for i in range(40)]
+        + [(2000 + i, "min") for i in range(7)],
+        "id long, label string",
+    )
+    kept = class_balance(df, "label", "id")
+    counts = {r.label: r.n for r in kept.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"maj": 7, "mid": 7, "min": 7}
+    # deterministic: same survivors on a rerun
+    ids1 = sorted(r.id for r in kept.collect())
+    ids2 = sorted(r.id for r in class_balance(df, "label", "id").collect())
+    assert ids1 == ids2
+    # cap overrides the minority size downward
+    capped = class_balance(df, "label", "id", cap=3)
+    assert capped.count() == 9
