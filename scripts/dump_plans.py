@@ -97,6 +97,14 @@ SHOWCASE: dict[str, str] = {
         "scanned exactly once and every later exchange carries bounded "
         "sketch states."
     ),
+    "knn_label_propagation": (
+        "Auto-labeling: the labeled corpus scans un-shuffled against a "
+        "BROADCAST query block (BroadcastNestedLoopJoin is the intended "
+        "shape — every corpus row must meet every query); the Arrow-"
+        "batched quantized-dot UDF scores whole batches, and only "
+        "|queries|×k neighbor rows reach the ranking exchange, then a "
+        "tiny vote aggregate."
+    ),
 }
 
 
