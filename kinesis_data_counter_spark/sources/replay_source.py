@@ -345,6 +345,6 @@ def open_shard_records(spark, path: str, streaming: bool = False, ts_col: str = 
         "approximate_arrival",
         *[F.col(f"__j.{c}").alias(c) for c in body_cols],
     )
-    if ts_col not in out.columns:
+    if ts_col is not None and ts_col not in out.columns:
         out = out.withColumn(ts_col, F.col("approximate_arrival"))
     return out

@@ -39,7 +39,7 @@ from kinesis_data_counter_spark.session import configure_session
 def _read_stream(
     spark: SparkSession,
     path: str,
-    ts_col: str,
+    ts_col: str | None,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-based streaming source with the fixture's nanos-timestamp quirk.
@@ -71,7 +71,7 @@ def _read_stream(
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     sdf = reader.parquet(path)
-    if isinstance(sdf.schema[ts_col].dataType, T.LongType):
+    if ts_col is not None and isinstance(sdf.schema[ts_col].dataType, T.LongType):
         sdf = sdf.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
     return sdf
 
@@ -176,6 +176,92 @@ def stream_two_level(
         if q.isActive:  # pragma: no cover - defensive
             q.stop()
     return merge_partials(spark.read.parquet(exchange_dir), spec)
+
+
+def stream_neardup_index(
+    spark: SparkSession,
+    path: str,
+    work_dir: str,
+    threshold: float = 0.8,
+    num_hashes: int = 96,
+    bands: int = 24,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = 1,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Incremental near-dup curation deployed as a stream.
+
+    The steady-state corpus-dedup deployment: documents arrive in
+    micro-batches; each batch probes the PERSISTED MinHash band index for
+    near-dup pairs touching the batch — batch×history plus batch×batch,
+    never history×history — then appends its bands to the index and its
+    documents to the corpus store. Per-batch work is proportional to the
+    increment (operators/dedup.py::incremental_minhash_pairs); the index
+    grows by |batch| × bands fixed-width rows per batch, and exact-Jaccard
+    verification reads only the candidate documents from the store.
+
+    ``work_dir`` holds the three tables a real deployment keeps anyway:
+    ``bands/`` (the LSH index), ``docs/`` (the accepted corpus), and
+    ``pairs/`` (the audit log of detected near-dups). Returns all pairs
+    found so far. Doc ids must be globally unique across batches.
+    """
+    import os
+
+    from kinesis_data_counter_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_table,
+        minhash_lsh_pairs,
+    )
+
+    bands_dir = os.path.join(work_dir, "bands")
+    docs_dir = os.path.join(work_dir, "docs")
+    pairs_dir = os.path.join(work_dir, "pairs")
+    sdf = _read_stream(
+        spark, path, ts_col=None, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _process(batch_df: DataFrame, _epoch: int) -> None:
+        batch_df = batch_df.select(id_col, text_col).persist()
+        if os.path.isdir(bands_dir):
+            pairs = incremental_minhash_pairs(
+                batch_df,
+                history=spark.read.parquet(docs_dir),
+                threshold=threshold,
+                num_hashes=num_hashes,
+                bands=bands,
+                n=n,
+                text_col=text_col,
+                id_col=id_col,
+                history_bands=spark.read.parquet(bands_dir),
+            )
+        else:  # first batch: no history yet — pairs within the batch only
+            pairs = minhash_lsh_pairs(
+                batch_df, threshold=threshold, num_hashes=num_hashes,
+                bands=bands, n=n, text_col=text_col, id_col=id_col,
+            )
+        pairs.write.mode("append").parquet(pairs_dir)
+        minhash_band_table(
+            batch_df, num_hashes, bands, n, text_col, id_col
+        ).write.mode("append").parquet(bands_dir)
+        batch_df.select(
+            F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+        ).write.mode("append").parquet(docs_dir)
+        batch_df.unpersist()
+
+    q = (
+        sdf.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", os.path.join(work_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive
+            q.stop()
+    return spark.read.parquet(pairs_dir)
 
 
 def stream_dedup(

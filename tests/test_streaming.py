@@ -446,3 +446,33 @@ def test_stream_two_level_count_and_distinct_match_batch(spark, sf_dir, tmp_path
         .collect()
     }
     assert {(r.window_start, r.value) for r in dmerged.collect()} == exact
+
+
+def test_stream_neardup_index_matches_oneshot(spark, sf_dir, tmp_path):
+    # incremental curation as a stream: multi-batch probe-and-append over
+    # the persisted band index finds the same pair set as a one-shot LSH
+    # run over the full corpus (every pair lands in SOME batch: within an
+    # early batch, or batch-vs-history once the second doc arrives)
+    from kinesis_data_counter_spark.operators.dedup import minhash_lsh_pairs
+    from kinesis_data_counter_spark.streaming.runner import stream_neardup_index
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.parquet(src)
+
+    got = stream_neardup_index(spark, src, str(tmp_path / "curation"))
+    got_pairs = {(r.a_id, r.b_id) for r in got.collect()}
+    want = {
+        (r.a_id, r.b_id)
+        for r in minhash_lsh_pairs(docs, threshold=0.8, num_hashes=96,
+                                   bands=24, n=5).collect()
+    }
+    assert got_pairs == want and len(want) > 0
+    # the persisted artifacts a deployment keeps: index, corpus store, audit
+    import os
+    assert spark.read.parquet(str(tmp_path / "curation" / "bands")).count() \
+        == docs.count() * 24
+    assert spark.read.parquet(str(tmp_path / "curation" / "docs")).count() \
+        == docs.count()
