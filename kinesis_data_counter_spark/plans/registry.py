@@ -3180,6 +3180,34 @@ def _q_join_cardinality_sketch(spark, sf_dir):
     )
 
 
+def _q_asof_forward_order(spark, sf_dir):
+    # forward as-of: each event joined to the user's NEXT order-day stats
+    # at-or-after the event timestamp (time-to-next-action enrichment);
+    # DuckDB has no forward ASOF JOIN, so the oracle is the explicit
+    # min-next-date formulation
+    ev, od = _tables(spark, sf_dir, "events", "orders")
+    daily = od.groupBy("o_custkey", "o_orderdate").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    j = JN.asof_join(
+        ev.select("event_id", "ts", "user_id", "event_type"),
+        daily,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        direction="forward",
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("r_o_orderdate").alias("n_matched"),
+        F.sum("r_n_orders").alias("sum_day_orders"),
+        F.round(
+            F.avg(F.datediff(F.to_date("r_o_orderdate"), F.to_date("ts"))), 4
+        ).alias("avg_wait_days"),
+    )
+
+
 def _q_sample_class_balance(spark, sf_dir):
     # class-imbalance fix (sampling.py::class_balance): every label
     # downsampled to the minority class size by stable md5 rank; the query
@@ -3332,6 +3360,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_events": _q_profile_events,
     "knn_label_propagation": _q_knn_label_propagation,
     "sample_class_balance": _q_sample_class_balance,
+    "asof_forward_order": _q_asof_forward_order,
 }
 
 _HISTORY_ORACLES = {
@@ -3396,6 +3425,25 @@ FROM events GROUP BY 1, 2
 """,
     "join_cardinality_sketch": """
 SELECT true AS ok_a, true AS ok_b, true AS ok_common
+""",
+    "asof_forward_order": """
+WITH daily AS (
+  SELECT o_custkey, o_orderdate, count(*) AS n_orders FROM orders GROUP BY 1, 2
+), nxt AS (
+  SELECT e.event_id, e.user_id, e.event_type, e.ts,
+         min(d.o_orderdate) AS next_date
+  FROM events e LEFT JOIN daily d
+    ON e.user_id = d.o_custkey AND d.o_orderdate >= e.ts
+  GROUP BY 1, 2, 3, 4
+), j AS (
+  SELECT n.event_type, n.ts, n.next_date, d.n_orders
+  FROM nxt n LEFT JOIN daily d
+    ON d.o_custkey = n.user_id AND d.o_orderdate = n.next_date
+)
+SELECT event_type, count(*) AS n_events, count(next_date) AS n_matched,
+  CAST(sum(n_orders) AS BIGINT) AS sum_day_orders,
+  round(avg(date_diff('day', CAST(ts AS DATE), CAST(next_date AS DATE))), 4) AS avg_wait_days
+FROM j GROUP BY 1
 """,
     "sample_class_balance": """
 WITH t AS (SELECT min(n) AS target FROM (SELECT count(*) AS n FROM embeddings GROUP BY label)),
