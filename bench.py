@@ -57,6 +57,13 @@ BENCH_QUERIES = [
     # round-2 additions: CDC state tracking + sketch-rollup hierarchy
     "scd2_user_state",
     "hll_rollup_hierarchy",
+    # round-3 additions: remaining heavy families (VERDICT r2 items 1, 8) —
+    # wire round-trip through the distributed shard writer, banded hamming
+    # join, connected components, and broadcast kNN voting
+    "counter_replay_source",
+    "dedup_simhash",
+    "dedup_clusters",
+    "knn_label_propagation",
 ]
 
 

@@ -3119,33 +3119,34 @@ def _q_profile_events(spark, sf_dir):
 
 def _q_counter_replay_source(spark, sf_dir):
     # S1 end-to-end through the custom Python data source: events are
-    # written to Kinesis-shaped shard files (PutRecord pk routing), read
-    # back via the kinesis_replay source (one partition per shard,
-    # arrival-timestamp metadata), and counted per tumbling window through
-    # the two-level shard topology. The oracle counts the same events
-    # straight off parquet — the wire round-trip must be lossless.
-    import json as _json
+    # written to Kinesis-shaped shard files THROUGH the distributed batch
+    # writer (executor-side PutRecord pk routing + staging, driver commit is
+    # pure file concat — no record touches driver memory), read back via the
+    # kinesis_replay source (one partition per shard, arrival-timestamp
+    # metadata), and counted per tumbling window through the two-level shard
+    # topology. The oracle counts the same events straight off parquet — the
+    # wire round-trip must be lossless.
     import tempfile
 
     from kinesis_data_counter_spark.sources.replay_source import (
         KinesisReplayDataSource,
-        write_shard_files,
     )
 
     (ev,) = _tables(spark, sf_dir, "events")
     spark.dataSource.register(KinesisReplayDataSource)
     d = tempfile.mkdtemp(prefix="kdc_replay_")
-    rows = ev.select(
-        F.col("user_id").cast("string").alias("pk"),
-        F.unix_millis("ts").alias("ms"),
-    ).collect()
-    write_shard_files(
-        (
-            (r.pk, _json.dumps({"__pk": r.pk, "__arrival_ms": r.ms}))
-            for r in rows
-        ),
-        d,
-        num_shards=4,
+    (
+        ev.select(
+            F.col("user_id").cast("string").alias("partition_key"),
+            F.to_json(
+                F.struct(F.unix_millis("ts").alias("__arrival_ms"))
+            ).alias("data"),  # writer embeds __pk; arrival time is the payload
+        )
+        .write.format("kinesis_replay")
+        .option("path", d)
+        .option("numShards", "4")
+        .mode("append")
+        .save()
     )
     src = spark.read.format("kinesis_replay").option("path", d).load()
     partial = src.groupBy(

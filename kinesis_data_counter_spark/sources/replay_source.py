@@ -180,13 +180,20 @@ class KinesisReplayDataSource(DataSource):
         return _ReplayStreamWriter(self.options)
 
 
+def _route_pk(pk: str | None, num_shards: int) -> int:
+    """md5(partition_key) % shards — the PutRecord shard-routing rule."""
+    import hashlib
+
+    if not pk:
+        return 0
+    return int(hashlib.md5(pk.encode()).hexdigest(), 16) % num_shards
+
+
 def write_shard_files(
     records: Iterator[tuple[str | None, str]], path: str, num_shards: int = 3
 ) -> None:
     """Helper for tests/demos: spray (partition_key, data_json) records across
     ``num_shards`` shard files by md5(pk) — the PutRecord routing rule."""
-    import hashlib
-
     os.makedirs(path, exist_ok=True)
     handles = [
         open(os.path.join(path, f"shard-{i:03d}.jsonl"), "a", encoding="utf-8")
@@ -194,12 +201,7 @@ def write_shard_files(
     ]
     try:
         for pk, data in records:
-            i = (
-                int(hashlib.md5((pk or "").encode()).hexdigest(), 16) % num_shards
-                if pk
-                else 0
-            )
-            handles[i].write(data.rstrip("\n") + "\n")
+            handles[_route_pk(pk, num_shards)].write(data.rstrip("\n") + "\n")
     finally:
         for h in handles:
             h.close()
@@ -212,23 +214,45 @@ def write_shard_files(
 
 @dataclass
 class _StagedBatch(WriterCommitMessage):
-    staged_path: str
+    staged_paths: dict[int, str]  # shard index -> staged file of wire lines
     n: int
+
+
+def _embed_pk(pk: str | None, data: str) -> str:
+    """Merge ``{"__pk": pk}`` into a JSON-object ``data`` payload so the
+    partition key survives the wire round-trip as the source's lifted
+    ``partition_key`` column (run.go:107 reads it off record metadata; a
+    file has no metadata, so the envelope carries it). Non-object payloads
+    (arrays, scalars, corrupt lines) pass through untouched — they route to
+    shard 0's bad-record path unchanged."""
+    if pk is None:
+        return data
+    try:
+        obj = json.loads(data)
+    except ValueError:
+        return data
+    if not isinstance(obj, dict) or obj.get("__pk") is not None:
+        return data
+    obj["__pk"] = pk
+    return json.dumps(obj)
 
 
 class _ReplayWriterBase:
     """Two-phase shard-file writer ≈ PutRecords batching (counter.go:525-537).
 
-    Executor tasks STAGE their rows (one temp file per task, no shared-file
-    races); the driver-side ``commit`` routes staged records to
-    ``shard-*.jsonl`` by md5(partition_key) — the reference's partition-key
-    rule — in one place, exactly once per epoch under checkpointing. Like
-    PutRecord itself the sink is at-least-once on crash between commit and
-    checkpoint write; records carry their pk so downstream dedup
+    Executor tasks do ALL the per-record work — md5(partition_key) shard
+    routing (the reference's PutRecord rule) and embedding ``__pk`` into the
+    record body so the pk survives the round-trip — staging one temp file
+    per (task, shard). The driver-side ``commit`` only concatenates staged
+    files into ``shard-*.jsonl``, O(files) with line streaming, exactly once
+    per epoch under checkpointing: no record ever round-trips through driver
+    memory. Like PutRecord itself the sink is at-least-once on crash between
+    commit and checkpoint write; records carry their pk so downstream dedup
     (``stream_dedup``) can collapse replays. The stage-then-commit file
     hand-off assumes a filesystem visible to driver and executors (local
     mode / NFS / fuse-mounted object store); a real Kinesis deployment
-    replaces ``_apply`` with put_records and drops the staging entirely.
+    replaces ``write`` with executor-side put_records and drops the staging
+    entirely.
     """
 
     def __init__(self, options):
@@ -241,9 +265,9 @@ class _ReplayWriterBase:
     def write(self, iterator) -> WriterCommitMessage:
         import tempfile
 
-        fd, staged = tempfile.mkstemp(dir=self.stage_dir, suffix=".jsonl")
+        handles: dict[int, tuple[str, object]] = {}
         n = 0
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
+        try:
             for row in iterator:
                 d = row.asDict() if hasattr(row, "asDict") else dict(row)
                 pk = d.get("partition_key")
@@ -253,27 +277,52 @@ class _ReplayWriterBase:
                         {k: v for k, v in d.items() if k != "partition_key"},
                         default=str,
                     )
-                f.write(json.dumps({"pk": pk, "data": data}) + "\n")
+                data = _embed_pk(pk, data)
+                shard = _route_pk(pk, self.num_shards)
+                if shard not in handles:
+                    fd, staged = tempfile.mkstemp(
+                        dir=self.stage_dir, suffix=f".s{shard:03d}.jsonl"
+                    )
+                    handles[shard] = (staged, os.fdopen(fd, "w", encoding="utf-8"))
+                handles[shard][1].write(data.rstrip("\n") + "\n")
                 n += 1
-        return _StagedBatch(staged_path=staged, n=n)
+        finally:
+            for _, f in handles.values():
+                f.close()
+        return _StagedBatch(
+            staged_paths={s: p for s, (p, _) in handles.items()}, n=n
+        )
 
     def _apply(self, messages) -> None:
-        def _records():
+        for s in range(self.num_shards):  # a stream's shards exist even when idle
+            open(os.path.join(self.path, f"shard-{s:03d}.jsonl"), "a").close()
+        outs: dict[int, object] = {}
+        try:
             for m in messages:
                 if m is None:
                     continue
-                with open(m.staged_path, "r", encoding="utf-8") as f:
-                    for line in f:
-                        rec = json.loads(line)
-                        yield rec["pk"], rec["data"]
-
-        write_shard_files(_records(), self.path, self.num_shards)
+                for shard, staged in m.staged_paths.items():
+                    if shard not in outs:
+                        outs[shard] = open(
+                            os.path.join(self.path, f"shard-{shard:03d}.jsonl"),
+                            "a",
+                            encoding="utf-8",
+                        )
+                    with open(staged, "r", encoding="utf-8") as f:
+                        for line in f:  # pure concat: no parse, no buffering
+                            outs[shard].write(line)
+        finally:
+            for f in outs.values():
+                f.close()
         self._cleanup(messages)
 
     def _cleanup(self, messages) -> None:
         for m in messages:
-            if m is not None and os.path.exists(m.staged_path):
-                os.remove(m.staged_path)
+            if m is None:
+                continue
+            for staged in m.staged_paths.values():
+                if os.path.exists(staged):
+                    os.remove(staged)
 
 
 class _ReplayBatchWriter(_ReplayWriterBase, DataSourceWriter):
