@@ -8,6 +8,13 @@ to JSON lines and handed to a writer callable. boto3 is optional and gated
 behind import-try; without it the kinesis/firehose writers raise cleanly and
 the console/collect writers still work.
 
+Scale shape: record serialization runs EXECUTOR-side (``to_json`` inside
+whole-stage codegen, ``serialized_lines``), and the put sinks ship batches
+from ``foreachPartition`` with one client per partition — no record ever
+round-trips through driver memory. Only the console sink collects, and it
+collects pre-serialized strings of an already-aggregated result (stdout is
+driver-side by definition, matching the reference's io.Writer sink).
+
 Batching note: Kinesis PutRecords caps at 500 records / 5 MB per call — the
 writer chunks accordingly. partition key = counter_id, matching the
 reference (counter.go:530, 501).
@@ -15,12 +22,12 @@ reference (counter.go:530, 501).
 
 from __future__ import annotations
 
-import json
 import sys
-from collections.abc import Callable, Iterable
+from collections.abc import Callable, Iterable, Iterator
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from kinesis_data_counter_spark.arn import Arn
 
@@ -33,18 +40,40 @@ except ImportError:
 
 PUT_RECORDS_BATCH = 500
 
+_JSON_OPTS = {"ignoreNullFields": "false"}  # nulls stay explicit, like json.dumps
+
+
+def serialized_lines(
+    df: DataFrame, keep: tuple[str, ...] = (), exclude: tuple[str, ...] = ()
+) -> DataFrame:
+    """Serialize each row to its output JSON line, executor-side.
+
+    Returns ``keep`` columns plus a ``line`` string column built with
+    ``to_json`` (JVM codegen, no Python in the loop). ``exclude`` names
+    routing-only columns left out of the JSON body. ``shard_id`` is
+    dropped when null to match the reference's ``omitempty`` output
+    (counter.go:423-425); all other nulls serialize as explicit ``null``.
+    """
+    cols = [c for c in df.columns if c not in exclude]
+    full = F.to_json(F.struct(*cols), _JSON_OPTS)
+    if "shard_id" in cols:
+        slim = F.to_json(
+            F.struct(*[c for c in cols if c != "shard_id"]), _JSON_OPTS
+        )
+        line = F.when(F.col("shard_id").isNull(), slim).otherwise(full)
+    else:
+        line = full
+    return df.select(*keep, line.alias("line"))
+
 
 def rows_as_json(df: DataFrame) -> list[str]:
     """Collect a (small, already-aggregated) result as JSON lines.
 
-    ``shard_id`` is dropped when null to match the reference's
-    ``omitempty`` output (counter.go:423-425).
+    Serialization happens executor-side; only the finished strings cross to
+    the driver. For unbounded outputs use the put sinks' ``foreachPartition``
+    path instead.
     """
-    out = []
-    for row in df.collect():
-        d = {k: v for k, v in row.asDict().items() if not (k == "shard_id" and v is None)}
-        out.append(json.dumps(d, separators=(",", ":"), default=str))
-    return out
+    return [r.line for r in serialized_lines(df).collect()]
 
 
 def console_writer(stream: Any = None) -> Callable[[DataFrame, int], None]:
@@ -58,51 +87,97 @@ def console_writer(stream: Any = None) -> Callable[[DataFrame, int], None]:
     return write
 
 
-def _chunks(items: list[Any], size: int) -> Iterable[list[Any]]:
-    for i in range(0, len(items), size):
-        yield items[i : i + size]
+def _chunks(items: Iterable[Any], size: int) -> Iterator[list[Any]]:
+    """Batch any iterable (incl. partition iterators) into size-capped lists."""
+    buf: list[Any] = []
+    for item in items:
+        buf.append(item)
+        if len(buf) >= size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
 
 
-def kinesis_writer(output_arn: str, partition_key_col: str = "counter_id"):
-    """K2: Kinesis PutRecords sink (requires boto3 + credentials)."""
+def kinesis_writer(
+    output_arn: str,
+    partition_key_col: str = "counter_id",
+    client_factory: Callable[[], Any] | None = None,
+):
+    """K2: Kinesis PutRecords sink.
+
+    Each partition serializes and ships its own rows: one client per
+    partition, 500-record chunks (counter.go:525-537's put loop, distributed).
+    At-least-once on task retry — same contract as PutRecord itself.
+    ``client_factory`` (cloudpickled to executors) overrides the default
+    boto3 client — for tests and for custom credentials/endpoints.
+    """
     arn = Arn.parse_strict(output_arn)
     if not arn.is_kinesis_stream:
         raise ValueError(f"not a kinesis stream ARN: {output_arn}")
+    stream_name, region = arn.stream_name, arn.region
 
     def write(df: DataFrame, epoch_id: int) -> None:
-        if not _HAS_BOTO3:
+        if client_factory is None and not _HAS_BOTO3:
             raise NotImplementedError("kinesis sink requires boto3 (not bundled)")
-        client = boto3.client("kinesis", region_name=arn.region)  # pragma: no cover
-        rows = df.collect()  # pragma: no cover
-        records = [  # pragma: no cover
-            {
-                "Data": (json.dumps(r.asDict(), default=str) + "\n").encode(),
-                "PartitionKey": str(r[partition_key_col]),
-            }
-            for r in rows
-        ]
-        for chunk in _chunks(records, PUT_RECORDS_BATCH):  # pragma: no cover
-            client.put_records(StreamName=arn.stream_name, Records=chunk)
+
+        def put_partition(rows) -> None:
+            if client_factory is not None:
+                client = client_factory()
+            else:  # pragma: no cover - needs live AWS credentials
+                import boto3 as b3
+
+                client = b3.client("kinesis", region_name=region)
+            for chunk in _chunks(rows, PUT_RECORDS_BATCH):
+                client.put_records(
+                    StreamName=stream_name,
+                    Records=[
+                        {
+                            "Data": (r.line + "\n").encode(),
+                            "PartitionKey": str(r.pk),
+                        }
+                        for r in chunk
+                    ],
+                )
+
+        lines = serialized_lines(
+            df.withColumn("pk", F.col(partition_key_col).cast("string")),
+            keep=("pk",),
+            exclude=("pk",),  # routing-only duplicate; the record keeps its own copy
+        )
+        lines.foreachPartition(put_partition)
 
     return write
 
 
-def firehose_writer(output_arn: str):
-    """K3: Firehose PutRecordBatch sink (requires boto3 + credentials)."""
+def firehose_writer(output_arn: str, client_factory: Callable[[], Any] | None = None):
+    """K3: Firehose PutRecordBatch sink.
+
+    Same partition-side shape as the kinesis sink (no partition key).
+    """
     arn = Arn.parse_strict(output_arn)
     if not arn.is_firehose:
         raise ValueError(f"not a firehose ARN: {output_arn}")
+    stream_name, region = arn.stream_name, arn.region
 
     def write(df: DataFrame, epoch_id: int) -> None:
-        if not _HAS_BOTO3:
+        if client_factory is None and not _HAS_BOTO3:
             raise NotImplementedError("firehose sink requires boto3 (not bundled)")
-        client = boto3.client("firehose", region_name=arn.region)  # pragma: no cover
-        records = [  # pragma: no cover
-            {"Data": (json.dumps(r.asDict(), default=str) + "\n").encode()}
-            for r in df.collect()
-        ]
-        for chunk in _chunks(records, PUT_RECORDS_BATCH):  # pragma: no cover
-            client.put_record_batch(DeliveryStreamName=arn.stream_name, Records=chunk)
+
+        def put_partition(rows) -> None:
+            if client_factory is not None:
+                client = client_factory()
+            else:  # pragma: no cover - needs live AWS credentials
+                import boto3 as b3
+
+                client = b3.client("firehose", region_name=region)
+            for chunk in _chunks(rows, PUT_RECORDS_BATCH):
+                client.put_record_batch(
+                    DeliveryStreamName=stream_name,
+                    Records=[{"Data": (r.line + "\n").encode()} for r in chunk],
+                )
+
+        serialized_lines(df).foreachPartition(put_partition)
 
     return write
 

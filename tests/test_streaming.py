@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import io
+import json
 
 import pytest
 from pyspark.sql import functions as F
@@ -53,6 +54,103 @@ def test_writer_dispatch():
     assert f.__qualname__.startswith("firehose_writer")
     with pytest.raises(Exception):
         writer_for_arn("arn:aws:s3:::bucket/x")
+
+
+def _spool_client_factory(spool_dir):
+    """Build a picklable factory for a boto3-client stand-in: every put call
+    writes one JSON file to ``spool_dir`` so tests can assert the
+    partition-side batching without AWS. The returned closure (and the class
+    inside it) is cloudpickled BY VALUE, so executor workers need no import
+    of this test module."""
+
+    def factory():
+        import json as _json
+        import os
+        import uuid
+
+        class SpoolClient:
+            def _spool(self, stream, records):
+                os.makedirs(spool_dir, exist_ok=True)
+                p = f"{spool_dir}/{uuid.uuid4().hex}.json"
+                with open(p, "w", encoding="utf-8") as f:
+                    f.write(_json.dumps({
+                        "stream": stream,
+                        "records": [
+                            {k: (v.decode() if isinstance(v, bytes) else v)
+                             for k, v in r.items()}
+                            for r in records
+                        ],
+                    }))
+
+            def put_records(self, StreamName, Records):
+                self._spool(StreamName, Records)
+
+            def put_record_batch(self, DeliveryStreamName, Records):
+                self._spool(DeliveryStreamName, Records)
+
+        return SpoolClient()
+
+    return factory
+
+
+def _read_spool(spool_dir):
+    import glob
+    import json as _json
+
+    calls = []
+    for p in sorted(glob.glob(f"{spool_dir}/*.json")):
+        with open(p, encoding="utf-8") as f:
+            calls.append(_json.loads(f.read()))
+    return calls
+
+
+def test_kinesis_writer_partition_side_puts(spark, tmp_path):
+    # the put path runs on executors: per-partition client, ≤500-record
+    # chunks, pk = counter_id, data = the full serialized record
+    from kinesis_data_counter_spark.streaming.sinks import kinesis_writer
+
+    spool = str(tmp_path / "spool_k")
+    n = 1203  # forces a 500/500/203 chunking somewhere across partitions
+    df = spark.createDataFrame(
+        [(f"c{i % 7}", i) for i in range(n)], "counter_id string, value long"
+    ).repartition(3)
+    w = kinesis_writer(
+        "arn:aws:kinesis:us-east-1:1:stream/out",
+        client_factory=_spool_client_factory(spool),
+    )
+    w(df, epoch_id=0)
+    calls = _read_spool(spool)
+    assert all(c["stream"] == "out" for c in calls)
+    assert all(1 <= len(c["records"]) <= 500 for c in calls)
+    recs = [r for c in calls for r in c["records"]]
+    assert len(recs) == n
+    bodies = [json.loads(r["Data"]) for r in recs]
+    assert {b["value"] for b in bodies} == set(range(n))
+    # pk rides OUTSIDE the body (routing), body keeps its own counter_id
+    assert all(r["PartitionKey"] == b["counter_id"]
+               for r, b in zip(recs, bodies))
+    assert all("pk" not in b for b in bodies)
+
+
+def test_firehose_writer_partition_side_puts(spark, tmp_path):
+    from kinesis_data_counter_spark.streaming.sinks import firehose_writer
+
+    spool = str(tmp_path / "spool_f")
+    df = spark.createDataFrame(
+        [("c", None, i) for i in range(40)],
+        "counter_id string, shard_id string, value long",
+    ).repartition(4)
+    w = firehose_writer(
+        "arn:aws:firehose:us-east-1:1:deliverystream/d",
+        client_factory=_spool_client_factory(spool),
+    )
+    w(df, epoch_id=0)
+    calls = _read_spool(spool)
+    assert all(c["stream"] == "d" for c in calls)
+    recs = [r for c in calls for r in c["records"]]
+    assert len(recs) == 40
+    # omitempty applied on the executor-serialized wire lines too
+    assert all("shard_id" not in json.loads(r["Data"]) for r in recs)
 
 
 def test_json_parse_corrupt_routing(spark):
