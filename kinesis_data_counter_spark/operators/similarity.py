@@ -131,8 +131,14 @@ def hyperplane_buckets(
     vec_col: str = "embedding",
     seed: int = 1234567,
     num_tables: int = 1,
+    bucket_vec_col: str | None = None,
 ) -> DataFrame:
     """(vec_id, embedding, table, bucket) — one row per LSH table.
+
+    ``bucket_vec_col`` optionally names a DIFFERENT column to hash than the
+    one carried through as ``embedding`` (e.g. a norm-augmented vector for
+    MIPS bucketing while downstream scoring keeps the original); ``dim``
+    refers to the hashed column's dimensionality.
 
     Multi-table LSH: each table hashes with an independent hyperplane set;
     near neighbors missed by one table are caught by another
@@ -172,7 +178,9 @@ def hyperplane_buckets(
     return df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
-        F.posexplode(_buckets(F.col(vec_col))).alias("table", "bucket"),
+        F.posexplode(_buckets(F.col(bucket_vec_col or vec_col))).alias(
+            "table", "bucket"
+        ),
     )
 
 
@@ -187,6 +195,7 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: multi-table LSH equi-join + exact cosine re-rank.
 
@@ -196,6 +205,10 @@ def ann_lsh_topk(
     (table, bucket) integer keys — the 100 TB plan shape: the corpus is
     bucketed once (L·n rows), queries fan out to L·(bits+1) probe rows,
     and candidates are re-ranked with exact cosine.
+
+    ``broadcast_queries=False`` switches the probe join to a shuffled
+    equi-join — required when the query set is itself corpus-sized
+    (auto-labeling sweeps), where a broadcast would not fit.
     """
     cb = hyperplane_buckets(corpus, dim, num_bits, id_col, vec_col, num_tables=num_tables)
     qb = hyperplane_buckets(queries, dim, num_bits, id_col, vec_col, num_tables=num_tables)
@@ -221,8 +234,9 @@ def ann_lsh_topk(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "table", "bucket"
     )
     sim = F.round(batch_cosine(F.col("qv"), F.col("cv")), round_digits)
+    probe_side = F.broadcast(qb) if broadcast_queries else qb
     cand = (
-        cb.join(F.broadcast(qb), ["table", "bucket"])
+        cb.join(probe_side, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("sim"))
         .distinct()  # multiple tables/probes can surface the same pair
@@ -320,8 +334,13 @@ def ivf_assign(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_vec_col: str | None = None,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest coarse centroids.
+
+    ``assign_vec_col`` optionally names a different column to score against
+    the centroids than the one carried through as ``embedding`` (the MIPS
+    augmentation hook, mirroring ``hyperplane_buckets.bucket_vec_col``).
 
     ``centroids`` is a plan-time literal list (cid, vector) — the coarse
     quantizer is tiny (O(√n) entries in classic IVF), so the distance to
@@ -347,7 +366,7 @@ def ivf_assign(
     return df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
-        F.explode(_nearest(F.col(vec_col))).alias("list_id"),
+        F.explode(_nearest(F.col(assign_vec_col or vec_col))).alias("list_id"),
     )
 
 
@@ -405,6 +424,7 @@ def ann_ivf_topk(
     vec_col: str = "embedding",
     round_digits: int = 6,
     centroids: list[tuple[int, list[float]]] | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus into inverted lists, probe the
     ``nprobe`` closest lists per query, exact-cosine re-rank the candidates.
@@ -413,6 +433,8 @@ def ann_ivf_topk(
     are literals); the only shuffle is the equi-join on ``list_id`` — each
     query meets ~nprobe/num_lists of the corpus instead of all of it, the
     classic IVF trade (recall vs fraction scanned).
+    ``broadcast_queries=False``: shuffled equi-join for corpus-sized query
+    sets (same knob as ``ann_lsh_topk``).
     """
     cents = centroids or ivf_centroids(corpus, num_lists, dim, id_col, vec_col)
     inv = ivf_assign(corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col).select(
@@ -422,8 +444,9 @@ def ann_ivf_topk(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "list_id"
     )
     sim = F.round(batch_cosine(F.col("qv"), F.col("cv")), round_digits)
+    probe_side = F.broadcast(probes) if broadcast_queries else probes
     cand = (
-        inv.join(F.broadcast(probes), "list_id")
+        inv.join(probe_side, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("sim"))
         .distinct()
@@ -676,7 +699,15 @@ def knn_classify(
     )
     wn = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("rid").asc())
     topk = pairs.withColumn("rk", F.row_number().over(wn)).filter(F.col("rk") <= k)
-    votes = topk.groupBy("qid", "label").agg(F.count(F.lit(1)).alias("votes"))
+    return _majority_vote(topk.select("qid", "label"), id_col)
+
+
+def _majority_vote(qid_label: DataFrame, id_col: str) -> DataFrame:
+    """(qid, label) neighbor rows → (id_col, predicted_label, votes).
+
+    Vote count descending, ties to the smaller label — shared by the brute
+    and candidate-generated kNN paths so their outputs are comparable."""
+    votes = qid_label.groupBy("qid", "label").agg(F.count(F.lit(1)).alias("votes"))
     wv = Window.partitionBy("qid").orderBy(F.col("votes").desc(), F.col("label").asc())
     return (
         votes.withColumn("rk", F.row_number().over(wv))
@@ -686,4 +717,245 @@ def knn_classify(
             F.col("label").alias("predicted_label"),
             "votes",
         )
+    )
+
+
+def _bucketed_topk(
+    labeled: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    method: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **ann_kwargs,
+) -> DataFrame:
+    """Candidate-generated top-k neighbors for LARGE query sets:
+    (qid, rid, dot, rk) rows, the shared engine under
+    ``knn_classify_bucketed`` and ``knn_bucketed_recall_check``.
+
+    ``knn_classify``'s broadcast-queries cross product is the right plan
+    only while the query block fits in executor memory; an auto-labeling
+    sweep where |queries| ≈ |corpus| degenerates to all-pairs. This path
+    reuses the ANN candidate machinery instead: LSH (multi-table
+    hyperplane) or IVF (inverted lists) generates each query's top-k
+    neighbor candidates through pure equi-joins — both sides shuffle on
+    small integer bucket keys, nothing is ever all-pairs or broadcast.
+
+    Approximation note: candidate RANKING uses the brute path's own
+    quantized-dot metric (``batch_qdot``), so the only divergence from
+    ``knn_classify`` is candidate recall — which neighbors the buckets
+    surfaced — not which of them win. Label agreement between the two
+    paths is property-checked by ``knn_agreement_check``, not assumed.
+
+    Because the metric is an UNNORMALIZED dot product (max-inner-product
+    search), angle-only bucketing would systematically miss large-norm
+    neighbors at mediocre angles. Both index paths therefore bucket in the
+    norm-augmented space of the classic MIPS→cosine reduction (Shrivastava
+    & Li 2014): corpus vectors gain a ``sqrt(M²−‖x‖²)`` component (M = max
+    corpus norm — a one-scalar aggregate), queries gain a 0, making
+    augmented cosine order equal inner-product order. Scoring still uses
+    the ORIGINAL vectors.
+    """
+    global _batch_qdot_udf
+    if _batch_qdot_udf is None:
+        from pyspark.sql.functions import pandas_udf
+
+        def _qdot(qa: pd.Series, qb: pd.Series) -> pd.Series:
+            return batch_qdot(qa, qb)
+
+        _batch_qdot_udf = pandas_udf(_qdot, "double")
+
+    def _sumsq(v):
+        return F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    m2 = labeled.agg(F.max(_sumsq(F.col(vec_col))).alias("m2")).first()["m2"]
+    as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    lab_aug = labeled.withColumn(
+        "__aug",
+        F.concat(
+            as_double,
+            F.array(F.sqrt(F.greatest(F.lit(0.0), F.lit(float(m2)) - _sumsq(F.col(vec_col))))),
+        ),
+    )
+    q_aug = queries.withColumn("__aug", F.concat(as_double, F.array(F.lit(0.0))))
+    adim = dim + 1
+
+    if method == "ivf":
+        num_lists = ann_kwargs.pop("num_lists", 16)
+        nprobe = ann_kwargs.pop("nprobe", 4)
+        # centroids live in augmented space (callers passing their own must
+        # augment accordingly)
+        cents = ann_kwargs.pop("centroids", None) or ivf_centroids(
+            lab_aug.select(F.col(id_col), F.col("__aug").alias(vec_col)),
+            num_lists,
+            adim,
+            id_col,
+            vec_col,
+        )
+        cb = ivf_assign(
+            lab_aug, cents, nprobe=1, id_col=id_col, vec_col=vec_col,
+            assign_vec_col="__aug",
+        )
+        qb = ivf_assign(
+            q_aug, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+            assign_vec_col="__aug",
+        )
+        keys = ["list_id"]
+    else:
+        num_bits = ann_kwargs.pop("num_bits", 8)
+        num_tables = ann_kwargs.pop("num_tables", 8)
+        multiprobe = ann_kwargs.pop("multiprobe", True)
+        cb = hyperplane_buckets(
+            lab_aug, adim, num_bits, id_col, vec_col, num_tables=num_tables,
+            bucket_vec_col="__aug",
+        )
+        qb = hyperplane_buckets(
+            q_aug, adim, num_bits, id_col, vec_col, num_tables=num_tables,
+            bucket_vec_col="__aug",
+        )
+        if multiprobe:
+            probes = F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(num_bits)],
+            )
+            qb = qb.select(
+                "vec_id", "embedding", "table", F.explode(probes).alias("bucket")
+            )
+        keys = ["table", "bucket"]
+    if ann_kwargs:
+        raise TypeError(f"unknown {method} kwargs: {sorted(ann_kwargs)}")
+
+    qb = qb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), *keys
+    )
+    cb = cb.select(
+        F.col("vec_id").alias("rid"), F.col("embedding").alias("cv"), *keys
+    )
+    # score on the (shuffled, never broadcast) bucket equi-join; duplicate
+    # (qid, rid) collisions across tables/probes collapse in the same
+    # aggregate that dedups candidates — one shuffle for dedup+score
+    scored = (
+        cb.join(qb, keys)
+        .filter(F.col("qid") != F.col("rid"))
+        .select("qid", "rid", _batch_qdot_udf("qv", "cv").alias("dot"))
+        .groupBy("qid", "rid")
+        .agg(F.max("dot").alias("dot"))
+    )
+    wn = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("rid").asc())
+    return scored.withColumn("rk", F.row_number().over(wn)).filter(F.col("rk") <= k)
+
+
+def knn_classify_bucketed(
+    labeled: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    method: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    **ann_kwargs,
+) -> DataFrame:
+    """Candidate-generated kNN label propagation for LARGE query sets —
+    ``_bucketed_topk``'s candidates voted exactly like the brute path.
+    Output: (vec_id, predicted_label, votes)."""
+    topk = _bucketed_topk(
+        labeled, queries, dim, k, method, id_col, vec_col, **ann_kwargs
+    )
+    lab = labeled.select(
+        F.col(id_col).alias("rid"), F.col(label_col).alias("label")
+    )
+    return _majority_vote(topk.join(lab, "rid").select("qid", "label"), id_col)
+
+
+def knn_agreement_check(
+    labeled: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    min_agreement: float = 0.9,
+    method: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    **ann_kwargs,
+) -> DataFrame:
+    """(ok, agreement) single row: fraction of queries where the bucketed
+    kNN predicts the same label as the brute-force path — the property-
+    check oracle pattern for the approximate classifier (every query must
+    also receive a prediction: coverage is part of the property)."""
+    brute = knn_classify(labeled, queries, k, id_col, vec_col, label_col).select(
+        F.col(id_col).alias("qid"), F.col("predicted_label").alias("l_exact")
+    )
+    fast = knn_classify_bucketed(
+        labeled, queries, dim, k, method, id_col, vec_col, label_col, **ann_kwargs
+    ).select(F.col(id_col).alias("qid"), F.col("predicted_label").alias("l_fast"))
+    total = brute.count()
+    agree = brute.join(fast, "qid").filter(F.col("l_exact") == F.col("l_fast")).count()
+    agreement = agree / total if total else 1.0
+    spark = labeled.sparkSession
+    return spark.createDataFrame(
+        [(bool(agreement >= min_agreement), float(round(agreement, 2)))],
+        "ok boolean, agreement double",
+    )
+
+
+def knn_bucketed_recall_check(
+    labeled: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    min_recall: float = 0.6,
+    method: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **ann_kwargs,
+) -> DataFrame:
+    """(ok, recall) single row: neighbor-level recall of the bucketed top-k
+    vs the brute-force top-k under the same quantized-dot metric.
+
+    The primary property for the candidate-generated kNN path: recall
+    measures exactly what the buckets lose (ranking is metric-identical by
+    construction, so every divergence IS a candidate miss). Label-vote
+    agreement (``knn_agreement_check``) is noisier — with near-uniform
+    labels one missed neighbor can flip a 5-way plurality — so recall is
+    the gated floor and agreement the diagnostic.
+    """
+    global _batch_qdot_udf
+    if _batch_qdot_udf is None:
+        from pyspark.sql.functions import pandas_udf
+
+        def _qdot(qa: pd.Series, qb: pd.Series) -> pd.Series:
+            return batch_qdot(qa, qb)
+
+        _batch_qdot_udf = pandas_udf(_qdot, "double")
+
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    c = fan_out(labeled, id_col).select(
+        F.col(id_col).alias("rid"), F.col(vec_col).alias("cv")
+    )
+    pairs = c.join(F.broadcast(q), F.lit(True)).select(
+        "qid", "rid", _batch_qdot_udf("qv", "cv").alias("dot")
+    )
+    wn = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("rid").asc())
+    brute = (
+        pairs.withColumn("rk", F.row_number().over(wn))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rid")
+    )
+    fast = _bucketed_topk(
+        labeled, queries, dim, k, method, id_col, vec_col, **ann_kwargs
+    ).select("qid", "rid")
+    total = brute.count()
+    hits = brute.join(fast, ["qid", "rid"]).count()
+    recall = hits / total if total else 1.0
+    spark = labeled.sparkSession
+    return spark.createDataFrame(
+        [(bool(recall >= min_recall), float(round(recall, 2)))],
+        "ok boolean, recall double",
     )

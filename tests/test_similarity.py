@@ -173,6 +173,103 @@ def test_knn_classify_majority_vote(spark):
     assert out[100] == (0, 3) and out[101] == (2, 3)
 
 
+def test_knn_bucketed_matches_brute_on_clusters(spark):
+    # on separable data the candidate-generated path must reproduce the
+    # brute path's predictions exactly, for both index methods
+    from kinesis_data_counter_spark.operators.similarity import (
+        knn_classify,
+        knn_classify_bucketed,
+    )
+
+    def vec(axis, mag):
+        v = [0.0] * 4
+        v[axis] = mag
+        return v
+
+    labeled = spark.createDataFrame(
+        [(i * 10 + a, vec(a, 1.0 + 0.001 * i), a) for a in range(3) for i in range(4)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(100, vec(0, 2.0)), (101, vec(2, 0.5)), (102, vec(1, 1.0))],
+        "vec_id long, embedding array<float>",
+    )
+    brute = {r.vec_id: (r.predicted_label, r.votes) for r in
+             knn_classify(labeled, queries, k=3).collect()}
+    for method, kw in [("lsh", {"num_bits": 2, "num_tables": 8}),
+                       ("ivf", {"num_lists": 3, "nprobe": 2})]:
+        fast = {r.vec_id: (r.predicted_label, r.votes) for r in
+                knn_classify_bucketed(
+                    labeled, queries, dim=4, k=3, method=method, **kw
+                ).collect()}
+        assert fast == brute, (method, fast, brute)
+
+
+def test_knn_bucketed_recall_and_agreement_checks(spark):
+    # the property harness itself: perfect recall/agreement on separable
+    # data, and the unknown-kwarg guard
+    import pytest as _pytest
+
+    from kinesis_data_counter_spark.operators.similarity import (
+        knn_agreement_check,
+        knn_bucketed_recall_check,
+        knn_classify_bucketed,
+    )
+
+    def vec(axis, mag):
+        v = [0.0] * 4
+        v[axis] = mag
+        return v
+
+    labeled = spark.createDataFrame(
+        [(i * 10 + a, vec(a, 1.0 + 0.001 * i), a) for a in range(3) for i in range(4)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(100, vec(0, 2.0)), (101, vec(2, 0.5))],
+        "vec_id long, embedding array<float>",
+    )
+    r = knn_bucketed_recall_check(
+        labeled, queries, dim=4, k=3, min_recall=0.99,
+        method="lsh", num_bits=2, num_tables=8,
+    ).collect()[0]
+    assert r.ok and r.recall == 1.0
+    a = knn_agreement_check(
+        labeled, queries, dim=4, k=3, min_agreement=0.99,
+        method="ivf", num_lists=3, nprobe=2,
+    ).collect()[0]
+    assert a.ok and a.agreement == 1.0
+    with _pytest.raises(TypeError, match="unknown"):
+        knn_classify_bucketed(labeled, queries, dim=4, method="lsh", bogus=1)
+
+
+def test_mips_augmentation_finds_large_norm_neighbors(spark):
+    # the norm-augmented bucketing must surface a LARGE-norm vector at a
+    # mediocre angle that angle-only LSH would miss: under raw dot, b
+    # (norm 10, 45° off) beats a (norm 1, aligned) for query e0
+    from kinesis_data_counter_spark.operators.similarity import (
+        knn_bucketed_recall_check,
+    )
+
+    labeled = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0], 0),        # aligned, small norm
+            (2, [7.1, 7.1, 0.0, 0.0], 1),        # 45° off, norm ≈ 10 → wins on dot
+            (3, [0.0, 0.0, 1.0, 0.0], 2),
+            (4, [0.0, 0.0, 0.0, 1.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    r = knn_bucketed_recall_check(
+        labeled, queries, dim=4, k=2, min_recall=0.99,
+        method="lsh", num_bits=2, num_tables=12,
+    ).collect()[0]
+    assert r.ok, r  # top-2 by dot = {2, 1}; buckets must surface both
+
+
 def test_batch_qdot_is_exact_integers():
     import numpy as np
     import pandas as pd
