@@ -25,7 +25,7 @@ from typing import Any
 
 from kinesis_data_counter_spark.arn import Arn
 from kinesis_data_counter_spark.expr import translate_target_expr
-from kinesis_data_counter_spark.jq import parse_jq_projection
+from kinesis_data_counter_spark.jq import parse_jq_program
 
 COUNT = "count"
 APPROX_COUNT_DISTINCT = "approx_count_distinct"
@@ -106,7 +106,7 @@ class CounterSpec:
             # compile eagerly → load-time syntax errors (config.go:93-99)
             translate_target_expr(self.target_expr)  # raises on bad tokens
         if self.jq_expr:
-            parse_jq_projection(self.jq_expr)  # raises if outside subset
+            parse_jq_program(self.jq_expr)  # raises if outside subset
         self._input_arn = Arn.parse_strict(self.input_stream_arn)
         for a in (self.output_stream_arn, self.aggregate_stream_arn):
             if a:

@@ -153,6 +153,26 @@ def _q_counter_jq_reshape(spark, sf_dir):
     return build_counter(ev, spec, ts_col="ts")
 
 
+def _q_counter_jq_select(spark, sf_dir):
+    # F8 widened (VERDICT r2 item 3): a pipe of select + object construction
+    # with arithmetic and string interpolation, compiled to filter+projection
+    # Columns (jq.py::apply_jq) — busy hours only, renamed and rescaled.
+    # Differential parity with /usr/bin/jq is pinned in
+    # tests/test_jq_differential.py; here the DuckDB oracle replays the
+    # whole counter+transform pipeline.
+    (ev,) = _tables(spark, sf_dir, "events")
+    spec = CounterSpec(
+        id="req_count", counter_type="count", target_column="*", window="1 hour",
+        input_stream_arn=EVENTS_ARN,
+        jq_expr=(
+            'select(.value > 5) | '
+            '{name: "hourly.\\(.counter_id)", t: (.window_start / 1000), '
+            'value: .value}'
+        ),
+    ).validate()
+    return build_counter(ev, spec, ts_col="ts")
+
+
 def _hll_ok(approx, exact):
     return (F.abs(approx - exact) <= F.greatest(F.lit(1.0), F.lit(HLL_TOL) * exact)).alias("ok")
 
@@ -374,6 +394,13 @@ SELECT epoch_ms(date_trunc('hour', ts)) AS time,
        'access_log.request_count' AS name,
        count(*) AS value
 FROM events GROUP BY 1, 2
+""",
+    "counter_jq_select": """
+SELECT 'hourly.req_count' AS name,
+       epoch_ms(date_trunc('hour', ts)) / 1000 AS t,
+       count(*) AS value
+FROM events GROUP BY date_trunc('hour', ts)
+HAVING count(*) > 5
 """,
     "counter_distinct_user": """
 SELECT epoch_ms(date_trunc('hour', ts)) AS window_start,
@@ -3272,6 +3299,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_json_props": _q_counter_json_props,
     "counter_variant_props": _q_counter_variant_props,
     "counter_jq_reshape": _q_counter_jq_reshape,
+    "counter_jq_select": _q_counter_jq_select,
     "counter_distinct_user": _q_counter_distinct_user,
     "counter_distinct_expr": _q_counter_distinct_expr,
     "counter_two_level": _q_counter_two_level,

@@ -38,7 +38,7 @@ from kinesis_data_counter_spark.config import (
     Config,
     CounterSpec,
 )
-from kinesis_data_counter_spark.jq import parse_jq_projection
+from kinesis_data_counter_spark.jq import eval_jq_object
 
 
 @dataclass
@@ -119,23 +119,11 @@ def _sketch_estimate(spark: SparkSession, sketch: bytes) -> int:
     )
 
 
-def _apply_jq_dict(program: str | None, obj: dict[str, Any]) -> dict[str, Any]:
-    """jq-subset applied to one output object (same subset as jq.apply_jq)."""
-    if not program:
-        return obj
-    fields = parse_jq_projection(program)
-    if not fields:
-        return obj
-    out: dict[str, Any] = {}
-    for f in fields:
-        if f.path is None:
-            out[f.name] = f.literal
-        else:
-            cur: Any = obj
-            for p in f.path:
-                cur = cur.get(p) if isinstance(cur, dict) else None
-            out[f.name] = cur
-    return out
+def _apply_jq_dict(program: str | None, obj: dict[str, Any]) -> dict[str, Any] | None:
+    """jq-subset applied to one output object (same compiled subset as
+    jq.apply_jq, via the shared dict evaluator — pipes/select/arithmetic/
+    interpolation included). None = a select stage filtered the record."""
+    return eval_jq_object(program, obj)
 
 
 def _state_for(state: dict, spec: CounterSpec, shard_id: str) -> dict[str, Any]:
@@ -260,9 +248,9 @@ def _process_input(
                         else 0
                     )
                 )
-                resp.outputs.append(
-                    _output_row(spec, event, event.shard_id, value)
-                )
+                row = _output_row(spec, event, event.shard_id, value)
+                if row is not None:  # None = jq select dropped the record
+                    resp.outputs.append(row)
 
 
 def _process_aggregate(
@@ -314,7 +302,9 @@ def _process_aggregate(
                     else 0
                 )
             )
-            resp.outputs.append(_output_row(spec, event, "", value))
+            row = _output_row(spec, event, "", value)
+            if row is not None:  # None = jq select dropped the record
+                resp.outputs.append(row)
 
 
 def make_intermediate_event(

@@ -49,10 +49,24 @@ PROGRAMS = [
     '{time: .window_start, value: .value}',  # bare keys are valid jq too
     '{"constant": 5, "flag": true, "label": "x", "value": .value}',
     '{"start": .window_start, "end": .window_end, "span": "1m"}',
+    # --- widened subset (round 3): arithmetic / pipes / select / interp ---
+    '{"a": (.value * 2)}',
+    '{v: (.value * 100 + 7), neg: -.value, id: .counter_id}',
+    '{sec: (.window_start / 1000), rem: (.value % 5)}',
+    'select(.value > 10) | {id: .counter_id, v: .value}',
+    '{id: .counter_id, v: .value} | select(.v < 40)',
+    'select(.counter_type == "count") | {id: .counter_id}',
+    'select(.counter_type != "count" and .value >= 7) | {id: .counter_id}',
+    'select(.value > 100 or .counter_type == "count") | {id: .counter_id}',
+    '{msg: "\\(.counter_id)=\\(.value)", t: .window_start}',
+    'select(.value > 1) | {name: "ct.\\(.counter_id)", ok: true} | select(.ok)',
+    '. | {id: .counter_id}',
+    '{w: (.window_end - .window_start), mid: ((.window_start + .window_end) / 2)}',
 ]
 
 
-def _real_jq(program: str, row: dict) -> dict:
+def _real_jq(program: str, row: dict) -> list[dict]:
+    """All outputs jq emits for one input (0 when select filters it out)."""
     out = subprocess.run(
         [JQ, "-c", program],
         input=json.dumps(row),
@@ -61,29 +75,53 @@ def _real_jq(program: str, row: dict) -> dict:
         timeout=30,
     )
     assert out.returncode == 0, out.stderr
-    return json.loads(out.stdout)
+    return [json.loads(line) for line in out.stdout.splitlines() if line.strip()]
 
 
 @pytest.mark.skipif(JQ is None, reason="jq binary not available")
 @pytest.mark.parametrize("program", PROGRAMS)
 def test_subset_matches_real_jq(spark, program):
-    df = spark.createDataFrame([tuple(r.values()) for r in ROWS], SCHEMA)
+    df = spark.createDataFrame([tuple(r.values()) for r in ROWS], SCHEMA).coalesce(1)
     got = [r.asDict() for r in apply_jq(df, program).collect()]
-    want = [_real_jq(program, r) for r in ROWS]
+    want = [o for r in ROWS for o in _real_jq(program, r)]
     assert got == want
 
 
 @pytest.mark.skipif(JQ is None, reason="jq binary not available")
+@pytest.mark.parametrize("program", PROGRAMS)
+def test_dict_evaluator_matches_real_jq(program):
+    # the Lambda-handler per-record path must agree with jq (and therefore
+    # with the compiled Column path) on every supported program
+    from kinesis_data_counter_spark.jq import eval_jq_object
+
+    for row in ROWS:
+        got = eval_jq_object(program, dict(row))
+        want = _real_jq(program, row)
+        if got is None:
+            assert want == []
+        else:
+            assert [got] == want
+
+
+@pytest.mark.skipif(JQ is None, reason="jq binary not available")
 def test_identity_program_is_passthrough(spark):
-    df = spark.createDataFrame([tuple(r.values()) for r in ROWS], SCHEMA)
+    df = spark.createDataFrame([tuple(r.values()) for r in ROWS], SCHEMA).coalesce(1)
     got = [r.asDict() for r in apply_jq(df, ".").collect()]
-    want = [_real_jq(".", r) for r in ROWS]
+    want = [o for r in ROWS for o in _real_jq(".", r)]
     assert got == want
 
 
 def test_out_of_subset_programs_raise(spark):
     df = spark.createDataFrame([tuple(r.values()) for r in ROWS], SCHEMA)
-    for prog in [".value + 1", "{\"a\": (.value * 2)}", ".[] | .value", "map(.)"]:
+    for prog in [
+        ".value + 1",       # scalar pipeline: arithmetic is not a stage
+        ".[] | .value",     # iteration
+        "map(.)",           # functions beyond select
+        ".value",           # scalar path stage (struct re-root only)
+        '{"k": [1, 2]}',    # array literals left the subset in round 3
+        'select(.value > 1',  # unbalanced
+        '{msg: "\\(.value"}',  # unterminated interpolation
+    ]:
         with pytest.raises(JqUnsupported):
             apply_jq(df, prog)
 
