@@ -198,7 +198,10 @@ def erase_subjects(
     audit = flagged.agg(
         F.count(F.lit(1)).alias("n_total"),
         F.count_if(F.col("__hit")).alias("n_purged"),
-        F.count_if(~F.col("__hit")).alias("n_retained"),
+        # derived (not a filtered count) so NULL-subject rows — which can
+        # never match a request and are always retained — are counted the
+        # same way by any oracle: retained ≡ total − purged
+        (F.count(F.lit(1)) - F.count_if(F.col("__hit"))).alias("n_retained"),
         F.count_distinct(F.when(F.col("__hit"), F.col(subject_col))).alias(
             "n_subjects_hit"
         ),

@@ -3524,7 +3524,7 @@ WHERE rk = 1
 SELECT 'events' AS table_name,
        CAST(count(*) AS BIGINT) AS n_total,
        CAST(count(*) FILTER (user_id % 97 = 0) AS BIGINT) AS n_purged,
-       CAST(count(*) FILTER (user_id % 97 <> 0) AS BIGINT) AS n_retained,
+       CAST(count(*) - count(*) FILTER (user_id % 97 = 0) AS BIGINT) AS n_retained,
        CAST(count(DISTINCT CASE WHEN user_id % 97 = 0 THEN user_id END) AS BIGINT)
          AS n_subjects_hit
 FROM events
@@ -3532,7 +3532,7 @@ UNION ALL
 SELECT 'orders',
        CAST(count(*) AS BIGINT),
        CAST(count(*) FILTER (o_custkey % 97 = 0) AS BIGINT),
-       CAST(count(*) FILTER (o_custkey % 97 <> 0) AS BIGINT),
+       CAST(count(*) - count(*) FILTER (o_custkey % 97 = 0) AS BIGINT),
        CAST(count(DISTINCT CASE WHEN o_custkey % 97 = 0 THEN o_custkey END) AS BIGINT)
 FROM orders
 """,

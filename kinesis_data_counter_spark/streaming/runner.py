@@ -159,10 +159,12 @@ def stream_two_level(
     """
     sdf = _read_stream(spark, path, ts_col, max_files_per_trigger)
 
-    def _emit(batch_df: DataFrame, _epoch: int) -> None:
-        partial_counter(
-            batch_df, spec, ts_col=ts_col, shard_col=shard_col
-        ).write.mode("append").parquet(exchange_dir)
+    def _emit(batch_df: DataFrame, epoch: int) -> None:
+        _write_batch_keyed(
+            partial_counter(batch_df, spec, ts_col=ts_col, shard_col=shard_col),
+            exchange_dir,
+            epoch,
+        )
 
     q = (
         sdf.writeStream.foreachBatch(_emit)
@@ -175,7 +177,22 @@ def stream_two_level(
     finally:
         if q.isActive:  # pragma: no cover - defensive
             q.stop()
-    return merge_partials(spark.read.parquet(exchange_dir), spec)
+    return merge_partials(_read_batch_keyed(spark, exchange_dir), spec)
+
+
+def _write_batch_keyed(df: DataFrame, root: str, epoch: int) -> None:
+    """Idempotent foreachBatch append: each batch OVERWRITES its own
+    ``batch=<id>`` subdirectory, so a batch replayed after a crash between
+    the write and the checkpoint commit replaces its previous output
+    instead of duplicating it — exactly-once table contents on top of
+    Structured Streaming's at-least-once foreachBatch contract."""
+    df.write.mode("overwrite").parquet(f"{root}/batch={epoch}")
+
+
+def _read_batch_keyed(spark: SparkSession, root: str) -> DataFrame:
+    """Read a ``_write_batch_keyed`` table; the lifted ``batch`` partition
+    column is an implementation detail and is dropped."""
+    return spark.read.parquet(root).drop("batch")
 
 
 def stream_neardup_index(
@@ -222,32 +239,41 @@ def stream_neardup_index(
         spark, path, ts_col=None, max_files_per_trigger=max_files_per_trigger
     )
 
-    def _process(batch_df: DataFrame, _epoch: int) -> None:
+    def _process(batch_df: DataFrame, epoch: int) -> None:
+        # every write below is batch-keyed (_write_batch_keyed): a replayed
+        # epoch overwrites its own pairs/bands/docs output, preserving the
+        # "doc ids globally unique" invariant across crash-replays
         batch_df = batch_df.select(id_col, text_col).persist()
         if os.path.isdir(bands_dir):
             pairs = incremental_minhash_pairs(
                 batch_df,
-                history=spark.read.parquet(docs_dir),
+                history=_read_batch_keyed(spark, docs_dir),
                 threshold=threshold,
                 num_hashes=num_hashes,
                 bands=bands,
                 n=n,
                 text_col=text_col,
                 id_col=id_col,
-                history_bands=spark.read.parquet(bands_dir),
+                history_bands=_read_batch_keyed(spark, bands_dir),
             )
         else:  # first batch: no history yet — pairs within the batch only
             pairs = minhash_lsh_pairs(
                 batch_df, threshold=threshold, num_hashes=num_hashes,
                 bands=bands, n=n, text_col=text_col, id_col=id_col,
             )
-        pairs.write.mode("append").parquet(pairs_dir)
-        minhash_band_table(
-            batch_df, num_hashes, bands, n, text_col, id_col
-        ).write.mode("append").parquet(bands_dir)
-        batch_df.select(
-            F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
-        ).write.mode("append").parquet(docs_dir)
+        _write_batch_keyed(pairs, pairs_dir, epoch)
+        _write_batch_keyed(
+            minhash_band_table(batch_df, num_hashes, bands, n, text_col, id_col),
+            bands_dir,
+            epoch,
+        )
+        _write_batch_keyed(
+            batch_df.select(
+                F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+            ),
+            docs_dir,
+            epoch,
+        )
         batch_df.unpersist()
 
     q = (
@@ -261,7 +287,7 @@ def stream_neardup_index(
     finally:
         if q.isActive:  # pragma: no cover - defensive
             q.stop()
-    return spark.read.parquet(pairs_dir)
+    return _read_batch_keyed(spark, pairs_dir)
 
 
 def stream_dedup(

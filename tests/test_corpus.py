@@ -86,6 +86,22 @@ def test_curation_example_runs_end_to_end(tmp_path):
     assert "'n_written':" in out.stdout and "'n_total':" in out.stdout
 
 
+def test_erase_subjects_null_keys_are_retained_and_counted(spark):
+    # a NULL subject key can never match an erasure request: the row must
+    # survive AND be counted in n_retained (n_retained ≡ n_total - n_purged,
+    # so no filtered-count oracle can disagree over NULL semantics)
+    from kinesis_data_counter_spark.operators.corpus import erase_subjects
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (None, 30), (None, 40)], "user_id long, x long"
+    )
+    subjects = spark.createDataFrame([(2,)], "user_id long")
+    retained, audit = erase_subjects(df, subjects, "user_id", "t")
+    assert {r.x for r in retained.collect()} == {10, 30, 40}
+    a = audit.collect()[0]
+    assert (a.n_total, a.n_purged, a.n_retained, a.n_subjects_hit) == (4, 1, 3, 1)
+
+
 def test_erase_subjects_purges_and_audits(spark):
     from kinesis_data_counter_spark.operators.corpus import erase_subjects
 

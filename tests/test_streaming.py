@@ -153,6 +153,27 @@ def test_firehose_writer_partition_side_puts(spark, tmp_path):
     assert all("shard_id" not in json.loads(r["Data"]) for r in recs)
 
 
+def test_batch_keyed_writes_are_replay_idempotent(spark, tmp_path):
+    # a crash between the foreachBatch write and the checkpoint commit
+    # replays the batch: the re-write must REPLACE the epoch's output, not
+    # duplicate it (ADVICE r2: pairs/bands/docs and the exchange parquet)
+    from kinesis_data_counter_spark.streaming.runner import (
+        _read_batch_keyed,
+        _write_batch_keyed,
+    )
+
+    root = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    _write_batch_keyed(df1, root, epoch=0)
+    _write_batch_keyed(df1, root, epoch=0)  # replay of the same epoch
+    _write_batch_keyed(
+        spark.createDataFrame([(3, "c")], "id long, v string"), root, epoch=1
+    )
+    got = sorted((r.id, r.v) for r in _read_batch_keyed(spark, root).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    assert "batch" not in _read_batch_keyed(spark, root).columns
+
+
 def test_json_parse_corrupt_routing(spark):
     df = spark.createDataFrame(
         [("1", '{"user_id": 7, "path": "/"}'),
