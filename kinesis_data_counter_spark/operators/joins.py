@@ -17,7 +17,13 @@ with ``last(ignorenulls=True)`` over a (key, time)-sorted window. Cost is
 ONE hash shuffle on the key plus an in-partition sort — the same exchange
 a sort-merge join would pay, with zero match explosion. Skewed keys are
 the caveat (a window cannot be salted transparently); for a key carrying
-a double-digit percent of the corpus, pre-split by time range instead.
+a double-digit percent of the corpus, pass ``split_every`` to pre-split
+each key's timeline into fixed-width buckets: the big window becomes
+per-(key, bucket) — bounded task size no matter how hot the key — and
+cross-bucket carry-forward is restored by a second, TINY window over one
+row per (key, bucket) whose result is joined back. Two cheap exchanges
+instead of one unbounded task; results are bit-identical to the unsplit
+path (``test_asof_skew_split_matches_unsplit``).
 """
 
 from __future__ import annotations
@@ -39,6 +45,7 @@ def asof_join(
     right_time: str,
     direction: str = "backward",
     right_prefix: str = "r_",
+    split_every: float | None = None,
 ) -> DataFrame:
     """Left as-of join: attach to each left row the right row with the
     greatest ``right_time`` <= ``left_time`` for the same key (``backward``,
@@ -48,9 +55,17 @@ def asof_join(
     (the matched ``right_time`` included, so callers can compute the gap).
     Left rows with no eligible right row keep nulls — LEFT ASOF semantics,
     matching DuckDB's ``ASOF LEFT JOIN``.
+
+    ``split_every`` (seconds for timestamp columns, native units for
+    numerics) enables the hot-key guard: each key's timeline is cut into
+    fixed-width buckets so no window task ever holds more than one
+    bucket's rows of the hottest key. Size it so
+    ``hot_key_rows × bucket_width / time_span`` fits one task comfortably.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if split_every is not None and not float(split_every) > 0:
+        raise ValueError(f"split_every must be > 0, got {split_every!r}")
 
     r_payload_cols = [c for c in right.columns if c != right_on]
     r_struct = F.struct(*[F.col(c) for c in r_payload_cols])
@@ -76,20 +91,72 @@ def asof_join(
     order = [F.col("__t").asc(), F.col("__side").asc()]
     if direction == "forward":
         order = [F.col("__t").desc(), F.col("__side").asc()]
-    w = (
-        Window.partitionBy("__key")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = (
-        u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
-        .filter(F.col("__side") == _SIDE_L)
-    )
+
+    if split_every is None:
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = (
+            u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+            .filter(F.col("__side") == _SIDE_L)
+        )
+    else:
+        matched = _asof_split(u, direction, float(split_every), order)
+
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     out_cols += [
         F.col(f"__m.{c}").alias(f"{right_prefix}{c}") for c in r_payload_cols
     ]
     return matched.select(*out_cols)
+
+
+def _asof_split(u: DataFrame, direction: str, split_every: float, order) -> DataFrame:
+    """Hot-key-safe as-of matching over the tagged union ``u``.
+
+    Pass 1: the carry-forward window runs per (key, time-bucket), so the
+    hottest key's rows are spread over ``span / split_every`` tasks.
+    Pass 2: one row per (key, bucket) — the bucket's boundary right-side
+    payload (latest for backward, earliest for forward) — flows through a
+    second window ordered by bucket to produce each bucket's carry-in:
+    the match for rows whose bucket has no earlier (later, for forward)
+    right row locally. The carry table is ~|keys|×|buckets| rows, orders
+    of magnitude smaller than ``u``, so its shuffle and the join back are
+    noise next to pass 1's exchange.
+    """
+    backward = direction == "backward"
+    u = u.withColumn(
+        "__bkt",
+        F.floor(F.col("__t").cast("double") / F.lit(split_every)).cast("long"),
+    )
+    w_local = (
+        Window.partitionBy("__key", "__bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # per-bucket boundary: struct max/min orders by __t first, so this is
+    # the bucket's last (backward) / first (forward) right-side payload
+    edge = F.when(F.col("__side") == _SIDE_R, F.struct("__t", "__r"))
+    bstate = u.groupBy("__key", "__bkt").agg(
+        (F.max(edge) if backward else F.min(edge)).alias("__b")
+    )
+    w_carry = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__bkt").asc() if backward else F.col("__bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = bstate.select(
+        "__key",
+        "__bkt",
+        F.last(F.col("__b.__r"), ignorenulls=True).over(w_carry).alias("__carry"),
+    )
+    return (
+        u.withColumn("__mloc", F.last("__r", ignorenulls=True).over(w_local))
+        .filter(F.col("__side") == _SIDE_L)
+        .join(carry, ["__key", "__bkt"], "left")
+        .withColumn("__m", F.coalesce("__mloc", "__carry"))
+    )
 
 
 def range_join_binned(

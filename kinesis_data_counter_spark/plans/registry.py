@@ -3237,6 +3237,35 @@ def _q_asof_forward_order(spark, sf_dir):
     )
 
 
+def _q_asof_split_skew(spark, sf_dir):
+    # asof_user_order through the hot-key pre-split path (split_every=30d):
+    # the per-key window becomes per-(key, month-bucket) and every event
+    # bucket (Jan 2024) matches via the carry-in join, since all order days
+    # live in earlier buckets (1995-2001) — the cross-bucket carry is the
+    # whole answer here. Must equal the unsplit asof_user_order oracle.
+    ev, od = _tables(spark, sf_dir, "events", "orders")
+    daily = od.groupBy("o_custkey", "o_orderdate").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    j = JN.asof_join(
+        ev.select("event_id", "ts", "user_id", "event_type"),
+        daily,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        split_every=30 * 86400,
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("r_o_orderdate").alias("n_matched"),
+        F.sum("r_n_orders").alias("sum_day_orders"),
+        F.round(
+            F.avg(F.datediff(F.to_date("ts"), F.to_date("r_o_orderdate"))), 4
+        ).alias("avg_gap_days"),
+    )
+
+
 def _q_sample_class_balance(spark, sf_dir):
     # class-imbalance fix (sampling.py::class_balance): every label
     # downsampled to the minority class size by stable md5 rank; the query
@@ -3409,6 +3438,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bucketed_recall": _q_knn_bucketed_recall,
     "sample_class_balance": _q_sample_class_balance,
     "asof_forward_order": _q_asof_forward_order,
+    "asof_split_skew": _q_asof_split_skew,
 }
 
 _HISTORY_ORACLES = {
@@ -3491,6 +3521,19 @@ WITH daily AS (
 SELECT event_type, count(*) AS n_events, count(next_date) AS n_matched,
   CAST(sum(n_orders) AS BIGINT) AS sum_day_orders,
   round(avg(date_diff('day', CAST(ts AS DATE), CAST(next_date AS DATE))), 4) AS avg_wait_days
+FROM j GROUP BY 1
+""",
+    "asof_split_skew": """
+WITH daily AS (
+  SELECT o_custkey, o_orderdate, count(*) AS n_orders FROM orders GROUP BY 1, 2
+), j AS (
+  SELECT e.event_type, e.ts, d.o_orderdate, d.n_orders
+  FROM events e ASOF LEFT JOIN daily d
+    ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+)
+SELECT event_type, count(*) AS n_events, count(o_orderdate) AS n_matched,
+  CAST(sum(n_orders) AS BIGINT) AS sum_day_orders,
+  round(avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(ts AS DATE))), 4) AS avg_gap_days
 FROM j GROUP BY 1
 """,
     "sample_class_balance": """

@@ -141,6 +141,71 @@ def test_asof_random_bulk_matches_pandas(spark, direction):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_skew_split_matches_unsplit(spark, direction):
+    # hot-key regime: one key carries ~50% of both sides. The split path
+    # (operators/joins.py:_asof_split) must return exactly what the
+    # single-window path returns, across several bucket widths including
+    # one so narrow that most buckets need the cross-bucket carry.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = dt.datetime(2022, 1, 1, tzinfo=UTC)
+    n = 3000
+    # 50% of left rows on key 0, remainder spread over 29 keys
+    lk = np.where(rng.random(n) < 0.5, 0, rng.integers(1, 30, n))
+    lt = rng.integers(0, 50_000, n)
+    left = spark.createDataFrame(
+        [(int(k), base + dt.timedelta(seconds=int(s)), i)
+         for i, (k, s) in enumerate(zip(lk, lt))],
+        "key int, ts timestamp, lid long",
+    )
+    rk = np.where(rng.random(1200) < 0.5, 0, rng.integers(1, 25, 1200))
+    rs = rng.integers(0, 50_000, 1200)
+    pairs = sorted({(int(k), int(s)) for k, s in zip(rk, rs)})
+    right = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s), float(k * 100000 + s))
+         for k, s in pairs],
+        "key int, qts timestamp, px double",
+    )
+
+    def run(**kw):
+        return (
+            asof_join(left, right, left_on="key", right_on="key",
+                      left_time="ts", right_time="qts",
+                      direction=direction, **kw)
+            .select("lid", "r_qts", "r_px")
+            .toPandas().sort_values("lid").reset_index(drop=True)
+        )
+
+    want = run()
+    for split in (100_000.0, 5_000.0, 97.0):  # 1 bucket / ~10 / ~500
+        got = run(split_every=split)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_asof_split_plan_is_bucketed(spark):
+    # the split path must window per (key, bucket) — never per key alone —
+    # so the hottest key's rows are spread across span/split_every tasks
+    left = spark.createDataFrame([(1, _t(5), "T1")], "key int, ts timestamp, trade_id string")
+    right = spark.createDataFrame([(1, _t(4), 1.0)], "key int, qts timestamp, px double")
+    plan = asof_join(
+        left, right, left_on="key", right_on="key",
+        left_time="ts", right_time="qts", split_every=60.0,
+    )._jdf.queryExecution().executedPlan().toString()
+    # pass-1 window partitions on the bucket column
+    assert "__bkt" in plan
+    first_window = plan[plan.index("Window"):]
+    assert "__bkt" in first_window.split("\n")[0]
+
+
+def test_asof_rejects_bad_split(spark):
+    left = spark.createDataFrame([(1, _t(5), "x")], "key int, ts timestamp, v string")
+    with pytest.raises(ValueError):
+        asof_join(left, left, left_on="key", right_on="key",
+                  left_time="ts", right_time="ts", split_every=0)
+
+
 def test_range_join_binned_containment_exact(spark):
     from kinesis_data_counter_spark.operators.joins import range_join_binned
 
