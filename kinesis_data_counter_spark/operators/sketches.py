@@ -3,7 +3,7 @@
 The reference's only sketch is HLL++ p=16 for ``approx_count_distinct``
 (counter.go:206-208), merged across shards via IntermediateRecord
 (counter.go:348-412). This module widens the same partial → exchange → merge
-topology to the two other sketch families Spark 4 ships natively:
+topology to the three other sketch families Spark 4 ships natively:
 
 - ``approx_top_k_accumulate / _combine / _estimate`` — heavy hitters. The
   state is mergeable, so the per-shard accumulate plays the reference's
@@ -15,6 +15,10 @@ topology to the two other sketch families Spark 4 ships natively:
   ``theta_union / theta_intersection / theta_difference`` — distinct
   counting like HLL, but closed under set algebra: |A ∩ B| and |A \\ B|
   are impossible with HLL sketches alone and one scalar call here.
+- ``kll_sketch_agg_double / kll_merge_agg_double`` — rank statistics.
+  Unlike ``percentile_approx`` (whose state dies with its job), a KLL
+  state is a column that can cross a job/storage boundary and merge later
+  — quantiles with the same two-level shard topology as the counters.
 
 Scale notes:
 - Both sketches do map-side partial aggregation: the shuffle carries one
@@ -87,6 +91,65 @@ def topk_two_level(
     return est.select(
         F.row_number().over(w).cast("int").alias("rank"), "item", "cnt"
     ).where(F.col("rank") <= k)
+
+
+def quantile_two_level(
+    df: DataFrame,
+    value_col: str | Column,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    group_col: str | Column | None = None,
+    shard_col: str | Column | None = None,
+    k: int = 200,
+) -> DataFrame:
+    """Mergeable quantiles via KLL — the partial → exchange → merge topology
+    (counter.go:348-412's shard hand-off) applied to rank statistics.
+
+    Per-shard ``kll_sketch_agg_double`` partials merge with
+    ``kll_merge_agg_double`` exactly like the HLL/theta counters, which is
+    what ``percentile_approx`` cannot do across a job/storage boundary: a
+    KLL state is a first-class column that can be parqueted between jobs.
+    State is O(k·log(n/k)) values (k=200 ≈ 1.65% normalized rank error);
+    the shuffle carries one state per (group × shard), never rows. While a
+    group's count stays under the compaction threshold the sketch holds
+    every value and the quantiles are exact.
+
+    Returns one row per (group, q): (group?, q double, est double).
+    """
+    cols = [_as_col(value_col).cast("double").alias("__v")]
+    gb: list[str] = []
+    if group_col is not None:
+        cols.append(_as_col(group_col).alias("__g"))
+        gb = ["__g"]
+    if shard_col is not None:
+        cols.append(_as_col(shard_col).alias("__shard"))
+    slim = df.select(*cols)
+    kc = F.lit(int(k))
+    if shard_col is None:
+        merged = slim.groupBy(*gb).agg(
+            F.kll_sketch_agg_double("__v", kc).alias("sk")
+        )
+    else:
+        partial = slim.groupBy(*gb, "__shard").agg(
+            F.kll_sketch_agg_double("__v", kc).alias("sk")
+        )
+        merged = partial.groupBy(*gb).agg(
+            F.kll_merge_agg_double("sk", kc).alias("sk")
+        )
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                F.kll_sketch_get_quantile_double("sk", F.lit(float(q))).alias(
+                    "est"
+                ),
+            )
+            for q in quantiles
+        ]
+    )
+    head = [F.col("__g").alias("group")] if gb else []
+    return merged.select(*head, F.explode(qarr).alias("e")).select(
+        *(["group"] if gb else []), F.col("e.q").alias("q"), F.col("e.est").alias("est")
+    )
 
 
 def theta_distinct_windowed(

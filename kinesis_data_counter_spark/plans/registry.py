@@ -3237,6 +3237,48 @@ def _q_asof_forward_order(spark, sf_dir):
     )
 
 
+def _q_quantile_rollup_value(spark, sf_dir):
+    # mergeable quantiles through the two-level shard topology: per-shard
+    # KLL partials (user_id % 32 plays the shard) merge to per-event_type
+    # p50/p95/p99. KLL is a randomized sketch, so (like the HLL/theta
+    # queries) the compared surface is within-rank-tolerance BOOLEANS: the
+    # estimate must land between the exact percentiles at q∓0.04 — k=200
+    # guarantees ±1.65% normalized rank error, so 4% is a safe margin.
+    (ev,) = _tables(spark, sf_dir, "events")
+    est = SK.quantile_two_level(
+        ev,
+        "value",
+        quantiles=(0.5, 0.95, 0.99),
+        group_col="event_type",
+        shard_col=F.col("user_id") % 32,
+    )
+    eps = 0.04
+    aggs = []
+    for q in (0.5, 0.95, 0.99):
+        tag = str(int(q * 100))
+        aggs += [
+            F.percentile("value", F.lit(max(0.0, q - eps))).alias(f"lo_{tag}"),
+            F.percentile("value", F.lit(min(1.0, q + eps))).alias(f"hi_{tag}"),
+        ]
+    b = ev.groupBy(F.col("event_type").alias("group")).agg(*aggs)
+    j = est.join(F.broadcast(b), "group")
+    lo = (
+        F.when(F.col("q") == 0.5, F.col("lo_50"))
+        .when(F.col("q") == 0.95, F.col("lo_95"))
+        .otherwise(F.col("lo_99"))
+    )
+    hi = (
+        F.when(F.col("q") == 0.5, F.col("hi_50"))
+        .when(F.col("q") == 0.95, F.col("hi_95"))
+        .otherwise(F.col("hi_99"))
+    )
+    return j.select(
+        F.col("group").alias("event_type"),
+        "q",
+        F.col("est").between(lo, hi).alias("ok"),
+    )
+
+
 def _q_asof_split_skew(spark, sf_dir):
     # asof_user_order through the hot-key pre-split path (split_every=30d):
     # the per-key window becomes per-(key, month-bucket) and every event
@@ -3439,6 +3481,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_class_balance": _q_sample_class_balance,
     "asof_forward_order": _q_asof_forward_order,
     "asof_split_skew": _q_asof_split_skew,
+    "quantile_rollup_value": _q_quantile_rollup_value,
 }
 
 _HISTORY_ORACLES = {
@@ -3522,6 +3565,11 @@ SELECT event_type, count(*) AS n_events, count(next_date) AS n_matched,
   CAST(sum(n_orders) AS BIGINT) AS sum_day_orders,
   round(avg(date_diff('day', CAST(ts AS DATE), CAST(next_date AS DATE))), 4) AS avg_wait_days
 FROM j GROUP BY 1
+""",
+    "quantile_rollup_value": """
+SELECT event_type, q, true AS ok
+FROM (SELECT DISTINCT event_type FROM events) e
+CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) t(q)
 """,
     "asof_split_skew": """
 WITH daily AS (

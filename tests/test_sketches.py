@@ -137,3 +137,56 @@ def test_cross_table_key_overlap_exact_at_small_cardinality(spark):
     b = spark.createDataFrame([(i,) for i in range(60, 200)], "k long")
     got = SK.cross_table_key_overlap(a, "k", b, "k").collect()[0]
     assert (got.n_a, got.n_b, got.n_common) == (100, 140, 40)
+
+
+def test_quantile_two_level_exact_under_compaction_threshold(spark):
+    # few values per group: the KLL state holds every value, so quantiles
+    # are exact — est == an actual input value at the requested rank
+    rows = [(i % 2, float(v)) for i, v in enumerate(range(100))]
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = {
+        (r["group"], r["q"]): r["est"]
+        for r in SK.quantile_two_level(
+            df, "v", quantiles=(0.5,), group_col="g"
+        ).collect()
+    }
+    # group 0 holds evens 0..98, group 1 odds 1..99; p50 of 50 values is
+    # the 25th or 26th order statistic — accept either rank convention
+    assert got[(0, 0.5)] in (48.0, 50.0)
+    assert got[(1, 0.5)] in (49.0, 51.0)
+
+
+def test_quantile_two_level_shard_merge_within_rank_tolerance(spark):
+    # 30k values across 16 shards: merged-estimate rank must sit within
+    # ±4% of the requested rank (k=200 guarantees ±1.65%)
+    rng = random.Random(11)
+    n = 30_000
+    rows = [(i % 16, rng.gauss(0.0, 1.0)) for i in range(n)]
+    df = spark.createDataFrame(rows, "shard int, v double")
+    vals = sorted(v for _, v in rows)
+    for r in SK.quantile_two_level(
+        df, "v", quantiles=(0.5, 0.95, 0.99), shard_col="shard"
+    ).collect():
+        q, est = r["q"], r["est"]
+        lo = vals[max(0, int((q - 0.04) * n) - 1)]
+        hi = vals[min(n - 1, int((q + 0.04) * n))]
+        assert lo <= est <= hi, (q, est, lo, hi)
+
+
+def test_quantile_two_level_sharded_state_is_mergeable(spark):
+    # the whole point vs percentile_approx: sharded partials merged later
+    # must agree with the unsharded sketch within tolerance on the same data
+    rows = [(i % 8, float(i) ** 1.5) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "shard int, v double")
+    n = 20_000
+    vals = sorted(float(i) ** 1.5 for i in range(n))
+    one = {r["q"]: r["est"] for r in SK.quantile_two_level(df, "v").collect()}
+    two = {
+        r["q"]: r["est"]
+        for r in SK.quantile_two_level(df, "v", shard_col="shard").collect()
+    }
+    for q in (0.5, 0.95, 0.99):
+        lo = vals[max(0, int((q - 0.04) * n) - 1)]
+        hi = vals[min(n - 1, int((q + 0.04) * n))]
+        assert lo <= one[q] <= hi
+        assert lo <= two[q] <= hi
