@@ -105,6 +105,20 @@ SHOWCASE: dict[str, str] = {
         "|queries|×k neighbor rows reach the ranking exchange, then a "
         "tiny vote aggregate."
     ),
+    "asof_split_skew": (
+        "Hot-key-guarded as-of join: the carry-forward Window partitions "
+        "on (key, time-bucket) — bounded task size for any key skew — and "
+        "the cross-bucket carry is a second Window over ONE row per "
+        "(key, bucket) joined back. Two bounded exchanges replace the "
+        "single unbounded per-key window task."
+    ),
+    "quantile_rollup_value": (
+        "Mergeable rank statistics: kll_sketch_agg_double partials per "
+        "(event_type, shard) merge via kll_merge_agg_double — "
+        "ObjectHashAggregate partial+final around bounded KLL states, the "
+        "exchange carries sketches, never value rows; exact-percentile "
+        "bounds arrive by broadcast."
+    ),
 }
 
 

@@ -251,3 +251,22 @@ def test_hll_rollup_scans_raw_data_once(spark, sf_dir):
     # parquet, for coarser levels: parquet scans = 1 (sketch pass) + 3
     # exact-verification aggregations, never more
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_quantile_rollup_exchange_carries_sketches(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "quantile_rollup_value")
+    # both aggregation levels are present: per-shard partials then the
+    # cross-shard merge — the exchange between them carries KLL states
+    assert "kll_sketch_agg_double" in plan
+    assert "kll_merge_agg_double" in plan
+    # exact-percentile bounds attach via broadcast, not a shuffled join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_split_windows_are_bucketed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "asof_split_skew")
+    # every Window node must partition on (key, bucket) or order by bucket
+    # — no unbounded per-key window task survives the split
+    for line in plan.splitlines():
+        if "WindowExec" in line or line.strip().startswith("Window "):
+            assert "__bkt" in line, line
