@@ -16,13 +16,20 @@ codegen-eligible instead of a per-row Python jq interpreter. Semantics are
 pinned by differential tests against the real jq binary
 (tests/test_jq_differential.py).
 
-Still outside the subset (raise :class:`JqUnsupported`): iteration
-(``.[]``), functions other than ``select``, string concatenation with
-``+`` (use interpolation), nested object values, and scalar pipelines
-(a program must end in an object — the reference emits records, not bare
-values). Callers may fall back to ``apply_jq_generic`` wrapping a Python
-jq library if one is available (none is bundled — the built-in subset
-covers the reference's entire observed usage).
+Multi-output iteration ``.path[]`` over an array-of-objects field is also
+compiled — to ``explode``, which IS the Spark shape of gojq's 0..n-outputs
+iterator loop (counter.go:439-466). NULL arrays iterate to nothing, i.e.
+the error-suppressing ``.path[]?`` form of jq (a per-row runtime error has
+no sane distributed equivalent).
+
+Still outside the subset (raise :class:`JqUnsupported`): bare ``.[]``
+(rows are objects, not arrays), array indexing (``.a[0]``), functions
+other than ``select``, string concatenation with ``+`` (use
+interpolation), nested object values, and scalar pipelines (a program
+must end record-shaped — the reference emits records, not bare values).
+Callers may fall back to ``apply_jq_generic`` wrapping a Python jq
+library if one is available (none is bundled — the built-in subset covers
+the reference's entire observed usage).
 """
 
 from __future__ import annotations
@@ -167,9 +174,16 @@ def _tokenize(src: str) -> list[tuple[str, object]]:
             continue
         if ch == ".":
             if i + 1 < n and src[i + 1] == "[":
-                raise JqUnsupported(f"iteration/index is not supported: {src[i:]!r}")
+                raise JqUnsupported(
+                    f"bare '.[]' is not supported (rows are objects, not "
+                    f"arrays — iterate a field with '.path[]'): {src[i:]!r}"
+                )
             toks.append(("dot", "."))
             i += 1
+            continue
+        if src.startswith("[]", i):
+            toks.append(("op", "[]"))
+            i += 2
             continue
         m = _NUM_RX.match(src, i)
         if m:
@@ -310,9 +324,11 @@ class _Parser:
             return ("identity",)
         if k == "path":
             self.next()
+            if self.accept("op", "[]"):
+                return ("iterate", v)
             return ("path", v)
         raise JqUnsupported(
-            f"unsupported stage (only select/object/path/'.'): {v!r}"
+            f"unsupported stage (only select/object/path/'.path[]'/'.'): {v!r}"
         )
 
     def parse_object(self):
@@ -551,39 +567,81 @@ def apply_jq(df: DataFrame, program: str | None) -> DataFrame:
                 )
             root = _resolve_path(st[1], df.schema)
             df = df.select(*[root.getField(f.name).alias(f.name) for f in sub.fields])
+        elif kind == "iterate":
+            # multi-output iteration (gojq's iterator loop,
+            # counter.go:439-466) IS Spark's explode: one output record
+            # per array element, zero for an empty/NULL array. Elements
+            # must be objects so the pipeline stays record-shaped.
+            sub = _schema_subtype(df.schema, st[1])
+            if not isinstance(sub, T.ArrayType) or not isinstance(
+                sub.elementType, T.StructType
+            ):
+                raise JqUnsupported(
+                    f"iterate stage {'.'.join(st[1])!r}[] must be an "
+                    "array of objects"
+                )
+            root = _resolve_path(st[1], df.schema)
+            df = df.select(F.explode(root).alias("__e")).select("__e.*")
     return df
 
 
 # --- dict evaluator (Lambda-handler per-record path) -----------------------
 
 
-def eval_jq_object(program: str | None, obj: dict) -> dict | None:
-    """Evaluate the same compiled subset on ONE output object (the
-    Lambda-handler path, handler.py), returning the transformed dict or
-    None when a ``select`` filtered it out — in lockstep with ``apply_jq``
-    so batch and per-record outputs agree."""
+def eval_jq_stream(program: str | None, obj: dict) -> list[dict]:
+    """Evaluate the compiled subset on ONE input object, returning 0..n
+    output objects — the dict twin of ``apply_jq`` including multi-output
+    ``.path[]`` iteration (each stage maps every current record to 0..n
+    next records, exactly like gojq's iterator loop)."""
     if not program:
-        return obj
-    cur: dict | None = obj
+        return [obj]
+    outs: list[dict] = [obj]
     for st in parse_jq_program(program):
-        if cur is None:
-            return None
         kind = st[0]
         if kind == "identity":
             continue
-        if kind == "select":
-            if not _eval_truthy(_eval_expr(st[1], cur)):
-                return None
-        elif kind == "obj":
-            cur = {k: _eval_expr(e, cur) for k, e in st[1]}
-        elif kind == "path":
-            nxt = _eval_path(st[1], cur)
-            if not isinstance(nxt, dict):
-                raise JqUnsupported(
-                    f"path stage {'.'.join(st[1])!r} must yield an object"
-                )
-            cur = nxt
-    return cur
+        nxt_outs: list[dict] = []
+        for cur in outs:
+            if kind == "select":
+                if _eval_truthy(_eval_expr(st[1], cur)):
+                    nxt_outs.append(cur)
+            elif kind == "obj":
+                nxt_outs.append({k: _eval_expr(e, cur) for k, e in st[1]})
+            elif kind == "path":
+                nxt = _eval_path(st[1], cur)
+                if not isinstance(nxt, dict):
+                    raise JqUnsupported(
+                        f"path stage {'.'.join(st[1])!r} must yield an object"
+                    )
+                nxt_outs.append(nxt)
+            elif kind == "iterate":
+                arr = _eval_path(st[1], cur)
+                if arr is None:
+                    continue  # NULL array ≡ empty, matching explode
+                if not isinstance(arr, list) or any(
+                    not isinstance(e, dict) for e in arr
+                ):
+                    raise JqUnsupported(
+                        f"iterate stage {'.'.join(st[1])!r}[] must be an "
+                        "array of objects"
+                    )
+                nxt_outs.extend(arr)
+        outs = nxt_outs
+    return outs
+
+
+def eval_jq_object(program: str | None, obj: dict) -> dict | None:
+    """Single-output form of :func:`eval_jq_stream` (the Lambda-handler
+    path, handler.py — counter output rows are flat, so iteration can
+    never multiply them): the transformed dict, or None when a ``select``
+    filtered it out. A program that emits more than one record here is a
+    caller bug — use ``eval_jq_stream``."""
+    outs = eval_jq_stream(program, obj)
+    if len(outs) > 1:
+        raise JqUnsupported(
+            "program is multi-output; use eval_jq_stream for '.path[]'"
+        )
+    return outs[0] if outs else None
 
 
 def _eval_path(parts: tuple[str, ...], obj):

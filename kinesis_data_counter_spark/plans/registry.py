@@ -173,6 +173,36 @@ def _q_counter_jq_select(spark, sf_dir):
     return build_counter(ev, spec, ts_col="ts")
 
 
+def _q_counter_jq_iterate(spark, sf_dir):
+    # F8 widened further (round 3): multi-output '.path[]' iteration —
+    # gojq's 0..n-outputs iterator loop (counter.go:439-466) compiled to
+    # explode. Hourly per-type counts are packed as an array on each window
+    # row, then the jq pipeline un-nests, filters, and reshapes them; the
+    # oracle computes the flat equivalent directly.
+    from kinesis_data_counter_spark.jq import apply_jq
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    win = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rec = win.select(
+        "w",
+        F.struct(
+            F.unix_millis("w.start").alias("window_start"),
+            F.col("event_type"),
+            F.col("n"),
+        ).alias("r"),
+    )
+    packed = rec.groupBy("w").agg(F.collect_list("r").alias("counts")).select(
+        "counts"
+    )
+    return apply_jq(
+        packed,
+        '.counts[] | select(.n >= 5) | '
+        '{ws: .window_start, name: "hourly.\\(.event_type)", n: .n}',
+    )
+
+
 def _hll_ok(approx, exact):
     return (F.abs(approx - exact) <= F.greatest(F.lit(1.0), F.lit(HLL_TOL) * exact)).alias("ok")
 
@@ -401,6 +431,12 @@ SELECT 'hourly.req_count' AS name,
        count(*) AS value
 FROM events GROUP BY date_trunc('hour', ts)
 HAVING count(*) > 5
+""",
+    "counter_jq_iterate": """
+SELECT epoch_ms(date_trunc('hour', ts)) AS ws,
+       'hourly.' || event_type AS name,
+       count(*) AS n
+FROM events GROUP BY 1, 2 HAVING count(*) >= 5
 """,
     "counter_distinct_user": """
 SELECT epoch_ms(date_trunc('hour', ts)) AS window_start,
@@ -3371,6 +3407,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_variant_props": _q_counter_variant_props,
     "counter_jq_reshape": _q_counter_jq_reshape,
     "counter_jq_select": _q_counter_jq_select,
+    "counter_jq_iterate": _q_counter_jq_iterate,
     "counter_distinct_user": _q_counter_distinct_user,
     "counter_distinct_expr": _q_counter_distinct_expr,
     "counter_two_level": _q_counter_two_level,

@@ -146,3 +146,75 @@ def test_generic_fallback_is_import_gated(spark):
     else:
         with pytest.raises(ImportError, match="apply_jq subset"):
             apply_jq_generic(df, ".a")
+
+
+# --- round-3 widening: multi-output '.path[]' iteration --------------------
+
+NROWS = [
+    {"order_id": 1, "value": 42,
+     "items": [{"sku": "a", "qty": 1}, {"sku": "b", "qty": 3}]},
+    {"order_id": 2, "value": 7, "items": []},
+    {"order_id": 3, "value": 12, "items": [{"sku": "c", "qty": 2}]},
+]
+NSCHEMA = "order_id long, value long, items array<struct<sku string, qty long>>"
+
+ITER_PROGRAMS = [
+    ".items[]",
+    ".items[] | {s: .sku, q: (.qty * 2)}",
+    "select(.value > 10) | .items[] | {s: .sku}",
+    ".items[] | select(.qty >= 2) | {s: .sku, q: .qty}",
+    "{v: .value, items: .items} | .items[]",
+]
+
+
+def _ntuples():
+    return [(r["order_id"], r["value"],
+             [(i["sku"], i["qty"]) for i in r["items"]]) for r in NROWS]
+
+
+@pytest.mark.skipif(JQ is None, reason="jq binary not available")
+@pytest.mark.parametrize("program", ITER_PROGRAMS)
+def test_iteration_matches_real_jq(spark, program):
+    df = spark.createDataFrame(_ntuples(), NSCHEMA).coalesce(1)
+    got = [r.asDict() for r in apply_jq(df, program).collect()]
+    want = [o for r in NROWS for o in _real_jq(program, r)]
+    assert got == want
+
+
+@pytest.mark.skipif(JQ is None, reason="jq binary not available")
+@pytest.mark.parametrize("program", ITER_PROGRAMS)
+def test_stream_evaluator_matches_real_jq(program):
+    from kinesis_data_counter_spark.jq import eval_jq_stream
+
+    for row in NROWS:
+        assert eval_jq_stream(program, dict(row)) == _real_jq(program, row)
+
+
+def test_iterate_null_array_is_empty_like_jq_optional(spark):
+    # strict jq errors on 'null | .[]'; the distributed form has no per-row
+    # error channel, so NULL iterates to nothing — jq's '.items[]?' form
+    from kinesis_data_counter_spark.jq import eval_jq_stream
+
+    df = spark.createDataFrame(
+        [(1, None)], "order_id long, items array<struct<sku string>>"
+    )
+    assert apply_jq(df, ".items[]").count() == 0
+    assert eval_jq_stream(".items[]", {"order_id": 1, "items": None}) == []
+
+
+def test_iterate_rejects_scalar_elements_and_bare_dot(spark):
+    df = spark.createDataFrame(
+        [(1, ["x", "y"])], "order_id long, tags array<string>"
+    )
+    with pytest.raises(JqUnsupported):
+        apply_jq(df, ".tags[]")
+    with pytest.raises(JqUnsupported):
+        apply_jq(df, ".[]")
+
+
+def test_eval_jq_object_refuses_multi_output():
+    from kinesis_data_counter_spark.jq import JqUnsupported as JU
+    from kinesis_data_counter_spark.jq import eval_jq_object
+
+    with pytest.raises(JU, match="multi-output"):
+        eval_jq_object(".items[]", dict(NROWS[0]))
