@@ -190,3 +190,32 @@ def test_quantile_two_level_sharded_state_is_mergeable(spark):
         hi = vals[min(n - 1, int((q + 0.04) * n))]
         assert lo <= one[q] <= hi
         assert lo <= two[q] <= hi
+
+
+def test_quantile_partials_survive_a_storage_boundary(spark, tmp_path):
+    # the claim vs percentile_approx: the KLL state is a first-class BINARY
+    # column. Partials written to parquet by one job and merged by another
+    # must estimate within the same rank tolerance as the in-job path.
+    rng = random.Random(3)
+    n = 24_000
+    rows = [(i % 6, f"s{i % 8}", rng.uniform(0, 1000.0)) for i in range(n)]
+    df = spark.createDataFrame(rows, "g int, shard string, v double")
+    p = str(tmp_path / "kll_partials")
+    SK.quantile_partials(df, "v", group_col="g", shard_col="shard").write.parquet(p)
+    # "different job": only the parqueted states cross the boundary
+    est = {
+        (r["group"], r["q"]): r["est"]
+        for r in SK.merge_quantile_partials(
+            spark.read.parquet(p), quantiles=(0.5, 0.99)
+        ).collect()
+    }
+    per_g: dict[int, list[float]] = {}
+    for g, _, v in rows:
+        per_g.setdefault(g, []).append(v)
+    for g, vals in per_g.items():
+        vals.sort()
+        m = len(vals)
+        for q in (0.5, 0.99):
+            lo = vals[max(0, int((q - 0.04) * m) - 1)]
+            hi = vals[min(m - 1, int((q + 0.04) * m))]
+            assert lo <= est[(g, q)] <= hi, (g, q)
