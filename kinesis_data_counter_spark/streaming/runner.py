@@ -180,6 +180,58 @@ def stream_two_level(
     return merge_partials(_read_batch_keyed(spark, exchange_dir), spec)
 
 
+def stream_quantile_rollup(
+    spark: SparkSession,
+    path: str,
+    exchange_dir: str,
+    value_col: str = "value",
+    group_col: str | None = "event_type",
+    shard_col: str | None = None,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    k: int = 200,
+    ts_col: str = "ts",
+    max_files_per_trigger: int | None = 1,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """``stream_two_level`` for rank statistics: per-micro-batch KLL
+    partials (operators/sketches.py::quantile_partials) appended to the
+    exchange — batch-keyed, so replays overwrite, not duplicate — and
+    merged by a second job via ``merge_quantile_partials``.
+
+    The exchange holds (groups × shards × micro-batches) bounded KLL
+    states, never value rows; this is the streaming shape
+    ``percentile_approx`` cannot take, since its aggregation state cannot
+    leave its job.
+    """
+    from kinesis_data_counter_spark.operators import sketches as SK
+
+    sdf = _read_stream(spark, path, ts_col, max_files_per_trigger)
+
+    def _emit(batch_df: DataFrame, epoch: int) -> None:
+        _write_batch_keyed(
+            SK.quantile_partials(
+                batch_df, value_col, group_col=group_col, shard_col=shard_col, k=k
+            ),
+            exchange_dir,
+            epoch,
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", exchange_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive
+            q.stop()
+    return SK.merge_quantile_partials(
+        _read_batch_keyed(spark, exchange_dir), quantiles=quantiles, k=k
+    )
+
+
 def _write_batch_keyed(df: DataFrame, root: str, epoch: int) -> None:
     """Idempotent foreachBatch append: each batch OVERWRITES its own
     ``batch=<id>`` subdirectory, so a batch replayed after a crash between

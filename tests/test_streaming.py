@@ -595,3 +595,32 @@ def test_stream_neardup_index_matches_oneshot(spark, sf_dir, tmp_path):
         == docs.count() * 24
     assert spark.read.parquet(str(tmp_path / "curation" / "docs")).count() \
         == docs.count()
+
+
+def test_stream_quantile_rollup_within_rank_tolerance(spark, sf_dir, tmp_path):
+    # KLL states as the exchange payload: several micro-batches append
+    # partial sketches, a second job merges them — estimates must sit
+    # within the k=200 rank tolerance of the exact batch percentiles
+    from kinesis_data_counter_spark.streaming.runner import stream_quantile_rollup
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    src = str(tmp_path / "events_q")
+    ev.repartition(4).write.parquet(src)
+
+    est = {
+        (r["group"], r["q"]): r["est"]
+        for r in stream_quantile_rollup(
+            spark, src, str(tmp_path / "exchange_q"), quantiles=(0.5, 0.95)
+        ).collect()
+    }
+    vals: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(float(r["value"]))
+    assert set(g for g, _ in est) == set(vals)
+    for g, vs in vals.items():
+        vs.sort()
+        m = len(vs)
+        for q in (0.5, 0.95):
+            lo = vs[max(0, int((q - 0.04) * m) - 1)]
+            hi = vs[min(m - 1, int((q + 0.04) * m))]
+            assert lo <= est[(g, q)] <= hi, (g, q)
