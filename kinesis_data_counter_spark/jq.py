@@ -182,8 +182,11 @@ def _tokenize(src: str) -> list[tuple[str, object]]:
             i += 1
             continue
         if src.startswith("[]", i):
+            # '[]' and '[]?' compile identically: the distributed form has
+            # no per-row error channel, so iteration is always the
+            # error-suppressing '?' variant (module docstring)
             toks.append(("op", "[]"))
-            i += 2
+            i += 3 if src.startswith("[]?", i) else 2
             continue
         m = _NUM_RX.match(src, i)
         if m:

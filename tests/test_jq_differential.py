@@ -164,6 +164,7 @@ ITER_PROGRAMS = [
     "select(.value > 10) | .items[] | {s: .sku}",
     ".items[] | select(.qty >= 2) | {s: .sku, q: .qty}",
     "{v: .value, items: .items} | .items[]",
+    ".items[]? | {s: .sku}",  # '?' spelling — identical compiled semantics
 ]
 
 
