@@ -3678,18 +3678,22 @@ _SHOWCASE_ORDER = [
     # reference-parity counter core (A1-A8, F1-F8)
     "counter_count_all", "counter_count_column", "counter_count_expr",
     "counter_count_expr_nonbool", "counter_json_props",
-    "counter_variant_props", "counter_jq_reshape", "counter_distinct_user",
+    "counter_variant_props", "counter_jq_reshape", "counter_jq_iterate",
+    "counter_distinct_user",
     "counter_distinct_expr", "counter_two_level", "counter_partial_merge",
-    # sketch topologies
-    "counter_topk_users", "counter_topk_windowed", "counter_distinct_theta",
+    # sketch topologies (topk_windowed stays green outside the head; its
+    # slot shows the round-3 mergeable-KLL quantile rollup instead)
+    "counter_topk_users", "quantile_rollup_value", "counter_distinct_theta",
     "theta_set_ops_users", "hll_rollup_hierarchy",
     # routing / config / streaming
     "counter_multi_fanout", "config_pipeline", "streaming_counter",
     "streaming_stateful_counts",
     # sources & wire formats
     "json_bad_records", "kpl_roundtrip", "counter_replay_source",
-    # relational representatives (rest of TPC-H follows after the head)
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "asof_user_order",
+    # relational representatives (rest of TPC-H follows after the head;
+    # scan-bound tpch_q6 cedes its slot to the round-3 as-of hot-key guard)
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q18", "asof_user_order",
+    "asof_split_skew",
     # time windows & skew
     "window_sliding", "window_session", "window_rank_orders",
     "counter_salted_skew",
@@ -3699,8 +3703,8 @@ _SHOWCASE_ORDER = [
     # similarity search (ann_quantized_recall stays green outside the head;
     # the slot shows the round-3 bucketed-kNN property instead)
     "ann_cosine_topk", "ann_ivf_recall", "knn_bucketed_recall",
-    # text analysis
-    "text_lang_id", "text_quality", "text_tfidf", "text_token_stats",
+    # text analysis (token_stats stays green outside the head)
+    "text_lang_id", "text_quality", "text_tfidf",
     # corpus curation + multimodal + CDC
     "corpus_clean", "corpus_pack_sequences", "multimodal_resize",
     "scd2_user_state",

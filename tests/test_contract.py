@@ -55,6 +55,7 @@ def test_coverage_doc_names_resolve():
             "hll_sketch_agg", "hll_union_agg", "approx_count_distinct",
             "arn_test", "session_window", "transformWithState",
             "applyInPandasWithState", "batchItemFailures", "config_pipeline",
+            "quantile_partials", "merge_quantile_partials",
         }
     }
     assert ghosts == set(), f"COVERAGE.md references unknown queries: {ghosts}"
