@@ -94,3 +94,50 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             "(col_name, n_nulls, n_distinct, min_num, max_num)"
         )
     )
+
+
+def profile_key_skew(
+    df: DataFrame, key_col: str, top: int = 10, tasks: int = 32
+) -> DataFrame:
+    """Shuffle-skew precheck: the hottest ``top`` keys of ``key_col`` with
+    their row share and a salt-factor hint.
+
+    Before shuffling 100 TB on a key (join or groupBy), this one pass
+    answers "will a single task drown": the per-key count pays the SAME
+    hash exchange the real operation would, so its distribution IS the
+    task-load distribution that operation will see. The top-N runs as
+    TakeOrderedAndProject (per-partition heap + driver merge of
+    partitions × top rows) — never a global sort of the key domain.
+
+    ``salt_factor`` = ceil(share × tasks), clamped to ≥1: the number of
+    salt buckets that bring the hot key's largest salted slice down to an
+    average task's load at ``tasks``-way parallelism (windows.py's
+    salted-aggregation pattern consumes exactly this number).
+
+    Output: (rank int, key string, n bigint, share double, salt_factor int).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top_df = counts.orderBy(F.desc("n"), F.asc("key")).limit(int(top))
+    tot = counts.agg(F.sum("n").alias("__t"))
+    w = Window.orderBy(F.desc("n"), F.asc("key"))  # ≤ top rows by now
+    return (
+        top_df.withColumn("rank", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("__t"), 6).alias("share"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("n") * int(tasks) / F.col("__t")),
+            )
+            .cast("int")
+            .alias("salt_factor"),
+        )
+    )

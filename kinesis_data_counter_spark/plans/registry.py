@@ -3181,6 +3181,17 @@ def _q_profile_events(spark, sf_dir):
     return profile_columns(ev)
 
 
+def _q_profile_key_skew(spark, sf_dir):
+    # shuffle-skew precheck (metrics.py::profile_key_skew): hottest join/agg
+    # keys with row share + the salt factor the salted-agg pattern consumes;
+    # the count pays the exact exchange the real operation would, and the
+    # top-N is TakeOrderedAndProject, never a global sort of the key domain
+    from kinesis_data_counter_spark.metrics import profile_key_skew
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    return profile_key_skew(ev, "event_type", top=5)
+
+
 def _q_counter_replay_source(spark, sf_dir):
     # S1 end-to-end through the custom Python data source: events are
     # written to Kinesis-shaped shard files THROUGH the distributed batch
@@ -3513,6 +3524,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_cardinality_sketch": _q_join_cardinality_sketch,
     "counter_replay_source": _q_counter_replay_source,
     "profile_events": _q_profile_events,
+    "profile_key_skew": _q_profile_key_skew,
     "knn_label_propagation": _q_knn_label_propagation,
     "knn_bucketed_recall": _q_knn_bucketed_recall,
     "sample_class_balance": _q_sample_class_balance,
@@ -3574,6 +3586,15 @@ UNION ALL SELECT 'user_id', CAST(n_user_id AS BIGINT), CAST(d_user_id AS BIGINT)
 UNION ALL SELECT 'event_type', CAST(n_event_type AS BIGINT), CAST(d_event_type AS BIGINT), NULL, NULL FROM m
 UNION ALL SELECT 'value', CAST(n_value AS BIGINT), CAST(d_value AS BIGINT), lo_value, hi_value FROM m
 UNION ALL SELECT 'props', CAST(n_props AS BIGINT), CAST(d_props AS BIGINT), NULL, NULL FROM m
+""",
+    "profile_key_skew": """
+WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS n
+           FROM events GROUP BY 1),
+t AS (SELECT sum(n) AS tot FROM c),
+r AS (SELECT key, n, CAST(row_number() OVER (ORDER BY n DESC, key) AS INT) AS rank FROM c)
+SELECT rank, key, n, round(n / tot, 6) AS share,
+       CAST(greatest(1, ceil(n * 32 / tot)) AS INT) AS salt_factor
+FROM r, t WHERE rank <= 5
 """,
     "counter_replay_source": """
 SELECT epoch_ms(date_trunc('hour', ts)) AS window_start,

@@ -55,3 +55,28 @@ def test_profile_columns_one_pass(spark):
     assert prof["v"].max_num == 7.5
     assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
     assert prof["s"].min_num is None  # non-numeric: no collation-dependent range
+
+
+def test_profile_key_skew_counts_and_salt(spark):
+    from kinesis_data_counter_spark.metrics import profile_key_skew
+
+    # one key holds 64/100 rows: share .64, salt = ceil(.64*32) = 21
+    rows = [("hot",)] * 64 + [(f"k{i}",) for i in range(36)]
+    df = spark.createDataFrame(rows, "k string")
+    got = profile_key_skew(df, "k", top=3).collect()
+    assert [(r["rank"], r["key"], r["n"]) for r in got] == [
+        (1, "hot", 64), (2, "k0", 1), (3, "k1", 1)]
+    assert got[0]["share"] == 0.64 and got[0]["salt_factor"] == 21
+    assert got[1]["salt_factor"] == 1
+
+
+def test_profile_key_skew_plan_has_no_global_sort(spark):
+    from pyspark.sql import functions as F
+
+    from kinesis_data_counter_spark.metrics import profile_key_skew
+
+    df = spark.range(1000).select((F.col("id") % 7).alias("k"))
+    plan = profile_key_skew(df, "k")._jdf.queryExecution().executedPlan().toString()
+    # the top-N must be a per-partition heap, never a full key-domain sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
