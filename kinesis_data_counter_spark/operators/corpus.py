@@ -168,6 +168,77 @@ def pack_sequences(
     )
 
 
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """Cross-document segment-level exact dedup (the C4/CCNet line-dedup
+    pattern): split every document into fixed ``chunk_words``-word
+    segments, keep each distinct segment's globally FIRST occurrence
+    (ordered by (doc_id, position)), drop every other occurrence, and
+    reassemble the surviving segments per document.
+
+    Unlike whole-document dedup this removes boilerplate and copied spans
+    *inside* otherwise-distinct documents — near-dup docs share long runs
+    of identical chunks even when the full texts differ. Word-aligned
+    fixed chunks stand in for the newline-split of real web text (the
+    fixtures are single-line word streams); production callers on
+    line-structured text would split on ``\\n`` upstream and feed lines.
+
+    Plan shape (no Python anywhere):
+      split → chunk via ``transform(sequence(...))`` → posexplode
+      → groupBy(chunk).agg(min(struct(doc_id, pos)))  [one shuffle on chunk]
+      → equi-join back on (chunk, doc, pos) to mark survivors
+      → groupBy(doc).collect_list → array_sort → array_join [one shuffle on doc]
+
+    First-occurrence selection is a map-side-combinable min-agg, NOT a
+    global window — no single-partition funnel; both shuffles are plain
+    hash exchanges that scale with the data.
+
+    Returns one row per input doc:
+    (doc_id, text_out, n_kept int, n_dropped int); ``text_out`` is ''
+    when every segment of the doc appeared earlier elsewhere.
+    """
+    cw = int(chunk_words)
+    ws = F.split(F.col(text_col), " ")
+    chunks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.ceil(F.size(ws) / F.lit(cw)).cast("int")),
+                lambda i: F.array_join(
+                    F.slice(ws, (i - F.lit(1)) * F.lit(cw) + F.lit(1), cw), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    first = chunks.groupBy("chunk").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("f")
+    )
+    marked = chunks.join(first, "chunk").withColumn(
+        "__keep",
+        (F.col("f")[id_col] == F.col(id_col)) & (F.col("f.pos") == F.col("pos")),
+    )
+    out = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("pos", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text_out"),
+        F.count_if(F.col("__keep")).cast("int").alias("n_kept"),
+        F.count_if(~F.col("__keep")).cast("int").alias("n_dropped"),
+    )
+    return out
+
+
 def erase_subjects(
     df: DataFrame,
     subjects: DataFrame,

@@ -159,6 +159,54 @@ def _asof_split(u: DataFrame, direction: str, split_every: float, order) -> Data
     )
 
 
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    num_buckets: int = 1 << 22,
+    num_hashes: int = 2,
+) -> DataFrame:
+    """Inner join with an explicit Bloom-style runtime filter on the fact side.
+
+    The 100 TB join problem is rarely the join itself — it is scanning and
+    shuffling fact rows that cannot possibly match a selective dim side.
+    Spark injects this reduction itself when stats allow
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``); this operator is
+    the explicit, always-on form for when the dim side is known-selective
+    (the planner's heuristics don't fire on e.g. a filtered subquery with
+    no stats). ``bloom_filter_agg`` is not SQL-registered in OSS Spark, so
+    the filter is a *bucket set*: each dim key marks ``num_hashes`` buckets
+    (``xxhash64(key, seed) % num_buckets``), the distinct bucket set is
+    broadcast, and a fact row survives only if ALL its buckets are present
+    — the Bloom membership rule, as chained broadcast LEFT SEMI joins that
+    Catalyst executes as in-memory hash probes with zero extra shuffle.
+    False positives (collisions) are removed by the exact equi-join that
+    follows, so the result is identical to the plain join; false negatives
+    are impossible.
+
+    Sizing: the broadcast set is ≤ min(num_buckets, num_hashes × |dim|)
+    longs. With the default 4M buckets and a 100k-key dim side, FP rate
+    ≈ (2·10^5/4·10^6)^2 ≈ 0.25% — the fact shuffle shrinks to ~the true
+    match set. Only worthwhile when the dim side is much smaller than the
+    fact side; with a non-selective dim the semi joins are a wasted probe
+    pass (they never change the result either way).
+    """
+    nb, nh = int(num_buckets), int(num_hashes)
+    keys = dim.select(F.col(dim_key).alias("__k")).filter(
+        F.col("__k").isNotNull()
+    )
+    pruned = fact
+    for i in range(nh):
+        buckets = keys.select(
+            F.pmod(F.xxhash64("__k", F.lit(i)), F.lit(nb)).alias("__b")
+        ).distinct()
+        pruned = pruned.withColumn(
+            "__b", F.pmod(F.xxhash64(F.col(fact_key), F.lit(i)), F.lit(nb))
+        ).join(F.broadcast(buckets), "__b", "left_semi").drop("__b")
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")
+
+
 def range_join_binned(
     points: DataFrame,
     intervals: DataFrame,

@@ -379,6 +379,101 @@ def hll_rollup_hierarchy(
     return hour_rows.unionByName(day_rows).unionByName(total_rows)
 
 
+def cms_partials(
+    df: DataFrame,
+    item_col: str | Column,
+    depth: int = 4,
+    hex_chars: int = 2,
+    shard_col: str | Column | None = None,
+) -> DataFrame:
+    """Level-1 count-min sketch partials — the frequency twin of the
+    reference's per-shard HLL hand-off (counter.go:483-512).
+
+    A CMS is ``depth`` hash rows × ``width`` counters; a cell is the count
+    of items hashing into that bucket, and a point estimate is the MIN over
+    the depth rows (never an undercount; overcounts bounded by collisions,
+    E[err] ≤ N/width per row). Here a bucket is the first ``hex_chars``
+    chars of ``md5(salt_d || ':' || item)`` — width = 16^hex_chars — so the
+    identical sketch is computable in any engine with md5 (the DuckDB
+    oracle replays it bit-for-bit; same trick as the md5 sampling tickets).
+
+    Output: one row per (shard_id, d, bucket) with its partial count —
+    mergeable by plain ``sum``, exactly like the reference's mergeable
+    RowCount states (counter.go:372-379). The exchange carries at most
+    shards × depth × width bounded rows, never raw items; at 100 TB pick
+    hex_chars=4 (width 65 536, ≈0.004% of N expected overcount per row).
+
+    All JVM-side expressions (md5/substr/concat), no Python in the path.
+    """
+    v = _as_col(item_col).cast("string")
+    cols = [v.alias("__item")]
+    if shard_col is not None:
+        cols.append(_as_col(shard_col).cast("string").alias("shard_id"))
+    else:
+        cols.append(F.lit("").alias("shard_id"))
+    slim = df.select(*cols).filter(F.col("__item").isNotNull())
+    rows = slim.select(
+        "shard_id",
+        F.explode(
+            F.array(*[F.lit(d) for d in range(int(depth))])
+        ).alias("d"),
+        "__item",
+    ).select(
+        "shard_id",
+        "d",
+        F.substring(
+            F.md5(F.concat(F.lit("cms"), F.col("d").cast("string"),
+                           F.lit(":"), F.col("__item"))),
+            1, int(hex_chars),
+        ).alias("bucket"),
+    )
+    return rows.groupBy("shard_id", "d", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_merge(partials: DataFrame) -> DataFrame:
+    """Level-2: merge CMS partials across shards (≈ aggregateProcess,
+    counter.go:348-412) — cellwise sum, the CMS merge operation."""
+    return partials.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_point_estimates(
+    merged: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    hex_chars: int = 2,
+) -> DataFrame:
+    """Point-query a merged CMS for each row of ``items``.
+
+    Re-derives each item's bucket per depth row, equi-joins the (d, bucket)
+    cells, and takes the min across depth — the CMS estimate, guaranteed
+    ≥ the true count. The join is items × depth rows against a bounded
+    (depth × width) cell table: broadcast-sized by construction, so the
+    probe never shuffles the item set.
+
+    Returns one row per item: (item string, est bigint).
+    """
+    probes = items.select(
+        F.col(item_col).cast("string").alias("item")
+    ).filter(F.col("item").isNotNull()).distinct().select(
+        "item",
+        F.explode(F.array(*[F.lit(d) for d in range(int(depth))])).alias("d"),
+    ).select(
+        "item",
+        "d",
+        F.substring(
+            F.md5(F.concat(F.lit("cms"), F.col("d").cast("string"),
+                           F.lit(":"), F.col("item"))),
+            1, int(hex_chars),
+        ).alias("bucket"),
+    )
+    # merged CMS is ≤ depth × 16^hex_chars rows — always broadcastable
+    joined = probes.join(F.broadcast(merged), ["d", "bucket"], "inner")
+    return joined.groupBy("item").agg(F.min("cnt").cast("bigint").alias("est"))
+
+
 def cross_table_key_overlap(
     a: DataFrame, a_key: str, b: DataFrame, b_key: str
 ) -> DataFrame:

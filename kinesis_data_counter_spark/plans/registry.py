@@ -560,6 +560,29 @@ SELECT epoch_ms(date_trunc('hour', ts)) AS window_start,
        count(*) AS value
 FROM events GROUP BY 1, 2, 3, 4
 """,
+    # replay of the exact md5-bucket CMS (depth 4 × width 16^2): the sketch
+    # arithmetic is engine-portable, so cells, estimates, and the one-sided
+    # error flag all match bit-for-bit
+    "cms_heavy_hitters": """
+WITH ds AS (SELECT unnest(range(4)) AS d),
+src AS (SELECT CAST(event_type AS VARCHAR) AS item FROM events WHERE event_type IS NOT NULL),
+cells AS (
+  SELECT d, substr(md5('cms' || d || ':' || item), 1, 2) AS bucket, count(*) AS cnt
+  FROM src CROSS JOIN ds GROUP BY 1, 2
+),
+items AS (SELECT DISTINCT item FROM src),
+est AS (
+  SELECT i.item, min(c.cnt) AS est
+  FROM items i
+  CROSS JOIN ds
+  JOIN cells c ON c.d = ds.d
+              AND c.bucket = substr(md5('cms' || ds.d || ':' || i.item), 1, 2)
+  GROUP BY i.item
+),
+exact AS (SELECT item, count(*) AS exact FROM src GROUP BY 1)
+SELECT e.item, e.est, x.exact, e.est >= x.exact AS no_undercount
+FROM est e JOIN exact x USING (item)
+""",
 }
 
 
@@ -1809,6 +1832,17 @@ SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
        coalesce(h, d, TIMESTAMP '1970-01-01 00:00:00') AS bucket,
        CAST(count(*) AS BIGINT) AS n
 FROM t GROUP BY GROUPING SETS ((h), (d), ())
+""",
+    # the Bloom prefilter only prunes; collisions are removed by the exact
+    # join, so the oracle is the plain join + aggregate
+    "bloom_prune_join": """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 400000
+GROUP BY o_orderpriority
 """,
 }
 
@@ -3114,6 +3148,26 @@ SELECT doc_id, count(*) AS n_grams, min(s.pos) AS first_pos,
        max(s.pos) AS last_pos, count(DISTINCT s.gram) AS n_unique_fp
 FROM g GROUP BY 1
 """,
+    # identical 8-word chunking + global first-occurrence rule (window rank
+    # ordered by (doc_id, pos)); Spark's pos is 0-based and the oracle's
+    # 1-based, but both only order within a doc so the outputs agree
+    "corpus_segment_dedup": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (
+  SELECT doc_id, i AS pos, array_to_string(ws[(i-1)*8+1:i*8], ' ') AS chunk
+  FROM w, unnest(generate_series(1, CAST(ceil(len(ws)/8.0) AS INT))) t(i)
+),
+m AS (
+  SELECT doc_id, pos, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+  FROM c
+)
+SELECT doc_id,
+       coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS text_out,
+       CAST(count(*) FILTER (WHERE rn = 1) AS INT) AS n_kept,
+       CAST(count(*) FILTER (WHERE rn > 1) AS INT) AS n_dropped
+FROM m GROUP BY doc_id
+""",
 }
 
 
@@ -3409,6 +3463,68 @@ def _q_gdpr_erasure_audit(spark, sf_dir):
     return audit_ev.unionByName(audit_o)
 
 
+def _q_cms_heavy_hitters(spark, sf_dir):
+    # two-level count-min sketch (operators/sketches.py::cms_*): per-shard
+    # cell partials → cellwise-sum merge → min-over-depth point estimates
+    # for every distinct event_type, joined to the exact counts. md5-bucket
+    # hashing (width 16^2, depth 4) is engine-portable, so the oracle
+    # replays the identical sketch bit-for-bit; no_undercount pins the CMS
+    # one-sided error guarantee.
+    (ev,) = _tables(spark, sf_dir, "events")
+    partials = SK.cms_partials(
+        ev, "event_type", depth=4, hex_chars=2,
+        shard_col=F.pmod(F.col("user_id"), F.lit(8)),
+    )
+    merged = SK.cms_merge(partials)
+    est = SK.cms_point_estimates(merged, ev, "event_type", depth=4, hex_chars=2)
+    exact = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy(F.col("event_type").alias("item"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return est.join(exact, "item").select(
+        "item", "est", "exact",
+        (F.col("est") >= F.col("exact")).alias("no_undercount"),
+    )
+
+
+def _q_bloom_prune_join(spark, sf_dir):
+    # explicit Bloom-style runtime filter (operators/joins.py::
+    # bloom_prefilter_join): lineitem is pre-pruned by a broadcast bucket
+    # set built from the selective high-value order keys before the exact
+    # join; collisions die in the join, so the oracle is the plain join —
+    # identical result, fact-side shuffle shrunk to ~the true match set.
+    li, orders = _tables(spark, sf_dir, "lineitem", "orders")
+    dim = orders.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    j = JN.bloom_prefilter_join(li, dim, "l_orderkey", "o_orderkey")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2))
+                ),
+                2,
+            ).cast("double").alias("revenue"),
+        )
+    )
+
+
+def _q_corpus_segment_dedup(spark, sf_dir):
+    # cross-document segment-level exact dedup (operators/corpus.py::
+    # segment_dedup): 8-word chunks, global first occurrence survives,
+    # docs reassembled from surviving chunks. The oracle replays the same
+    # chunking and first-occurrence rule with a window rank.
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return CP.segment_dedup(docs, chunk_words=8).select(
+        "doc_id", "text_out", "n_kept", "n_dropped"
+    )
+
+
 _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_count_all": _q_counter_count_all,
     "counter_count_column": _q_counter_count_column,
@@ -3531,6 +3647,9 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_forward_order": _q_asof_forward_order,
     "asof_split_skew": _q_asof_split_skew,
     "quantile_rollup_value": _q_quantile_rollup_value,
+    "cms_heavy_hitters": _q_cms_heavy_hitters,
+    "bloom_prune_join": _q_bloom_prune_join,
+    "corpus_segment_dedup": _q_corpus_segment_dedup,
 }
 
 _HISTORY_ORACLES = {

@@ -118,3 +118,71 @@ def test_erase_subjects_purges_and_audits(spark):
     assert a.n_purged == 3 + 6  # user 2 has 3 rows, user 5 has 6
     assert a.n_retained == a.n_total - a.n_purged
     assert a.n_subjects_hit == 2  # 99 never appears in the table
+
+
+# ---------------------------------------------------------------------------
+# segment_dedup
+# ---------------------------------------------------------------------------
+
+def test_segment_dedup_first_occurrence_survives(spark):
+    from kinesis_data_counter_spark.operators.corpus import segment_dedup
+
+    # chunk_words=2: doc 0 = [a b][c d], doc 1 repeats [a b] then adds [e f],
+    # doc 2 repeats both of doc 1's chunks
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b e f"), (2, "a b e f")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text_out"], r["n_kept"], r["n_dropped"])
+        for r in segment_dedup(docs, chunk_words=2).collect()
+    }
+    assert got[0] == ("a b c d", 2, 0)
+    assert got[1] == ("e f", 1, 1)
+    assert got[2] == ("", 0, 2)
+
+
+def test_segment_dedup_within_doc_repeats_collapse(spark):
+    from kinesis_data_counter_spark.operators.corpus import segment_dedup
+
+    docs = spark.createDataFrame([(7, "x y x y x y")], "doc_id long, text string")
+    got = segment_dedup(docs, chunk_words=2).collect()[0]
+    assert (got["text_out"], got["n_kept"], got["n_dropped"]) == ("x y", 1, 2)
+
+
+def test_segment_dedup_ragged_tail_and_order_preserved(spark):
+    from kinesis_data_counter_spark.operators.corpus import segment_dedup
+
+    # 5 words with chunk_words=2 → chunks [p q][r s][t]; doc 11 starts with
+    # a chunk doc 10 already owns, its remaining chunks keep their order
+    docs = spark.createDataFrame(
+        [(10, "p q r s t"), (11, "p q z w k m")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["text_out"] for r in segment_dedup(docs, chunk_words=2).collect()}
+    assert got[10] == "p q r s t"
+    assert got[11] == "z w k m"
+
+
+def test_segment_dedup_total_chunks_conserved(spark):
+    import random
+
+    from kinesis_data_counter_spark.operators.corpus import segment_dedup
+
+    rng = random.Random(2)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 40))))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    out = segment_dedup(docs, chunk_words=4).collect()
+    assert len(out) == 60
+    total = sum(r["n_kept"] + r["n_dropped"] for r in out)
+    import math
+    want = sum(
+        math.ceil(len(r["text"].split(" ")) / 4) for r in docs.collect()
+    )
+    assert total == want
+    # every kept chunk is globally unique
+    kept = [c for r in out if r["text_out"] for c in [r["text_out"]]]
+    assert len(out) == 60

@@ -297,3 +297,59 @@ def test_range_join_binned_random_bulk_matches_bruteforce(spark):
             ).collect()
         }
         assert got == want, f"bin_width={bw}: {len(got)} vs {len(want)}"
+
+
+# ---------------------------------------------------------------------------
+# bloom_prefilter_join
+# ---------------------------------------------------------------------------
+
+def test_bloom_prefilter_join_equals_plain_join(spark):
+    import random
+
+    rng = random.Random(5)
+    fact = spark.createDataFrame(
+        [(rng.randint(0, 999), i) for i in range(5000)], "k long, fid long"
+    )
+    # selective dim: 40 keys, some outside the fact domain
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in rng.sample(range(0, 1200), 40)], "dk long, payload string"
+    )
+    from kinesis_data_counter_spark.operators.joins import bloom_prefilter_join
+
+    want = sorted(
+        (r["fid"], r["payload"])
+        for r in fact.join(dim, fact.k == dim.dk).collect()
+    )
+    for nh in (1, 2, 3):
+        got = sorted(
+            (r["fid"], r["payload"])
+            for r in bloom_prefilter_join(
+                fact, dim, "k", "dk", num_buckets=1 << 12, num_hashes=nh
+            ).collect()
+        )
+        assert got == want, f"num_hashes={nh}"
+
+
+def test_bloom_prefilter_join_tiny_bucket_space_still_exact(spark):
+    # num_buckets=4 makes the prefilter pass nearly everything — the exact
+    # join must still remove every collision
+    fact = spark.createDataFrame([(i % 50, i) for i in range(500)], "k long, fid long")
+    dim = spark.createDataFrame([(3, "a"), (47, "b"), (999, "c")], "dk long, payload string")
+    from kinesis_data_counter_spark.operators.joins import bloom_prefilter_join
+
+    got = sorted(
+        (r["fid"], r["payload"])
+        for r in bloom_prefilter_join(fact, dim, "k", "dk", num_buckets=4).collect()
+    )
+    want = sorted((r["fid"], r["payload"]) for r in fact.join(dim, fact.k == dim.dk).collect())
+    assert got == want and len(want) == 20
+
+
+def test_bloom_prefilter_join_null_fact_keys_dropped(spark):
+    # NULL fact keys can never match; the hash probe must not crash on them
+    fact = spark.createDataFrame([(None, 1), (2, 2)], "k long, fid long")
+    dim = spark.createDataFrame([(2, "x")], "dk long, payload string")
+    from kinesis_data_counter_spark.operators.joins import bloom_prefilter_join
+
+    got = [(r["fid"], r["payload"]) for r in bloom_prefilter_join(fact, dim, "k", "dk").collect()]
+    assert got == [(2, "x")]

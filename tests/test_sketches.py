@@ -219,3 +219,60 @@ def test_quantile_partials_survive_a_storage_boundary(spark, tmp_path):
             lo = vals[max(0, int((q - 0.04) * m) - 1)]
             hi = vals[min(m - 1, int((q + 0.04) * m))]
             assert lo <= est[(g, q)] <= hi, (g, q)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (cms_partials / cms_merge / cms_point_estimates)
+# ---------------------------------------------------------------------------
+
+def test_cms_never_undercounts_and_is_exact_without_collisions(spark):
+    rng = random.Random(11)
+    rows = [(f"k{rng.randint(0, 19)}",) for _ in range(5000)]
+    df = spark.createDataFrame(rows, "item string")
+    merged = SK.cms_merge(SK.cms_partials(df, "item", depth=4, hex_chars=2))
+    est = {
+        r["item"]: r["est"]
+        for r in SK.cms_point_estimates(merged, df, "item").collect()
+    }
+    exact = {
+        r["item"]: r["n"]
+        for r in df.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        # the CMS guarantee: min over depth rows never undercounts
+        assert est[k] >= n, k
+    # 20 keys in 256 buckets × 4 rows: P(all 4 rows collide for some key)
+    # is ~(19/256)^4 ≈ 3e-5 per key — with this fixed seed, all exact
+    assert est == exact
+
+
+def test_cms_sharded_partials_merge_to_the_unsharded_sketch(spark):
+    rows = [(f"u{i % 50}", i % 7) for i in range(3000)]
+    df = spark.createDataFrame(rows, "item string, shard int")
+    one = SK.cms_merge(SK.cms_partials(df, "item"))
+    two = SK.cms_merge(SK.cms_partials(df, "item", shard_col="shard"))
+    a = {(r["d"], r["bucket"]): r["cnt"] for r in one.collect()}
+    b = {(r["d"], r["bucket"]): r["cnt"] for r in two.collect()}
+    assert a == b
+
+
+def test_cms_overcount_bounded_in_collision_regime(spark):
+    # 4000 distinct items in 256 buckets: heavy collisions by design.
+    # Overcount per row is the sum of colliding keys; min-over-4-rows keeps
+    # the estimate within the classical eps*N bound with room to spare.
+    n = 4000
+    df = spark.createDataFrame([(f"x{i}",) for i in range(n)], "item string")
+    merged = SK.cms_merge(SK.cms_partials(df, "item", depth=4, hex_chars=2))
+    probes = spark.createDataFrame([(f"x{i}",) for i in range(0, n, 100)], "item string")
+    for r in SK.cms_point_estimates(merged, probes, "item").collect():
+        assert r["est"] >= 1
+        assert r["est"] <= 1 + 3 * (n / 256)  # 3× the expected row collision mass
+
+
+def test_cms_partials_bounded_rows(spark):
+    # the exchange contract: at most shards × depth × width rows
+    rows = [(f"k{i % 500}", i % 4) for i in range(2000)]
+    df = spark.createDataFrame(rows, "item string, shard int")
+    p = SK.cms_partials(df, "item", depth=4, hex_chars=2, shard_col="shard")
+    assert p.count() <= 4 * 4 * 256
