@@ -588,6 +588,12 @@ def connected_components(
     grow with iteration count, and the monotone sum-of-labels is the
     convergence test (one cheap agg per round, no change-join).
     """
+    # persist the pair table BEFORE symmetrizing: the union references it
+    # twice, and without the persist the (expensive — e.g. a full LSH
+    # candidate+verify pipeline) pair plan would execute once per side
+    pre_persisted = pairs.storageLevel.useMemory or pairs.storageLevel.useDisk
+    if not pre_persisted:
+        pairs = pairs.persist()
     sym = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -596,10 +602,13 @@ def connected_components(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
+        # each round references `labels` twice (neighbor lookup + carry),
+        # so it MUST be checkpointed per round — composing several lazy
+        # rounds doubles the plan per round and blows up exponentially
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -613,13 +622,16 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_min", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            # lazy: the convergence agg below materializes it, ONE job/round
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:  # labels only decrease; fixed sum = converged
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if not pre_persisted:
+        pairs.unpersist()
     return labels.select("node", "label").toDF("doc_id", "cluster_id")
 
 

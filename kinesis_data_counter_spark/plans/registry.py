@@ -1975,10 +1975,20 @@ def _q_dedup_simhash(spark, sf_dir):
         .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
         .select("a_id", "b_id")
     )
-    n_banded = banded.count()
-    n_brute = brute.count()
-    n_match = banded.select("a_id", "b_id").join(brute, ["a_id", "b_id"]).count()
-    ok = n_banded == n_brute == n_match
+    # ONE action: a full outer join with side indicators computes all three
+    # cardinalities at once, so the O(n²) brute side runs exactly once
+    # (three separate .count() actions would recompute it per action)
+    both = banded.select("a_id", "b_id").withColumn("in_banded", F.lit(1)).join(
+        brute.withColumn("in_brute", F.lit(1)), ["a_id", "b_id"], "full_outer"
+    )
+    row = both.agg(
+        F.sum("in_banded").alias("n_banded"),
+        F.sum("in_brute").alias("n_brute"),
+        F.count_if(
+            F.col("in_banded").isNotNull() & F.col("in_brute").isNotNull()
+        ).alias("n_match"),
+    ).collect()[0]
+    ok = row["n_banded"] == row["n_brute"] == row["n_match"]
     return spark.createDataFrame([(bool(ok),)], "ok boolean")
 
 

@@ -232,6 +232,56 @@ def stream_quantile_rollup(
     )
 
 
+def stream_cms_rollup(
+    spark: SparkSession,
+    path: str,
+    exchange_dir: str,
+    item_col: str = "event_type",
+    depth: int = 4,
+    hex_chars: int = 2,
+    ts_col: str = "ts",
+    max_files_per_trigger: int | None = 1,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """``stream_two_level`` for frequencies: per-micro-batch count-min
+    cell partials (operators/sketches.py::cms_partials, batch id as the
+    shard) appended batch-keyed to the exchange — replays overwrite, not
+    duplicate — and merged cellwise by a second job via ``cms_merge``.
+
+    The exchange holds (micro-batches × depth × width) bounded cell rows,
+    never item rows, and the merged sketch answers point queries for ANY
+    item seen or unseen — the property a streamed `topk` state (which
+    tracks a bounded item set) cannot give. Returns the merged cell table;
+    feed it to ``cms_point_estimates``.
+    """
+    from kinesis_data_counter_spark.operators import sketches as SK
+
+    sdf = _read_stream(spark, path, ts_col, max_files_per_trigger)
+
+    def _emit(batch_df: DataFrame, epoch: int) -> None:
+        _write_batch_keyed(
+            SK.cms_partials(
+                batch_df, item_col, depth=depth, hex_chars=hex_chars,
+                shard_col=F.lit(str(epoch)),
+            ),
+            exchange_dir,
+            epoch,
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", exchange_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive
+            q.stop()
+    return SK.cms_merge(_read_batch_keyed(spark, exchange_dir))
+
+
 def _write_batch_keyed(df: DataFrame, root: str, epoch: int) -> None:
     """Idempotent foreachBatch append: each batch OVERWRITES its own
     ``batch=<id>`` subdirectory, so a batch replayed after a crash between

@@ -270,3 +270,33 @@ def test_asof_split_windows_are_bucketed(spark, sf_dir):
     for line in plan.splitlines():
         if "WindowExec" in line or line.strip().startswith("Window "):
             assert "__bkt" in line, line
+
+
+def test_bloom_prefilter_probes_are_broadcast_semi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bloom_prune_join")
+    # the two bucket probes execute as broadcast LEFT SEMI hash joins —
+    # in-memory probes on the fact side, never a shuffle of the fact table
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan
+    # fact-side shuffles: only what the final aggregate needs
+    assert "CartesianProduct" not in plan
+
+
+def test_segment_dedup_uses_min_agg_not_global_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "corpus_segment_dedup")
+    # first-occurrence selection is a combinable min-agg + equi-join; a
+    # Window over the full chunk set would serialize per-chunk partitions
+    # harmlessly here but break down when one chunk dominates
+    assert "Window" not in plan
+    # partial + final aggregates around the chunk exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_cms_cells_aggregate_partially(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cms_heavy_hitters")
+    # cell counting is a plain partial+final count: the exchange carries
+    # (shard, d, bucket) cells, never raw items; the probe side joins the
+    # bounded cell table via broadcast
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan

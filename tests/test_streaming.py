@@ -624,3 +624,33 @@ def test_stream_quantile_rollup_within_rank_tolerance(spark, sf_dir, tmp_path):
             lo = vs[max(0, int((q - 0.04) * m) - 1)]
             hi = vs[min(m - 1, int((q + 0.04) * m))]
             assert lo <= est[(g, q)] <= hi, (g, q)
+
+
+def test_stream_cms_rollup_matches_batch_sketch(spark, sf_dir, tmp_path):
+    # CMS cells as the exchange payload: micro-batch partials (batch id as
+    # the shard) merge cellwise to EXACTLY the sketch one batch job builds,
+    # and point estimates never undercount the true frequencies
+    from kinesis_data_counter_spark.operators import sketches as SK
+    from kinesis_data_counter_spark.streaming.runner import stream_cms_rollup
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    src = str(tmp_path / "events_cms")
+    ev.repartition(4).write.parquet(src)
+
+    merged = stream_cms_rollup(spark, src, str(tmp_path / "exchange_cms"))
+    streamed = {(r["d"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    batch = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in SK.cms_merge(SK.cms_partials(ev, "event_type")).collect()
+    }
+    assert streamed == batch
+    est = {
+        r["item"]: r["est"]
+        for r in SK.cms_point_estimates(merged, ev, "event_type").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for k, n in exact.items():
+        assert est[k] >= n, k
