@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_clusters",
     "knn_label_propagation",
+    # round-3 additions: engine-portable count-min sketch, explicit
+    # Bloom-style runtime-filter join, segment-level cross-doc dedup
+    "cms_heavy_hitters",
+    "bloom_prune_join",
+    "corpus_segment_dedup",
 ]
 
 

@@ -152,6 +152,57 @@ def quantile_two_level(
     )
 
 
+def topk_partials(
+    df: DataFrame,
+    item_col: str | Column,
+    max_items_tracked: int = DEFAULT_MAX_ITEMS,
+    shard_col: str | Column | None = None,
+) -> DataFrame:
+    """Level-1 top-k partials → mergeable state rows (the heavy-hitter twin
+    of ``counter.partial_counter``'s HLL rows, counter.go:483-512).
+
+    One row per shard carrying a serialized ``approx_top_k_accumulate``
+    state (a struct with a BINARY sketch) — parquet/Kinesis it and feed
+    ``merge_topk_partials`` in a DIFFERENT job. State size is
+    O(max_items_tracked) regardless of input rows.
+    """
+    m = int(max_items_tracked)
+    cols = [_as_col(item_col).alias("__item")]
+    if shard_col is not None:
+        cols.append(_as_col(shard_col).cast("string").alias("shard_id"))
+    else:
+        cols.append(F.lit("").alias("shard_id"))
+    slim = df.select(*cols).filter(F.col("__item").isNotNull())
+    return slim.groupBy("shard_id").agg(
+        F.expr(f"approx_top_k_accumulate(__item, {m})").alias("topk_state")
+    )
+
+
+def merge_topk_partials(
+    partials: DataFrame,
+    k: int = 10,
+    max_items_tracked: int = DEFAULT_MAX_ITEMS,
+) -> DataFrame:
+    """Level-2: combine top-k states across shards → deterministic top-k
+    rows (≈ aggregateProcess, counter.go:348-412, for heavy hitters).
+
+    ``partials`` is the ``topk_partials`` output read back from wherever it
+    was sunk. Returns (rank int, item, cnt bigint) like ``topk_two_level``,
+    with the same (count desc, item asc) reproducible cutoff.
+    """
+    m, k = int(max_items_tracked), int(k)
+    combined = partials.agg(
+        F.expr(f"approx_top_k_combine(topk_state, {m})").alias("state")
+    )
+    est = combined.select(
+        F.explode(F.expr(f"approx_top_k_estimate(state, {m})")).alias("e")
+    ).select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("item"))
+    return est.select(
+        F.row_number().over(w).cast("int").alias("rank"), "item", "cnt"
+    ).where(F.col("rank") <= k)
+
+
 def quantile_partials(
     df: DataFrame,
     value_col: str | Column,

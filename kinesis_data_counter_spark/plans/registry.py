@@ -3831,9 +3831,10 @@ _SHOWCASE_ORDER = [
     "counter_variant_props", "counter_jq_reshape", "counter_jq_iterate",
     "counter_distinct_user",
     "counter_distinct_expr", "counter_two_level", "counter_partial_merge",
-    # sketch topologies (topk_windowed stays green outside the head; its
-    # slot shows the round-3 mergeable-KLL quantile rollup instead)
-    "counter_topk_users", "quantile_rollup_value", "counter_distinct_theta",
+    # sketch topologies (topk_windowed and counter_distinct_theta stay
+    # green outside the head; their slots show the round-3 mergeable-KLL
+    # quantile rollup and the engine-portable count-min sketch instead)
+    "counter_topk_users", "quantile_rollup_value", "cms_heavy_hitters",
     "theta_set_ops_users", "hll_rollup_hierarchy",
     # routing / config / streaming
     "counter_multi_fanout", "config_pipeline", "streaming_counter",
@@ -3841,8 +3842,9 @@ _SHOWCASE_ORDER = [
     # sources & wire formats
     "json_bad_records", "kpl_roundtrip", "counter_replay_source",
     # relational representatives (rest of TPC-H follows after the head;
-    # scan-bound tpch_q6 cedes its slot to the round-3 as-of hot-key guard)
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q18", "asof_user_order",
+    # scan-bound tpch_q6 cedes its slot to the round-3 as-of hot-key guard
+    # and tpch_q3 to the explicit Bloom-style runtime-filter join)
+    "tpch_q1", "bloom_prune_join", "tpch_q5", "tpch_q18", "asof_user_order",
     "asof_split_skew",
     # time windows & skew
     "window_sliding", "window_session", "window_rank_orders",
@@ -3853,11 +3855,12 @@ _SHOWCASE_ORDER = [
     # similarity search (ann_quantized_recall stays green outside the head;
     # the slot shows the round-3 bucketed-kNN property instead)
     "ann_cosine_topk", "ann_ivf_recall", "knn_bucketed_recall",
-    # text analysis (token_stats stays green outside the head)
-    "text_lang_id", "text_quality", "text_tfidf",
-    # corpus curation + multimodal + CDC
-    "corpus_clean", "corpus_pack_sequences", "multimodal_resize",
-    "scd2_user_state",
+    # text analysis (token_stats and tfidf stay green outside the head)
+    "text_lang_id", "text_quality",
+    # corpus curation + multimodal + CDC (text_tfidf stays green outside
+    # the head; its slot shows segment-level cross-doc dedup instead)
+    "corpus_clean", "corpus_segment_dedup", "corpus_pack_sequences",
+    "multimodal_resize", "scd2_user_state",
 ]
 
 

@@ -282,6 +282,59 @@ def stream_cms_rollup(
     return SK.cms_merge(_read_batch_keyed(spark, exchange_dir))
 
 
+def stream_topk_rollup(
+    spark: SparkSession,
+    path: str,
+    exchange_dir: str,
+    item_col: str = "event_type",
+    k: int = 10,
+    max_items_tracked: int = 4096,
+    ts_col: str = "ts",
+    max_files_per_trigger: int | None = 1,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """``stream_two_level`` for heavy hitters: per-micro-batch
+    ``approx_top_k_accumulate`` states (operators/sketches.py::
+    topk_partials, batch id as the shard) appended batch-keyed to the
+    exchange and combined by a second job via ``merge_topk_partials``.
+
+    With this, every mergeable sketch family the engine ships — counts/HLL
+    (stream_two_level), KLL quantiles (stream_quantile_rollup), count-min
+    (stream_cms_rollup), and top-k — crosses the same replay-idempotent
+    exchange. State per batch is O(max_items_tracked), never item rows.
+    """
+    from kinesis_data_counter_spark.operators import sketches as SK
+
+    sdf = _read_stream(spark, path, ts_col, max_files_per_trigger)
+
+    def _emit(batch_df: DataFrame, epoch: int) -> None:
+        _write_batch_keyed(
+            SK.topk_partials(
+                batch_df, item_col, max_items_tracked=max_items_tracked,
+                shard_col=F.lit(str(epoch)),
+            ),
+            exchange_dir,
+            epoch,
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", exchange_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive
+            q.stop()
+    return SK.merge_topk_partials(
+        _read_batch_keyed(spark, exchange_dir),
+        k=k,
+        max_items_tracked=max_items_tracked,
+    )
+
+
 def _write_batch_keyed(df: DataFrame, root: str, epoch: int) -> None:
     """Idempotent foreachBatch append: each batch OVERWRITES its own
     ``batch=<id>`` subdirectory, so a batch replayed after a crash between

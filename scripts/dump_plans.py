@@ -119,6 +119,25 @@ SHOWCASE: dict[str, str] = {
         "exchange carries sketches, never value rows; exact-percentile "
         "bounds arrive by broadcast."
     ),
+    "cms_heavy_hitters": (
+        "Engine-portable count-min sketch: cell counting is a plain "
+        "partial+final HashAggregate — the exchange carries (shard, d, "
+        "bucket) cells, never items — and point queries probe the bounded "
+        "cell table via BroadcastHashJoin. No Window, no Python."
+    ),
+    "bloom_prune_join": (
+        "Explicit Bloom-style runtime filter: two broadcast LEFT SEMI "
+        "hash probes prune the fact scan in-memory (zero extra fact "
+        "shuffle) before the exact join; collisions die in the join, so "
+        "the result equals the plain join with the shuffle shrunk to "
+        "~the true match set."
+    ),
+    "corpus_segment_dedup": (
+        "Cross-document segment dedup: first-occurrence selection is a "
+        "map-side-combinable min(struct(doc_id, pos)) aggregate plus an "
+        "equi-join back on the chunk — one hash exchange keyed by chunk, "
+        "one by doc for reassembly; no global Window anywhere."
+    ),
 }
 
 

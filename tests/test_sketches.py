@@ -276,3 +276,24 @@ def test_cms_partials_bounded_rows(spark):
     df = spark.createDataFrame(rows, "item string, shard int")
     p = SK.cms_partials(df, "item", depth=4, hex_chars=2, shard_col="shard")
     assert p.count() <= 4 * 4 * 256
+
+
+def test_topk_partials_survive_a_storage_boundary(spark, tmp_path):
+    # approx_top_k state is a first-class column (struct with a BINARY
+    # sketch): partials written by one job and combined by another give the
+    # same answer as the in-job two-level path — and in exact mode (tracked
+    # capacity >= cardinality), the same answer as a plain GROUP BY
+    rows = [(f"k{i % 9}", i % 4) for i in range(1800)] + [("hot", 0)] * 500
+    df = spark.createDataFrame(rows, "item string, shard int")
+    p = str(tmp_path / "topk_partials")
+    SK.topk_partials(df, "item", shard_col="shard").write.parquet(p)
+    got = [
+        (r["rank"], r["item"], r["cnt"])
+        for r in SK.merge_topk_partials(spark.read.parquet(p), k=3).collect()
+    ]
+    exact = {
+        r["item"]: r["n"]
+        for r in df.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == [(i + 1, k, n) for i, (k, n) in enumerate(want)]

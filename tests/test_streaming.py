@@ -654,3 +654,26 @@ def test_stream_cms_rollup_matches_batch_sketch(spark, sf_dir, tmp_path):
     }
     for k, n in exact.items():
         assert est[k] >= n, k
+
+
+def test_stream_topk_rollup_matches_batch_topk(spark, sf_dir, tmp_path):
+    # top-k states as the exchange payload: per-batch accumulates combine
+    # to the same deterministic top-k the one-shot two-level path computes
+    from kinesis_data_counter_spark.operators import sketches as SK
+    from kinesis_data_counter_spark.streaming.runner import stream_topk_rollup
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    src = str(tmp_path / "events_topk")
+    ev.repartition(4).write.parquet(src)
+
+    streamed = [
+        (r["rank"], r["item"], r["cnt"])
+        for r in stream_topk_rollup(
+            spark, src, str(tmp_path / "exchange_topk"), k=5
+        ).collect()
+    ]
+    batch = [
+        (r["rank"], r["item"], r["cnt"])
+        for r in SK.topk_two_level(ev, "event_type", k=5).collect()
+    ]
+    assert streamed == batch
