@@ -333,6 +333,47 @@ def tfidf_top_terms(
     )
 
 
+def lm_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = -2.5,
+) -> DataFrame:
+    """In-corpus unigram-LM quality score per document (the CCNet/CC-Net
+    pattern: rank documents by language-model likelihood, flag the tail).
+
+    The LM is the corpus itself: token probability p(w) = c(w)/T from one
+    unigram-count pass; a document's score is the mean log10 p over its
+    token occurrences. Rare-token soup (boilerplate, encoding garbage,
+    wrong-language fragments) scores far below prose built from common
+    tokens. Two shuffles: (term) counts, then the term-keyed join back
+    (vocabulary-sized — AQE broadcasts it when small); the corpus total
+    rides in as a broadcast scalar. The score is rounded to 6 dp before
+    the threshold test so the flag is reproducible across engines even
+    when log10 differs in the last ulp (the `tfidf_top_terms` convention).
+
+    Returns (doc_id, n_tokens bigint, avg_logprob double,
+    low_quality boolean) — one row per doc with ≥1 token.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(clean_tokens(F.col(text_col))).alias("term"),
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("__t"))
+    score = F.round(F.avg(F.log10(F.col("c") / F.col("__t"))), 6)
+    return (
+        toks.join(uni, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            score.alias("avg_logprob"),
+        )
+        .withColumn("low_quality", F.col("avg_logprob") < F.lit(float(threshold)))
+    )
+
+
 # dialect-portable PII patterns: no lookarounds, no shorthand classes that
 # differ between Java regex (Spark) and RE2 (DuckDB oracle)
 PII_EMAIL_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"

@@ -3178,6 +3178,23 @@ SELECT doc_id,
        CAST(count(*) FILTER (WHERE rn > 1) AS INT) AS n_dropped
 FROM m GROUP BY doc_id
 """,
+    # identical unigram LM: same tokenizer as text_tfidf, score rounded to
+    # 6 dp on both sides before the threshold comparison
+    "text_lm_score": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> '')) AS term
+  FROM documents
+),
+uni AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT count(*) AS t FROM toks)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(log10(uni.c * 1.0 / tot.t)), 6) AS avg_logprob,
+       round(avg(log10(uni.c * 1.0 / tot.t)), 6) < -2.5 AS low_quality
+FROM toks JOIN uni USING (term) CROSS JOIN tot
+GROUP BY doc_id
+""",
 }
 
 
@@ -3473,6 +3490,17 @@ def _q_gdpr_erasure_audit(spark, sf_dir):
     return audit_ev.unionByName(audit_o)
 
 
+def _q_text_lm_score(spark, sf_dir):
+    # in-corpus unigram-LM quality scoring (operators/text.py::
+    # lm_quality_score): one unigram-count pass is the LM; each doc's mean
+    # log10 token probability is its score, rounded before the threshold
+    # test for cross-engine reproducibility (the tfidf convention)
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return TX.lm_quality_score(docs).select(
+        "doc_id", "n_tokens", "avg_logprob", "low_quality"
+    )
+
+
 def _q_cms_heavy_hitters(spark, sf_dir):
     # two-level count-min sketch (operators/sketches.py::cms_*): per-shard
     # cell partials → cellwise-sum merge → min-over-depth point estimates
@@ -3658,6 +3686,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_split_skew": _q_asof_split_skew,
     "quantile_rollup_value": _q_quantile_rollup_value,
     "cms_heavy_hitters": _q_cms_heavy_hitters,
+    "text_lm_score": _q_text_lm_score,
     "bloom_prune_join": _q_bloom_prune_join,
     "corpus_segment_dedup": _q_corpus_segment_dedup,
 }

@@ -174,3 +174,27 @@ def test_redact_pii_pinned(spark):
     assert out[2]["n_emails"] == 0 and out[2]["text_redacted"] == "no pii here"
     assert out[3]["n_emails"] == 2
     assert out[3]["text_redacted"] == "two mails <EMAIL> and <EMAIL>"
+
+
+def test_lm_quality_score_matches_hand_computation(spark):
+    import math
+
+    from kinesis_data_counter_spark.operators.text import lm_quality_score
+
+    docs = spark.createDataFrame(
+        [(0, "the the cat"), (1, "the zyx"), (2, "")],
+        "doc_id long, text string",
+    )
+    # corpus: the×3, cat×1, zyx×1 → T=5
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"], r["low_quality"])
+        for r in lm_quality_score(docs, threshold=-0.5).collect()
+    }
+    lp = lambda c: math.log10(c / 5)
+    exp0 = round((lp(3) + lp(3) + lp(1)) / 3, 6)
+    exp1 = round((lp(3) + lp(1)) / 2, 6)
+    assert got[0] == (3, exp0, exp0 < -0.5)
+    assert got[1] == (2, exp1, exp1 < -0.5)
+    assert 2 not in got  # empty docs have no token rows
+    # the rare-token doc scores strictly lower
+    assert got[1][1] < got[0][1]
