@@ -168,6 +168,30 @@ def pack_sequences(
     )
 
 
+def doc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """(id, pos, chunk): fixed ``chunk_words``-word segments per document
+    (the shared chunking of ``segment_dedup`` and its streaming twin).
+    ``pos`` is the 0-based chunk position; the last chunk may be short."""
+    cw = int(chunk_words)
+    ws = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.ceil(F.size(ws) / F.lit(cw)).cast("int")),
+                lambda i: F.array_join(
+                    F.slice(ws, (i - F.lit(1)) * F.lit(cw) + F.lit(1), cw), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+
+
 def segment_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -201,19 +225,7 @@ def segment_dedup(
     (doc_id, text_out, n_kept int, n_dropped int); ``text_out`` is ''
     when every segment of the doc appeared earlier elsewhere.
     """
-    cw = int(chunk_words)
-    ws = F.split(F.col(text_col), " ")
-    chunks = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.ceil(F.size(ws) / F.lit(cw)).cast("int")),
-                lambda i: F.array_join(
-                    F.slice(ws, (i - F.lit(1)) * F.lit(cw) + F.lit(1), cw), " "
-                ),
-            )
-        ).alias("pos", "chunk"),
-    )
+    chunks = doc_chunks(df, text_col, id_col, chunk_words)
     first = chunks.groupBy("chunk").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("f")
     )

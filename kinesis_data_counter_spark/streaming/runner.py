@@ -335,6 +335,107 @@ def stream_topk_rollup(
     )
 
 
+def stream_segment_dedup(
+    spark: SparkSession,
+    path: str,
+    work_dir: str,
+    chunk_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = 1,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Segment-level dedup deployed as a stream: first-SEEN occurrence of
+    each chunk survives, across all batches.
+
+    The incremental shape mirrors ``stream_neardup_index``: each
+    micro-batch resolves its own within-batch first occurrences, anti-joins
+    the winners against the persisted chunk index (64-bit chunk hashes —
+    compact, equality-equivalent at the ~|chunks|²/2⁶⁴ collision level),
+    reassembles the batch's docs from the survivors, and appends only its
+    NEW chunk hashes to the index. Per-batch work is proportional to the
+    batch, never to history; the index read excludes the current batch id,
+    so a replayed batch after a crash reproduces — not poisons — its own
+    output (the ``_write_batch_keyed`` idempotency contract).
+
+    Returns the accumulated deduped docs: (doc_id, text_out, n_kept int,
+    n_dropped int) — the streaming equivalent of
+    ``operators/corpus.py::segment_dedup`` with arrival order replacing
+    (doc_id, pos) order as the global tie-break.
+    """
+    from kinesis_data_counter_spark.operators import corpus as CP
+
+    sdf = _read_stream(spark, path, None, max_files_per_trigger)
+    idx_dir = work_dir + "/chunk_index"
+    out_dir = work_dir + "/docs"
+
+    def _emit(batch_df: DataFrame, epoch: int) -> None:
+        chunks = CP.doc_chunks(batch_df, text_col, id_col, chunk_words)
+        chunks = chunks.withColumn("__h", F.xxhash64("chunk")).persist()
+        first = chunks.groupBy("__h").agg(
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("f")
+        )
+        winners = (
+            chunks.join(first, "__h")
+            .where(
+                (F.col("f")[id_col] == F.col(id_col))
+                & (F.col("f.pos") == F.col("pos"))
+            )
+            .select(id_col, "pos", "chunk", "__h")
+        )
+        try:
+            seen = (
+                spark.read.parquet(idx_dir)
+                .where(F.col("batch") != epoch)  # replay safety
+                .select("__h")
+            )
+            fresh = winners.join(seen, "__h", "left_anti")
+        except Exception:  # first batch: no index yet
+            fresh = winners
+        fresh = fresh.persist()
+        kept = fresh.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("text_out"),
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+        )
+        tot = chunks.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("int").alias("__tot")
+        )
+        out = (
+            tot.join(kept, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("text_out", F.lit("")).alias("text_out"),
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                (F.col("__tot") - F.coalesce("n_kept", F.lit(0))).alias(
+                    "n_dropped"
+                ),
+            )
+        )
+        _write_batch_keyed(out, out_dir, epoch)
+        _write_batch_keyed(fresh.select("__h"), idx_dir, epoch)
+        fresh.unpersist()
+        chunks.unpersist()
+
+    q = (
+        sdf.writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", work_dir + "/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive
+            q.stop()
+    return _read_batch_keyed(spark, out_dir)
+
+
 def _write_batch_keyed(df: DataFrame, root: str, epoch: int) -> None:
     """Idempotent foreachBatch append: each batch OVERWRITES its own
     ``batch=<id>`` subdirectory, so a batch replayed after a crash between

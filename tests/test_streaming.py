@@ -677,3 +677,56 @@ def test_stream_topk_rollup_matches_batch_topk(spark, sf_dir, tmp_path):
         for r in SK.topk_two_level(ev, "event_type", k=5).collect()
     ]
     assert streamed == batch
+
+
+def test_stream_segment_dedup_first_seen_survives_across_batches(spark, tmp_path):
+    # three doc batches arrive in doc_id order (mtime-controlled,
+    # maxFilesPerTrigger=1): the streamed output must equal the batch
+    # segment_dedup over the full corpus, whose tie-break is (doc_id, pos)
+    import os
+    import time
+
+    from kinesis_data_counter_spark.operators.corpus import segment_dedup
+    from kinesis_data_counter_spark.streaming.runner import stream_segment_dedup
+
+    docs = [
+        (0, "a b c d"),       # owns [a b] [c d]
+        (1, "a b e f"),       # [a b] dup of doc 0 → keeps [e f]
+        (2, "g h c d"),       # [c d] dup of doc 0 → keeps [g h]
+        (3, "e f g h"),       # both chunks already owned → empty
+        (4, "a b a b"),       # all dup → empty
+        (5, "x y"),           # fresh
+    ]
+    src = tmp_path / "seg_src"
+    src.mkdir()
+    t0 = time.time() - 100
+    for bi, lo in enumerate([(0, 2), (2, 4), (4, 6)]):
+        df = spark.createDataFrame(docs[lo[0]:lo[1]], "doc_id long, text string")
+        p = str(src / f"b{bi}")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + 30 * bi, t0 + 30 * bi))
+        os.utime(p, (t0 + 30 * bi, t0 + 30 * bi))
+
+    streamed = {
+        r["doc_id"]: (r["text_out"], r["n_kept"], r["n_dropped"])
+        for r in stream_segment_dedup(
+            spark, str(src) + "/*", str(tmp_path / "seg_work"), chunk_words=2
+        ).collect()
+    }
+    batch = {
+        r["doc_id"]: (r["text_out"], r["n_kept"], r["n_dropped"])
+        for r in segment_dedup(
+            spark.createDataFrame(docs, "doc_id long, text string"), chunk_words=2
+        ).collect()
+    }
+    assert streamed == batch
+    # invariant: every surviving chunk is globally unique across the stream
+    all_kept = [
+        c
+        for text, _k, _d in streamed.values()
+        if text
+        for c in [text[i:i + 3] for i in range(0, len(text), 4)]
+    ]
+    assert len(all_kept) == len(set(all_kept))
