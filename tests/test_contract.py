@@ -56,6 +56,8 @@ def test_coverage_doc_names_resolve():
             "arn_test", "session_window", "transformWithState",
             "applyInPandasWithState", "batchItemFailures", "config_pipeline",
             "quantile_partials", "merge_quantile_partials",
+            "cms_partials", "cms_merge", "topk_partials",
+            "merge_topk_partials",
         }
     }
     assert ghosts == set(), f"COVERAGE.md references unknown queries: {ghosts}"

@@ -104,3 +104,15 @@ def test_connected_components_chain_and_triangle(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_shingle_word_hash_projection_stays_separate(spark):
+    # the word-hash array must survive as its own projection: if a
+    # refactor collapses it into the shingle-combiner lambda, the word
+    # transform re-evaluates per shingle term (measured 13s vs 0.46s at
+    # sf0.1 — see shingle_hashes_from_words docstring)
+    from kinesis_data_counter_spark.operators.dedup import shingles
+
+    docs = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    plan = shingles(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "__wh#" in plan, plan

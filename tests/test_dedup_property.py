@@ -140,3 +140,81 @@ def test_incremental_equals_full_minus_history_pairs(spark):
         ).collect()
     }
     assert got_precomputed == expected
+
+
+# ---------------------------------------------------------------------------
+# segment_dedup differential property: pure-Python first-occurrence oracle
+# ---------------------------------------------------------------------------
+
+
+def _python_segment_dedup(docs: dict[int, str], cw: int) -> dict[int, tuple[str, int, int]]:
+    seen: set[str] = set()
+    out: dict[int, tuple[str, int, int]] = {}
+    for i in sorted(docs):
+        w = docs[i].split(" ")
+        chunks = [" ".join(w[p : p + cw]) for p in range(0, len(w), cw)]
+        kept = []
+        for c in chunks:
+            if c in seen:
+                continue
+            seen.add(c)
+            kept.append(c)
+        out[i] = (" ".join(kept), len(kept), len(chunks) - len(kept))
+    return out
+
+
+def test_segment_dedup_differential_vs_python(spark):
+    from kinesis_data_counter_spark.operators.corpus import segment_dedup
+
+    rng = random.Random(17)
+    for trial in range(3):
+        base = " ".join(rng.choice(VOCAB) for _ in range(rng.randint(6, 40)))
+        docs: dict[int, str] = {}
+        for i in range(20):
+            if rng.random() < 0.5:
+                docs[i] = " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 40)))
+            else:  # near-copy: shares long chunk runs with base
+                w = base.split(" ")
+                if rng.random() < 0.5 and len(w) > 3:
+                    w[rng.randrange(len(w))] = rng.choice(VOCAB)
+                docs[i] = " ".join(w)
+        cw = rng.choice([2, 3, 8])
+        sdf = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text_out"], r["n_kept"], r["n_dropped"])
+            for r in segment_dedup(sdf, chunk_words=cw).collect()
+        }
+        want = _python_segment_dedup(docs, cw)
+        assert got == want, f"trial={trial} cw={cw}"
+
+
+def test_cms_differential_vs_python(spark):
+    import hashlib
+
+    from kinesis_data_counter_spark.operators import sketches as SK
+
+    rng = random.Random(23)
+    items = [f"it{rng.randint(0, 60)}" for _ in range(2500)]
+    df = spark.createDataFrame([(i,) for i in items], "item string")
+    merged = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in SK.cms_merge(SK.cms_partials(df, "item", depth=4, hex_chars=2)).collect()
+    }
+    # independent Python CMS with the same md5-bucket rule
+    want: dict[tuple[int, str], int] = {}
+    for it in items:
+        for d in range(4):
+            b = hashlib.md5(f"cms{d}:{it}".encode()).hexdigest()[:2]
+            want[(d, b)] = want.get((d, b), 0) + 1
+    assert merged == want
+    mdf = SK.cms_merge(SK.cms_partials(df, "item"))
+    est = {
+        r["item"]: r["est"]
+        for r in SK.cms_point_estimates(mdf, df, "item").collect()
+    }
+    from collections import Counter
+
+    exact = Counter(items)
+    for k, n in exact.items():
+        py_est = min(want[(d, hashlib.md5(f"cms{d}:{k}".encode()).hexdigest()[:2])] for d in range(4))
+        assert est[k] == py_est >= n
