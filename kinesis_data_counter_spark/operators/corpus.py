@@ -251,6 +251,65 @@ def segment_dedup(
     return out
 
 
+def quality_tiers(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "sketch",
+    k: int = 200,
+) -> DataFrame:
+    """Tier documents into high/mid/low thirds by LM quality score (the
+    CCNet "keep the best third" selection).
+
+    ``mode="sketch"`` (the 100 TB path) reads the two tercile cutoffs from
+    a KLL sketch of the score distribution — one bounded-state aggregate,
+    a broadcast of two doubles, and a row-local CASE; no global sort
+    anywhere. ``mode="exact"`` ranks with a global window ordered by
+    (score desc, doc_id) — deterministic and oracle-replayable, but the
+    window funnels through one task, so it exists for oracles and small
+    corpora, not scale (same caveat as ``rfm_segments``' ntile).
+    The sketch path's tiers agree with exact on all but the boundary
+    scores within the sketch's rank tolerance (property-tested).
+
+    Returns (doc_id, avg_logprob double, tier string in high|mid|low).
+    """
+    from pyspark.sql import Window
+
+    from kinesis_data_counter_spark.operators.text import lm_quality_score
+
+    scored = lm_quality_score(df, text_col, id_col).select(
+        "doc_id", "avg_logprob"
+    )
+    if mode == "exact":
+        w = Window.orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+        tot = scored.agg(F.count(F.lit(1)).alias("__n"))
+        ranked = scored.withColumn("__rn", F.row_number().over(w)).crossJoin(
+            F.broadcast(tot)
+        )
+        tier = (
+            F.when(F.col("__rn") <= F.floor(F.col("__n") / 3), "high")
+            .when(F.col("__rn") <= F.floor(2 * F.col("__n") / 3), "mid")
+            .otherwise("low")
+        )
+        return ranked.select("doc_id", "avg_logprob", tier.alias("tier"))
+    if mode != "sketch":
+        raise ValueError(f"mode must be sketch|exact, got {mode!r}")
+    cuts = scored.agg(
+        F.kll_sketch_agg_double(F.col("avg_logprob"), F.lit(int(k))).alias("sk")
+    ).select(
+        F.kll_sketch_get_quantile_double("sk", F.lit(2.0 / 3)).alias("__hi"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(1.0 / 3)).alias("__mid"),
+    )
+    tier = (
+        F.when(F.col("avg_logprob") > F.col("__hi"), "high")
+        .when(F.col("avg_logprob") > F.col("__mid"), "mid")
+        .otherwise("low")
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "avg_logprob", tier.alias("tier")
+    )
+
+
 def erase_subjects(
     df: DataFrame,
     subjects: DataFrame,

@@ -3195,6 +3195,32 @@ SELECT doc_id,
 FROM toks JOIN uni USING (term) CROSS JOIN tot
 GROUP BY doc_id
 """,
+    # exact-mode tiering: identical LM score, identical global rank order
+    "corpus_quality_tiers": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> '')) AS term
+  FROM documents
+),
+uni AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT count(*) AS t FROM toks),
+scored AS (
+  SELECT doc_id, round(avg(log10(uni.c * 1.0 / tot.t)), 6) AS avg_logprob
+  FROM toks JOIN uni USING (term) CROSS JOIN tot
+  GROUP BY doc_id
+),
+r AS (
+  SELECT doc_id, avg_logprob,
+         row_number() OVER (ORDER BY avg_logprob DESC, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM scored
+)
+SELECT doc_id, avg_logprob,
+       CASE WHEN rn <= CAST(floor(n / 3.0) AS BIGINT) THEN 'high'
+            WHEN rn <= CAST(floor(2 * n / 3.0) AS BIGINT) THEN 'mid'
+            ELSE 'low' END AS tier
+FROM r
+""",
 }
 
 
@@ -3501,6 +3527,17 @@ def _q_text_lm_score(spark, sf_dir):
     )
 
 
+def _q_corpus_quality_tiers(spark, sf_dir):
+    # keep-the-best-third quality tiering (operators/corpus.py::
+    # quality_tiers) in exact mode for the oracle: global rank over
+    # (score desc, doc_id) — the sketch mode is the scale path and is
+    # property-tested against this one in tests/test_corpus.py
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return CP.quality_tiers(docs, mode="exact").select(
+        "doc_id", "avg_logprob", "tier"
+    )
+
+
 def _q_cms_heavy_hitters(spark, sf_dir):
     # two-level count-min sketch (operators/sketches.py::cms_*): per-shard
     # cell partials → cellwise-sum merge → min-over-depth point estimates
@@ -3687,6 +3724,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_rollup_value": _q_quantile_rollup_value,
     "cms_heavy_hitters": _q_cms_heavy_hitters,
     "text_lm_score": _q_text_lm_score,
+    "corpus_quality_tiers": _q_corpus_quality_tiers,
     "bloom_prune_join": _q_bloom_prune_join,
     "corpus_segment_dedup": _q_corpus_segment_dedup,
 }

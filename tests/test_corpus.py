@@ -186,3 +186,43 @@ def test_segment_dedup_total_chunks_conserved(spark):
     # every kept chunk is globally unique
     kept = [c for r in out if r["text_out"] for c in [r["text_out"]]]
     assert len(out) == 60
+
+
+# ---------------------------------------------------------------------------
+# quality_tiers
+# ---------------------------------------------------------------------------
+
+def test_quality_tiers_exact_thirds(spark):
+    from kinesis_data_counter_spark.operators.corpus import quality_tiers
+
+    # 9 docs: tier sizes must be exactly 3/3/3; common-word docs tier high
+    rng = random.Random(9)
+    common = "the cat sat on the mat " * 3
+    docs = [(i, common.strip()) for i in range(3)]
+    docs += [(i, common.strip() + f" extra{i} word{i}") for i in range(3, 6)]
+    docs += [(i, " ".join(f"rare{i}x{j}" for j in range(10))) for i in range(6, 9)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["tier"] for r in quality_tiers(sdf, mode="exact").collect()}
+    from collections import Counter
+
+    assert Counter(got.values()) == {"high": 3, "mid": 3, "low": 3}
+    # the rare-token docs are the low tier
+    assert {got[i] for i in (6, 7, 8)} == {"low"}
+
+
+def test_quality_tiers_sketch_agrees_with_exact(spark):
+    from kinesis_data_counter_spark.operators.corpus import quality_tiers
+
+    rng = random.Random(4)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 60))))
+        for i in range(120)
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {r["doc_id"]: r["tier"] for r in quality_tiers(sdf, mode="exact").collect()}
+    sketch = {r["doc_id"]: r["tier"] for r in quality_tiers(sdf, mode="sketch").collect()}
+    agree = sum(exact[i] == sketch[i] for i in exact) / len(exact)
+    # KLL k=200 holds every value exactly at this size; disagreement can
+    # only come from cutoff-boundary tie handling
+    assert agree >= 0.9, agree
