@@ -6,6 +6,8 @@ actually executes, built from this engine's operators.
       → language gate                               operators/text.py
       → exact dedup                                 operators/dedup.py
       → near-dup cluster dedup (MinHash-LSH + CC)   operators/dedup.py
+      → segment dedup (cross-doc first occurrence)  operators/corpus.py
+      → LM-quality tiering (drop the low third)     operators/corpus.py
       → decontaminate vs an eval slice              operators/corpus.py
       → pack into fixed token-budget sequences      operators/corpus.py
       → curated parquet write                       io.py
@@ -33,6 +35,8 @@ from kinesis_data_counter_spark.operators.corpus import (
     clean_corpus,
     decontaminate,
     pack_sequences,
+    quality_tiers,
+    segment_dedup,
 )
 from kinesis_data_counter_spark.session import get_spark, load_tables
 
@@ -47,6 +51,24 @@ def main() -> None:
 
     survivors, funnel = clean_corpus(docs)
     f = funnel.collect()[0].asDict()
+
+    # cross-doc segment dedup: drop chunk-level boilerplate the doc-level
+    # stages cannot see, then rebuild the text column from the survivors
+    seg = segment_dedup(survivors, chunk_words=8)
+    survivors = (
+        survivors.drop("text")
+        .join(seg.filter(F.col("n_kept") > 0), "doc_id")
+        .withColumnRenamed("text_out", "text")
+        .drop("n_kept", "n_dropped")
+    )
+    f["n_segment_deduped"] = survivors.count()
+
+    # LM-quality tiering (sketch cutoffs — no global sort): keep high+mid
+    tiers = quality_tiers(survivors, mode="sketch")
+    survivors = survivors.join(
+        tiers.filter(F.col("tier") != "low").select("doc_id"), "doc_id"
+    )
+    f["n_quality_kept"] = survivors.count()
 
     # benchmark decontamination: drop survivors sharing an 8-gram with the
     # held-out eval slice (here: a deterministic 1/7th of the corpus)
