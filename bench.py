@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "cms_heavy_hitters",
     "bloom_prune_join",
     "corpus_segment_dedup",
+    "text_lm_score",
+    "corpus_quality_tiers",
 ]
 
 

@@ -363,64 +363,15 @@ def stream_segment_dedup(
     ``operators/corpus.py::segment_dedup`` with arrival order replacing
     (doc_id, pos) order as the global tie-break.
     """
-    from kinesis_data_counter_spark.operators import corpus as CP
-
     sdf = _read_stream(spark, path, None, max_files_per_trigger)
     idx_dir = work_dir + "/chunk_index"
     out_dir = work_dir + "/docs"
 
     def _emit(batch_df: DataFrame, epoch: int) -> None:
-        chunks = CP.doc_chunks(batch_df, text_col, id_col, chunk_words)
-        chunks = chunks.withColumn("__h", F.xxhash64("chunk")).persist()
-        first = chunks.groupBy("__h").agg(
-            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("f")
+        _segment_dedup_batch(
+            spark, batch_df, epoch, idx_dir, out_dir,
+            chunk_words=chunk_words, text_col=text_col, id_col=id_col,
         )
-        winners = (
-            chunks.join(first, "__h")
-            .where(
-                (F.col("f")[id_col] == F.col(id_col))
-                & (F.col("f.pos") == F.col("pos"))
-            )
-            .select(id_col, "pos", "chunk", "__h")
-        )
-        try:
-            seen = (
-                spark.read.parquet(idx_dir)
-                .where(F.col("batch") != epoch)  # replay safety
-                .select("__h")
-            )
-            fresh = winners.join(seen, "__h", "left_anti")
-        except Exception:  # first batch: no index yet
-            fresh = winners
-        fresh = fresh.persist()
-        kept = fresh.groupBy(id_col).agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
-                    lambda s: s["chunk"],
-                ),
-                " ",
-            ).alias("text_out"),
-            F.count(F.lit(1)).cast("int").alias("n_kept"),
-        )
-        tot = chunks.groupBy(id_col).agg(
-            F.count(F.lit(1)).cast("int").alias("__tot")
-        )
-        out = (
-            tot.join(kept, id_col, "left")
-            .select(
-                F.col(id_col),
-                F.coalesce("text_out", F.lit("")).alias("text_out"),
-                F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-                (F.col("__tot") - F.coalesce("n_kept", F.lit(0))).alias(
-                    "n_dropped"
-                ),
-            )
-        )
-        _write_batch_keyed(out, out_dir, epoch)
-        _write_batch_keyed(fresh.select("__h"), idx_dir, epoch)
-        fresh.unpersist()
-        chunks.unpersist()
 
     q = (
         sdf.writeStream.foreachBatch(_emit)
@@ -434,6 +385,77 @@ def stream_segment_dedup(
         if q.isActive:  # pragma: no cover - defensive
             q.stop()
     return _read_batch_keyed(spark, out_dir)
+
+
+def _segment_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch: int,
+    idx_dir: str,
+    out_dir: str,
+    chunk_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One ``stream_segment_dedup`` micro-batch (module-level so the
+    replay contract is directly testable): resolve within-batch first
+    occurrences, anti-join the index EXCLUDING this epoch's own partition
+    (a replayed batch must reproduce its output, not be poisoned by its
+    crashed attempt's partial write), write docs + new hashes batch-keyed.
+    """
+    from kinesis_data_counter_spark.operators import corpus as CP
+
+    chunks = CP.doc_chunks(batch_df, text_col, id_col, chunk_words)
+    chunks = chunks.withColumn("__h", F.xxhash64("chunk")).persist()
+    first = chunks.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("f")
+    )
+    winners = (
+        chunks.join(first, "__h")
+        .where(
+            (F.col("f")[id_col] == F.col(id_col))
+            & (F.col("f.pos") == F.col("pos"))
+        )
+        .select(id_col, "pos", "chunk", "__h")
+    )
+    try:
+        seen = (
+            spark.read.parquet(idx_dir)
+            .where(F.col("batch") != epoch)  # replay safety
+            .select("__h")
+        )
+        fresh = winners.join(seen, "__h", "left_anti")
+    except Exception:  # first batch: no index yet
+        fresh = winners
+    fresh = fresh.persist()
+    kept = fresh.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text_out"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    )
+    tot = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("__tot")
+    )
+    out = (
+        tot.join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("text_out", F.lit("")).alias("text_out"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("__tot") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_dropped"
+            ),
+        )
+    )
+    _write_batch_keyed(out, out_dir, epoch)
+    _write_batch_keyed(fresh.select("__h"), idx_dir, epoch)
+    fresh.unpersist()
+    chunks.unpersist()
 
 
 def _write_batch_keyed(df: DataFrame, root: str, epoch: int) -> None:

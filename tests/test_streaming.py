@@ -730,3 +730,32 @@ def test_stream_segment_dedup_first_seen_survives_across_batches(spark, tmp_path
         for c in [text[i:i + 3] for i in range(0, len(text), 4)]
     ]
     assert len(all_kept) == len(set(all_kept))
+
+
+def test_stream_segment_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    # crash-replay contract: a batch whose partial index write landed but
+    # whose checkpoint did not commit is re-run with the SAME epoch; the
+    # index read excludes that epoch's own partition, so the replay must
+    # reproduce identical docs and index content — not anti-join its own
+    # first attempt into an empty output
+    from kinesis_data_counter_spark.streaming.runner import _segment_dedup_batch
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    b0 = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    b1 = spark.createDataFrame([(1, "a b e f")], "doc_id long, text string")
+    _segment_dedup_batch(spark, b0, 0, idx, out, chunk_words=2)
+    _segment_dedup_batch(spark, b1, 1, idx, out, chunk_words=2)
+    first = {
+        r["doc_id"]: (r["text_out"], r["n_kept"], r["n_dropped"])
+        for r in spark.read.parquet(out).collect()
+    }
+    n_idx = spark.read.parquet(idx).count()
+    # simulate the crash-replay of batch 1 (its batch=1 dirs already exist)
+    _segment_dedup_batch(spark, b1, 1, idx, out, chunk_words=2)
+    again = {
+        r["doc_id"]: (r["text_out"], r["n_kept"], r["n_dropped"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == first == {0: ("a b c d", 2, 0), 1: ("e f", 1, 1)}
+    assert spark.read.parquet(idx).count() == n_idx == 3
