@@ -225,11 +225,16 @@ def segment_dedup(
     (doc_id, text_out, n_kept int, n_dropped int); ``text_out`` is ''
     when every segment of the doc appeared earlier elsewhere.
     """
-    chunks = doc_chunks(df, text_col, id_col, chunk_words)
-    first = chunks.groupBy("chunk").agg(
+    # first-occurrence selection groups and joins on the 64-bit chunk hash
+    # — an 8-byte shuffle key instead of the raw segment string (same
+    # trade as the shingle pipeline; collisions ~|chunks|²/2⁶⁴)
+    chunks = doc_chunks(df, text_col, id_col, chunk_words).withColumn(
+        "__h", F.xxhash64("chunk")
+    )
+    first = chunks.groupBy("__h").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("f")
     )
-    marked = chunks.join(first, "chunk").withColumn(
+    marked = chunks.join(first, "__h").withColumn(
         "__keep",
         (F.col("f")[id_col] == F.col(id_col)) & (F.col("f.pos") == F.col("pos")),
     )

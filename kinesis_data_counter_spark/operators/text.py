@@ -355,15 +355,17 @@ def lm_quality_score(
     Returns (doc_id, n_tokens bigint, avg_logprob double,
     low_quality boolean) — one row per doc with ≥1 token.
     """
+    # the term string never reaches the output, so the count/join key is
+    # its 64-bit hash — an 8-byte shuffle instead of raw token strings
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(clean_tokens(F.col(text_col))).alias("term"),
-    )
-    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+        F.explode(clean_tokens(F.col(text_col))).alias("__term"),
+    ).select("doc_id", F.xxhash64("__term").alias("th"))
+    uni = toks.groupBy("th").agg(F.count(F.lit(1)).alias("c"))
     tot = toks.agg(F.count(F.lit(1)).alias("__t"))
     score = F.round(F.avg(F.log10(F.col("c") / F.col("__t"))), 6)
     return (
-        toks.join(uni, "term")
+        toks.join(uni, "th")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
