@@ -3221,6 +3221,16 @@ SELECT doc_id, avg_logprob,
             ELSE 'low' END AS tier
 FROM r
 """,
+    # the z-ordered layout must be lossless: same integer-exact summary
+    # as the source parquet under the same filter
+    "layout_zorder_prune": """
+SELECT count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users,
+       min(event_id) AS min_event,
+       max(event_id) AS max_event
+FROM events
+WHERE user_id >= 100 AND user_id <= 400
+""",
 }
 
 
@@ -3527,6 +3537,36 @@ def _q_text_lm_score(spark, sf_dir):
     )
 
 
+def _q_layout_zorder_prune(spark, sf_dir):
+    # curated-layout round trip (io.py::write_zordered): events written
+    # clustered on a Morton curve over (user_id, event_id), read back
+    # through a selective user_id filter — file-level skipping via
+    # disjoint key ranges, rowgroup skipping via the within-file sort —
+    # and summarized with integer-exact aggregates. The oracle computes
+    # the same summary straight off the source parquet: the layout must
+    # be lossless under a pruned read. (The skipping behavior itself is
+    # pinned in tests/test_io.py.)
+    import tempfile
+
+    from kinesis_data_counter_spark import io as IO
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="kdc_zorder_")
+    IO.write_zordered(
+        ev.select("event_id", "user_id", "ts"), d,
+        cols=("user_id", "event_id"), n_files=8,
+    )
+    back = spark.read.parquet(d).filter(
+        (F.col("user_id") >= 100) & (F.col("user_id") <= 400)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )
+
+
 def _q_corpus_quality_tiers(spark, sf_dir):
     # keep-the-best-third quality tiering (operators/corpus.py::
     # quality_tiers) in exact mode for the oracle: global rank over
@@ -3725,6 +3765,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": _q_cms_heavy_hitters,
     "text_lm_score": _q_text_lm_score,
     "corpus_quality_tiers": _q_corpus_quality_tiers,
+    "layout_zorder_prune": _q_layout_zorder_prune,
     "bloom_prune_join": _q_bloom_prune_join,
     "corpus_segment_dedup": _q_corpus_segment_dedup,
 }
