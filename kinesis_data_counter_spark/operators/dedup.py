@@ -45,9 +45,11 @@ def word_hashes(text_col):
     """Column expr: ``array<long>`` — xxhash64 of each word of the split
     text. Each word is hashed ONCE; shingle hashes are then derived
     arithmetically (``shingle_hashes_from_words``) instead of re-joining
-    and re-hashing an n-word string per shingle position — measured 3× on
-    the sf0.1 corpus, because higher-order ``transform`` lambdas are
-    interpreted and the string build dominated."""
+    and re-hashing an n-word string per shingle position. Warm-JVM timing
+    at sf0.1 is a wash vs the string rebuild (~0.57 s either way; an
+    earlier 3× reading was cold-start); the derivation is kept because it
+    avoids the per-shingle string allocation with identical collision
+    behavior."""
     w = F.split(F.col(text_col) if isinstance(text_col, str) else text_col, " ")
     return F.transform(w, lambda t: F.xxhash64(t))
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SIDE_L, _SIDE_R = 1, 0  # right sorts first at equal time: "at or before" ties match
@@ -193,7 +193,31 @@ def bloom_prefilter_join(
     pass (they never change the result either way).
     """
     nb, nh = int(num_buckets), int(num_hashes)
-    keys = dim.select(F.col(dim_key).alias("__k")).filter(
+    # xxhash64 is type-sensitive (hash(7::int) != hash(7::bigint)) while the
+    # exact equi-join below coerces mismatched key types before comparing —
+    # hashing the raw columns would silently prune every fact row whose key
+    # type differs from the dim's, breaking the no-false-negatives contract.
+    # Hash both sides through one common type chosen like Spark's own join
+    # coercion: numeric↔numeric widens to double, anything else goes through
+    # string.
+    ft = dict(fact.dtypes)[fact_key]
+    dt = dict(dim.dtypes)[dim_key]
+    if ft == dt:
+        common = None
+    else:
+        numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        numericish = numeric | {"string"}
+        if {ft, dt} <= numericish and (ft in numeric or dt in numeric):
+            # Spark's comparison coercion promotes numeric↔numeric and
+            # numeric↔string through double; hash what the join compares.
+            common = "double"
+        else:
+            common = "string"
+
+    def _hkey(col: Column) -> Column:
+        return col.cast(common) if common else col
+
+    keys = dim.select(_hkey(F.col(dim_key)).alias("__k")).filter(
         F.col("__k").isNotNull()
     )
     pruned = fact
@@ -202,7 +226,7 @@ def bloom_prefilter_join(
             F.pmod(F.xxhash64("__k", F.lit(i)), F.lit(nb)).alias("__b")
         ).distinct()
         pruned = pruned.withColumn(
-            "__b", F.pmod(F.xxhash64(F.col(fact_key), F.lit(i)), F.lit(nb))
+            "__b", F.pmod(F.xxhash64(_hkey(F.col(fact_key)), F.lit(i)), F.lit(nb))
         ).join(F.broadcast(buckets), "__b", "left_semi").drop("__b")
     return pruned.join(dim, pruned[fact_key] == dim[dim_key], "inner")
 

@@ -520,9 +520,14 @@ def cms_point_estimates(
             1, int(hex_chars),
         ).alias("bucket"),
     )
-    # merged CMS is ≤ depth × 16^hex_chars rows — always broadcastable
-    joined = probes.join(F.broadcast(merged), ["d", "bucket"], "inner")
-    return joined.groupBy("item").agg(F.min("cnt").cast("bigint").alias("est"))
+    # merged CMS is ≤ depth × 16^hex_chars rows — always broadcastable.
+    # LEFT join: a bucket with no cell row means nothing ever hashed there,
+    # i.e. its count is 0 — so an unseen item correctly estimates 0 instead
+    # of vanishing (inner join) or taking min over only non-empty cells.
+    joined = probes.join(F.broadcast(merged), ["d", "bucket"], "left")
+    return joined.groupBy("item").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est")
+    )
 
 
 def cross_table_key_overlap(

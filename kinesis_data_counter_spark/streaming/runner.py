@@ -23,6 +23,7 @@ import os
 import uuid
 from collections.abc import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -425,7 +426,13 @@ def _segment_dedup_batch(
             .select("__h")
         )
         fresh = winners.join(seen, "__h", "left_anti")
-    except Exception:  # first batch: no index yet
+    except AnalysisException as exc:
+        # Only the first-batch missing-index path may be treated as an
+        # empty index; a transient/corrupt-file read error must propagate
+        # so the batch retries instead of silently re-admitting seen
+        # hashes (which would disable cross-batch dedup for the batch).
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
         fresh = winners
     fresh = fresh.persist()
     kept = fresh.groupBy(id_col).agg(

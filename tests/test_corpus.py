@@ -183,9 +183,18 @@ def test_segment_dedup_total_chunks_conserved(spark):
         math.ceil(len(r["text"].split(" ")) / 4) for r in docs.collect()
     )
     assert total == want
-    # every kept chunk is globally unique
-    kept = [c for r in out if r["text_out"] for c in [r["text_out"]]]
-    assert len(out) == 60
+    # every kept chunk is globally unique: re-chunk each surviving text
+    # at the same width and assert no chunk string repeats anywhere
+    kept_chunks = []
+    for r in out:
+        if not r["text_out"]:
+            continue
+        words = r["text_out"].split(" ")
+        kept_chunks.extend(
+            " ".join(words[i : i + 4]) for i in range(0, len(words), 4)
+        )
+    assert len(kept_chunks) == len(set(kept_chunks))
+    assert sum(r["n_kept"] for r in out) == len(kept_chunks)
 
 
 # ---------------------------------------------------------------------------

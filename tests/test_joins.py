@@ -345,6 +345,37 @@ def test_bloom_prefilter_join_tiny_bucket_space_still_exact(spark):
     assert got == want and len(want) == 20
 
 
+def test_bloom_prefilter_join_mismatched_key_types_no_false_negatives(spark):
+    # xxhash64 is type-sensitive: hashing an int fact key and a bigint dim
+    # key directly would never share buckets and would silently prune every
+    # match the coercing equi-join would have kept. The prefilter must hash
+    # both sides through a common type so the result equals the plain join.
+    from kinesis_data_counter_spark.operators.joins import bloom_prefilter_join
+
+    fact = spark.createDataFrame([(i % 7, i) for i in range(200)], "k int, fid long")
+    for dim_schema in ("dk long, payload string", "dk double, payload string"):
+        vals = [(3.0, "a"), (5.0, "b")] if "double" in dim_schema else [(3, "a"), (5, "b")]
+        dim = spark.createDataFrame(vals, dim_schema)
+        want = sorted(
+            (r["fid"], r["payload"]) for r in fact.join(dim, fact.k == dim.dk).collect()
+        )
+        got = sorted(
+            (r["fid"], r["payload"])
+            for r in bloom_prefilter_join(fact, dim, "k", "dk").collect()
+        )
+        assert got == want and len(want) > 0, dim_schema
+    # string-vs-int mismatch goes through the string path
+    dim = spark.createDataFrame([("3", "a")], "dk string, payload string")
+    got = sorted(
+        (r["fid"], r["payload"])
+        for r in bloom_prefilter_join(fact, dim, "k", "dk").collect()
+    )
+    want = sorted(
+        (r["fid"], r["payload"]) for r in fact.join(dim, fact.k == dim.dk).collect()
+    )
+    assert got == want and len(want) > 0
+
+
 def test_bloom_prefilter_join_null_fact_keys_dropped(spark):
     # NULL fact keys can never match; the hash probe must not crash on them
     fact = spark.createDataFrame([(None, 1), (2, 2)], "k long, fid long")

@@ -270,6 +270,26 @@ def test_cms_overcount_bounded_in_collision_regime(spark):
         assert r["est"] <= 1 + 3 * (n / 256)  # 3× the expected row collision mass
 
 
+def test_cms_unseen_item_estimates_zero_via_empty_cells(spark):
+    # A true CMS answers point queries for ANY item: an unseen item whose
+    # buckets are all empty must return 0 (empty cell == count 0), and one
+    # whose buckets partially collide takes min over the zero cells too.
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "item string")
+    merged = SK.cms_merge(SK.cms_partials(df, "item", depth=4, hex_chars=2))
+    probes = spark.createDataFrame(
+        [("a",), ("never-seen-1",), ("never-seen-2",)], "item string"
+    )
+    est = {
+        r["item"]: r["est"]
+        for r in SK.cms_point_estimates(merged, probes, "item").collect()
+    }
+    assert set(est) == {"a", "never-seen-1", "never-seen-2"}
+    assert est["a"] == 2
+    # 2 occupied cells per row out of 256: collision on all 4 rows is ~1e-8
+    assert est["never-seen-1"] == 0
+    assert est["never-seen-2"] == 0
+
+
 def test_cms_partials_bounded_rows(spark):
     # the exchange contract: at most shards × depth × width rows
     rows = [(f"k{i % 500}", i % 4) for i in range(2000)]

@@ -759,3 +759,23 @@ def test_stream_segment_dedup_batch_replay_is_idempotent(spark, tmp_path):
     }
     assert again == first == {0: ("a b c d", 2, 0), 1: ("e f", 1, 1)}
     assert spark.read.parquet(idx).count() == n_idx == 3
+
+
+def test_stream_segment_dedup_corrupt_index_read_propagates(spark, tmp_path):
+    # only the first-batch missing-path case may be treated as an empty
+    # index; an unreadable/corrupt index must fail the batch (so streaming
+    # retries) instead of silently disabling cross-batch dedup
+    import pytest
+
+    from kinesis_data_counter_spark.streaming.runner import _segment_dedup_batch
+
+    idx = tmp_path / "idx"
+    out = tmp_path / "out"
+    idx.mkdir()
+    (idx / "garbage.txt").write_text("not parquet")
+    b = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    # corrupt footers surface as a Spark read error (Py4JJavaError); the
+    # old bare `except Exception` swallowed it and wrote output anyway
+    with pytest.raises(Exception):
+        _segment_dedup_batch(spark, b, 1, str(idx), str(out), chunk_words=2)
+    assert not out.exists()
