@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_clusters",
     "knn_label_propagation",
+    # round-4: the corpus-sized auto-labeling sweep through the LSH-bucketed
+    # kNN path (VERDICT r3 item 1); knn_label_propagation above is now the
+    # honestly-broadcast-sized brute slice
+    "knn_label_propagation_bucketed",
     # round-3 additions: engine-portable count-min sketch, explicit
     # Bloom-style runtime-filter join, segment-level cross-doc dedup
     "cms_heavy_hitters",
@@ -75,6 +79,7 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
+    load_before = os.getloadavg()
     spark = get_spark(app_name="kdc-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -109,6 +114,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": max(1, runs),
+                # ambient-load stamps (1/5/15-min loadavg before and after):
+                # cross-round timing drift is only adjudicable when both
+                # rounds ran on a comparably quiet machine (VERDICT r3 §perf)
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

@@ -653,10 +653,18 @@ def connected_components(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
     edges = sym.persist()
+    # initialize labels at round 1's output, min(self, neighbors) — the
+    # first propagation step from identity labels costs one groupBy on the
+    # symmetric edge list, the same shuffle the identity init's distinct()
+    # paid, so the whole fixed-point starts one round (one join + agg +
+    # checkpoint job) ahead
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__m"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("__m")).alias("label"),
+        )
         .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
