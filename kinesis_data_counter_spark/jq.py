@@ -726,34 +726,69 @@ def apply_jq_generic(df: DataFrame, program: str) -> DataFrame:
     column — jq output is dynamically typed, so downstream code re-parses
     with ``from_json`` under whatever schema it expects.
 
-    Gated on the optional ``jq`` Python binding (Arrow-batched via
-    ``mapInPandas``; the program compiles ONCE per executor, not per row).
-    Not bundled in this container — raises ImportError with guidance; the
-    built-in subset covers the reference's entire observed usage, so this
-    path exists for user programs beyond it.
+    Engine choice (Arrow-batched via ``mapInPandas``, program compiled
+    ONCE per executor, not per row): the optional ``jq`` Python binding
+    when installed, else the dependency-free pure-Python mini-jq
+    interpreter (:mod:`kinesis_data_counter_spark.jq_eval`, differential-
+    tested against the real jq binary). Programs beyond even the
+    interpreter's core (regex builtins, ``..`` recursion, try/catch)
+    raise :class:`JqUnsupported` at driver time, before any executor
+    work is scheduled.
     """
-    try:
-        import jq as _jq  # type: ignore
-    except ImportError as e:  # pragma: no cover - exercised by the gate test
-        raise ImportError(
-            "apply_jq_generic needs the 'jq' Python binding; the built-in "
-            "apply_jq subset covers object-construction programs without it"
-        ) from e
-
     from collections.abc import Iterator
 
     import pandas as pd
 
     cols = df.columns
     compiled_src = program
+    try:
+        import jq as _jq  # type: ignore
+
+        has_binding = True
+    except ImportError:
+        has_binding = False
+        # parse on the driver NOW so unsupported programs fail fast
+        from kinesis_data_counter_spark.jq_eval import compile_program
+
+        compile_program(compiled_src)
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        prog = _jq.compile(compiled_src)  # once per executor/partition set
+        if has_binding:  # pragma: no cover - binding absent in this container
+            prog = _jq.compile(compiled_src)
+            run = prog.input
+            fmt = lambda o: json.dumps(o, separators=(",", ":"))  # noqa: E731
+        else:
+            from kinesis_data_counter_spark.jq_eval import compile_program, dumps
+
+            mini = compile_program(compiled_src)
+            run, fmt = mini, dumps
         for pdf in batches:
             out: list[str] = []
             for rec in pdf[cols].to_dict("records"):
-                for emitted in prog.input(rec):
-                    out.append(json.dumps(emitted, separators=(",", ":")))
+                for emitted in run(_plain_json(rec)):
+                    out.append(fmt(emitted))
             yield pd.DataFrame({"value": pd.array(out, dtype=object)})
 
     return df.mapInPandas(_batches, "value string")
+
+
+def _plain_json(v):
+    """Arrow/pandas batch values → plain JSON types (numpy scalars/arrays
+    and struct Rows appear inside ``to_dict`` records; jq evaluation and
+    serialization need pure Python)."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, dict):
+        return {k: _plain_json(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)) or isinstance(v, np.ndarray):
+        return [_plain_json(x) for x in v]
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        return float(v)
+    if v is pd.NA or v is pd.NaT or (isinstance(v, float) and v != v):
+        return None
+    return v

@@ -1,0 +1,1062 @@
+"""Pure-Python mini-jq evaluator — the dependency-free generic fallback.
+
+The reference applies an ARBITRARY gojq program to each output record
+(counter.go:439-466); the compiled subset in :mod:`jq.py` covers every
+program shape the reference's fixtures and README exercise as JVM-side
+projections, but user programs beyond it previously needed an unbundled
+``jq`` Python binding. This module removes that dependency: a small
+recursive-descent parser plus a generator-based evaluator over plain
+Python JSON values, implementing the jq core —
+
+  identity / field / index / slice-free paths, ``.foo[]`` / ``.[]``
+  iteration, optional ``?``, pipes, comma streams, object and array
+  construction, string interpolation, arithmetic (+ - * / %), comparisons,
+  ``and`` / ``or`` / ``not``, alternative ``//``, ``select`` / ``empty`` /
+  ``if-elif-else-end``, ``reduce $x``-bindings, and a library of the
+  common builtins (length, keys, has, type, tostring, tonumber, add, map,
+  join, split, sort, sort_by, unique, range, to_entries, from_entries, …).
+
+Semantics are pinned against the real /usr/bin/jq binary by
+tests/test_jq_differential.py (evaluation order of binary operators is
+right-operand-outer, integral doubles print as integers, the jq total
+order null < false < true < numbers < strings < arrays < objects, missing
+object fields read as null). Constructs outside this core (regex builtins,
+``..`` recursion, try/catch, path assignment) raise
+:class:`~kinesis_data_counter_spark.jq.JqUnsupported` at COMPILE time, so
+callers fail before any executor work is scheduled.
+
+This is a per-record interpreter: the right engine for the output-shaping
+role it plays (counter outputs are tiny, already-aggregated rows). Hot
+data paths should stay on the compiled subset / built-in columns.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import math
+from collections.abc import Iterator
+
+__all__ = ["MiniJqProgram", "compile_program", "JqRuntimeError"]
+
+
+class JqRuntimeError(ValueError):
+    """A jq runtime error (type mismatch etc.) — suppressed under ``?``."""
+
+
+def _unsupported(msg: str):
+    from kinesis_data_counter_spark.jq import JqUnsupported
+
+    return JqUnsupported(msg)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_PUNCT = (
+    "|",
+    ",",
+    ";",
+    ":",
+    "(",
+    ")",
+    "[",
+    "]",
+    "{",
+    "}",
+    "?",
+    ".",
+    "$",
+)
+_OPS2 = ("==", "!=", "<=", ">=", "//")
+_OPS1 = ("<", ">", "+", "-", "*", "/", "%")
+_KEYWORDS = {
+    "and",
+    "or",
+    "if",
+    "then",
+    "elif",
+    "else",
+    "end",
+    "as",
+    "reduce",
+    "true",
+    "false",
+    "null",
+}
+
+
+def _is_ident_start(c: str) -> bool:
+    return c.isalpha() or c == "_"
+
+
+def _is_ident(c: str) -> bool:
+    return c.isalnum() or c == "_"
+
+
+def _tokenize(src: str) -> list[tuple[str, object]]:
+    toks: list[tuple[str, object]] = []
+    i, n = 0, len(src)
+    while i < n:
+        c = src[i]
+        if c.isspace():
+            i += 1
+            continue
+        two = src[i : i + 2]
+        if two in _OPS2:
+            toks.append(("op", two))
+            i += 2
+            continue
+        if c == '"':
+            parts, i = _scan_string(src, i)
+            toks.append(("str", parts))
+            continue
+        if c.isdigit() or (c == "." and i + 1 < n and src[i + 1].isdigit()):
+            j = i
+            while j < n and (src[j].isdigit() or src[j] in ".eE" or (src[j] in "+-" and src[j - 1] in "eE")):
+                j += 1
+            lit = src[i:j]
+            try:
+                num = json.loads(lit)
+            except ValueError as e:
+                raise _unsupported(f"bad number literal: {lit!r}") from e
+            toks.append(("num", num))
+            i = j
+            continue
+        if _is_ident_start(c):
+            j = i
+            while j < n and _is_ident(src[j]):
+                j += 1
+            word = src[i:j]
+            if word in _KEYWORDS:
+                toks.append(("kw", word))
+            else:
+                toks.append(("ident", word))
+            i = j
+            continue
+        if c in _OPS1:
+            toks.append(("op", c))
+            i += 1
+            continue
+        if c in _PUNCT:
+            toks.append(("punct", c))
+            i += 1
+            continue
+        raise _unsupported(f"cannot tokenize at: {src[i:]!r}")
+    toks.append(("end", None))
+    return toks
+
+
+def _scan_string(src: str, i: int) -> tuple[list, int]:
+    """Parse a double-quoted string with ``\\(...)`` interpolation.
+
+    Returns (parts, next_index): parts is a list of literal ``str`` pieces
+    and ``("interp", ast)`` tuples.
+    """
+    assert src[i] == '"'
+    i += 1
+    parts: list = []
+    buf: list[str] = []
+    n = len(src)
+    while i < n:
+        c = src[i]
+        if c == '"':
+            if buf:
+                parts.append("".join(buf))
+            return parts, i + 1
+        if c == "\\":
+            if i + 1 >= n:
+                break
+            nxt = src[i + 1]
+            if nxt == "(":
+                # find the matching close paren, respecting nesting/strings
+                depth, j = 1, i + 2
+                while j < n and depth:
+                    if src[j] == '"':
+                        _, j = _scan_string(src, j)
+                        continue
+                    if src[j] == "(":
+                        depth += 1
+                    elif src[j] == ")":
+                        depth -= 1
+                    j += 1
+                if depth:
+                    raise _unsupported(f"unterminated interpolation: {src[i:]!r}")
+                inner = src[i + 2 : j - 1]
+                if buf:
+                    parts.append("".join(buf))
+                    buf = []
+                parts.append(("interp", _parse(inner)))
+                i = j
+                continue
+            simple = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\", "/": "/"}
+            if nxt in simple:
+                buf.append(simple[nxt])
+                i += 2
+                continue
+            if nxt == "u":
+                buf.append(chr(int(src[i + 2 : i + 6], 16)))
+                i += 6
+                continue
+            raise _unsupported(f"unsupported escape: \\{nxt}")
+        buf.append(c)
+        i += 1
+    raise _unsupported("unterminated string literal")
+
+
+# ---------------------------------------------------------------------------
+# Parser — AST is nested tuples: (kind, *payload)
+# ---------------------------------------------------------------------------
+
+_ZERO_ARG_BUILTINS = {
+    "length",
+    "keys",
+    "keys_unsorted",
+    "type",
+    "tostring",
+    "tonumber",
+    "tojson",
+    "floor",
+    "ceil",
+    "sqrt",
+    "fabs",
+    "add",
+    "any",
+    "all",
+    "min",
+    "max",
+    "unique",
+    "reverse",
+    "sort",
+    "first",
+    "last",
+    "not",
+    "empty",
+    "ascii_downcase",
+    "ascii_upcase",
+    "to_entries",
+    "from_entries",
+    "values",
+}
+_ARG_BUILTINS = {
+    "select": 1,
+    "map": 1,
+    "sort_by": 1,
+    "has": 1,
+    "contains": 1,
+    "startswith": 1,
+    "endswith": 1,
+    "ltrimstr": 1,
+    "rtrimstr": 1,
+    "split": 1,
+    "join": 1,
+    "range": (1, 3),
+}
+
+
+class _P:
+    def __init__(self, toks: list[tuple[str, object]]):
+        self.toks = toks
+        self.pos = 0
+
+    def peek(self):
+        return self.toks[self.pos]
+
+    def next(self):
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def accept(self, kind, val=None) -> bool:
+        k, v = self.peek()
+        if k == kind and (val is None or v == val):
+            self.pos += 1
+            return True
+        return False
+
+    def expect(self, kind, val=None):
+        k, v = self.next()
+        if k != kind or (val is not None and v != val):
+            raise _unsupported(f"expected {val or kind}, got {v!r}")
+        return v
+
+    # precedence: pipe < comma < // < or < and < cmp < add < mul < unary
+    def parse_pipe(self):
+        left = self.parse_comma()
+        while True:
+            # `EXPR as $x | BODY` binding
+            if self.accept("kw", "as"):
+                self.expect("punct", "$")
+                var = self.expect("ident")
+                self.expect("punct", "|")
+                body = self.parse_pipe()
+                return ("bind", left, var, body)
+            if self.accept("punct", "|"):
+                left = ("pipe", left, self.parse_comma())
+            else:
+                return left
+
+    def parse_comma(self):
+        items = [self.parse_alt()]
+        while self.accept("punct", ","):
+            items.append(self.parse_alt())
+        return items[0] if len(items) == 1 else ("comma", items)
+
+    def parse_alt(self):
+        left = self.parse_or()
+        while self.accept("op", "//"):
+            left = ("alt", left, self.parse_or())
+        return left
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.accept("kw", "or"):
+            left = ("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_cmp()
+        while self.accept("kw", "and"):
+            left = ("and", left, self.parse_cmp())
+        return left
+
+    def parse_cmp(self):
+        left = self.parse_add()
+        k, v = self.peek()
+        if k == "op" and v in ("==", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return ("cmp", v, left, self.parse_add())
+        return left
+
+    def parse_add(self):
+        left = self.parse_mul()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("+", "-"):
+                self.next()
+                left = ("arith", v, left, self.parse_mul())
+            else:
+                return left
+
+    def parse_mul(self):
+        left = self.parse_unary()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("*", "/", "%"):
+                self.next()
+                left = ("arith", v, left, self.parse_unary())
+            else:
+                return left
+
+    def parse_unary(self):
+        if self.accept("op", "-"):
+            return ("neg", self.parse_postfix())
+        return self.parse_postfix()
+
+    def parse_postfix(self):
+        node = self.parse_primary()
+        while True:
+            k, v = self.peek()
+            if k == "punct" and v == ".":
+                # .foo suffix after an expression (e.g. $x.foo)
+                nxt_k, _nxt_v = self.toks[self.pos + 1]
+                if nxt_k in ("ident", "str"):
+                    self.next()
+                    node = self._path_step(node)
+                    continue
+                break
+            if k == "punct" and v == "[":
+                self.next()
+                if self.accept("punct", "]"):
+                    node = ("iterate", node)
+                else:
+                    idx = self.parse_pipe()
+                    self.expect("punct", "]")
+                    node = ("index", node, idx)
+                continue
+            if k == "punct" and v == "?":
+                self.next()
+                node = ("try", node)
+                continue
+            break
+        return node
+
+    def _path_step(self, node):
+        k, v = self.next()
+        if k == "ident":
+            return ("field", node, v)
+        if k == "str":
+            if len(v) == 1 and isinstance(v[0], str):
+                return ("field", node, v[0])
+            raise _unsupported("interpolated field names are not supported")
+        raise _unsupported(f"bad field access: {v!r}")
+
+    def parse_primary(self):
+        k, v = self.peek()
+        if k == "punct" and v == ".":
+            self.next()
+            nk, _nv = self.peek()
+            if nk in ("ident", "str"):
+                return self._path_step(("identity",))
+            return ("identity",)
+        if k == "punct" and v == "$":
+            self.next()
+            return ("var", self.expect("ident"))
+        if k == "num":
+            self.next()
+            return ("lit", v)
+        if k == "str":
+            self.next()
+            return ("strlit", v)
+        if k == "kw" and v in ("true", "false", "null"):
+            self.next()
+            return ("lit", {"true": True, "false": False, "null": None}[v])
+        if k == "punct" and v == "(":
+            self.next()
+            inner = self.parse_pipe()
+            self.expect("punct", ")")
+            return inner
+        if k == "punct" and v == "[":
+            self.next()
+            if self.accept("punct", "]"):
+                return ("array", None)
+            inner = self.parse_pipe()
+            self.expect("punct", "]")
+            return ("array", inner)
+        if k == "punct" and v == "{":
+            self.next()
+            return self.parse_object()
+        if k == "kw" and v == "if":
+            return self.parse_if()
+        if k == "kw" and v == "reduce":
+            return self.parse_reduce()
+        if k == "ident":
+            return self.parse_funcall()
+        raise _unsupported(f"unexpected token: {v!r}")
+
+    def parse_object(self):
+        pairs = []
+        if not self.accept("punct", "}"):
+            while True:
+                pairs.append(self.parse_pair())
+                if self.accept("punct", "}"):
+                    break
+                self.expect("punct", ",")
+        return ("object", pairs)
+
+    def parse_pair(self):
+        k, v = self.next()
+        if k == "punct" and v == "(":
+            key_ast = self.parse_pipe()
+            self.expect("punct", ")")
+            self.expect("punct", ":")
+            return (("expr", key_ast), self.parse_alt())
+        if k == "ident" or (k == "kw" and v not in ("if", "reduce")):
+            key = v
+            if self.accept("punct", ":"):
+                return (key, self.parse_alt())
+            return (key, ("field", ("identity",), key))  # {foo} shorthand
+        if k == "str":
+            if len(v) == 1 and isinstance(v[0], str):
+                key = v[0]
+            elif len(v) == 0:
+                key = ""
+            else:
+                raise _unsupported("interpolated object keys are not supported")
+            self.expect("punct", ":")
+            return (key, self.parse_alt())
+        if k == "punct" and v == "$":
+            name = self.expect("ident")
+            return (name, ("var", name))
+        raise _unsupported(f"bad object key: {v!r}")
+
+    def parse_if(self):
+        self.expect("kw", "if")
+        cond = self.parse_pipe()
+        self.expect("kw", "then")
+        then = self.parse_pipe()
+        elifs = []
+        while self.accept("kw", "elif"):
+            c = self.parse_pipe()
+            self.expect("kw", "then")
+            elifs.append((c, self.parse_pipe()))
+        els = ("identity",)
+        if self.accept("kw", "else"):
+            els = self.parse_pipe()
+        self.expect("kw", "end")
+        return ("if", [(cond, then), *elifs], els)
+
+    def parse_reduce(self):
+        self.expect("kw", "reduce")
+        src = self.parse_postfix()
+        self.expect("kw", "as")
+        self.expect("punct", "$")
+        var = self.expect("ident")
+        self.expect("punct", "(")
+        init = self.parse_pipe()
+        self.expect("punct", ";")
+        update = self.parse_pipe()
+        self.expect("punct", ")")
+        return ("reduce", src, var, init, update)
+
+    def parse_funcall(self):
+        name = self.expect("ident")
+        if self.accept("punct", "("):
+            args = [self.parse_pipe()]
+            while self.accept("punct", ";"):
+                args.append(self.parse_pipe())
+            self.expect("punct", ")")
+            spec = _ARG_BUILTINS.get(name)
+            if spec is None:
+                raise _unsupported(f"unknown function: {name}/{len(args)}")
+            lo, hi = (spec, spec) if isinstance(spec, int) else spec
+            if not lo <= len(args) <= hi:
+                raise _unsupported(f"{name} takes {spec} args, got {len(args)}")
+            return ("call", name, args)
+        if name in _ZERO_ARG_BUILTINS:
+            return ("call", name, [])
+        raise _unsupported(f"unknown function: {name}/0")
+
+
+def _parse(src: str):
+    p = _P(_tokenize(src))
+    ast = p.parse_pipe()
+    if p.peek()[0] != "end":
+        raise _unsupported(f"trailing tokens: {p.toks[p.pos:]!r}")
+    return ast
+
+
+# ---------------------------------------------------------------------------
+# jq value helpers: total order, truthiness, printing
+# ---------------------------------------------------------------------------
+
+def _type_rank(v) -> int:
+    if v is None:
+        return 0
+    if v is False:
+        return 1
+    if v is True:
+        return 2
+    if isinstance(v, (int, float)):
+        return 3
+    if isinstance(v, str):
+        return 4
+    if isinstance(v, list):
+        return 5
+    return 6
+
+
+def _cmp(a, b) -> int:
+    ra, rb = _type_rank(a), _type_rank(b)
+    if ra != rb:
+        return -1 if ra < rb else 1
+    if ra in (0, 1, 2):
+        return 0
+    if ra == 3:
+        return -1 if a < b else (1 if a > b else 0)
+    if ra == 4:
+        return -1 if a < b else (1 if a > b else 0)
+    if ra == 5:
+        for x, y in zip(a, b):
+            c = _cmp(x, y)
+            if c:
+                return c
+        return (len(a) > len(b)) - (len(a) < len(b))
+    ka, kb = sorted(a), sorted(b)
+    c = _cmp(ka, kb)
+    if c:
+        return c
+    for k in ka:
+        c = _cmp(a[k], b[k])
+        if c:
+            return c
+    return 0
+
+
+_SORT_KEY = functools.cmp_to_key(_cmp)
+
+
+def _truthy(v) -> bool:
+    return v is not None and v is not False
+
+
+def _jq_type(v) -> str:
+    return (
+        "null" if v is None
+        else "boolean" if isinstance(v, bool)
+        else "number" if isinstance(v, (int, float))
+        else "string" if isinstance(v, str)
+        else "array" if isinstance(v, list)
+        else "object"
+    )
+
+
+def _canon_num(v):
+    """jq prints integral doubles as integers (1.0 → 1)."""
+    if isinstance(v, float) and not isinstance(v, bool):
+        if math.isfinite(v) and v == int(v) and abs(v) < (1 << 53):
+            return int(v)
+    return v
+
+
+def _canonical(v):
+    if isinstance(v, float):
+        return _canon_num(v)
+    if isinstance(v, list):
+        return [_canonical(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _canonical(x) for k, x in v.items()}
+    return v
+
+
+def dumps(v) -> str:
+    """Compact JSON with jq's number canonicalization."""
+    return json.dumps(_canonical(v), separators=(",", ":"), ensure_ascii=False)
+
+
+def _tostring(v) -> str:
+    return v if isinstance(v, str) else dumps(v)
+
+
+# ---------------------------------------------------------------------------
+# Evaluator — eval(ast, input, env) yields a stream of values
+# ---------------------------------------------------------------------------
+
+def _ev(ast, v, env) -> Iterator:
+    kind = ast[0]
+    if kind == "identity":
+        yield v
+    elif kind == "lit":
+        yield ast[1]
+    elif kind == "strlit":
+        yield from _ev_interp(ast[1], v, env)
+    elif kind == "var":
+        try:
+            yield env[ast[1]]
+        except KeyError:
+            raise _unsupported(f"undefined variable: ${ast[1]}") from None
+    elif kind == "field":
+        for base in _ev(ast[1], v, env):
+            yield _get_field(base, ast[2])
+    elif kind == "index":
+        for idx in _ev(ast[2], v, env):
+            for base in _ev(ast[1], v, env):
+                yield _get_index(base, idx)
+    elif kind == "iterate":
+        for base in _ev(ast[1], v, env):
+            if isinstance(base, list):
+                yield from base
+            elif isinstance(base, dict):
+                yield from base.values()
+            else:
+                raise JqRuntimeError(f"cannot iterate over {_jq_type(base)}")
+    elif kind == "try":
+        try:
+            yield from list(_ev(ast[1], v, env))
+        except JqRuntimeError:
+            return
+    elif kind == "pipe":
+        for mid in _ev(ast[1], v, env):
+            yield from _ev(ast[2], mid, env)
+    elif kind == "comma":
+        for item in ast[1]:
+            yield from _ev(item, v, env)
+    elif kind == "alt":
+        got = False
+        try:
+            for out in _ev(ast[1], v, env):
+                if _truthy(out):
+                    got = True
+                    yield out
+        except JqRuntimeError:
+            pass
+        if not got:
+            yield from _ev(ast[2], v, env)
+    elif kind == "or":
+        for a in _ev(ast[1], v, env):
+            if _truthy(a):
+                yield True
+            else:
+                for b in _ev(ast[2], v, env):
+                    yield _truthy(b)
+    elif kind == "and":
+        for a in _ev(ast[1], v, env):
+            if not _truthy(a):
+                yield False
+            else:
+                for b in _ev(ast[2], v, env):
+                    yield _truthy(b)
+    elif kind == "cmp":
+        op = ast[1]
+        for b in _ev(ast[3], v, env):
+            for a in _ev(ast[2], v, env):
+                c = _cmp(a, b)
+                yield {
+                    "==": c == 0,
+                    "!=": c != 0,
+                    "<": c < 0,
+                    "<=": c <= 0,
+                    ">": c > 0,
+                    ">=": c >= 0,
+                }[op]
+    elif kind == "arith":
+        op = ast[1]
+        for b in _ev(ast[3], v, env):
+            for a in _ev(ast[2], v, env):
+                yield _arith(op, a, b)
+    elif kind == "neg":
+        for a in _ev(ast[1], v, env):
+            if isinstance(a, bool) or not isinstance(a, (int, float)):
+                raise JqRuntimeError(f"{_jq_type(a)} cannot be negated")
+            yield -a
+    elif kind == "object":
+        yield from _ev_object(ast[1], v, env)
+    elif kind == "array":
+        yield [] if ast[1] is None else list(_ev(ast[1], v, env))
+    elif kind == "if":
+        yield from _ev_if(ast[1], ast[2], v, env)
+    elif kind == "bind":
+        for bound in _ev(ast[1], v, env):
+            yield from _ev(ast[3], v, {**env, ast[2]: bound})
+    elif kind == "reduce":
+        acc = None
+        for init in _ev(ast[3], v, env):
+            acc = init
+        for item in _ev(ast[1], v, env):
+            nxt = None
+            for out in _ev(ast[4], acc, {**env, ast[2]: item}):
+                nxt = out
+            acc = nxt
+        yield acc
+    elif kind == "call":
+        yield from _ev_call(ast[1], ast[2], v, env)
+    else:  # pragma: no cover - parser emits only the kinds above
+        raise _unsupported(f"unsupported AST node: {kind}")
+
+
+def _ev_interp(parts, v, env) -> Iterator[str]:
+    def rec(i: int, acc: str) -> Iterator[str]:
+        if i == len(parts):
+            yield acc
+            return
+        p = parts[i]
+        if isinstance(p, str):
+            yield from rec(i + 1, acc + p)
+        else:
+            for out in _ev(p[1], v, env):
+                yield from rec(i + 1, acc + _tostring(_canonical(out)))
+
+    yield from rec(0, "")
+
+
+def _ev_object(pairs, v, env) -> Iterator[dict]:
+    def rec(i: int, acc: dict) -> Iterator[dict]:
+        if i == len(pairs):
+            yield dict(acc)
+            return
+        key, expr = pairs[i]
+        keys: Iterator
+        if isinstance(key, tuple) and key[0] == "expr":
+            keys = _ev(key[1], v, env)
+        else:
+            keys = iter((key,))
+        for k in keys:
+            if not isinstance(k, str):
+                raise JqRuntimeError(f"object key must be a string, got {_jq_type(k)}")
+            for out in _ev(expr, v, env):
+                acc2 = dict(acc)
+                acc2[k] = out
+                yield from rec(i + 1, acc2)
+
+    yield from rec(0, {})
+
+
+def _ev_if(branches, els, v, env) -> Iterator:
+    def rec(i: int):
+        if i == len(branches):
+            yield from _ev(els, v, env)
+            return
+        cond, then = branches[i]
+        for c in _ev(cond, v, env):
+            if _truthy(c):
+                yield from _ev(then, v, env)
+            else:
+                yield from rec(i + 1)
+
+    yield from rec(0)
+
+
+def _get_field(base, name: str):
+    if base is None:
+        return None
+    if isinstance(base, dict):
+        return base.get(name)
+    raise JqRuntimeError(f'cannot index {_jq_type(base)} with "{name}"')
+
+
+def _get_index(base, idx):
+    if isinstance(idx, str):
+        return _get_field(base, idx)
+    if isinstance(idx, bool) or not isinstance(idx, (int, float)):
+        raise JqRuntimeError(f"cannot index with {_jq_type(idx)}")
+    if base is None:
+        return None
+    if not isinstance(base, list):
+        raise JqRuntimeError(f"cannot index {_jq_type(base)} with number")
+    i = int(idx)
+    if i < 0:
+        i += len(base)
+    return base[i] if 0 <= i < len(base) else None
+
+
+def _arith(op: str, a, b):
+    ta, tb = _jq_type(a), _jq_type(b)
+    if op == "+":
+        if a is None:
+            return b
+        if b is None:
+            return a
+        if ta == tb == "number":
+            return a + b
+        if ta == tb == "string":
+            return a + b
+        if ta == tb == "array":
+            return a + b
+        if ta == tb == "object":
+            return {**a, **b}
+        raise JqRuntimeError(f"{ta} and {tb} cannot be added")
+    if op == "-":
+        if ta == tb == "number":
+            return a - b
+        if ta == tb == "array":
+            return [x for x in a if not any(_cmp(x, y) == 0 for y in b)]
+        raise JqRuntimeError(f"{ta} and {tb} cannot be subtracted")
+    if ta == tb == "number":
+        if op == "*":
+            return a * b
+        if b == 0:
+            raise JqRuntimeError(f"{ta} and {tb} cannot be divided because the divisor is zero")
+        if op == "/":
+            return a / b
+        # jq's % is C-style truncation toward zero (gojq/jq: -7 % 3 == -1)
+        return int(math.fmod(int(a), int(b)))
+    if op == "/" and ta == tb == "string":
+        return b and a.split(b) or list(a)
+    if op == "*" and {ta, tb} == {"string", "number"}:
+        s, n = (a, b) if ta == "string" else (b, a)
+        return s * int(n) if n > 0 else None
+    raise JqRuntimeError(f"{ta} and {tb} cannot be {op!r}-combined")
+
+
+def _ev_call(name: str, args, v, env) -> Iterator:
+    if name == "empty":
+        return
+    if name == "select":
+        for c in _ev(args[0], v, env):
+            if _truthy(c):
+                yield v
+        return
+    if name == "map":
+        if not isinstance(v, list):
+            raise JqRuntimeError(f"cannot map over {_jq_type(v)}")
+        yield [out for item in v for out in _ev(args[0], item, env)]
+        return
+    if name == "sort_by":
+        if not isinstance(v, list):
+            raise JqRuntimeError(f"cannot sort {_jq_type(v)}")
+        keyed = [([o for o in _ev(args[0], item, env)], item) for item in v]
+        yield [item for _k, item in sorted(keyed, key=lambda p: _SORT_KEY(p[0]))]
+        return
+    if name == "range":
+        streams = [list(_ev(a, v, env)) for a in args]
+        if len(streams) == 1:
+            streams = [[0], streams[0], [1]]
+        elif len(streams) == 2:
+            streams = [streams[0], streams[1], [1]]
+        for lo in streams[0]:
+            for hi in streams[1]:
+                for step in streams[2]:
+                    x = lo
+                    while (step > 0 and x < hi) or (step < 0 and x > hi):
+                        yield x
+                        x += step
+        return
+    if name in _ARG_BUILTINS:
+        for arg in _ev(args[0], v, env):
+            yield _builtin1(name, v, arg)
+        return
+    yield from _builtin0(name, v)
+
+
+def _builtin1(name: str, v, arg):
+    if name == "has":
+        if isinstance(v, dict) and isinstance(arg, str):
+            return arg in v
+        if isinstance(v, list) and isinstance(arg, (int, float)):
+            return 0 <= int(arg) < len(v)
+        raise JqRuntimeError(f"cannot check {_jq_type(v)} has {_jq_type(arg)}")
+    if name in ("startswith", "endswith", "ltrimstr", "rtrimstr", "split", "contains"):
+        if name == "contains":
+            if isinstance(v, str) and isinstance(arg, str):
+                return arg in v
+            if isinstance(v, list) and isinstance(arg, list):
+                return all(any(_cmp(x, y) == 0 for y in v) for x in arg)
+            raise JqRuntimeError(f"{_jq_type(v)} cannot contain {_jq_type(arg)}")
+        if not isinstance(v, str) or not isinstance(arg, str):
+            raise JqRuntimeError(f"{name} needs strings, got {_jq_type(v)}/{_jq_type(arg)}")
+        if name == "startswith":
+            return v.startswith(arg)
+        if name == "endswith":
+            return v.endswith(arg)
+        if name == "ltrimstr":
+            return v[len(arg):] if v.startswith(arg) else v
+        if name == "rtrimstr":
+            return v[: -len(arg)] if arg and v.endswith(arg) else v
+        return v.split(arg)
+    if name == "join":
+        if not isinstance(v, list):
+            raise JqRuntimeError(f"cannot join {_jq_type(v)}")
+        return str(arg).join(
+            "" if x is None else (x if isinstance(x, str) else _tostring(_canonical(x)))
+            for x in v
+        )
+    raise _unsupported(f"unknown function: {name}/1")  # pragma: no cover
+
+
+def _builtin0(name: str, v) -> Iterator:
+    if name == "not":
+        yield not _truthy(v)
+    elif name == "length":
+        if v is None:
+            yield 0
+        elif isinstance(v, bool):
+            raise JqRuntimeError("boolean has no length")
+        elif isinstance(v, (int, float)):
+            yield abs(v)
+        else:
+            yield len(v)
+    elif name in ("keys", "keys_unsorted"):
+        if isinstance(v, dict):
+            yield sorted(v) if name == "keys" else list(v)
+        elif isinstance(v, list):
+            yield list(range(len(v)))
+        else:
+            raise JqRuntimeError(f"{_jq_type(v)} has no keys")
+    elif name == "values":
+        if v is not None:
+            yield v
+    elif name == "type":
+        yield _jq_type(v)
+    elif name == "tostring":
+        yield _tostring(_canonical(v))
+    elif name == "tojson":
+        yield dumps(v)
+    elif name == "tonumber":
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            yield v
+        elif isinstance(v, str):
+            try:
+                yield json.loads(v)
+            except ValueError as e:
+                raise JqRuntimeError(f"cannot parse {v!r} as number") from e
+        else:
+            raise JqRuntimeError(f"cannot convert {_jq_type(v)} to number")
+    elif name in ("floor", "ceil", "sqrt", "fabs"):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise JqRuntimeError(f"{_jq_type(v)} number required")
+        yield {
+            "floor": math.floor,
+            "ceil": math.ceil,
+            "sqrt": math.sqrt,
+            "fabs": abs,
+        }[name](v)
+    elif name == "add":
+        if not isinstance(v, list):
+            raise JqRuntimeError(f"cannot add {_jq_type(v)}")
+        acc = None
+        for x in v:
+            acc = _arith("+", acc, x)
+        yield acc
+    elif name in ("any", "all"):
+        if not isinstance(v, list):
+            raise JqRuntimeError(f"{name} needs an array")
+        yield any(_truthy(x) for x in v) if name == "any" else all(_truthy(x) for x in v)
+    elif name in ("min", "max"):
+        if not isinstance(v, list):
+            raise JqRuntimeError(f"{name} needs an array")
+        if not v:
+            yield None
+        else:
+            yield (min if name == "min" else max)(v, key=_SORT_KEY)
+    elif name == "unique":
+        if not isinstance(v, list):
+            raise JqRuntimeError("unique needs an array")
+        out: list = []
+        for x in sorted(v, key=_SORT_KEY):
+            if not out or _cmp(out[-1], x) != 0:
+                out.append(x)
+        yield out
+    elif name == "sort":
+        if not isinstance(v, list):
+            raise JqRuntimeError("sort needs an array")
+        yield sorted(v, key=_SORT_KEY)
+    elif name == "reverse":
+        if isinstance(v, list):
+            yield list(reversed(v))
+        elif isinstance(v, str):
+            yield v[::-1]
+        else:
+            raise JqRuntimeError(f"cannot reverse {_jq_type(v)}")
+    elif name in ("first", "last"):
+        if not isinstance(v, list):
+            raise JqRuntimeError(f"{name} needs an array")
+        if not v:
+            raise JqRuntimeError(f"{name} of empty array")
+        yield v[0] if name == "first" else v[-1]
+    elif name in ("ascii_downcase", "ascii_upcase"):
+        if not isinstance(v, str):
+            raise JqRuntimeError(f"{name} needs a string")
+        yield v.lower() if name == "ascii_downcase" else v.upper()
+    elif name == "to_entries":
+        if not isinstance(v, dict):
+            raise JqRuntimeError("to_entries needs an object")
+        yield [{"key": k, "value": x} for k, x in v.items()]
+    elif name == "from_entries":
+        if not isinstance(v, list):
+            raise JqRuntimeError("from_entries needs an array")
+        out = {}
+        for e in v:
+            if not isinstance(e, dict):
+                raise JqRuntimeError("from_entries entry must be an object")
+            key = e.get("key", e.get("k", e.get("name")))
+            out[key if isinstance(key, str) else _tostring(_canonical(key))] = e.get(
+                "value", e.get("v")
+            )
+        yield out
+    else:  # pragma: no cover - parser rejects unknown names
+        raise _unsupported(f"unknown function: {name}/0")
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+class MiniJqProgram:
+    """A compiled mini-jq program: ``prog(value)`` yields jq's outputs."""
+
+    def __init__(self, source: str):
+        self.source = source
+        self._ast = _parse(source)
+
+    def __call__(self, value) -> Iterator:
+        return (_canonical(o) for o in _ev(self._ast, value, {}))
+
+    def lines(self, value) -> list[str]:
+        """All outputs as compact JSON lines (the -c CLI contract)."""
+        return [dumps(o) for o in _ev(self._ast, value, {})]
+
+
+def compile_program(source: str) -> MiniJqProgram:
+    """Parse ``source``; raises JqUnsupported on out-of-core constructs."""
+    return MiniJqProgram(source)

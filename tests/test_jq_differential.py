@@ -126,26 +126,196 @@ def test_out_of_subset_programs_raise(spark):
             apply_jq(df, prog)
 
 
-def test_generic_fallback_is_import_gated(spark):
-    # the container bundles no jq Python binding: the full-generality path
-    # must fail loudly with guidance, never silently degrade
-    import pytest
-
+def test_generic_fallback_runs_without_binding(spark):
+    # round 4: the full-generality path no longer needs the jq Python
+    # binding — the pure-Python mini-jq interpreter carries it, and
+    # unsupported programs still fail loudly at DRIVER time
     from kinesis_data_counter_spark.jq import apply_jq_generic
 
-    df = spark.createDataFrame([(1,)], "a long")
-    try:
-        import jq  # noqa: F401
+    df = spark.createDataFrame([(1,), (2,)], "a long").coalesce(1)
+    out = apply_jq_generic(df, ".a").collect()
+    assert [r["value"] for r in out] == ["1", "2"]
+    out = apply_jq_generic(df, "select(.a > 1) | {v: (.a * 10)}").collect()
+    assert [r["value"] for r in out] == ['{"v":20}']
+    with pytest.raises(JqUnsupported, match="unknown function"):
+        apply_jq_generic(df, "getpath([.a])")
 
-        has_jq = True
-    except ImportError:
-        has_jq = False
-    if has_jq:  # pragma: no cover - not in this container
-        out = apply_jq_generic(df, ".a").collect()
-        assert [r["value"] for r in out] == ["1"]
-    else:
-        with pytest.raises(ImportError, match="apply_jq subset"):
-            apply_jq_generic(df, ".a")
+
+# --- round-4: pure-Python mini-jq vs the real jq binary --------------------
+
+MINI_CASES = [
+    # (program, input) — every pair is run through both engines
+    (".", {"a": 1}),
+    (".a.b", {"a": {"b": 5}}),
+    (".a.b", {"a": {}}),
+    (".missing", {"a": 1}),
+    (".a[1]", {"a": [10, 20, 30]}),
+    (".a[-1]", {"a": [10, 20, 30]}),
+    (".a[5]", {"a": [10]}),
+    (".a[]", {"a": [1, 2, 3]}),
+    (".[]", [4, 5]),
+    (".[] | .x", [{"x": 1}, {"x": 2}]),
+    (".a[].x", {"a": [{"x": 7}, {"x": 8}]}),
+    ('.["key with space"]', {"key with space": 3}),
+    # streams / construction
+    ("1, 2, .a", {"a": 9}),
+    ("[.a, .b]", {"a": 1, "b": 2}),
+    ("[.items[] | .qty]", {"items": [{"qty": 2}, {"qty": 5}]}),
+    ("{x: .a, y: [1, 2], z: {w: .b}}", {"a": 1, "b": 2}),
+    ("{a: (1, 2), b: (3, 4)}", None),
+    ("{(0 < 1 | tostring): 1}" , None),
+    ("[]", None),
+    ("[.[] | . * 2]", [1, 2, 3]),
+    # arithmetic / comparison / boolean / alternative
+    ("1 + 2, 2.5 * 2, 7 % 3, 9 / 2, 1.0 + 2.0", None),
+    ('"a" + "b"', None),
+    ("[1, 2] + [3]", None),
+    ('{"a": 1} + {"b": 2}', None),
+    ("[1, 2, 3] - [2]", None),
+    ('"a,b,c" / ","', None),
+    ("(1, 2) + (10, 20)", None),
+    (".a == 1, .a != 1, .a < 2, .a >= 1", {"a": 1}),
+    ('1 == 1.0, "a" == "a", [1] == [1], {"x":1} == {"x":1}, true == 1', None),
+    ("true and (1, false), false or null, (null // 5), (.a // 9)", {"a": 7}),
+    ("-.a, -(.a + 1)", {"a": 3}),
+    # select / empty / if
+    ("select(.a > 1)", {"a": 5}),
+    ("select(.a > 1)", {"a": 0}),
+    ("empty, 1", None),
+    ('if .a > 1 then "big" elif .a == 1 then "one" else "small" end', {"a": 1}),
+    ('if .a then 1 else 2 end', {"a": None}),
+    # string interpolation & escapes
+    ('"v=\\(.a + 1) s=\\("x" + "y")"', {"a": 1}),
+    ('"tab\\t\\"q\\" \\\\ \\u00e9"', None),
+    # builtins
+    ("length", [1, 2, 3]),
+    ("length", "abcd"),
+    ("length", {"a": 1}),
+    ("length", None),
+    ("keys", {"b": 1, "a": 2}),
+    ("keys_unsorted", {"b": 1, "a": 2}),
+    ("keys", [9, 8]),
+    ('has("a"), has("z")', {"a": 1}),
+    ("type", [1]),
+    ("1.0, 10000000000.0, 0.5, 1e3", None),
+    ("tostring", {"a": [1, 2]}),
+    ("tostring", "s"),
+    ('tonumber', "42"),
+    ('"3.5" | tonumber', None),
+    ("floor, ceil, sqrt", 2.25),
+    ("add", [1, 2, 3]),
+    ("add", ["a", "b"]),
+    ("add", []),
+    ("any, all", [True, False]),
+    ("-7 % 3, 7 % -3, 7 % 3", None),
+    ("min, max", [3, 1, 2]),
+    ("min, max", []),
+    ("unique", [3, 1, 3, 2, 1]),
+    ("sort", [3, 1, None, "a", True, [2], False]),
+    ("sort_by(.x)", [{"x": 2}, {"x": 1}]),
+    ("reverse", [1, 2, 3]),
+    ("first, last", [5, 6, 7]),
+    ("map(. + 1)", [1, 2]),
+    ("map(select(. > 1))", [1, 2, 3]),
+    ("ascii_downcase", "AbC"),
+    ("ascii_upcase", "AbC"),
+    ('startswith("ab"), endswith("cd")', "abcd"),
+    ('ltrimstr("ab"), rtrimstr("cd")', "abcd"),
+    ('ltrimstr("zz")', "abcd"),
+    ('split(",")', "a,b,,c"),
+    ('join("-")', ["a", "b", "c"]),
+    ('join("-")', [1, None, "x"]),
+    ("to_entries", {"a": 1, "b": 2}),
+    ("from_entries", [{"key": "a", "value": 1}, {"key": "b", "value": 2}]),
+    ("range(3), range(1; 4), range(0; 10; 3)", None),
+    ('contains("bc")', "abcd"),
+    ("contains([1])", [1, 2]),
+    # ? error suppression
+    (".a[]?", {"a": 5}),
+    (".a[]?, .b", {"a": [1], "b": 2}),
+    ('.[]? // "none"', 3),
+    # reduce / as-bindings
+    ("reduce .[] as $x (0; . + $x)", [1, 2, 3, 4]),
+    ("reduce .[] as $x (0; . + 1)", ["a", "b"]),
+    ('reduce .items[] as $i ({}; . + {($i.k): $i.v})',
+     {"items": [{"k": "a", "v": 1}, {"k": "b", "v": 2}]}),
+    (".a as $v | {copy: $v, double: ($v * 2)}", {"a": 21}),
+    ("5 as $n | [range($n)] | add", None),
+    # composite programs (the reference's output-reshaping register)
+    ('.records[] | select(.ok) | {id, n: (.vals | length), s: (.vals | add)}',
+     {"records": [
+         {"id": "r1", "ok": True, "vals": [1, 2, 3]},
+         {"id": "r2", "ok": False, "vals": [9]},
+         {"id": "r3", "ok": True, "vals": []},
+     ]}),
+    ('[.[] | .v] | {n: length, mean: (add / length)}', [{"v": 2}, {"v": 4}]),
+    ('to_entries | map(select(.value > 1)) | from_entries', {"a": 1, "b": 2, "c": 3}),
+]
+
+
+def _mini(program: str, value) -> list[str]:
+    from kinesis_data_counter_spark.jq_eval import compile_program
+
+    return compile_program(program).lines(value)
+
+
+@pytest.mark.skipif(JQ is None, reason="jq binary not available")
+@pytest.mark.parametrize("program,value", MINI_CASES, ids=[p for p, _ in MINI_CASES])
+def test_mini_jq_matches_real_jq(program, value):
+    out = subprocess.run(
+        [JQ, "-c", program],
+        input=json.dumps(value),
+        capture_output=True,
+        text=True,
+        timeout=30,
+    )
+    assert out.returncode == 0, out.stderr
+    want = [line for line in out.stdout.splitlines() if line.strip()]
+    assert _mini(program, value) == want, program
+
+
+@pytest.mark.skipif(JQ is None, reason="jq binary not available")
+@pytest.mark.parametrize("program", PROGRAMS)
+def test_mini_jq_covers_the_compiled_subset(program):
+    # the interpreter must agree with real jq on every program the
+    # compiled Column subset supports, so either path is substitutable
+    for row in ROWS:
+        out = subprocess.run(
+            [JQ, "-c", program], input=json.dumps(row),
+            capture_output=True, text=True, timeout=30,
+        )
+        want = [line for line in out.stdout.splitlines() if line.strip()]
+        assert _mini(program, row) == want, (program, row)
+
+
+def test_mini_jq_runtime_errors_match_jq_error_style():
+    from kinesis_data_counter_spark.jq_eval import JqRuntimeError, compile_program
+
+    for prog, value in [
+        (".a + 1", {"a": "s"}),      # string + number
+        (".[]", 5),                   # iterate a scalar
+        ('.a | keys', {"a": 5}),      # keys of a number
+        ("1 / 0", None),              # divide by zero
+    ]:
+        with pytest.raises(JqRuntimeError):
+            list(compile_program(prog)(value))
+
+
+def test_mini_jq_unsupported_constructs_fail_at_compile_time():
+    from kinesis_data_counter_spark.jq_eval import compile_program
+
+    for prog in [
+        "..",                       # recursive descent
+        'test("a")',                # regex builtins
+        "try .a catch 1",           # try/catch
+        ".a = 1",                   # path assignment
+        "def f: 1; f",              # function definitions
+        "getpath([1])",             # unknown function
+        "select(.a",                # unbalanced
+        '"\\(.a"',                  # unterminated interpolation
+    ]:
+        with pytest.raises(JqUnsupported):
+            compile_program(prog)
 
 
 # --- round-3 widening: multi-output '.path[]' iteration --------------------
