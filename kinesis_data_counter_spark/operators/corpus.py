@@ -176,9 +176,16 @@ def doc_chunks(
 ) -> DataFrame:
     """(id, pos, chunk): fixed ``chunk_words``-word segments per document
     (the shared chunking of ``segment_dedup`` and its streaming twin).
-    ``pos`` is the 0-based chunk position; the last chunk may be short."""
+    ``pos`` is the 0-based chunk position; the last chunk may be short.
+
+    NULL and empty texts contribute ZERO chunks (an empty document has no
+    segments): without the explicit filter a NULL text silently vanished
+    (``size(NULL)`` is NULL → no explode rows) while an empty string
+    produced a degenerate ``\"\"`` segment that chained every empty doc
+    into one dedup group — both found by the NULL-key property tests."""
     cw = int(chunk_words)
     ws = F.split(F.col(text_col), " ")
+    df = df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
     return df.select(
         F.col(id_col),
         F.posexplode(
@@ -253,7 +260,17 @@ def segment_dedup(
         F.count_if(F.col("__keep")).cast("int").alias("n_kept"),
         F.count_if(~F.col("__keep")).cast("int").alias("n_dropped"),
     )
-    return out
+    # re-attach docs that contributed zero chunks (NULL/empty text) — a
+    # curation pipeline must not silently lose documents; the join is
+    # doc_id-keyed over two already-per-doc tables, the cheapest exchange
+    # in the pipeline
+    docs = df.select(F.col(id_col)).distinct()
+    return docs.join(out, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("text_out", F.lit("")).alias("text_out"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+    )
 
 
 def quality_tiers(

@@ -36,6 +36,11 @@ def split_column(
     """Split label for a row key: threshold on the first 16 bits of
     md5(salt || key). Fractions must sum to 1 (±1e-9); the last split
     absorbs rounding. ``salt`` derives independent splits from one key.
+
+    NULL keys have no identity to hash, so their label is NULL — made
+    EXPLICIT on both engines because the engines' implicit behaviors
+    diverge (Spark's NULL-propagating ``concat`` fell through to the last
+    split; DuckDB's NULL-skipping ``concat`` hashed the bare salt).
     """
     fracs = [f for _, f in splits]
     if abs(sum(fracs) - 1.0) > 1e-9:
@@ -50,7 +55,7 @@ def split_column(
         cases.append((name, format(int(round(acc * (16**_HEX_DIGITS))), f"0{_HEX_DIGITS}x")))
     for name, bound in reversed(cases):
         expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
-    return expr
+    return F.when(id_col.isNull(), F.lit(None).cast("string")).otherwise(expr)
 
 
 def hash_split(
@@ -80,7 +85,7 @@ def split_sql_case(
     """The identical rule as ANSI SQL (used by the DuckDB oracle)."""
     h = f"substring(md5(concat('{salt}', CAST({id_expr} AS VARCHAR))), 1, {_HEX_DIGITS})"
     acc = 0.0
-    whens = []
+    whens = [f"WHEN {id_expr} IS NULL THEN NULL"]
     for name, frac in list(splits)[:-1]:
         acc += frac
         bound = format(int(round(acc * (16**_HEX_DIGITS))), f"0{_HEX_DIGITS}x")
@@ -102,6 +107,13 @@ def stratified_keep(
     growth-stable, and expressible in ANSI SQL for the oracle. Corpus
     rebalancing (e.g. downsample over-represented languages) in one
     codegen-only projection, no shuffle, no RNG.
+
+    NULL contract (pinned by the NULL-key property tests): a NULL id has
+    no identity, so the row is DROPPED — here via Spark's NULL-propagating
+    ``concat``/comparison, and explicitly in the SQL twin (DuckDB's
+    ``concat`` skips NULLs and would otherwise keep such rows at a
+    constant hash). A NULL stratum falls through to ``default_rate`` on
+    both engines.
     """
     h = F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, _HEX_DIGITS)
 
@@ -136,7 +148,8 @@ def stratified_sql_predicate(
     cases = " ".join(
         f"WHEN {strata_expr} = '{s}' THEN {h} < '{bound(r)}'" for s, r in rates.items()
     )
-    return f"(CASE {cases} ELSE {h} < '{bound(default_rate)}' END)"
+    # NULL ids are dropped on both engines (see stratified_keep docstring)
+    return f"({id_expr} IS NOT NULL AND (CASE {cases} ELSE {h} < '{bound(default_rate)}' END))"
 
 
 def weighted_ticket_sample(

@@ -445,8 +445,15 @@ def _segment_dedup_batch(
         ).alias("text_out"),
         F.count(F.lit(1)).cast("int").alias("n_kept"),
     )
-    tot = chunks.groupBy(id_col).agg(
+    # anchor on the batch's doc list, not the chunk table: docs whose text
+    # yields zero chunks (NULL/empty) must still emit an output row
+    counts = chunks.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("int").alias("__tot")
+    )
+    tot = (
+        batch_df.select(F.col(id_col)).distinct()
+        .join(counts, id_col, "left")
+        .withColumn("__tot", F.coalesce("__tot", F.lit(0)))
     )
     out = (
         tot.join(kept, id_col, "left")
