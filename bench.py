@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "corpus_pack_sequences",
     "multimodal_resize",
+    # round-4: real BMP/WAV container encode+decode through the pure-struct
+    # codecs (mapInPandas both directions)
+    "multimodal_decode",
     # round-2 additions: CDC state tracking + sketch-rollup hierarchy
     "scd2_user_state",
     "hll_rollup_hierarchy",

@@ -5,12 +5,14 @@ media at 100 TB: payloads travel as ``binary`` columns with typed metadata
 alongside; decode / feature-extraction runs in ``mapInPandas`` so each Arrow
 batch of payload bytes is handed to Python exactly once — never row-at-a-time.
 
-The container ships no image/audio codecs, so the actual decode step is a
-STUB: ``decode_image``/``decode_audio`` raise NotImplementedError unless the
-optional libs exist. Everything around the stub is real and tested — schema,
-batch iteration, Arrow binary transfer, partition sizing — and
-``media_features`` computes deterministic byte-level features so the pipeline
-has an oracle-checkable output today.
+Codecs: BMP (24-bit BI_RGB) and WAV (PCM 8/16-bit) decode END-TO-END with
+pure-``struct`` parsers (``decode_bmp`` / ``decode_wav`` — no external
+libs), so the decode path runs for real in this container; JPEG/PNG/MP3
+remain import-gated on pillow/soundfile (``decode_image`` falls back to
+the BMP parser when the payload sniffs as BMP). Everything around decode —
+schema, batch iteration, Arrow binary transfer, partition sizing — is the
+same either way, and ``media_features`` keeps a codec-free byte-level
+fallback output.
 """
 
 from __future__ import annotations
@@ -36,10 +38,16 @@ except ImportError:
 
 
 def decode_image(payload: bytes) -> Any:
-    """Decode an image payload. STUB: requires pillow (not bundled)."""
+    """Decode an image payload.
+
+    BMP payloads (magic ``BM``) decode with the bundled pure-Python parser
+    — ``(width, height, bgr_bytes)``; other formats need pillow (not
+    bundled) and return a PIL image."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     if not _HAS_PIL:
         raise NotImplementedError(
-            "image decode requires pillow; install it or use media_features()"
+            "non-BMP image decode requires pillow; install it or use media_features()"
         )
     import io
 
@@ -47,8 +55,129 @@ def decode_image(payload: bytes) -> Any:
 
 
 def decode_audio(payload: bytes) -> Any:
-    """Decode an audio payload. STUB: no audio codec is bundled."""
-    raise NotImplementedError("audio decode requires soundfile/librosa (not bundled)")
+    """Decode an audio payload.
+
+    RIFF/WAVE PCM payloads decode with the bundled pure-Python parser —
+    ``(sample_rate, n_channels, bits, data_bytes)``; compressed formats
+    need soundfile/librosa (not bundled)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "non-WAV audio decode requires soundfile/librosa (not bundled)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure-struct codecs: BMP (24-bit BI_RGB) and WAV (PCM) — both formats parse
+# with the standard library alone, so the decode path is real in any
+# environment. Spec refs: BITMAPFILEHEADER/BITMAPINFOHEADER (Windows GDI),
+# RIFF/WAVE PCM (Multimedia Programming Interface spec).
+# ---------------------------------------------------------------------------
+
+import struct as _struct  # noqa: E402
+
+
+def encode_bmp(gray: bytes, width: int, height: int) -> bytes:
+    """``width × height`` grayscale bytes (row-major, top-down; short input
+    zero-padded) → a standards-compliant 24-bit bottom-up BI_RGB BMP
+    (each gray value v becomes the BGR pixel (v, v, v))."""
+    import numpy as np
+
+    w, h = int(width), int(height)
+    gray = gray.ljust(w * h, b"\0")
+    stride = (3 * w + 3) // 4 * 4
+    g = np.frombuffer(gray, dtype=np.uint8).reshape(h, w)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = np.repeat(g, 3, axis=1)  # v -> (B,G,R) = (v,v,v)
+    rows = rows[::-1]  # bottom-up row order
+    size = 54 + h * stride
+    header = _struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, h * stride, 2835, 2835, 0, 0)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse an uncompressed 24-bit BMP → ``(width, height, bgr)`` with
+    ``bgr`` row-major TOP-DOWN (3 bytes per pixel), regardless of the
+    file's bottom-up/top-down row order. Raises ValueError on malformed
+    files and NotImplementedError on compressed / non-24-bit variants."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    _magic, _size, _r1, _r2, data_off = _struct.unpack_from("<2sIHHI", payload, 0)
+    hdr_size, w, h = _struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40:
+        raise NotImplementedError(f"BMP core-header variant ({hdr_size}) unsupported")
+    _planes, bpp, compression = _struct.unpack_from("<HHI", payload, 26)
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (method {compression}) unsupported")
+    if bpp != 24:
+        raise NotImplementedError(f"{bpp}-bit BMP unsupported (24-bit only)")
+    top_down = h < 0
+    h = abs(h)
+    if w < 0:
+        raise ValueError("negative BMP width")
+    stride = (3 * w + 3) // 4 * 4
+    if data_off + stride * h > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    out = bytearray(3 * w * h)
+    for y in range(h):
+        src_row = y if top_down else h - 1 - y
+        start = data_off + src_row * stride
+        out[3 * w * y : 3 * w * (y + 1)] = payload[start : start + 3 * w]
+    return w, h, bytes(out)
+
+
+def encode_wav(
+    samples: "bytes | list[int]", sample_rate: int = 8000, bits: int = 16
+) -> bytes:
+    """PCM mono WAV from 16-bit signed samples (list of ints) or raw
+    little-endian sample bytes."""
+    if bits != 16:
+        raise NotImplementedError("encode_wav writes 16-bit PCM only")
+    data = (
+        bytes(samples)
+        if isinstance(samples, (bytes, bytearray))
+        else b"".join(_struct.pack("<h", int(s)) for s in samples)
+    )
+    byte_rate = sample_rate * 2
+    return (
+        _struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + _struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + _struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a RIFF/WAVE PCM payload → ``(sample_rate, n_channels, bits,
+    data_bytes)``. Walks the chunk list (fmt/data may be preceded by
+    LIST/fact chunks in real files). Raises ValueError on malformed files
+    and NotImplementedError on non-PCM encodings."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid, csize = _struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            if csize < 16 or len(body) < 16:
+                raise ValueError("short fmt chunk")
+            fmt = _struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            if len(body) < csize:
+                raise ValueError("truncated data chunk")
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"non-PCM WAV (format {audio_format}) unsupported")
+    if bits not in (8, 16):
+        raise NotImplementedError(f"{bits}-bit PCM unsupported (8/16 only)")
+    return sample_rate, channels, bits, data
 
 
 MEDIA_FEATURE_SCHEMA = T.StructType(
@@ -184,6 +313,123 @@ def resize_media(
         F.col(id_col).cast("long").alias("doc_id"), F.col(payload_col).alias("payload")
     )
     return slim.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_units", T.LongType()),
+        T.StructField("n_payload_bytes", T.LongType()),
+        T.StructField("head_hex", T.StringType()),
+        T.StructField("roundtrip_ok", T.BooleanType()),
+    ]
+)
+
+
+def decode_media_table(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode real BMP/WAV payloads into typed media metadata.
+
+    Input rows carry standards-compliant container bytes in
+    ``payload_col`` (sniffed by magic: ``BM`` → BMP, ``RIFF…WAVE`` → WAV);
+    output is one metadata row per payload — dimensions / sample rate,
+    unit count (pixels or samples), container size, the first content
+    byte as hex (BMP: blue channel of pixel (0,0); WAV: first data byte),
+    and ``roundtrip_ok``, a content-level integrity check the decoder can
+    verify without the original source: a BMP is grayscale-faithful (all
+    three channels of every pixel agree — what the encoder wrote), a WAV's
+    data length is block-aligned with its header. The decode runs the
+    pure-``struct`` parsers per Arrow batch in ``mapInPandas`` — exactly
+    the plan shape a pillow/ffmpeg decode would use, with the format
+    parsing real.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                if p[:2] == b"BM":
+                    w, h, bgr = decode_bmp(p)
+                    ok = bgr[0::3] == bgr[1::3] == bgr[2::3]
+                    rows.append(
+                        (doc_id, "bmp", w, h, 0, w * h, len(p),
+                         f"{bgr[0]:02X}" if bgr else "", ok)
+                    )
+                elif p[:4] == b"RIFF":
+                    rate, ch, bits, data = decode_wav(p)
+                    block = (bits // 8) * ch
+                    n = len(data) // block
+                    rows.append(
+                        (doc_id, "wav", 0, 0, rate, n, len(p),
+                         f"{data[0]:02X}" if data else "",
+                         len(data) % block == 0)
+                    )
+                else:
+                    rows.append((doc_id, "unknown", 0, 0, 0, 0, len(p), "", False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "kind", "width", "height", "sample_rate",
+                    "n_units", "n_payload_bytes", "head_hex", "roundtrip_ok",
+                ],
+            ).astype(
+                {"doc_id": "int64", "width": "int32", "height": "int32",
+                 "sample_rate": "int32", "n_units": "int64",
+                 "n_payload_bytes": "int64"}
+            )
+
+    slim = fan_out(df, id_col).select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+    return slim.mapInPandas(_decode, DECODE_SCHEMA)
+
+
+def documents_as_containers(df: DataFrame) -> DataFrame:
+    """Adapter: wrap each document's UTF-8 bytes in a REAL media container
+    — even doc_ids become 24-bit BMPs (text bytes as a ⌈√n⌉-wide grayscale
+    grid, the ``resize_media`` dimension rule), odd doc_ids become 16-bit
+    PCM WAVs (one sample per byte, value (b−128)·256, 8 kHz mono). The
+    synthesis is deterministic from the text alone, so a SQL oracle can
+    predict every decoded metadata column without parsing a container.
+    """
+    import math
+
+    def _wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = (text or "").encode("utf-8")
+                if doc_id % 2 == 0:
+                    n = len(b)
+                    w = int(math.ceil(math.sqrt(n))) if n else 0
+                    h = int(math.ceil(n / w)) if n else 0
+                    payloads.append(encode_bmp(b, w, h) if n else b"")
+                else:
+                    samples = b"".join(
+                        int((v - 128) * 256).to_bytes(2, "little", signed=True)
+                        for v in b
+                    )
+                    payloads.append(encode_wav(samples, sample_rate=8000))
+                ids.append(doc_id)
+            yield pd.DataFrame(
+                {"doc_id": pd.array(ids, dtype="int64"),
+                 "payload": pd.array(payloads, dtype=object)}
+            )
+
+    slim = df.select(F.col("doc_id").cast("long"), "text")
+    return slim.mapInPandas(
+        _wrap,
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()),
+             T.StructField("payload", T.BinaryType())]
+        ),
+    )
 
 
 FRAME_SAMPLE_SCHEMA = T.StructType(

@@ -126,3 +126,139 @@ def test_resize_media_output_is_bounded(spark):
     df = _payloads(spark, [(1, bytes(10_000))])
     (r,) = MM.resize_media(df, out_w=8, out_h=8).collect()
     assert len(bytes(r["resized"])) == 64
+
+
+# ---------------------------------------------------------------------------
+# round-4: pure-struct BMP/WAV codecs (VERDICT r3 item 7)
+# ---------------------------------------------------------------------------
+
+def test_bmp_roundtrip_recovers_gray_bytes():
+    # widths that exercise 0/1/2/3-byte row padding
+    for w, h in [(1, 1), (2, 3), (3, 2), (4, 4), (5, 3), (7, 1)]:
+        gray = bytes((i * 37) % 256 for i in range(w * h))
+        payload = MM.encode_bmp(gray, w, h)
+        dw, dh, bgr = MM.decode_bmp(payload)
+        assert (dw, dh) == (w, h)
+        assert bgr[0::3] == gray          # blue channel
+        assert bgr[1::3] == gray == bgr[2::3]
+        # container size math: 54-byte headers + padded rows
+        stride = (3 * w + 3) // 4 * 4
+        assert len(payload) == 54 + h * stride
+
+
+def test_decode_bmp_handles_handbuilt_topdown_file():
+    import struct
+
+    # hand-assembled 2x2 top-down 24-bit BMP (NOT produced by encode_bmp):
+    # negative height means row 0 is stored first
+    pixels_topdown = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]
+    row0 = bytes(pixels_topdown[0] + pixels_topdown[1]) + b"\0\0"  # stride 8
+    row1 = bytes(pixels_topdown[2] + pixels_topdown[3]) + b"\0\0"
+    body = row0 + row1
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, len(body), 0, 0, 0, 0)
+    w, h, bgr = MM.decode_bmp(hdr + info + body)
+    assert (w, h) == (2, 2)
+    assert bgr == bytes(range(1, 13))  # top-down row-major, no padding
+
+
+def test_decode_bmp_rejects_unsupported_variants():
+    import struct
+
+    import pytest
+
+    ok = MM.encode_bmp(b"\x01\x02\x03\x04", 2, 2)
+    with pytest.raises(ValueError):
+        MM.decode_bmp(b"XX" + ok[2:])            # bad magic
+    with pytest.raises(ValueError):
+        MM.decode_bmp(ok[:-3])                   # truncated pixels
+    compressed = bytearray(ok)
+    struct.pack_into("<I", compressed, 30, 1)    # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        MM.decode_bmp(bytes(compressed))
+    bpp8 = bytearray(ok)
+    struct.pack_into("<H", bpp8, 28, 8)
+    with pytest.raises(NotImplementedError):
+        MM.decode_bmp(bytes(bpp8))
+
+
+def test_wav_roundtrip_recovers_samples():
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    payload = MM.encode_wav(samples, sample_rate=8000)
+    rate, ch, bits, data = MM.decode_wav(payload)
+    assert (rate, ch, bits) == (8000, 1, 16)
+    import struct
+
+    got = [struct.unpack_from("<h", data, 2 * i)[0] for i in range(len(samples))]
+    assert got == samples
+    assert len(payload) == 44 + 2 * len(samples)
+
+
+def test_decode_wav_walks_extra_chunks():
+    import struct
+
+    # real-world files put LIST/fact chunks before data; the parser must
+    # walk the chunk list, including the odd-size word-alignment rule
+    base = MM.encode_wav([7, -7], sample_rate=44100)
+    fmt_chunk = base[12:36]
+    data_chunk = base[36:]
+    extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\0"  # odd size padded
+    body = fmt_chunk + extra + data_chunk
+    payload = struct.pack("<4sI4s", b"RIFF", len(body) + 4, b"WAVE") + body
+    rate, ch, bits, data = MM.decode_wav(payload)
+    assert (rate, ch, bits) == (44100, 1, 16)
+    assert struct.unpack("<hh", data) == (7, -7)
+
+
+def test_decode_wav_rejects_non_pcm():
+    import struct
+
+    import pytest
+
+    ok = MM.encode_wav([1], sample_rate=8000)
+    with pytest.raises(ValueError):
+        MM.decode_wav(b"RIFX" + ok[4:])
+    mulaw = bytearray(ok)
+    struct.pack_into("<H", mulaw, 20, 7)  # audio format 7 = mu-law
+    with pytest.raises(NotImplementedError):
+        MM.decode_wav(bytes(mulaw))
+    with pytest.raises(ValueError):
+        MM.decode_wav(ok[:20])
+
+
+def test_decode_image_audio_route_to_struct_codecs():
+    bmp = MM.encode_bmp(b"\x05\x06", 2, 1)
+    assert MM.decode_image(bmp)[:2] == (2, 1)
+    wav = MM.encode_wav([3], 8000)
+    assert MM.decode_audio(wav)[0] == 8000
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        MM.decode_audio(b"\xffagged-not-riff-bytes")
+
+
+def test_decode_media_table_end_to_end(spark):
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "abc"), (2, "x" * 50), (3, "q")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in MM.decode_media_table(MM.documents_as_containers(docs)).collect()
+    }
+    import math
+
+    for i, text in [(0, "hello world"), (2, "x" * 50)]:  # even -> BMP
+        n = len(text.encode())
+        w = math.ceil(math.sqrt(n)); h = math.ceil(n / w)
+        r = out[i]
+        assert r["kind"] == "bmp" and (r["width"], r["height"]) == (w, h)
+        assert r["n_units"] == w * h and r["roundtrip_ok"]
+        assert r["head_hex"] == f"{text.encode()[0]:02X}"
+        assert r["n_payload_bytes"] == 54 + h * ((3 * w + 3) // 4 * 4)
+    for i, text in [(1, "abc"), (3, "q")]:  # odd -> WAV
+        n = len(text.encode())
+        r = out[i]
+        assert r["kind"] == "wav" and r["sample_rate"] == 8000
+        assert r["n_units"] == n and r["roundtrip_ok"]
+        assert r["n_payload_bytes"] == 44 + 2 * n
