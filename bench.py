@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "knn_label_propagation_bucketed",
     # round-3 additions: engine-portable count-min sketch, explicit
     # Bloom-style runtime-filter join, segment-level cross-doc dedup
+    # round-4: PQ codes + ADC scan + exact refine over the embeddings table
+    "ann_pq_recall",
     "cms_heavy_hitters",
     "bloom_prune_join",
     "corpus_segment_dedup",

@@ -601,6 +601,232 @@ def quantized_recall_check(
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's code half) — the canonical 100 TB ANN design
+# ---------------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    sample_limit: int = 2048,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks: ``m`` subspaces × ``ksub`` centroids each.
+
+    The codebook is a bounded-sample artifact by design (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011 — the
+    public PQ paper this follows): ``sample_limit`` rows chosen by
+    deterministic md5 ticket (TakeOrderedAndProject — no full sort, no
+    RNG, unbiased under corpus growth) train driver-side per-subspace
+    k-means; only m × ksub × dim/m doubles ever leave the executors.
+    Vectors are L2-normalized before training so inner products over
+    codes approximate cosine. Empty clusters re-seed from the farthest
+    points of the largest cluster (deterministic).
+
+    Returns ``(m, ksub, dim//m)`` float64 codebooks.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} must divide into m={m} subspaces")
+    dsub = dim // m
+    ticket = F.md5(F.concat(F.lit("pq"), F.col(id_col).cast("string")))
+    rows = (
+        df.select(F.col(vec_col).alias("v"), ticket.alias("t"))
+        .orderBy("t")
+        .limit(int(sample_limit))
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms > 0, norms, 1.0)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        # deterministic init: first ksub distinct subvectors in ticket order
+        seen: list[np.ndarray] = []
+        for row in sub:
+            if not any(np.array_equal(row, s) for s in seen):
+                seen.append(row)
+            if len(seen) == ksub:
+                break
+        cents = np.array(
+            seen + [sub[i % len(sub)] for i in range(ksub - len(seen))]
+        )
+        for _ in range(int(iters)):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+                else:  # re-seed dead centroid from the worst-fit point
+                    cents[c] = sub[d2.min(axis=1).argmax()]
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<tinyint>[m]) — each vector L2-normalized and
+    quantized to its nearest centroid per subspace, one Arrow-batched
+    numpy pass. With m=8 the code row is 8 bytes vs 256 for float32 — a
+    32× cut in scan IO, shuffle volume, and cache footprint for every
+    downstream ADC scan (the lever that makes a 100 TB embedding table
+    probeable).
+
+    Codes are stored as the uint8 bit pattern in Spark's signed tinyint
+    (classic PQ is exactly ksub=256, one byte per subspace); consumers
+    mask back with ``& 0xFF`` — ``pq_topk`` does."""
+    books = codebooks  # (m, ksub, dsub) — closure-captured, broadcast once
+    m, ksub, dsub = books.shape
+    if ksub > 256:
+        raise ValueError(f"ksub={ksub} exceeds one byte per code")
+
+    @pandas_udf("array<tinyint>")
+    def _codes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array(v.tolist(), dtype=np.float64)
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(n > 0, n, 1.0)
+        out = np.empty((len(x), m), dtype=np.int8)
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = d2.argmin(axis=1).astype(np.int8)
+        return pd.Series(list(out))
+
+    return df.select(F.col(id_col), _codes(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ ANN with asymmetric-distance scan + exact refine.
+
+    Stage 1 (ADC): queries stay float; per query a (m × ksub) lookup
+    table of partial inner products against the codebooks scores every
+    corpus CODE row with m table lookups — the scan touches 8-byte code
+    rows, never float vectors, which is why a PQ sweep over a 100 TB
+    corpus is memory-bandwidth-, not compute-, bound. Top ``k × refine``
+    candidates per query survive the ranking exchange.
+
+    Stage 2 (refine): the candidate ids join back to the float vectors
+    (shuffle ∝ candidates, not corpus) and exact cosine re-ranks — the
+    standard IVF-PQ shape, where ADC recall losses are recovered by
+    re-scoring a slightly larger candidate set.
+
+    Output: (query_id, rank, neighbor_id, sim) — sim is EXACT cosine.
+    """
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_train_codebooks(corpus, dim, m, ksub, id_col=id_col, vec_col=vec_col)
+    )
+    mm, _ks, dsub = books.shape
+    codes = pq_encode(fan_out(corpus, id_col), books, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+
+    @pandas_udf(DoubleType())
+    def _adc(qv: pd.Series, codes_s: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="float64")
+        # tinyint codes carry the uint8 bit pattern (see pq_encode) — mask
+        c = np.array(codes_s.tolist(), dtype=np.int64) & 0xFF  # (n, m)
+        x = np.array(qv.tolist(), dtype=np.float64)
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(n > 0, n, 1.0)
+        # LUT per distinct query in the batch (batches carry few queries ×
+        # many corpus rows, so LUT reuse is the common case)
+        luts: dict[bytes, np.ndarray] = {}
+        out = np.empty(len(c), dtype=np.float64)
+        key = [v.tobytes() for v in x]
+        for kb in set(key):
+            qx = np.frombuffer(kb, dtype=np.float64)
+            lut = np.stack(
+                [books[j] @ qx[j * dsub : (j + 1) * dsub] for j in range(mm)]
+            )  # (m, ksub)
+            luts[kb] = lut
+        rows = np.arange(mm)
+        for i in range(len(c)):
+            out[i] = luts[key[i]][rows, c[i]].sum()
+        return pd.Series(out)
+
+    adc = (
+        codes.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", _adc("qv", "codes").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(k) * int(refine))
+        .select("query_id", "neighbor_id", "qv")
+    )
+    # exact refine over the small candidate set only
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sim = F.round(batch_cosine(F.col("qv"), F.col("cv")), round_digits)
+    rer = cand.join(cv, "neighbor_id").select(
+        "query_id", "neighbor_id", sim.alias("sim")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def pq_recall_check(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    min_recall: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **pq_kwargs,
+) -> DataFrame:
+    """(ok, recall) single row: PQ+refine top-k recall vs float brute
+    force — the property-check oracle pattern for the quantizer."""
+    exact = cosine_topk(corpus, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = pq_topk(corpus, queries, dim, k, id_col=id_col, vec_col=vec_col,
+                     **pq_kwargs).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
+    total = exact.count()
+    recall = hits / total if total else 1.0
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(bool(recall >= min_recall), float(round(recall, 2)))],
+        "ok boolean, recall double",
+    )
+
+
 def vector_centroids(
     df: DataFrame,
     group_col: str = "label",

@@ -2552,6 +2552,20 @@ def _q_ann_ivf_recall(spark, sf_dir):
     return res.select("ok")
 
 
+def _q_ann_pq_recall(spark, sf_dir):
+    # Product quantization (round 4): 8x8-dim subspaces, 256 centroids each
+    # (classic byte codes: 8 bytes/vector -- a 32x scan-IO cut), md5-ticket-sampled
+    # driver-side codebook training, ADC lookup-table scan over code rows,
+    # exact-cosine refine of the kxrefine candidate slice. Isotropic
+    # fixture = PQ's worst case; the refine stage carries the recall.
+    (em,) = _tables(spark, sf_dir, "embeddings")
+    res = SIM.pq_recall_check(
+        em, em.filter(F.col("vec_id") < 20), dim=64, k=10,
+        min_recall=0.8, m=8, ksub=256, refine=8,
+    )
+    return res.select("ok")
+
+
 def _q_json_bad_records(spark, sf_dir):
     # S4: JSON decode + bad-record routing. Corruption is injected
     # deterministically (every 7th event loses its closing brace) so the
@@ -3176,6 +3190,7 @@ GROUP BY 1, 2
     "ann_quantized_recall": "SELECT true AS ok",
     "knn_bucketed_recall": "SELECT true AS ok",
     "knn_label_propagation_bucketed": "SELECT true AS ok",
+    "ann_pq_recall": "SELECT true AS ok",
     "sample_hash_split": f"""
 SELECT {SP.split_sql_case('doc_id')} AS split,
   count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
@@ -3830,6 +3845,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_recall": _q_ann_lsh_recall,
     "ann_ivf_recall": _q_ann_ivf_recall,
     "ann_quantized_recall": _q_ann_quantized_recall,
+    "ann_pq_recall": _q_ann_pq_recall,
     "sample_hash_split": _q_sample_hash_split,
     "sample_mix_rates": _q_sample_mix_rates,
     "sample_stratified": _q_sample_stratified,

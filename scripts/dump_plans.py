@@ -98,12 +98,46 @@ SHOWCASE: dict[str, str] = {
         "sketch states."
     ),
     "knn_label_propagation": (
-        "Auto-labeling: the labeled corpus scans un-shuffled against a "
-        "BROADCAST query block (BroadcastNestedLoopJoin is the intended "
-        "shape — every corpus row must meet every query); the Arrow-"
+        "Auto-labeling, brute path for a BROADCAST-SIZED query slice "
+        "(vec_id % 97 — ~1% of the corpus): the labeled corpus scans "
+        "un-shuffled against the broadcast query block "
+        "(BroadcastNestedLoopJoin is the intended shape here); the Arrow-"
         "batched quantized-dot UDF scores whole batches, and only "
         "|queries|×k neighbor rows reach the ranking exchange, then a "
-        "tiny vote aggregate."
+        "tiny vote aggregate. Corpus-sized query sets take the bucketed "
+        "plan below instead."
+    ),
+    "knn_label_propagation_bucketed": (
+        "Auto-labeling at corpus scale (the % 5 sweep — queries ≈ 20% of "
+        "the corpus, where the brute plan would degenerate to all-pairs): "
+        "candidates come from multi-table hyperplane-LSH equi-joins in "
+        "MIPS-normalized space — both sides exchange on small integer "
+        "(table, bucket) keys, nothing is broadcast or all-pairs — then "
+        "the same quantized-dot UDF ranks only candidate pairs and the "
+        "vote aggregate is per-query-tiny. (The recorded entry also runs "
+        "the fixture-sized brute pass as its agreement oracle; that side "
+        "is the check, not the production plan.)"
+    ),
+    "multimodal_decode": (
+        "Real container decode: ArrowEvalPython/MapInPandas stages wrap "
+        "the pure-struct BMP/WAV parsers — payload bytes cross to Python "
+        "once per Arrow batch, the returned table is fixed-width metadata "
+        "(bounded regardless of payload size), and the scan projects only "
+        "(doc_id, text) before the Python boundary."
+    ),
+    "counter_jq_generic": (
+        "Full-generality jq via the pure-Python interpreter: the window "
+        "pre-aggregation is a plain partial+final HashAggregate + "
+        "collect_list, so the per-row Python work runs on ONE already-"
+        "aggregated row per window (output shaping, not the data path); "
+        "MapInPandas emits compact JSON lines."
+    ),
+    "corpus_quality_tiers": (
+        "Keep-the-best-third tiering, sketch mode: the score distribution "
+        "collapses to ONE bounded KLL state (ObjectHashAggregate "
+        "partial+final), the two tercile cutoffs come back by broadcast, "
+        "and tier assignment is a row-local CASE — no global sort, no "
+        "single-task Window anywhere in the plan."
     ),
     "asof_split_skew": (
         "Hot-key-guarded as-of join: the carry-forward Window partitions "

@@ -300,3 +300,30 @@ def test_cms_cells_aggregate_partially(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_quality_tiers_sketch_mode_has_no_global_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "corpus_quality_tiers")
+    # the recorded entry is the KLL-cutoff path: one bounded sketch agg +
+    # broadcast cutoffs + row-local CASE — an unpartitioned Window would
+    # be the single-task sort funnel the sketch mode exists to avoid
+    assert "Window" not in plan
+    assert "kll" in plan.lower()
+
+
+def test_multimodal_decode_is_arrow_batched_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_decode")
+    # codec work crosses to Python once per Arrow batch (MapInPandas),
+    # never row-at-a-time (BatchEvalPython = pickled per-row UDF)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_jq_generic_python_runs_post_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "counter_jq_generic")
+    # the interpreter is output shaping, not the data path: the per-window
+    # pre-aggregation (partial+final) must sit UNDER the Python stage so
+    # Python sees one row per window, not one per event
+    assert "MapInPandas" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert plan.index("HashAggregate") > plan.index("MapInPandas")  # tree prints top-down

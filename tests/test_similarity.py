@@ -280,3 +280,88 @@ def test_batch_qdot_is_exact_integers():
     b = pd.Series([[1.0, 0.5]])
     # floor(1.5)=1, floor(-250)=-250, floor(1000)=1000, floor(500)=500
     assert batch_qdot(a, b).iloc[0] == 1 * 1000 + (-250) * 500
+
+
+# ---------------------------------------------------------------------------
+# round-4: product quantization (pq_train_codebooks / pq_encode / pq_topk)
+# ---------------------------------------------------------------------------
+
+def _random_vectors(spark, n=120, dim=16, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_codebooks_shape_and_determinism(spark):
+    import numpy as np
+
+    df = _random_vectors(spark, n=100, dim=16)
+    b1 = SIM.pq_train_codebooks(df, dim=16, m=4, ksub=8)
+    b2 = SIM.pq_train_codebooks(df, dim=16, m=4, ksub=8)
+    assert b1.shape == (4, 8, 4)
+    assert np.array_equal(b1, b2)  # md5 ticket + seeded init: no RNG state
+    with pytest.raises(ValueError):
+        SIM.pq_train_codebooks(df, dim=16, m=5)
+
+
+def test_pq_encode_codes_are_nearest_centroids(spark):
+    import numpy as np
+
+    df = _random_vectors(spark, n=60, dim=16)
+    books = SIM.pq_train_codebooks(df, dim=16, m=4, ksub=8)
+    codes = {r["vec_id"]: list(r["codes"]) for r in SIM.pq_encode(df, books).collect()}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in df.collect()}
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in codes.values())
+    for vid, v in list(vecs.items())[:10]:
+        x = v / np.linalg.norm(v)
+        for j in range(4):
+            sub = x[j * 4 : (j + 1) * 4]
+            want = ((books[j] - sub) ** 2).sum(axis=1).argmin()
+            assert codes[vid][j] == want, (vid, j)
+
+
+def test_pq_topk_recall_with_refine(spark):
+    # isotropic random vectors are PQ's worst case; the exact-refine stage
+    # must still recover >= 0.9 recall@5 vs brute force
+    df = _random_vectors(spark, n=150, dim=16, seed=11)
+    queries = df.filter(F.col("vec_id") % 29 == 0)
+    r = SIM.pq_recall_check(
+        df, queries, dim=16, k=5, min_recall=0.9, m=4, ksub=16, refine=6
+    ).collect()[0]
+    assert r.ok, r
+
+
+def test_pq_topk_sims_are_exact_cosine(spark):
+    # stage-2 refine re-scores with float vectors: every reported sim must
+    # equal the brute-force cosine for that (query, neighbor) pair
+    df = _random_vectors(spark, n=80, dim=16, seed=3)
+    queries = df.filter(F.col("vec_id") < 2)
+    pq = SIM.pq_topk(df, queries, dim=16, k=4, m=4, ksub=16, refine=8)
+    exact = SIM.cosine_topk(df, queries, k=79)
+    es = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact.collect()}
+    for r in pq.collect():
+        assert r["sim"] == es[(r["query_id"], r["neighbor_id"])]
+
+
+def test_pq_byte_codes_wrap_correctly_at_ksub_256(spark):
+    # classic PQ: ksub=256, one byte per code. Spark tinyint is signed, so
+    # codes 128..255 travel as negative two's-complement values; the ADC
+    # mask must recover them. Recall at full byte codes should beat the
+    # 16-centroid configuration on the same data.
+    df = _random_vectors(spark, n=300, dim=16, seed=5)
+    queries = df.filter(F.col("vec_id") % 97 == 0)
+    books = SIM.pq_train_codebooks(df, dim=16, m=4, ksub=256)
+    codes = SIM.pq_encode(df, books).collect()
+    raw = [c for r in codes for c in r["codes"]]
+    assert min(raw) < 0 <= max(raw)  # both byte halves actually occur
+    r = SIM.pq_recall_check(
+        df, queries, dim=16, k=5, min_recall=0.9, m=4, ksub=256, refine=4
+    ).collect()[0]
+    assert r.ok, r
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        SIM.pq_encode(df, np.zeros((4, 300, 4)))  # >1 byte per code
