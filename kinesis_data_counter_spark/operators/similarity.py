@@ -674,6 +674,7 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, codes array<tinyint>[m]) — each vector L2-normalized and
     quantized to its nearest centroid per subspace, one Arrow-batched
@@ -704,7 +705,9 @@ def pq_encode(
             out[:, j] = d2.argmin(axis=1).astype(np.int8)
         return pd.Series(list(out))
 
-    return df.select(F.col(id_col), _codes(F.col(vec_col)).alias("codes"))
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in keep], _codes(F.col(vec_col)).alias("codes")
+    )
 
 
 def pq_topk(
@@ -797,6 +800,142 @@ def pq_topk(
         rer.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_lists: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 256,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ: the canonical 100 TB ANN composition (coarse inverted lists
+    × product-quantized residual-free codes × exact refine).
+
+    Three multiplicative reductions, each already verified separately:
+    - IVF (coarse quantizer): each query meets only ~nprobe/num_lists of
+      the corpus — the equi-join on ``list_id`` replaces any cross join;
+    - PQ codes: the rows that DO meet the query are 8-byte codes scored
+      by ADC table lookups, not float vectors — 32× less scan/shuffle
+      volume inside each probed list;
+    - refine: only k×refine candidate ids per query rejoin the float
+      vectors for exact cosine — shuffle ∝ candidates.
+
+    At 100 TB: the corpus stores (list_id, codes) — a table ~3% the size
+    of the float embeddings, partitionable by list_id so probes touch
+    only matching partitions (partition pruning on the join key); the
+    float table is consulted only for the candidate slice.
+
+    Output: (query_id, rank, neighbor_id, sim) — sim is EXACT cosine.
+    """
+    cents = centroids or ivf_centroids(corpus, num_lists, dim, id_col, vec_col)
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_train_codebooks(corpus, dim, m, ksub, id_col=id_col, vec_col=vec_col)
+    )
+    mm, kk, dsub = books.shape
+    # ONE corpus pass projects both the coarse list and the code row —
+    # list assignment and encoding are map-only, so no join is needed
+    inv = ivf_assign(corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(inv, books, "vec_id", "embedding", keep=("list_id",)).select(
+        F.col("vec_id").alias("neighbor_id"), "codes", "list_id"
+    )
+    probes = ivf_assign(
+        queries, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "list_id"
+    )
+
+    @pandas_udf(DoubleType())
+    def _adc(qv: pd.Series, codes_s: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="float64")
+        c = np.array(codes_s.tolist(), dtype=np.int64) & 0xFF
+        x = np.array(qv.tolist(), dtype=np.float64)
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(n > 0, n, 1.0)
+        luts: dict[bytes, np.ndarray] = {}
+        key = [v.tobytes() for v in x]
+        for kb in set(key):
+            qx = np.frombuffer(kb, dtype=np.float64)
+            luts[kb] = np.stack(
+                [books[j] @ qx[j * dsub : (j + 1) * dsub] for j in range(mm)]
+            )
+        rows = np.arange(mm)
+        out = np.empty(len(c), dtype=np.float64)
+        for i in range(len(c)):
+            out[i] = luts[key[i]][rows, c[i]].sum()
+        return pd.Series(out)
+
+    # candidate generation: equi-join on list_id, ADC over code rows only;
+    # multi-probe duplicates collapse in the same agg that scores them
+    cand = (
+        codes.join(F.broadcast(probes), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", _adc("qv", "codes").alias("adc"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("adc").alias("adc"), F.first("qv").alias("qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(k) * int(refine))
+        .select("query_id", "neighbor_id", "qv")
+    )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sim = F.round(batch_cosine(F.col("qv"), F.col("cv")), round_digits)
+    rer = short.join(cv, "neighbor_id").select(
+        "query_id", "neighbor_id", sim.alias("sim")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def ivf_pq_recall_check(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    min_recall: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """(ok, recall) single row: IVF-PQ top-k recall vs float brute force.
+    Recall compounds both reductions (list recall × code recall), so the
+    floor sits below the single-technique checks by design."""
+    exact = cosine_topk(corpus, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_pq_topk(
+        corpus, queries, dim, k, id_col=id_col, vec_col=vec_col, **kwargs
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
+    total = exact.count()
+    recall = hits / total if total else 1.0
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(bool(recall >= min_recall), float(round(recall, 2)))],
+        "ok boolean, recall double",
     )
 
 

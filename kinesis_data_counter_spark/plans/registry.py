@@ -2566,6 +2566,21 @@ def _q_ann_pq_recall(spark, sf_dir):
     return res.select("ok")
 
 
+def _q_ann_ivf_pq_recall(spark, sf_dir):
+    # the composed IVF-PQ design (round 4): coarse inverted lists cut the
+    # scanned fraction to ~nprobe/num_lists, byte codes cut the bytes per
+    # scanned row 32x, exact refine restores recall — ONE corpus pass
+    # projects (list_id, codes). Floor below the single-technique checks:
+    # recall compounds list recall x code recall on the isotropic
+    # worst-case fixture.
+    (em,) = _tables(spark, sf_dir, "embeddings")
+    res = SIM.ivf_pq_recall_check(
+        em, em.filter(F.col("vec_id") < 20), dim=64, k=10,
+        min_recall=0.7, num_lists=16, nprobe=8, m=8, ksub=256, refine=8,
+    )
+    return res.select("ok")
+
+
 def _q_json_bad_records(spark, sf_dir):
     # S4: JSON decode + bad-record routing. Corruption is injected
     # deterministically (every 7th event loses its closing brace) so the
@@ -3191,6 +3206,7 @@ GROUP BY 1, 2
     "knn_bucketed_recall": "SELECT true AS ok",
     "knn_label_propagation_bucketed": "SELECT true AS ok",
     "ann_pq_recall": "SELECT true AS ok",
+    "ann_ivf_pq_recall": "SELECT true AS ok",
     "sample_hash_split": f"""
 SELECT {SP.split_sql_case('doc_id')} AS split,
   count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
@@ -3846,6 +3862,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall": _q_ann_ivf_recall,
     "ann_quantized_recall": _q_ann_quantized_recall,
     "ann_pq_recall": _q_ann_pq_recall,
+    "ann_ivf_pq_recall": _q_ann_ivf_pq_recall,
     "sample_hash_split": _q_sample_hash_split,
     "sample_mix_rates": _q_sample_mix_rates,
     "sample_stratified": _q_sample_stratified,

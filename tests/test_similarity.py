@@ -365,3 +365,24 @@ def test_pq_byte_codes_wrap_correctly_at_ksub_256(spark):
 
     with pytest.raises(ValueError):
         SIM.pq_encode(df, np.zeros((4, 300, 4)))  # >1 byte per code
+
+
+def test_ivf_pq_recall_and_exact_sims(spark):
+    # the composed IVF-PQ path: nprobe lists x byte codes x exact refine.
+    # recall compounds both reductions; exact-sim property must still hold
+    df = _random_vectors(spark, n=200, dim=16, seed=13)
+    queries = df.filter(F.col("vec_id") % 61 == 0)
+    r = SIM.ivf_pq_recall_check(
+        df, queries, dim=16, k=5, min_recall=0.7,
+        num_lists=8, nprobe=4, m=4, ksub=64, refine=6,
+    ).collect()[0]
+    assert r.ok, r
+    pq = SIM.ivf_pq_topk(
+        df, queries, dim=16, k=5, num_lists=8, nprobe=4, m=4, ksub=64, refine=6
+    )
+    exact = SIM.cosine_topk(df, queries, k=199)
+    es = {(x["query_id"], x["neighbor_id"]): x["sim"] for x in exact.collect()}
+    rows = pq.collect()
+    assert rows, "ivf_pq returned nothing"
+    for x in rows:
+        assert x["sim"] == es[(x["query_id"], x["neighbor_id"])]
