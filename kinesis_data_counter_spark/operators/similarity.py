@@ -1248,13 +1248,28 @@ def knn_agreement_check(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    sample_mod: int | None = None,
     **ann_kwargs,
 ) -> DataFrame:
     """(ok, agreement) single row: fraction of queries where the bucketed
     kNN predicts the same label as the brute-force path — the property-
-    check oracle pattern for the approximate classifier (every query must
-    also receive a prediction: coverage is part of the property)."""
-    brute = knn_classify(labeled, queries, k, id_col, vec_col, label_col).select(
+    check oracle pattern for the approximate classifier (every sampled
+    query must also receive a prediction: coverage is part of the
+    property).
+
+    ``sample_mod``: validate agreement on the deterministic query slice
+    ``id % sample_mod == 0`` instead of every query. The PRODUCTION side
+    (bucketed) still runs on the full query set — only the brute oracle
+    side shrinks, which is what keeps the check affordable when queries ≈
+    corpus (the brute pass is the all-pairs plan the bucketed path exists
+    to avoid; running it over the full sweep would make the check cost
+    exactly what it certifies against)."""
+    brute_queries = (
+        queries
+        if sample_mod is None
+        else queries.filter(F.col(id_col) % int(sample_mod) == 0)
+    )
+    brute = knn_classify(labeled, brute_queries, k, id_col, vec_col, label_col).select(
         F.col(id_col).alias("qid"), F.col("predicted_label").alias("l_exact")
     )
     fast = knn_classify_bucketed(
