@@ -12,16 +12,18 @@ Python JSON values, implementing the jq core —
   iteration, optional ``?``, pipes, comma streams, object and array
   construction, string interpolation, arithmetic (+ - * / %), comparisons,
   ``and`` / ``or`` / ``not``, alternative ``//``, ``select`` / ``empty`` /
-  ``if-elif-else-end``, ``reduce $x``-bindings, and a library of the
-  common builtins (length, keys, has, type, tostring, tonumber, add, map,
-  join, split, sort, sort_by, unique, range, to_entries, from_entries, …).
+  ``if-elif-else-end``, ``try``/``catch`` (and the ``?`` shorthand),
+  ``reduce`` / ``as $x``-bindings, and a library of the common builtins
+  (length, keys, has, type, tostring, tonumber, add, map, join, split,
+  sort, sort_by, group_by, unique_by, min_by/max_by, flatten, range,
+  to_entries, from_entries, with_entries, explode/implode, …).
 
 Semantics are pinned against the real /usr/bin/jq binary by
 tests/test_jq_differential.py (evaluation order of binary operators is
 right-operand-outer, integral doubles print as integers, the jq total
 order null < false < true < numbers < strings < arrays < objects, missing
 object fields read as null). Constructs outside this core (regex builtins,
-``..`` recursion, try/catch, path assignment) raise
+``..`` recursion, path assignment, ``def``) raise
 :class:`~kinesis_data_counter_spark.jq.JqUnsupported` at COMPILE time, so
 callers fail before any executor work is scheduled.
 
@@ -81,6 +83,8 @@ _KEYWORDS = {
     "end",
     "as",
     "reduce",
+    "try",
+    "catch",
     "true",
     "false",
     "null",
@@ -238,6 +242,9 @@ _ZERO_ARG_BUILTINS = {
     "to_entries",
     "from_entries",
     "values",
+    "flatten",
+    "explode",
+    "implode",
 }
 _ARG_BUILTINS = {
     "select": 1,
@@ -252,6 +259,12 @@ _ARG_BUILTINS = {
     "split": 1,
     "join": 1,
     "range": (1, 3),
+    "group_by": 1,
+    "unique_by": 1,
+    "min_by": 1,
+    "max_by": 1,
+    "with_entries": 1,
+    "flatten": 1,
 }
 
 
@@ -431,6 +444,13 @@ class _P:
             return self.parse_if()
         if k == "kw" and v == "reduce":
             return self.parse_reduce()
+        if k == "kw" and v == "try":
+            self.next()
+            body = self.parse_postfix()
+            handler = None
+            if self.accept("kw", "catch"):
+                handler = self.parse_postfix()
+            return ("trycatch", body, handler)
         if k == "ident":
             return self.parse_funcall()
         raise _unsupported(f"unexpected token: {v!r}")
@@ -651,11 +671,21 @@ def _ev(ast, v, env) -> Iterator:
                 yield from base.values()
             else:
                 raise JqRuntimeError(f"cannot iterate over {_jq_type(base)}")
-    elif kind == "try":
-        try:
-            yield from list(_ev(ast[1], v, env))
-        except JqRuntimeError:
-            return
+    elif kind in ("try", "trycatch"):
+        # jq streams the pre-error prefix: outputs already produced before
+        # the error are kept, then the handler (if any) runs on the error
+        # message — so the generator must be drained lazily, not listed
+        gen = _ev(ast[1], v, env)
+        while True:
+            try:
+                out = next(gen)
+            except StopIteration:
+                break
+            except JqRuntimeError as e:
+                if kind == "trycatch" and ast[2] is not None:
+                    yield from _ev(ast[2], str(e), env)
+                break
+            yield out
     elif kind == "pipe":
         for mid in _ev(ast[1], v, env):
             yield from _ev(ast[2], mid, env)
@@ -862,11 +892,44 @@ def _ev_call(name: str, args, v, env) -> Iterator:
             raise JqRuntimeError(f"cannot map over {_jq_type(v)}")
         yield [out for item in v for out in _ev(args[0], item, env)]
         return
-    if name == "sort_by":
+    if name in ("sort_by", "group_by", "unique_by", "min_by", "max_by"):
         if not isinstance(v, list):
-            raise JqRuntimeError(f"cannot sort {_jq_type(v)}")
+            raise JqRuntimeError(f"cannot {name} over {_jq_type(v)}")
         keyed = [([o for o in _ev(args[0], item, env)], item) for item in v]
-        yield [item for _k, item in sorted(keyed, key=lambda p: _SORT_KEY(p[0]))]
+        if name in ("min_by", "max_by"):
+            if not v:
+                yield None
+                return
+            pick = min if name == "min_by" else max
+            yield pick(keyed, key=lambda p: _SORT_KEY(p[0]))[1]
+            return
+        skeyed = sorted(keyed, key=lambda p: _SORT_KEY(p[0]))
+        if name == "sort_by":
+            yield [item for _k, item in skeyed]
+            return
+        groups: list[list] = []
+        last_key: object = object()
+        for kk, item in skeyed:
+            if not groups or _cmp_keylist(kk, last_key) != 0:
+                groups.append([])
+                last_key = kk
+            groups[-1].append(item)
+        if name == "group_by":
+            yield groups
+        else:  # unique_by: first element of each key group
+            yield [g[0] for g in groups]
+        return
+    if name == "with_entries":
+        # sugar for: to_entries | map(f) | from_entries
+        entries = list(_builtin0("to_entries", v))[0]
+        mapped = [out for e in entries for out in _ev(args[0], e, env)]
+        yield from _builtin0("from_entries", mapped)
+        return
+    if name == "flatten" and args:
+        for depth in _ev(args[0], v, env):
+            if not isinstance(depth, (int, float)) or isinstance(depth, bool) or depth < 0:
+                raise JqRuntimeError("flatten depth must be a non-negative number")
+            yield _flatten(v, int(depth))
         return
     if name == "range":
         streams = [list(_ev(a, v, env)) for a in args]
@@ -882,7 +945,7 @@ def _ev_call(name: str, args, v, env) -> Iterator:
                         yield x
                         x += step
         return
-    if name in _ARG_BUILTINS:
+    if name in _ARG_BUILTINS and args:
         for arg in _ev(args[0], v, env):
             yield _builtin1(name, v, arg)
         return
@@ -1018,6 +1081,16 @@ def _builtin0(name: str, v) -> Iterator:
         if not isinstance(v, str):
             raise JqRuntimeError(f"{name} needs a string")
         yield v.lower() if name == "ascii_downcase" else v.upper()
+    elif name == "flatten":
+        yield _flatten(v, None)
+    elif name == "explode":
+        if not isinstance(v, str):
+            raise JqRuntimeError("explode needs a string")
+        yield [ord(c) for c in v]
+    elif name == "implode":
+        if not isinstance(v, list):
+            raise JqRuntimeError("implode needs an array")
+        yield "".join(chr(int(c)) for c in v)
     elif name == "to_entries":
         if not isinstance(v, dict):
             raise JqRuntimeError("to_entries needs an object")
@@ -1036,6 +1109,24 @@ def _builtin0(name: str, v) -> Iterator:
         yield out
     else:  # pragma: no cover - parser rejects unknown names
         raise _unsupported(f"unknown function: {name}/0")
+
+
+def _cmp_keylist(a, b) -> int:
+    if not isinstance(b, list):
+        return 1
+    return _cmp(a, b)
+
+
+def _flatten(v, depth: "int | None"):
+    if not isinstance(v, list):
+        raise JqRuntimeError(f"cannot flatten {_jq_type(v)}")
+    out: list = []
+    for x in v:
+        if isinstance(x, list) and (depth is None or depth > 0):
+            out.extend(_flatten(x, None if depth is None else depth - 1))
+        else:
+            out.append(x)
+    return out
 
 
 # ---------------------------------------------------------------------------

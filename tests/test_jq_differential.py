@@ -234,6 +234,23 @@ MINI_CASES = [
     (".a[]?", {"a": 5}),
     (".a[]?, .b", {"a": [1], "b": 2}),
     ('.[]? // "none"', 3),
+    # try/catch
+    ("try (.a + 1) catch \"bad\"", {"a": "s"}),
+    ("try (.a + 1) catch \"bad\"", {"a": 1}),
+    ("try (.[] | tonumber) catch \"bad\"", ["1", "x", "3"]),  # prefix kept
+    ("try .a.b", {"a": 5}),
+    # group_by family / flatten / entries / codepoints
+    ("group_by(.k)", [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 1, "v": "c"}]),
+    ("group_by(.)", [3, 1, 3, 2]),
+    ("unique_by(.k)", [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 1, "v": "c"}]),
+    ("min_by(.v), max_by(.v)", [{"v": 5}, {"v": 2}, {"v": 9}]),
+    ("flatten", [1, [2, [3, [4]]], 5]),
+    ("flatten(1)", [1, [2, [3, [4]]], 5]),
+    ("flatten(0)", [1, [2], 3]),
+    ('with_entries({key, value: (.value * 2)})', {"a": 1, "b": 2}),
+    ("explode", "Abc"),
+    ("implode", [65, 98, 99]),
+    ('"hi" | explode | implode', None),
     # reduce / as-bindings
     ("reduce .[] as $x (0; . + $x)", [1, 2, 3, 4]),
     ("reduce .[] as $x (0; . + 1)", ["a", "b"]),
@@ -307,7 +324,6 @@ def test_mini_jq_unsupported_constructs_fail_at_compile_time():
     for prog in [
         "..",                       # recursive descent
         'test("a")',                # regex builtins
-        "try .a catch 1",           # try/catch
         ".a = 1",                   # path assignment
         "def f: 1; f",              # function definitions
         "getpath([1])",             # unknown function
