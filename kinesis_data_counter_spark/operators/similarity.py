@@ -844,15 +844,45 @@ def ivf_pq_topk(
         if codebooks is not None
         else pq_train_codebooks(corpus, dim, m, ksub, id_col=id_col, vec_col=vec_col)
     )
-    mm, kk, dsub = books.shape
     # ONE corpus pass projects both the coarse list and the code row —
     # list assignment and encoding are map-only, so no join is needed
     inv = ivf_assign(corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(inv, books, "vec_id", "embedding", keep=("list_id",)).select(
         F.col("vec_id").alias("neighbor_id"), "codes", "list_id"
     )
+    vectors = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    return ivf_pq_probe(
+        codes, vectors, queries, cents, books,
+        k=k, nprobe=nprobe, refine=refine, id_col=id_col, vec_col=vec_col,
+        round_digits=round_digits,
+    )
+
+
+def ivf_pq_probe(
+    codes: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Query a MATERIALIZED IVF-PQ index: ``codes`` is the persisted
+    (neighbor_id, codes, list_id) table and ``vectors`` the persisted
+    (neighbor_id, cv) float table — the two artifacts an index deployment
+    stores (``streaming/runner.py::stream_ann_index`` maintains them
+    incrementally). Same plan as the in-line ``ivf_pq_topk`` tail: probe
+    join on list_id, ADC over code rows, exact refine on the candidate
+    slice only.
+    """
+    books = codebooks
+    mm, _kk, dsub = books.shape
     probes = ivf_assign(
-        queries, cents, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+        queries, centroids, nprobe=nprobe, id_col=id_col, vec_col=vec_col
     ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "list_id"
     )
@@ -895,9 +925,8 @@ def ivf_pq_topk(
         .filter(F.col("rk") <= int(k) * int(refine))
         .select("query_id", "neighbor_id", "qv")
     )
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     sim = F.round(batch_cosine(F.col("qv"), F.col("cv")), round_digits)
-    rer = short.join(cv, "neighbor_id").select(
+    rer = short.join(vectors, "neighbor_id").select(
         "query_id", "neighbor_id", sim.alias("sim")
     )
     w2 = Window.partitionBy("query_id").orderBy(

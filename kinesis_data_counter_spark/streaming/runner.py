@@ -582,6 +582,153 @@ def stream_neardup_index(
     return _read_batch_keyed(spark, pairs_dir)
 
 
+def stream_ann_index(
+    spark: SparkSession,
+    path: str,
+    work_dir: str,
+    dim: int,
+    num_lists: int = 16,
+    m: int = 8,
+    ksub: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = 1,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Incremental IVF-PQ index maintenance deployed as a stream.
+
+    The embedding-index steady state: vectors arrive in micro-batches;
+    the FIRST batch trains the frozen model (IVF centroids + PQ
+    codebooks — retraining would invalidate every previously written
+    code, so a real deployment freezes them exactly like this and
+    re-indexes offline when drift demands it), persists it under
+    ``work_dir/model/``, and every batch appends its (id, codes,
+    list_id) rows to ``index/`` and its float vectors to ``vecs/`` —
+    both batch-keyed, so crash-replays overwrite their own output
+    (the ``_write_batch_keyed`` contract shared by every streamed
+    index here). Per-batch work is one map-only assign+encode pass over
+    the increment; the index grows by |batch| 8-byte-code rows.
+
+    Queries probe the materialized tables with
+    ``similarity.ivf_pq_probe`` via :func:`ann_index_probe`.
+    Returns the accumulated code index. Ids must be globally unique.
+    """
+    from kinesis_data_counter_spark.operators.similarity import (
+        ivf_assign,
+        pq_encode,
+    )
+
+    index_dir = os.path.join(work_dir, "index")
+    vecs_dir = os.path.join(work_dir, "vecs")
+    sdf = _read_stream(
+        spark, path, ts_col=None, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _process(batch_df: DataFrame, epoch: int) -> None:
+        batch_df = batch_df.select(id_col, vec_col).persist()
+        cents, books = _load_or_train_ann_model(
+            work_dir, batch_df, dim, num_lists, m, ksub, id_col, vec_col
+        )
+        inv = ivf_assign(batch_df, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
+        codes = pq_encode(inv, books, "vec_id", "embedding", keep=("list_id",))
+        _write_batch_keyed(codes, index_dir, epoch)
+        _write_batch_keyed(batch_df.select(id_col, vec_col), vecs_dir, epoch)
+        batch_df.unpersist()
+
+    q = (
+        sdf.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", os.path.join(work_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive
+            q.stop()
+    return _read_batch_keyed(spark, index_dir)
+
+
+def _load_or_train_ann_model(
+    work_dir: str,
+    batch_df: DataFrame,
+    dim: int,
+    num_lists: int,
+    m: int,
+    ksub: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Load the frozen (centroids, codebooks) model, training it from the
+    current batch if absent. Training is deterministic (md5-ticket sample,
+    seeded init), so a crash between save and checkpoint-commit replays to
+    the identical model. Local files stand in for the object store a real
+    deployment would use."""
+    import json as _json
+
+    import numpy as _np
+
+    from kinesis_data_counter_spark.operators.similarity import (
+        ivf_centroids,
+        pq_train_codebooks,
+    )
+
+    model_dir = os.path.join(work_dir, "model")
+    cents_path = os.path.join(model_dir, "centroids.json")
+    books_path = os.path.join(model_dir, "codebooks.npy")
+    if os.path.exists(cents_path) and os.path.exists(books_path):
+        with open(cents_path) as f:
+            cents = [(int(i), [float(x) for x in v]) for i, v in _json.load(f)]
+        return cents, _np.load(books_path)
+    cents = ivf_centroids(batch_df, num_lists, dim, id_col, vec_col)
+    books = pq_train_codebooks(
+        batch_df, dim, m, ksub, id_col=id_col, vec_col=vec_col
+    )
+    os.makedirs(model_dir, exist_ok=True)
+    tmp = books_path + ".tmp.npy"
+    _np.save(tmp, books)
+    os.replace(tmp, books_path)
+    with open(cents_path + ".tmp", "w") as f:
+        _json.dump(cents, f)
+    os.replace(cents_path + ".tmp", cents_path)
+    return cents, books
+
+
+def ann_index_probe(
+    spark: SparkSession,
+    work_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a ``stream_ann_index`` deployment: load the frozen model,
+    read the materialized code/vector tables, run the IVF-PQ probe plan
+    (list-equi-join → ADC → exact refine). Output:
+    (query_id, rank, neighbor_id, sim)."""
+    import json as _json
+
+    import numpy as _np
+
+    from kinesis_data_counter_spark.operators.similarity import ivf_pq_probe
+
+    with open(os.path.join(work_dir, "model", "centroids.json")) as f:
+        cents = [(int(i), [float(x) for x in v]) for i, v in _json.load(f)]
+    books = _np.load(os.path.join(work_dir, "model", "codebooks.npy"))
+    codes = _read_batch_keyed(spark, os.path.join(work_dir, "index")).select(
+        F.col("vec_id").alias("neighbor_id"), "codes", "list_id"
+    )
+    vectors = _read_batch_keyed(spark, os.path.join(work_dir, "vecs")).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    return ivf_pq_probe(
+        codes, vectors, queries, cents, books,
+        k=k, nprobe=nprobe, refine=refine, id_col=id_col, vec_col=vec_col,
+    )
+
+
 def stream_dedup(
     spark: SparkSession,
     path: str,

@@ -779,3 +779,92 @@ def test_stream_segment_dedup_corrupt_index_read_propagates(spark, tmp_path):
     with pytest.raises(Exception):
         _segment_dedup_batch(spark, b, 1, str(idx), str(out), chunk_words=2)
     assert not out.exists()
+
+
+def test_stream_ann_index_matches_batch_ivf_pq(spark, tmp_path):
+    # streamed index maintenance == one-shot batch index: the first batch
+    # trains the frozen model, later batches only encode with it, and a
+    # probe over the materialized tables must equal ivf_pq_topk run with
+    # the SAME model over the full corpus
+    import json
+    import random
+
+    import numpy as np
+
+    from kinesis_data_counter_spark.operators import similarity as SIM
+    from kinesis_data_counter_spark.streaming.runner import (
+        ann_index_probe,
+        stream_ann_index,
+    )
+
+    rng = random.Random(17)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(90)]
+    src = tmp_path / "vecs_src"
+    src.mkdir()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # 3 files -> 3 micro-batches with maxFilesPerTrigger=1
+    for part, lo in enumerate([0, 30, 60]):
+        spark.createDataFrame(rows[lo : lo + 30], df.schema).coalesce(1).write.parquet(
+            str(src / f"part{part}"), mode="overwrite"
+        )
+        for f in (src / f"part{part}").glob("*.parquet"):
+            f.rename(src / f"p{part}.parquet")
+        import shutil
+
+        shutil.rmtree(src / f"part{part}")
+    work = str(tmp_path / "work")
+    idx = stream_ann_index(
+        spark, str(src), work, dim=8, num_lists=4, m=4, ksub=16,
+    )
+    assert idx.count() == 90  # every vector indexed exactly once
+
+    # the frozen model was trained on batch 0 only — replay it for batch
+    cents = [
+        (int(i), [float(x) for x in v])
+        for i, v in json.load(open(f"{work}/model/centroids.json"))
+    ]
+    books = np.load(f"{work}/model/codebooks.npy")
+    queries = df.filter(F.col("vec_id") % 31 == 0)
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in ann_index_probe(
+            spark, work, queries, k=4, nprobe=2, refine=4
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in SIM.ivf_pq_topk(
+            df, queries, dim=8, k=4, num_lists=4, nprobe=2, m=4, ksub=16,
+            refine=4, centroids=cents, codebooks=books,
+        ).collect()
+    )
+    assert got == want and got
+
+
+def test_stream_ann_index_batch_replay_is_idempotent(spark, tmp_path):
+    from kinesis_data_counter_spark.streaming.runner import (
+        _load_or_train_ann_model,
+        _write_batch_keyed,
+    )
+    from kinesis_data_counter_spark.operators.similarity import ivf_assign, pq_encode
+
+    import random
+
+    rng = random.Random(23)
+    b0 = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    work = str(tmp_path / "w")
+    # run the per-batch body twice with the same epoch (crash replay):
+    # model must load (not retrain differently) and the index partition
+    # must overwrite, not duplicate
+    for _attempt in range(2):
+        cents, books = _load_or_train_ann_model(
+            work, b0, 8, 4, 4, 16, "vec_id", "embedding"
+        )
+        inv = ivf_assign(b0, cents, nprobe=1)
+        codes = pq_encode(inv, books, "vec_id", "embedding", keep=("list_id",))
+        _write_batch_keyed(codes, f"{work}/index", 0)
+    out = spark.read.parquet(f"{work}/index")
+    assert out.count() == 20
