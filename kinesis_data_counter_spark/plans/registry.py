@@ -876,7 +876,8 @@ def _q_rfm_segments(spark, sf_dir):
     # agg, ~1e8 at 100 TB: one fat but feasible task), but the unbounded
     # formulation is percentile_approx quartile THRESHOLDS broadcast back
     # as a bucket-by-comparison projection; exact ntile is kept here
-    # because the oracle contract needs deterministic bucket membership.
+    # because the oracle contract needs deterministic bucket membership;
+    # the recorded scale path is rfm_segments_sketch below.
     (od,) = _tables(spark, sf_dir, "orders")
     per_cust = od.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -896,6 +897,91 @@ def _q_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("o_custkey").alias("custkey_sum"),
     )
+
+
+def _q_rfm_segments_sketch(spark, sf_dir):
+    # rfm_segments' 100 TB formulation (VERDICT r3 item 2 sibling): the
+    # exact entry's unpartitioned ntile is a single-task sort; here each
+    # dimension's quartile THRESHOLDS come from one percentile_approx
+    # aggregate (bounded sketch state) and bucket membership is a
+    # row-local comparison — no global sort anywhere. Threshold bucketing
+    # cannot reproduce ntile's tie-splitting, so the recorded property is
+    # tie-aware: per dimension, every quartile's size deviates from n/4
+    # by at most (largest single-value tie mass + sketch rank error) —
+    # the provable bound for bucket-by-comparison — and buckets partition
+    # the customer set.
+    (od,) = _tables(spark, sf_dir, "orders")
+    per_cust = od.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("spend"),
+    )
+    melted = per_cust.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("recency").alias("dim"),
+                    F.datediff("last_order", F.lit("1970-01-01"))
+                    .cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("frequency").alias("dim"),
+                    F.col("n_orders").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("monetary").alias("dim"),
+                    F.col("spend").cast("double").alias("value"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.dim", "m.value")
+    th = melted.groupBy("dim").agg(
+        F.percentile_approx("value", [0.25, 0.5, 0.75], 10000).alias("t")
+    )
+    b = (
+        F.lit(1)
+        + (F.col("value") > F.col("t")[0]).cast("int")
+        + (F.col("value") > F.col("t")[1]).cast("int")
+        + (F.col("value") > F.col("t")[2]).cast("int")
+    )
+    sizes = (
+        melted.join(F.broadcast(th), "dim")
+        .select("dim", b.alias("bucket"))
+        .groupBy("dim", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ties = (
+        melted.groupBy("dim", "value").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("dim").agg(F.max("c").alias("tie_max"))
+    )
+    tot = melted.groupBy("dim").agg(F.count(F.lit(1)).alias("n"))
+    agg = sizes.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("cnt").alias("covered"),
+        F.collect_list("cnt").alias("cnts"),
+    )
+    out = (
+        agg.join(ties, "dim").join(tot, "dim")
+        .select(
+            "dim",
+            (F.col("covered") == F.col("n")).alias("partition_ok"),
+            F.greatest(
+                F.array_max(
+                    F.transform(
+                        "cnts", lambda c: F.abs(c - F.col("n") / 4.0)
+                    )
+                ),
+                F.when(F.col("n_buckets") < 4, F.col("n") / 4.0).otherwise(0.0),
+            ).alias("__dev"),
+            (F.col("tie_max") + F.col("n") / 1000.0 + 1.0).alias("__tol"),
+        )
+        .select(
+            "dim",
+            "partition_ok",
+            (F.col("__dev") <= F.col("__tol")).alias("size_ok"),
+        )
+    )
+    return out
 
 
 def _q_window_rank_orders(spark, sf_dir):
@@ -3207,6 +3293,13 @@ GROUP BY 1, 2
     "knn_label_propagation_bucketed": "SELECT true AS ok",
     "ann_pq_recall": "SELECT true AS ok",
     "ann_ivf_pq_recall": "SELECT true AS ok",
+    # sketch-mode RFM: thresholds are engine-internal percentile sketches,
+    # so the oracle is the tie-aware boundary property per dimension
+    "rfm_segments_sketch": """
+SELECT 'frequency' AS dim, true AS partition_ok, true AS size_ok
+UNION ALL SELECT 'monetary', true, true
+UNION ALL SELECT 'recency', true, true
+""",
     "sample_hash_split": f"""
 SELECT {SP.split_sql_case('doc_id')} AS split,
   count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
@@ -3839,6 +3932,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interarrival": _q_events_interarrival,
     "events_daily_anomaly": _q_events_daily_anomaly,
     "rfm_segments": _q_rfm_segments,
+    "rfm_segments_sketch": _q_rfm_segments_sketch,
     "window_rank_orders": _q_window_rank_orders,
     "parts_cube": _q_parts_cube,
     "tpch_q14_promo": _q_tpch_q14_promo,
