@@ -278,3 +278,95 @@ def class_balance(
         .filter(F.col("__rk") <= F.col("__target"))
         .drop("__rk", "__target")
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "tbm",
+) -> tuple[DataFrame, DataFrame]:
+    """Token-budget data mixing with epoch upsampling.
+
+    Training mixes are specified in TOKENS per source, not document
+    rates: each source's sampling rate is ``budget / total_tokens``. A
+    rate above 1 means the source repeats — ``floor(rate)`` full epochs
+    (every doc emitted that many times, ``copy`` = 1..n) plus one
+    fractional epoch sampled by the same engine-portable md5 ticket as
+    ``split_column``; a rate below 1 is a plain deterministic
+    downsample. Sources with no budget are dropped.
+
+    Everything is one totals aggregate (broadcast back — |sources| rows)
+    plus a row-local explode: no shuffle of the corpus beyond the
+    ``sequence``-explode fan-out itself, and the fractional threshold is
+    a runtime 4-hex-digit bound (``lower(lpad(hex(floor(frac·16⁴))))``)
+    so DuckDB replays the selection bit-for-bit.
+
+    Returns ``(mixed, report)``: ``mixed`` is the input rows replicated
+    with a ``copy`` index (1-based); ``report`` is one row per budgeted
+    source — (source, n_docs, total_tokens, budget, n_rows_out,
+    tokens_out).
+    """
+    from kinesis_data_counter_spark.operators.text import token_count
+
+    base = df.withColumn("__tok", token_count(F.col(text_col)).cast("long"))
+    totals = base.groupBy(source_col).agg(
+        F.sum("__tok").alias("__tot"), F.count(F.lit(1)).alias("__docs")
+    )
+    budget = F.lit(None).cast("long")
+    for src, b in sorted(budgets.items()):
+        budget = F.when(F.col(source_col) == src, F.lit(int(b))).otherwise(budget)
+    rates = totals.select(
+        source_col,
+        "__tot",
+        "__docs",
+        budget.alias("__budget"),
+    ).withColumn(
+        "__rate",
+        F.when(
+            F.col("__budget").isNotNull() & (F.col("__tot") > 0),
+            F.col("__budget").cast("double") / F.col("__tot").cast("double"),
+        ).otherwise(F.lit(0.0)),
+    ).withColumn("__full", F.floor("__rate").cast("int")).withColumn(
+        "__bound",
+        F.lower(
+            F.lpad(
+                F.hex(
+                    F.floor((F.col("__rate") - F.col("__full")) * (16**_HEX_DIGITS))
+                    .cast("int")
+                ),
+                _HEX_DIGITS,
+                "0",
+            )
+        ),
+    )
+    ticket = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, _HEX_DIGITS
+    )
+    joined = base.join(F.broadcast(rates), source_col).withColumn(
+        "__copies", F.col("__full") + (ticket < F.col("__bound")).cast("int")
+    )
+    # sequence(1, 0) would DESCEND ([1, 0]); gate on copies > 0 instead so
+    # zero-copy docs drop out via the empty-array explode
+    mixed = joined.withColumn(
+        "copy",
+        F.explode(
+            F.when(
+                F.col("__copies") > 0, F.sequence(F.lit(1), F.col("__copies"))
+            ).otherwise(F.array().cast("array<int>"))
+        ),
+    ).drop("__tot", "__docs", "__budget", "__rate", "__full", "__bound", "__copies")
+    report = (
+        joined.filter(F.col("__budget").isNotNull())
+        .groupBy(source_col)
+        .agg(
+            F.first("__docs").alias("n_docs"),
+            F.first("__tot").alias("total_tokens"),
+            F.first("__budget").alias("budget"),
+            F.sum("__copies").cast("long").alias("n_rows_out"),
+            F.sum(F.col("__tok") * F.col("__copies")).cast("long").alias("tokens_out"),
+        )
+    )
+    return mixed.drop("__tok"), report

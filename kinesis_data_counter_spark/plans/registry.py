@@ -2036,6 +2036,21 @@ def _q_corpus_clean(spark, sf_dir):
     return funnel
 
 
+def _q_sample_token_budget(spark, sf_dir):
+    # token-budget data mixing (round 4): training mixes are specified in
+    # TOKENS per source; sampling rate = budget/total_tokens, rates above
+    # 1 repeat the source (floor full epochs + md5-ticket fractional
+    # epoch — sampling.py::token_budget_mix). src0 upsamples (~2 epochs
+    # at sf0.01), src1 downsamples, every other source has no budget and
+    # drops. The md5 rule and the runtime hex bound are engine-portable,
+    # so the oracle replays the selection bit-for-bit.
+    (docs,) = _tables(spark, sf_dir, "documents")
+    _mixed, report = SP.token_budget_mix(
+        docs, {"src0": 3000, "src1": 800}, source_col="source"
+    )
+    return report
+
+
 def _q_corpus_decontaminate(spark, sf_dir):
     # benchmark decontamination: train docs sharing any 6-gram with the
     # eval slice (doc_id % 7) are flagged via one semi join on hashed
@@ -3295,6 +3310,42 @@ GROUP BY 1, 2
     "ann_ivf_pq_recall": "SELECT true AS ok",
     # sketch-mode RFM: thresholds are engine-internal percentile sketches,
     # so the oracle is the tie-aware boundary property per dimension
+    "sample_token_budget": r"""
+WITH base AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+  FROM documents
+), totals AS (
+  SELECT source, CAST(sum(tok) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM base GROUP BY 1
+), rated AS (
+  SELECT source, total_tokens, n_docs,
+         CAST(CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 800 END
+              AS BIGINT) AS budget
+  FROM totals WHERE source IN ('src0', 'src1')
+), r2 AS (
+  SELECT *, CAST(budget AS DOUBLE) / total_tokens AS rate FROM rated
+), r3 AS (
+  SELECT *, CAST(floor(rate) AS INT) AS fullc,
+         lower(lpad(hex(CAST(floor((rate - floor(rate)) * 65536) AS INT)),
+                    4, '0')) AS bound
+  FROM r2
+), per_doc AS (
+  SELECT b.source, b.tok,
+         r3.fullc + CASE WHEN substring(md5(concat('tbm',
+                       CAST(b.doc_id AS VARCHAR))), 1, 4) < r3.bound
+                    THEN 1 ELSE 0 END AS copies
+  FROM base b JOIN r3 USING (source)
+)
+SELECT p.source, max(r3.n_docs) AS n_docs,
+       max(r3.total_tokens) AS total_tokens, max(r3.budget) AS budget,
+       CAST(sum(p.copies) AS BIGINT) AS n_rows_out,
+       CAST(sum(p.tok * p.copies) AS BIGINT) AS tokens_out
+FROM per_doc p JOIN r3 USING (source)
+GROUP BY 1
+""",
     "rfm_segments_sketch": """
 SELECT 'frequency' AS dim, true AS partition_ok, true AS size_ok
 UNION ALL SELECT 'monetary', true, true
@@ -3963,6 +4014,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_mix_rates": _q_sample_mix_rates,
     "sample_stratified": _q_sample_stratified,
     "sample_weighted_topk": _q_sample_weighted_topk,
+    "sample_token_budget": _q_sample_token_budget,
     "corpus_decontaminate": _q_corpus_decontaminate,
     "corpus_pack_sequences": _q_corpus_pack_sequences,
     "dedup_incremental": _q_dedup_incremental,

@@ -156,3 +156,53 @@ def test_class_balance_downsamples_to_minority(spark):
     # cap overrides the minority size downward
     capped = class_balance(df, "label", "id", cap=3)
     assert capped.count() == 9
+
+
+# ---------------------------------------------------------------------------
+# round-4: token_budget_mix (epoch up/downsampling by token budget)
+# ---------------------------------------------------------------------------
+
+def test_token_budget_mix_rates_and_upsampling(spark):
+    from kinesis_data_counter_spark.operators.sampling import token_budget_mix
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "big", "w " * 10))       # 10 tokens each, 400 total
+    for i in range(40, 60):
+        rows.append((i, "small", "w " * 5))      # 5 tokens each, 100 total
+    for i in range(60, 70):
+        rows.append((i, "unbudgeted", "w w w"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    mixed, report = token_budget_mix(
+        df, {"big": 100, "small": 250}, source_col="source"
+    )
+    rep = {r["source"]: r for r in report.collect()}
+    # big: rate 0.25 -> ~10 docs kept, no copies > 1
+    assert rep["big"]["total_tokens"] == 400 and rep["big"]["budget"] == 100
+    assert 0 < rep["big"]["n_rows_out"] < 40
+    # small: rate 2.5 -> every doc twice, ~half a third time
+    assert rep["small"]["total_tokens"] == 100
+    assert 40 <= rep["small"]["n_rows_out"] <= 60
+    m = mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.max("copy").alias("maxc")
+    )
+    got = {r["source"]: (r["n"], r["maxc"]) for r in m.collect()}
+    assert "unbudgeted" not in got            # no budget -> dropped
+    assert got["big"][1] == 1                 # downsample never duplicates
+    assert got["small"][1] == 3               # 2 full epochs + fractional
+    assert got["big"][0] == rep["big"]["n_rows_out"]
+    assert got["small"][0] == rep["small"]["n_rows_out"]
+    # rows-out tokens match the report accounting
+    assert rep["small"]["tokens_out"] == 5 * rep["small"]["n_rows_out"]
+
+
+def test_token_budget_mix_deterministic_and_growth_stable(spark):
+    from kinesis_data_counter_spark.operators.sampling import token_budget_mix
+
+    rows = [(i, "s", "a b c d") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    m1, _ = token_budget_mix(df, {"s": 100})
+    m2, _ = token_budget_mix(df.repartition(7), {"s": 100})
+    a = sorted((r["doc_id"], r["copy"]) for r in m1.collect())
+    b = sorted((r["doc_id"], r["copy"]) for r in m2.collect())
+    assert a == b and a  # deterministic under partitioning
