@@ -4231,7 +4231,7 @@ FROM orders
 # windows, and the full training-data pipeline; everything else follows and
 # still runs in local verification.
 _SHOWCASE_ORDER = [
-    # Round-4 rotation (VERDICT r3 item 5): 14 never-driver-recorded
+    # Round-4 rotation (VERDICT r3 item 5): 16 never-driver-recorded
     # entries rotate into the head — every round-4-touched entry
     # (counter_jq_generic, both knn_label_propagation paths,
     # corpus_quality_tiers) plus long-unrecorded representatives
@@ -4243,7 +4243,7 @@ _SHOWCASE_ORDER = [
     #
     # reference-parity counter core (A1-A8, F1-F8)
     "counter_count_all", "counter_count_expr_nonbool", "counter_json_props",
-    "counter_variant_props", "counter_jq_iterate", "counter_jq_generic",
+    "counter_jq_iterate", "counter_jq_generic",
     "counter_distinct_user", "counter_two_level", "counter_partial_merge",
     # sketch topologies
     "quantile_rollup_value", "cms_heavy_hitters",
@@ -4263,13 +4263,14 @@ _SHOWCASE_ORDER = [
     "dedup_exact_props", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_embedding_cosine", "dedup_incremental", "dedup_clusters",
     # similarity search / auto-labeling
-    "ann_cosine_topk", "ann_ivf_recall", "knn_bucketed_recall",
+    "ann_cosine_topk", "ann_ivf_pq_recall", "knn_bucketed_recall",
     "knn_label_propagation", "knn_label_propagation_bucketed",
     # text analysis
     "text_lang_id", "text_quality", "text_lm_score",
     # corpus curation + sampling + governance + multimodal + CDC + layout
     "corpus_clean", "corpus_segment_dedup", "corpus_quality_tiers",
-    "sample_stratified", "gdpr_erasure_audit", "multimodal_decode",
+    "sample_stratified", "sample_token_budget", "gdpr_erasure_audit",
+    "multimodal_decode",
     "scd2_user_state", "layout_zorder_prune",
 ]
 
