@@ -27,9 +27,13 @@ Still outside the subset (raise :class:`JqUnsupported`): bare ``.[]``
 other than ``select``, string concatenation with ``+`` (use
 interpolation), nested object values, and scalar pipelines (a program
 must end record-shaped — the reference emits records, not bare values).
-Callers may fall back to ``apply_jq_generic`` wrapping a Python jq
-library if one is available (none is bundled — the built-in subset covers
-the reference's entire observed usage).
+Callers fall back to ``apply_jq_generic`` for programs beyond the
+subset: it runs the dependency-free pure-Python mini-jq interpreter
+(:mod:`kinesis_data_counter_spark.jq_eval` — paths, streams, reduce,
+try/catch, ~45 builtins, differential-pinned against the real jq binary)
+via ``mapInPandas``, preferring the optional ``jq`` Python binding when
+installed. The compiled subset stays the hot path: it is JVM-side
+columns, the interpreter is per-row Python for output shaping.
 """
 
 from __future__ import annotations
