@@ -386,3 +386,26 @@ def test_ivf_pq_recall_and_exact_sims(spark):
     assert rows, "ivf_pq returned nothing"
     for x in rows:
         assert x["sim"] == es[(x["query_id"], x["neighbor_id"])]
+
+
+def test_property_harnesses_are_not_tautologies(spark):
+    # the ok-boolean oracle pattern is only evidence if the harness can
+    # FAIL: cripple each index (one sparse LSH table / no refine headroom)
+    # on isotropic data and the checks must report ok=False
+    df = _random_vectors(spark, n=200, dim=16, seed=31)
+    queries = df.filter(F.col("vec_id") % 41 == 0)
+    r = SIM.ann_recall_check(
+        df, queries, dim=16, k=10, min_recall=0.9,
+        method="lsh", num_bits=12, num_tables=1, multiprobe=False,
+    ).collect()[0]
+    assert not r.ok and r.recall < 0.9, r
+    r = SIM.pq_recall_check(
+        df, queries, dim=16, k=10, min_recall=0.95, m=2, ksub=2, refine=1
+    ).collect()[0]
+    assert not r.ok, r
+    r = SIM.knn_agreement_check(
+        df.withColumn("label", (F.col("vec_id") % 3).cast("int")),
+        queries, dim=16, k=5, min_agreement=0.99,
+        method="lsh", num_bits=12, num_tables=1,
+    ).collect()[0]
+    assert not r.ok, r
