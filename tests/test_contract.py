@@ -57,7 +57,8 @@ def test_coverage_doc_names_resolve():
             "applyInPandasWithState", "batchItemFailures", "config_pipeline",
             "quantile_partials", "merge_quantile_partials",
             "cms_partials", "cms_merge", "topk_partials",
-            "merge_topk_partials",
+            "merge_topk_partials", "knn_classify_bucketed",
+            "ann_index_probe",
         }
     }
     assert ghosts == set(), f"COVERAGE.md references unknown queries: {ghosts}"
