@@ -166,6 +166,19 @@ SHOWCASE: dict[str, str] = {
         "the result equals the plain join with the shuffle shrunk to "
         "~the true match set."
     ),
+    "rfm_segments_sketch": (
+        "Sketch-mode RFM: each dimension's quartile thresholds come from "
+        "ONE percentile_approx aggregate over the melted (dim, value) rows "
+        "(ObjectHashAggregate partial+final, bounded sketch state), "
+        "broadcast back for a row-local bucket comparison — the "
+        "unpartitioned-ntile sort of the exact sibling never appears."
+    ),
+    "sample_token_budget": (
+        "Token-budget mixing: one totals aggregate per source broadcasts "
+        "back; copy counts are a row-local expression and the epoch "
+        "fan-out is a sequence-explode — the corpus itself is never "
+        "shuffled, and the md5 fractional ticket stays in codegen."
+    ),
     "corpus_segment_dedup": (
         "Cross-document segment dedup: first-occurrence selection is a "
         "map-side-combinable min(struct(doc_id, pos)) aggregate plus an "

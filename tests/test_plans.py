@@ -327,3 +327,19 @@ def test_jq_generic_python_runs_post_aggregation(spark, sf_dir):
     assert "MapInPandas" in plan
     assert plan.count("HashAggregate") >= 2
     assert plan.index("HashAggregate") > plan.index("MapInPandas")  # tree prints top-down
+
+
+def test_rfm_sketch_has_no_window_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "rfm_segments_sketch")
+    # quartile thresholds come from a percentile sketch aggregate, not the
+    # exact sibling's unpartitioned ntile (single-task sort funnel)
+    assert "Window" not in plan
+    assert "percentile_approx" in plan or "ObjectHashAggregate" in plan
+
+
+def test_token_budget_mix_never_shuffles_the_corpus(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sample_token_budget")
+    # the only aggregates are per-source totals and the report; the doc
+    # rows meet the rate table via broadcast, never a corpus exchange
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
