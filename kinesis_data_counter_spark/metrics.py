@@ -141,3 +141,115 @@ def profile_key_skew(
             .alias("salt_factor"),
         )
     )
+
+
+def validate_expectations(
+    df: DataFrame,
+    expectations: list[dict],
+    refs: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Declarative data-quality validation — one report row per rule.
+
+    The ingest-contract check a training pipeline runs before admitting a
+    batch: every ROW-LOCAL rule (not_null / in_range / in_set / matches)
+    is a ``count_if`` inside ONE wide aggregate over a single scan — no
+    per-rule passes; ``unique`` adds one exact distinct aggregate per key
+    set and ``foreign_key`` one broadcast anti-join count against the
+    (dimension-sized) reference — each the minimal plan for its semantics.
+
+    Expectation dicts::
+
+        {"rule": "not_null",    "column": c}
+        {"rule": "in_range",    "column": c, "min": x, "max": y}  # inclusive
+        {"rule": "in_set",      "column": c, "values": [...]}
+        {"rule": "matches",     "column": c, "pattern": regex}
+        {"rule": "unique",      "columns": [c, ...]}
+        {"rule": "foreign_key", "column": c, "ref": name, "ref_column": rc}
+
+    ``refs`` maps ``ref`` names to reference DataFrames. NULLs follow SQL
+    semantics: range/set/pattern rules skip NULLs (pair with ``not_null``
+    to forbid them), a NULL never violates ``foreign_key``. Returns
+    (rule, target, n_checked bigint, n_violations bigint, ok boolean).
+    """
+    from pyspark.sql import functions as F
+
+    refs = refs or {}
+    row_aggs: list[Column] = []
+    row_meta: list[tuple[str, str]] = []
+    extra_rows: list[DataFrame] = []
+    for e in expectations:
+        rule = e["rule"]
+        if rule == "not_null":
+            c = F.col(e["column"])
+            row_aggs += [F.count(F.lit(1)), F.count_if(c.isNull())]
+            row_meta.append((rule, e["column"]))
+        elif rule == "in_range":
+            c = F.col(e["column"])
+            bad = (c < F.lit(e["min"])) | (c > F.lit(e["max"]))
+            row_aggs += [F.count(c), F.count_if(bad)]
+            row_meta.append((rule, e["column"]))
+        elif rule == "in_set":
+            c = F.col(e["column"])
+            row_aggs += [F.count(c), F.count_if(~c.isin(list(e["values"])))]
+            row_meta.append((rule, e["column"]))
+        elif rule == "matches":
+            c = F.col(e["column"])
+            row_aggs += [F.count(c), F.count_if(~c.rlike(e["pattern"]))]
+            row_meta.append((rule, e["column"]))
+        elif rule == "unique":
+            cols = list(e["columns"])
+            rep = df.agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.count_distinct(*[F.col(c) for c in cols]).alias("__d"),
+            ).select(
+                F.lit(rule).alias("rule"),
+                F.lit(",".join(cols)).alias("target"),
+                F.col("__n").cast("long").alias("n_checked"),
+                (F.col("__n") - F.col("__d")).cast("long").alias("n_violations"),
+            )
+            extra_rows.append(rep)
+        elif rule == "foreign_key":
+            c, ref_name, rc = e["column"], e["ref"], e["ref_column"]
+            if ref_name not in refs:
+                raise ValueError(f"foreign_key rule needs refs[{ref_name!r}]")
+            ref_keys = F.broadcast(
+                refs[ref_name].select(F.col(rc).alias("__rk")).distinct()
+            )
+            orphans = (
+                df.select(F.col(c).alias("__fk"))
+                .filter(F.col("__fk").isNotNull())
+                .join(ref_keys, F.col("__fk") == F.col("__rk"), "left_anti")
+            )
+            rep = orphans.agg(F.count(F.lit(1)).alias("__v")).crossJoin(
+                df.agg(F.count(F.col(c)).alias("__n"))
+            ).select(
+                F.lit(rule).alias("rule"),
+                F.lit(c).alias("target"),
+                F.col("__n").cast("long").alias("n_checked"),
+                F.col("__v").cast("long").alias("n_violations"),
+            )
+            extra_rows.append(rep)
+        else:
+            raise ValueError(f"unknown expectation rule: {rule!r}")
+
+    reports: list[DataFrame] = []
+    if row_meta:
+        wide = df.agg(*[a.alias(f"m{i}") for i, a in enumerate(row_aggs)])
+        selects = []
+        for j, (rule, col) in enumerate(row_meta):
+            selects.append(
+                F.struct(
+                    F.lit(rule).alias("rule"),
+                    F.lit(col).alias("target"),
+                    F.col(f"m{2 * j}").cast("long").alias("n_checked"),
+                    F.col(f"m{2 * j + 1}").cast("long").alias("n_violations"),
+                )
+            )
+        reports.append(
+            wide.select(F.explode(F.array(*selects)).alias("r")).select("r.*")
+        )
+    reports.extend(extra_rows)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.withColumn("ok", F.col("n_violations") == 0)

@@ -31,6 +31,7 @@ from kinesis_data_counter_spark.operators import multimodal as MM
 from kinesis_data_counter_spark.operators import sketches as SK
 from kinesis_data_counter_spark.operators import windows as WN
 from kinesis_data_counter_spark.operators import history as HS
+from kinesis_data_counter_spark import metrics as MT
 from kinesis_data_counter_spark.session import load_tables
 
 EVENTS_ARN = "arn:aws:kinesis:us-east-1:111122223333:stream/events"
@@ -3346,6 +3347,46 @@ SELECT p.source, max(r3.n_docs) AS n_docs,
 FROM per_doc p JOIN r3 USING (source)
 GROUP BY 1
 """,
+    "quality_expectations": """
+SELECT 'not_null' AS rule, 'o_custkey' AS target,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS n_violations,
+       count(*) FILTER (o_custkey IS NULL) = 0 AS ok
+FROM orders
+UNION ALL
+SELECT 'in_range', 'o_totalprice', CAST(count(o_totalprice) AS BIGINT),
+       CAST(count(*) FILTER (o_totalprice < 0 OR o_totalprice > 300000)
+            AS BIGINT),
+       count(*) FILTER (o_totalprice < 0 OR o_totalprice > 300000) = 0
+FROM orders
+UNION ALL
+SELECT 'in_set', 'o_orderstatus', CAST(count(o_orderstatus) AS BIGINT),
+       CAST(count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P'))
+            AS BIGINT),
+       count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P')) = 0
+FROM orders
+UNION ALL
+SELECT 'matches', 'o_orderpriority', CAST(count(o_orderpriority) AS BIGINT),
+       CAST(count(*) FILTER (NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+            AS BIGINT),
+       count(*) FILTER (NOT regexp_matches(o_orderpriority, '^[1-5]-')) = 0
+FROM orders
+UNION ALL
+SELECT 'unique', 'o_orderkey', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+       count(*) = count(DISTINCT o_orderkey)
+FROM orders
+UNION ALL
+SELECT 'foreign_key', 'o_custkey', CAST(count(o_custkey) AS BIGINT),
+       CAST((SELECT count(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+            AS BIGINT),
+       (SELECT count(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+FROM orders
+""",
     "rfm_segments_sketch": """
 SELECT 'frequency' AS dim, true AS partition_ok, true AS size_ok
 UNION ALL SELECT 'monetary', true, true
@@ -3541,6 +3582,33 @@ def _q_hll_rollup_hierarchy(spark, sf_dir):
     exact = hour.unionByName(day).unionByName(total)
     return roll.join(exact, ["level", "window_start"]).select(
         "level", "window_start", _hll_ok(F.col("approx"), F.col("exact"))
+    )
+
+
+def _q_quality_expectations(spark, sf_dir):
+    # declarative ingest-contract validation (metrics.py::
+    # validate_expectations): every row-local rule folds into ONE wide
+    # aggregate over a single orders scan; unique adds one exact distinct
+    # agg and the fk rule one broadcast anti-join against customer. The
+    # in_range bound is set BELOW the data max so the report carries real
+    # violation counts the oracle must reproduce exactly, not all-green
+    # booleans.
+    od, cust = _tables(spark, sf_dir, "orders", "customer")
+    return MT.validate_expectations(
+        od,
+        [
+            {"rule": "not_null", "column": "o_custkey"},
+            {"rule": "in_range", "column": "o_totalprice",
+             "min": 0, "max": 300000},
+            {"rule": "in_set", "column": "o_orderstatus",
+             "values": ["O", "F", "P"]},
+            {"rule": "matches", "column": "o_orderpriority",
+             "pattern": "^[1-5]-"},
+            {"rule": "unique", "columns": ["o_orderkey"]},
+            {"rule": "foreign_key", "column": "o_custkey",
+             "ref": "customer", "ref_column": "c_custkey"},
+        ],
+        refs={"customer": cust},
     )
 
 
@@ -4051,6 +4119,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gdpr_erasure_audit": _q_gdpr_erasure_audit,
     "join_cardinality_sketch": _q_join_cardinality_sketch,
     "counter_replay_source": _q_counter_replay_source,
+    "quality_expectations": _q_quality_expectations,
     "profile_events": _q_profile_events,
     "profile_key_skew": _q_profile_key_skew,
     "knn_label_propagation": _q_knn_label_propagation,

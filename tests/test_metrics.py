@@ -80,3 +80,67 @@ def test_profile_key_skew_plan_has_no_global_sort(spark):
     # the top-N must be a per-partition heap, never a full key-domain sort
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-4: validate_expectations
+# ---------------------------------------------------------------------------
+
+def test_validate_expectations_counts_each_rule(spark):
+    from kinesis_data_counter_spark.metrics import validate_expectations
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "O", "1-URGENT", 100),
+            (2, None, "F", "5-LOW", 200),
+            (3, 999, "X", "bad", -5),
+            (3, 10, "O", "2-HIGH", 50),   # duplicate id 3
+        ],
+        "id long, custkey long, status string, prio string, amount long",
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "ck long")
+    rep = {
+        (r["rule"], r["target"]): (r["n_checked"], r["n_violations"], r["ok"])
+        for r in validate_expectations(
+            df,
+            [
+                {"rule": "not_null", "column": "custkey"},
+                {"rule": "in_range", "column": "amount", "min": 0, "max": 150},
+                {"rule": "in_set", "column": "status", "values": ["O", "F"]},
+                {"rule": "matches", "column": "prio", "pattern": "^[1-5]-"},
+                {"rule": "unique", "columns": ["id"]},
+                {"rule": "foreign_key", "column": "custkey", "ref": "dim",
+                 "ref_column": "ck"},
+            ],
+            refs={"dim": dim},
+        ).collect()
+    }
+    assert rep[("not_null", "custkey")] == (4, 1, False)
+    # range/set/pattern skip NULLs: 4 non-null amounts, 200 and -5 violate
+    assert rep[("in_range", "amount")] == (4, 2, False)
+    assert rep[("in_set", "status")] == (4, 1, False)
+    assert rep[("matches", "prio")] == (4, 1, False)
+    assert rep[("unique", "id")] == (4, 1, False)
+    # fk: NULL never violates; 999 is the only orphan among 3 non-nulls
+    assert rep[("foreign_key", "custkey")] == (3, 1, False)
+
+
+def test_validate_expectations_all_green_and_errors(spark):
+    import pytest
+
+    from kinesis_data_counter_spark.metrics import validate_expectations
+
+    df = spark.createDataFrame([(1, 5)], "id long, v long")
+    rep = validate_expectations(
+        df,
+        [{"rule": "not_null", "column": "v"},
+         {"rule": "unique", "columns": ["id"]}],
+    ).collect()
+    assert all(r["ok"] for r in rep) and len(rep) == 2
+    with pytest.raises(ValueError, match="unknown expectation"):
+        validate_expectations(df, [{"rule": "nope", "column": "v"}])
+    with pytest.raises(ValueError, match="refs"):
+        validate_expectations(
+            df, [{"rule": "foreign_key", "column": "v", "ref": "x",
+                  "ref_column": "y"}]
+        )
