@@ -729,6 +729,79 @@ def ann_index_probe(
     )
 
 
+def stream_gated_ingest(
+    spark: SparkSession,
+    path: str,
+    work_dir: str,
+    expectations: list[dict],
+    refs: dict[str, DataFrame] | None = None,
+    max_files_per_trigger: int | None = 1,
+    timeout_sec: int = 300,
+) -> tuple[DataFrame, DataFrame]:
+    """Contract-gated ingestion: each micro-batch is admitted ONLY if it
+    passes every data-quality expectation; failing batches land in
+    quarantine WITH their violation report instead of poisoning the
+    accepted table.
+
+    This is the streaming circuit breaker for a curation pipeline: a bad
+    upstream deploy (nulled keys, broken enum, duplicate ids) stops at
+    the batch boundary — the accepted table stays clean, and the
+    quarantined batch + its per-rule report is the retry/debug artifact.
+    Validation is the same single-scan wide aggregate as the batch
+    operator (``metrics.validate_expectations``); writes are batch-keyed
+    so crash-replays re-validate and overwrite their own verdict.
+
+    Returns ``(accepted, reports)`` — all admitted rows and every batch's
+    validation report (with ``batch_id`` and ``admitted`` columns).
+    """
+    from kinesis_data_counter_spark.metrics import validate_expectations
+
+    accepted_dir = os.path.join(work_dir, "accepted")
+    quarantine_dir = os.path.join(work_dir, "quarantine")
+    reports_dir = os.path.join(work_dir, "reports")
+    sdf = _read_stream(
+        spark, path, ts_col=None, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _process(batch_df: DataFrame, epoch: int) -> None:
+        batch_df = batch_df.persist()
+        report = validate_expectations(batch_df, expectations, refs=refs).persist()
+        ok = report.agg(F.min(F.col("ok").cast("int"))).collect()[0][0]
+        admitted = bool(ok == 1)
+        _write_batch_keyed(
+            report.withColumn("batch_id", F.lit(epoch).cast("long"))
+            .withColumn("admitted", F.lit(admitted)),
+            reports_dir,
+            epoch,
+        )
+        _write_batch_keyed(
+            batch_df, accepted_dir if admitted else quarantine_dir, epoch
+        )
+        # a replayed batch that flips verdict (e.g. ref table changed)
+        # must not leave its rows in BOTH tables: clear the other side's
+        # partition for this epoch
+        other = quarantine_dir if admitted else accepted_dir
+        _write_batch_keyed(batch_df.limit(0), other, epoch)
+        report.unpersist()
+        batch_df.unpersist()
+
+    q = (
+        sdf.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", os.path.join(work_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive
+            q.stop()
+    return (
+        _read_batch_keyed(spark, accepted_dir),
+        _read_batch_keyed(spark, reports_dir),
+    )
+
+
 def stream_dedup(
     spark: SparkSession,
     path: str,

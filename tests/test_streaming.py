@@ -868,3 +868,41 @@ def test_stream_ann_index_batch_replay_is_idempotent(spark, tmp_path):
         _write_batch_keyed(codes, f"{work}/index", 0)
     out = spark.read.parquet(f"{work}/index")
     assert out.count() == 20
+
+
+def test_stream_gated_ingest_quarantines_bad_batches(spark, tmp_path):
+    from kinesis_data_counter_spark.streaming.runner import stream_gated_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    good = [(i, i % 5, "O") for i in range(20)]
+    bad = [(100 + i, None if i % 3 == 0 else i, "O") for i in range(9)]  # nulls
+    good2 = [(200 + i, i, "F") for i in range(10)]
+    schema = "id long, custkey long, status string"
+    for name, rows in [("b0", good), ("b1", bad), ("b2", good2)]:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / "stage"), mode="overwrite"
+        )
+        for f in (src / "stage").glob("*.parquet"):
+            f.rename(src / f"{name}.parquet")
+        import shutil
+
+        shutil.rmtree(src / "stage")
+    accepted, reports = stream_gated_ingest(
+        spark,
+        str(src),
+        str(tmp_path / "work"),
+        [{"rule": "not_null", "column": "custkey"},
+         {"rule": "in_set", "column": "status", "values": ["O", "F"]}],
+    )
+    ids = sorted(r["id"] for r in accepted.collect())
+    assert ids == sorted([i for i, _c, _s in good] + [i for i, _c, _s in good2])
+    rep = reports.collect()
+    verdicts = {r["batch_id"]: r["admitted"] for r in rep}
+    assert sorted(verdicts.values()) == [False, True, True]
+    bad_batch = [b for b, ok in verdicts.items() if not ok][0]
+    nn = [r for r in rep
+          if r["batch_id"] == bad_batch and r["rule"] == "not_null"][0]
+    assert nn["n_violations"] == 3 and not nn["ok"]
+    q = spark.read.parquet(str(tmp_path / "work" / "quarantine"))
+    assert sorted(r["id"] for r in q.collect()) == [100 + i for i in range(9)]
