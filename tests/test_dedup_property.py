@@ -218,3 +218,58 @@ def test_cms_differential_vs_python(spark):
     for k, n in exact.items():
         py_est = min(want[(d, hashlib.md5(f"cms{d}:{k}".encode()).hexdigest()[:2])] for d in range(4))
         assert est[k] == py_est >= n
+
+
+# ---------------------------------------------------------------------------
+# round-4: pathological-input robustness (the skew shapes a 100 TB corpus
+# will eventually contain)
+# ---------------------------------------------------------------------------
+
+def test_minhash_all_identical_corpus_mega_bucket(spark):
+    # every doc identical: every band bucket holds the whole corpus — the
+    # worst-case candidate explosion. The pipeline must stay correct
+    # (all C(n,2) pairs at jaccard 1.0), and the stop-shingle knob must
+    # empty the postings (shared shingles exceed any freq cap) without
+    # crashing.
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, "the same exact words repeated here every time") for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = DD.minhash_lsh_pairs(docs, threshold=0.8, num_hashes=48, bands=12, n=3)
+    got = [(r["a_id"], r["b_id"], r["jaccard"]) for r in pairs.collect()]
+    assert len(got) == n * (n - 1) // 2
+    assert all(j == 1.0 for _a, _b, j in got)
+    pruned = DD.minhash_lsh_pairs(
+        docs, threshold=0.8, num_hashes=48, bands=12, n=3, max_shingle_freq=5
+    )
+    assert pruned.count() == 0  # every shingle pruned -> no candidates
+
+
+def test_segment_dedup_all_identical_docs_keep_first_only(spark):
+    from kinesis_data_counter_spark.operators.corpus import segment_dedup
+
+    n = 30
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(n)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(docs, chunk_words=3).collect()}
+    assert len(out) == n
+    assert out[0]["text_out"] == "a b c d e f" and out[0]["n_kept"] == 2
+    for i in range(1, n):
+        assert out[i] == (i, "", 0, 2) or (
+            out[i]["text_out"], out[i]["n_kept"], out[i]["n_dropped"]
+        ) == ("", 0, 2)
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a single path graph has diameter = n: the worst case for min-label
+    # propagation round counts. max_iter must bound it and the labels must
+    # still be correct when the chain fits the iteration budget.
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in DD.connected_components(pairs, max_iter=n).collect()}
+    assert out == {i: 0 for i in range(n)}
