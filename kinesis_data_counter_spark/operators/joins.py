@@ -276,3 +276,64 @@ def range_join_binned(
         F.col(point_col).between(F.col(start_col), F.col(end_col))
     )
     return joined.drop("__bin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int = 3_600_000,
+) -> DataFrame:
+    """Interval×interval OVERLAP join (``ls <= re AND rs <= le``) via
+    shared-bin replication — the symmetric sibling of
+    :func:`range_join_binned`.
+
+    A raw overlap predicate plans as a nested-loop join; here BOTH sides
+    replicate onto every ``bin_width`` bin they touch and meet in one
+    equi-join on (keys…, bin). Every overlapping pair shares at least the
+    bin containing ``max(ls, rs)`` (the overlap's left edge), and it is
+    the ONLY bin where that maximum lies in the bin's own range — so
+    keeping exactly the rows where ``floor(max(ls, rs) / bw) == bin``
+    emits each pair once with NO distinct/dedup shuffle. That filter is
+    the standard trick that makes binned overlap joins exactly-once.
+
+    Sizing is the same calculus as the point-in-interval form: replication
+    factor ≈ interval_length/bin_width + 1 per side; the join itself is a
+    plain hash exchange on small (keys, bin) tuples. Inputs must share
+    ``keys`` and use one numeric unit (e.g. epoch millis). End columns
+    are inclusive.
+    """
+    bw = int(bin_width)
+    lf = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_start) / F.lit(bw)),
+                F.floor(F.col(left_end) / F.lit(bw)),
+            )
+        ),
+    )
+    rt = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_start) / F.lit(bw)),
+                F.floor(F.col(right_end) / F.lit(bw)),
+            )
+        ),
+    )
+    overlap = (F.col(left_start) <= F.col(right_end)) & (
+        F.col(right_start) <= F.col(left_end)
+    )
+    first_shared_bin = F.floor(
+        F.greatest(F.col(left_start), F.col(right_start)) / F.lit(bw)
+    )
+    return (
+        lf.join(rt, [*keys, "__bin"])
+        .where(overlap & (F.col("__bin") == first_shared_bin))
+        .drop("__bin")
+    )

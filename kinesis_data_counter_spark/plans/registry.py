@@ -2371,6 +2371,46 @@ def _q_range_join_session_events(spark, sf_dir):
     )
 
 
+def _q_overlap_join_sessions(spark, sf_dir):
+    # interval x interval OVERLAP join (round 4, joins.py::
+    # interval_overlap_join): per-user click-activity sessions overlapped
+    # with view-activity sessions — concurrent multi-behavior windows.
+    # Both interval sets replicate onto shared hour bins and meet in ONE
+    # equi-join on (user_id, bin); the first-shared-bin filter emits each
+    # overlapping pair exactly once with no distinct shuffle. The oracle
+    # runs the raw overlap predicate directly.
+    (ev,) = _tables(spark, sf_dir, "events")
+    gap = 6 * 3600 * 1000  # sparse per-type activity: 6h gap yields
+    # multi-hour sessions whose cross-type overlaps are non-trivial
+    a = WN.sessionize(
+        ev.filter(F.col("event_type") == "click"), "user_id", "ts", gap
+    ).select(
+        "user_id",
+        F.col("session_id").alias("a_sid"),
+        F.col("session_start").alias("a_start"),
+        F.col("session_end").alias("a_end"),
+    )
+    b = WN.sessionize(
+        ev.filter(F.col("event_type") == "view"), "user_id", "ts", gap
+    ).select(
+        "user_id",
+        F.col("session_id").alias("b_sid"),
+        F.col("session_start").alias("b_start"),
+        F.col("session_end").alias("b_end"),
+    )
+    j = JN.interval_overlap_join(
+        a, b, ["user_id"], "a_start", "a_end", "b_start", "b_end",
+        bin_width=3_600_000,
+    )
+    return j.select(
+        "user_id", "a_sid", "b_sid",
+        (
+            F.least(F.col("a_end"), F.col("b_end"))
+            - F.greatest(F.col("a_start"), F.col("b_start"))
+        ).alias("overlap_ms"),
+    )
+
+
 def _q_recursive_session_chains(spark, sf_dir):
     # WITH RECURSIVE (Spark 4): re-derive per-session event counts by
     # walking successor edges (next event of the same user within the
@@ -3228,6 +3268,30 @@ WITH x AS (
 SELECT user_id, session_id, epoch_ms(min(ts)) AS session_start,
        epoch_ms(max(ts)) AS session_end, count(*) AS n_events
 FROM s GROUP BY 1, 2
+""",
+    "overlap_join_sessions": """
+WITH x AS (
+  SELECT user_id, event_type, ts,
+    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 21600000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE event_type IN ('click', 'view')
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)
+), s AS (
+  SELECT user_id, event_type, ts,
+    CAST(sum(new_s) OVER (PARTITION BY user_id, event_type ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM x
+), iv AS (
+  SELECT user_id, event_type, sid, epoch_ms(min(ts)) AS s_start,
+         epoch_ms(max(ts)) AS s_end
+  FROM s GROUP BY 1, 2, 3
+)
+SELECT a.user_id, a.sid AS a_sid, b.sid AS b_sid,
+       least(a.s_end, b.s_end) - greatest(a.s_start, b.s_start) AS overlap_ms
+FROM (SELECT * FROM iv WHERE event_type = 'click') a
+JOIN (SELECT * FROM iv WHERE event_type = 'view') b
+  ON a.user_id = b.user_id AND a.s_start <= b.s_end AND b.s_start <= a.s_end
 """,
     "text_vocab": r"""
 SELECT token, count(DISTINCT doc_id) AS df, count(*) AS cf
@@ -4102,6 +4166,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_users": _q_sessionize_users,
     "retention_cohorts": _q_retention_cohorts,
     "range_join_session_events": _q_range_join_session_events,
+    "overlap_join_sessions": _q_overlap_join_sessions,
     "recursive_session_chains": _q_recursive_session_chains,
     "funnel_signup_purchase": _q_funnel_signup_purchase,
     "pivot_event_counts": _q_pivot_event_counts,

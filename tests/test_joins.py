@@ -384,3 +384,62 @@ def test_bloom_prefilter_join_null_fact_keys_dropped(spark):
 
     got = [(r["fid"], r["payload"]) for r in bloom_prefilter_join(fact, dim, "k", "dk").collect()]
     assert got == [(2, "x")]
+
+
+# ---------------------------------------------------------------------------
+# round-4: interval_overlap_join
+# ---------------------------------------------------------------------------
+
+def test_interval_overlap_join_exact_vs_nested_loop(spark):
+    import random
+
+    from kinesis_data_counter_spark.operators.joins import interval_overlap_join
+
+    rng = random.Random(8)
+
+    def gen(n, tag):
+        rows = []
+        for i in range(n):
+            k = rng.randint(0, 3)
+            s = rng.randint(0, 500)
+            rows.append((i, k, s, s + rng.randint(0, 80), tag))
+        return rows
+    a = spark.createDataFrame(gen(60, "a"), "lid long, k long, ls long, le long, tag string")
+    b = spark.createDataFrame(gen(60, "b"), "rid long, k long, rs long, re long, tag2 string")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            a, b, ["k"], "ls", "le", "rs", "re", bin_width=50
+        ).collect()
+    )
+    want = sorted(
+        (r["lid"], r["rid"])
+        for r in a.join(
+            b, (a.k == b.k) & (a.ls <= b.re) & (b.rs <= a.le)
+        ).collect()
+    )
+    assert got == want and len(want) > 50
+    # exactly-once without a distinct: no duplicate pairs possible
+    assert len(got) == len(set(got))
+
+
+def test_interval_overlap_join_bin_width_invariance(spark):
+    from kinesis_data_counter_spark.operators.joins import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0, 0, 100), (2, 0, 150, 160), (3, 0, 95, 105)],
+        "lid long, k long, ls long, le long",
+    )
+    b = spark.createDataFrame(
+        [(10, 0, 90, 155), (11, 0, 200, 300)],
+        "rid long, k long, rs long, re long",
+    )
+    want = [(1, 10), (2, 10), (3, 10)]
+    for bw in (7, 50, 1000):
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                a, b, ["k"], "ls", "le", "rs", "re", bin_width=bw
+            ).collect()
+        )
+        assert got == want, bw
