@@ -370,3 +370,40 @@ def token_budget_mix(
         )
     )
     return mixed.drop("__tok"), report
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: every document in a duplicate
+    CLUSTER lands in the same split.
+
+    `hash_split` keyed on the doc id silently leaks evaluation data — a
+    near-duplicate of a test doc in the training set is contamination the
+    benchmark can't see. Here the split key is the cluster representative
+    (min doc id of the near-dup component, from
+    ``dedup.connected_components`` over the pair graph); singleton docs
+    key on themselves. One component computation over the PAIR graph
+    (∝ near-dup population, not the corpus) plus a left join and the same
+    md5 threshold rule as ``split_column`` — so the oracle replays the
+    assignment exactly, and adding new docs never moves an existing
+    CLUSTER between splits.
+    """
+    from kinesis_data_counter_spark.operators.dedup import connected_components
+
+    cc = connected_components(pairs).withColumnRenamed("doc_id", id_col)
+    rep = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return (
+        df.join(cc, id_col, "left")
+        .withColumn(split_col, split_column(rep, splits, salt))
+        .drop("cluster_id")
+    )

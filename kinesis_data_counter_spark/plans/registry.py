@@ -2052,6 +2052,21 @@ def _q_sample_token_budget(spark, sf_dir):
     return report
 
 
+def _q_sample_leakage_safe_split(spark, sf_dir):
+    # leakage-safe train/val/test split (sampling.py::leakage_safe_split):
+    # the split key is the near-dup CLUSTER representative (min doc id of
+    # the MinHash pair component), so a near-duplicate of a test doc can
+    # never land in train — the eval-contamination guard a plain id-keyed
+    # split silently lacks. The oracle recomputes the exact-Jaccard pair
+    # closure (recursive CTE) and the same md5 rule, so per-doc
+    # assignments match bit-for-bit.
+    (docs,) = _tables(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        docs, threshold=JACCARD_T, num_hashes=96, bands=24, n=NGRAM
+    ).select("a_id", "b_id")
+    return SP.leakage_safe_split(docs, pairs).select("doc_id", "split")
+
+
 def _q_corpus_decontaminate(spark, sf_dir):
     # benchmark decontamination: train docs sharing any 6-gram with the
     # eval slice (doc_id % 7) are flagged via one semi join on hashed
@@ -3411,6 +3426,35 @@ SELECT p.source, max(r3.n_docs) AS n_docs,
 FROM per_doc p JOIN r3 USING (source)
 GROUP BY 1
 """,
+    "sample_leakage_safe_split": f"""
+WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(w) - {NGRAM - 1}, 1)),
+               i -> array_to_string(w[i:i+{NGRAM - 1}], ' '))) AS sh
+      FROM t),
+sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      FROM s a JOIN s b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+p AS (SELECT a_id, b_id
+      FROM i JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_T}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM p
+          UNION SELECT b_id, a_id FROM p),
+reach AS (SELECT src AS node, src AS tgt FROM edges
+          UNION
+          SELECT r.node, e.dst FROM reach r JOIN edges e ON r.tgt = e.src),
+cc AS (SELECT node AS doc_id, min(tgt) AS cluster_id FROM reach GROUP BY 1),
+keyed AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS rep
+  FROM documents d LEFT JOIN cc USING (doc_id)
+)
+SELECT doc_id,
+  CASE WHEN rep IS NULL THEN NULL
+       WHEN substring(md5(concat('', CAST(rep AS VARCHAR))), 1, 4) < 'cccd' THEN 'train'
+       WHEN substring(md5(concat('', CAST(rep AS VARCHAR))), 1, 4) < 'e666' THEN 'val'
+       ELSE 'test' END AS split
+FROM keyed
+""",
     "quality_expectations": """
 SELECT 'not_null' AS rule, 'o_custkey' AS target,
        CAST(count(*) AS BIGINT) AS n_checked,
@@ -4147,6 +4191,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": _q_sample_stratified,
     "sample_weighted_topk": _q_sample_weighted_topk,
     "sample_token_budget": _q_sample_token_budget,
+    "sample_leakage_safe_split": _q_sample_leakage_safe_split,
     "corpus_decontaminate": _q_corpus_decontaminate,
     "corpus_pack_sequences": _q_corpus_pack_sequences,
     "dedup_incremental": _q_dedup_incremental,

@@ -206,3 +206,32 @@ def test_token_budget_mix_deterministic_and_growth_stable(spark):
     a = sorted((r["doc_id"], r["copy"]) for r in m1.collect())
     b = sorted((r["doc_id"], r["copy"]) for r in m2.collect())
     assert a == b and a  # deterministic under partitioning
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from kinesis_data_counter_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # clusters: chains {0,1,2}, {10,11}, {50,51,52,53}; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (50, 51), (51, 52), (52, 53)],
+        "a_id long, b_id long",
+    )
+    out = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, pairs).collect()}
+    assert len(out) == 200
+    for cluster in [(0, 1, 2), (10, 11), (50, 51, 52, 53)]:
+        assert len({out[d] for d in cluster}) == 1, cluster
+    # singletons follow the plain hash split exactly (same key, same salt)
+    plain = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    clustered = {0, 1, 2, 10, 11, 50, 51, 52, 53}
+    for d in range(200):
+        if d not in clustered:
+            assert out[d] == plain[d]
+    # cluster members follow their representative's (min id) assignment
+    assert out[1] == out[2] == plain[0]
+    assert out[53] == plain[50]
