@@ -2067,6 +2067,34 @@ def _q_sample_leakage_safe_split(spark, sf_dir):
     return SP.leakage_safe_split(docs, pairs).select("doc_id", "split")
 
 
+def _q_corpus_curate_full(spark, sf_dir):
+    # the end-to-end curation capstone: quality gate -> language filter ->
+    # exact dedup -> near-dup PAIRS -> leakage-safe split (clusters stay
+    # together; near-dups are retained but can never straddle train/test)
+    # -> per-split doc/token accounting. Every stage is an already-oracled
+    # operator; this entry pins their COMPOSITION, the thing a real
+    # pipeline actually ships.
+    from kinesis_data_counter_spark.operators.text import token_count
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    cols = ["doc_id", "text"]
+    base = docs.select(*cols)
+    qual = TX.quality_features(base, "text").filter(F.col("quality_ok")).select(*cols)
+    lang = TX.detect_language_bulk(qual, "text", "doc_id").filter(
+        F.col("detected").isin("en")
+    )
+    kept = qual.join(lang.select("doc_id"), "doc_id")
+    ex = DD.deduplicate_exact(kept, "text", "doc_id")
+    pairs = DD.minhash_lsh_pairs(
+        ex, threshold=JACCARD_T, num_hashes=96, bands=24, n=NGRAM
+    ).select("a_id", "b_id")
+    split = SP.leakage_safe_split(ex, pairs)
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+
 def _q_corpus_decontaminate(spark, sf_dir):
     # benchmark decontamination: train docs sharing any 6-gram with the
     # eval slice (doc_id % 7) are flagged via one semi join on hashed
@@ -2867,6 +2895,59 @@ SELECT (SELECT count(*) FROM base) AS n_total,
 """
 
 
+def _corpus_curate_full_oracle() -> str:
+    scores, case = _lang_sql_parts()
+    return f"""
+WITH RECURSIVE
+base AS (SELECT doc_id, text FROM documents),
+qstats AS (SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct
+  FROM base),
+qual AS (SELECT doc_id, text FROM qstats
+  WHERE n_tokens >= 5 AND n_chars * 1.0 / n_tokens >= 2.0
+    AND n_chars * 1.0 / n_tokens <= 20.0 AND punct * 1.0 / n_chars <= 0.2),
+scored AS (SELECT doc_id, text, {scores} FROM qual),
+kept AS (SELECT doc_id, text FROM (
+    SELECT doc_id, text, {case} AS detected FROM scored) WHERE detected IN ('en')),
+ex AS (SELECT doc_id, text FROM (
+    SELECT doc_id, text, row_number() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1),
+t2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM ex),
+s2 AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(w) - {NGRAM - 1}, 1)),
+               i -> array_to_string(w[i:i+{NGRAM - 1}], ' '))) AS sh
+      FROM t2),
+sz2 AS (SELECT doc_id, count(*) AS nsh FROM s2 GROUP BY 1),
+i2 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+       FROM s2 a JOIN s2 b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+p2 AS (SELECT a_id, b_id
+       FROM i2 JOIN sz2 sa ON a_id = sa.doc_id JOIN sz2 sb ON b_id = sb.doc_id
+       WHERE c * 1.0 / (sa.nsh + sb.nsh - c) >= {JACCARD_T}),
+edges AS (SELECT a_id AS src, b_id AS dst FROM p2 UNION SELECT b_id, a_id FROM p2),
+reach AS (SELECT src AS node, src AS tgt FROM edges
+          UNION
+          SELECT r.node, e.dst FROM reach r JOIN edges e ON r.tgt = e.src),
+cl AS (SELECT node, min(tgt) AS cluster_id FROM reach GROUP BY 1),
+keyed AS (SELECT e.doc_id, e.text, coalesce(cl.cluster_id, e.doc_id) AS rep
+          FROM ex e LEFT JOIN cl ON e.doc_id = cl.node),
+labeled AS (SELECT doc_id, text,
+  CASE WHEN substring(md5(concat('', CAST(rep AS VARCHAR))), 1, 4) < 'cccd' THEN 'train'
+       WHEN substring(md5(concat('', CAST(rep AS VARCHAR))), 1, 4) < 'e666' THEN 'val'
+       ELSE 'test' END AS split
+  FROM keyed)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+            AS BIGINT) AS n_tokens
+FROM labeled GROUP BY 1
+"""
+
+
 def _quality_oracle() -> str:
     stop_in = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
     return f"""
@@ -3426,6 +3507,7 @@ SELECT p.source, max(r3.n_docs) AS n_docs,
 FROM per_doc p JOIN r3 USING (source)
 GROUP BY 1
 """,
+    "corpus_curate_full": _corpus_curate_full_oracle(),
     "sample_leakage_safe_split": f"""
 WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 s AS (SELECT DISTINCT doc_id,
@@ -4192,6 +4274,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_weighted_topk": _q_sample_weighted_topk,
     "sample_token_budget": _q_sample_token_budget,
     "sample_leakage_safe_split": _q_sample_leakage_safe_split,
+    "corpus_curate_full": _q_corpus_curate_full,
     "corpus_decontaminate": _q_corpus_decontaminate,
     "corpus_pack_sequences": _q_corpus_pack_sequences,
     "dedup_incremental": _q_dedup_incremental,
