@@ -80,6 +80,11 @@ BENCH_QUERIES = [
     "corpus_segment_dedup",
     "text_lm_score",
     "corpus_quality_tiers",
+    # round-4 additions: interval-overlap join, single-scan expectations
+    # validation, and the end-to-end curation capstone
+    "overlap_join_sessions",
+    "quality_expectations",
+    "corpus_curate_full",
 ]
 
 
