@@ -15,6 +15,18 @@ Two entry points:
   sink and hand back the result as a batch DataFrame, so streaming execution
   is exercised inside the correctness gate with the same DuckDB oracle as
   the batch path.
+
+Beyond the counter core, the streamed-operator inventory (each the
+micro-batch deployment of an oracled batch operator, every write
+batch-keyed for crash-replay idempotence): ``stream_two_level`` /
+``stream_quantile_rollup`` / ``stream_cms_rollup`` / ``stream_topk_rollup``
+(mergeable-sketch exchanges across a job/storage boundary),
+``stream_segment_dedup`` (first-seen chunk survival against a persisted
+hash index), ``stream_neardup_index`` (MinHash band-index probe-and-append),
+``stream_ann_index`` + ``ann_index_probe`` (frozen-model IVF-PQ index
+maintenance and querying), ``stream_gated_ingest`` (expectations-gated
+admit/quarantine), ``stream_dedup`` (exactly-once-by-id),
+``stream_stream_interval_join``, ``stream_enrich``, ``stream_sessionize``.
 """
 
 from __future__ import annotations
