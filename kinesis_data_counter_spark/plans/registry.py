@@ -2084,7 +2084,10 @@ def _q_corpus_curate_full(spark, sf_dir):
         F.col("detected").isin("en")
     )
     kept = qual.join(lang.select("doc_id"), "doc_id")
-    ex = DD.deduplicate_exact(kept, "text", "doc_id")
+    # ex feeds the shingle pipeline, the LSH verify re-shingle, the split
+    # join, and the token accounting — persist or the quality+language
+    # chain above it executes once per consumer
+    ex = DD.deduplicate_exact(kept, "text", "doc_id").persist()
     pairs = DD.minhash_lsh_pairs(
         ex, threshold=JACCARD_T, num_hashes=96, bands=24, n=NGRAM
     ).select("a_id", "b_id")
