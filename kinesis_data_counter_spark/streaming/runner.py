@@ -144,6 +144,58 @@ def run_counter_stream_once(
     return spark.table(name)
 
 
+def run_counter_stream_update_once(
+    spark: SparkSession,
+    path: str,
+    spec: CounterSpec,
+    ts_col: str = "ts",
+    timeout_sec: int = 300,
+    max_files_per_trigger: int | None = 1,
+    event_source_arn: str | None = None,
+) -> DataFrame:
+    """Run the streaming counter in UPDATE mode, keeping every emission.
+
+    The third emission discipline next to append (emit once, final, late
+    data dropped — the reference's IsFinalInvokeForWindow) and complete
+    (re-emit everything): update mode emits a window's CURRENT value in
+    every micro-batch that changed it — provisional results immediately,
+    corrections as stragglers arrive. Downstream consumers reconcile by
+    (window, key) last-write-wins, exactly how a serving table over a
+    stream of upserts works; the LAST emission per window equals the batch
+    answer, which is what the parity test pins.
+
+    Returns (batch_id, window_start, window_end, value) — every emission,
+    not just the final ones; test/driver harness (foreachBatch appends to
+    a driver-side list, bounded by the fixture size).
+    """
+    out = build_counter(
+        _read_stream(spark, path, ts_col, max_files_per_trigger),
+        spec,
+        ts_col=ts_col,
+        event_source_arn=event_source_arn,
+    )
+    rows: list = []
+
+    def _collect(batch_df: DataFrame, epoch: int) -> None:
+        for r in batch_df.collect():  # bounded: updated windows only
+            rows.append((epoch, r["window_start"], r["window_end"], r["value"]))
+
+    q = (
+        out.writeStream.foreachBatch(_collect)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive
+            q.stop()
+    return spark.createDataFrame(
+        rows, "batch_id long, window_start long, window_end long, value long"
+    )
+
+
 def stream_two_level(
     spark: SparkSession,
     path: str,
