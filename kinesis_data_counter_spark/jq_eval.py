@@ -9,7 +9,7 @@ recursive-descent parser plus a generator-based evaluator over plain
 Python JSON values, implementing the jq core —
 
   identity / field / index / slice-free paths, ``.foo[]`` / ``.[]``
-  iteration, optional ``?``, pipes, comma streams, object and array
+  iteration, ``..`` recursive descent, optional ``?``, pipes, comma streams, object and array
   construction, string interpolation, arithmetic (+ - * / %), comparisons,
   ``and`` / ``or`` / ``not``, alternative ``//``, ``select`` / ``empty`` /
   ``if-elif-else-end``, ``try``/``catch`` (and the ``?`` shorthand),
@@ -23,7 +23,7 @@ tests/test_jq_differential.py (evaluation order of binary operators is
 right-operand-outer, integral doubles print as integers, the jq total
 order null < false < true < numbers < strings < arrays < objects, missing
 object fields read as null). Constructs outside this core (regex builtins,
-``..`` recursion, path assignment, ``def``) raise
+path assignment, ``def``) raise
 :class:`~kinesis_data_counter_spark.jq.JqUnsupported` at COMPILE time, so
 callers fail before any executor work is scheduled.
 
@@ -108,6 +108,10 @@ def _tokenize(src: str) -> list[tuple[str, object]]:
             i += 1
             continue
         two = src[i : i + 2]
+        if two == "..":
+            toks.append(("punct", ".."))
+            i += 2
+            continue
         if two in _OPS2:
             toks.append(("op", two))
             i += 2
@@ -407,6 +411,9 @@ class _P:
 
     def parse_primary(self):
         k, v = self.peek()
+        if k == "punct" and v == "..":
+            self.next()
+            return ("recurse",)
         if k == "punct" and v == ".":
             self.next()
             nk, _nv = self.peek()
@@ -689,6 +696,19 @@ def _ev(ast, v, env) -> Iterator:
     elif kind == "pipe":
         for mid in _ev(ast[1], v, env):
             yield from _ev(ast[2], mid, env)
+    elif kind == "recurse":
+        # jq's ``..`` ≡ recurse: the value itself, then every descendant,
+        # depth-first in document order
+        def _walk(x):
+            yield x
+            if isinstance(x, list):
+                for e in x:
+                    yield from _walk(e)
+            elif isinstance(x, dict):
+                for e in x.values():
+                    yield from _walk(e)
+
+        yield from _walk(v)
     elif kind == "comma":
         for item in ast[1]:
             yield from _ev(item, v, env)

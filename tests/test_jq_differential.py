@@ -234,6 +234,11 @@ MINI_CASES = [
     (".a[]?", {"a": 5}),
     (".a[]?, .b", {"a": [1], "b": 2}),
     ('.[]? // "none"', 3),
+    # recursive descent
+    ("[..]", {"a": [1, {"b": 2}], "c": "x"}),
+    ("[.. | select(type == \"number\")] | add", {"a": [1, {"b": 2}], "c": [3]}),
+    ("[..] | length", [[1, 2], [3, [4]]]),
+    ("..", 5),
     # try/catch
     ("try (.a + 1) catch \"bad\"", {"a": "s"}),
     ("try (.a + 1) catch \"bad\"", {"a": 1}),
@@ -322,7 +327,6 @@ def test_mini_jq_unsupported_constructs_fail_at_compile_time():
     from kinesis_data_counter_spark.jq_eval import compile_program
 
     for prog in [
-        "..",                       # recursive descent
         'test("a")',                # regex builtins
         ".a = 1",                   # path assignment
         "def f: 1; f",              # function definitions
