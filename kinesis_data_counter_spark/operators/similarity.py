@@ -1368,3 +1368,147 @@ def knn_bucketed_recall_check(
         [(bool(recall >= min_recall), float(round(recall, 2)))],
         "ok boolean, recall double",
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA embedding compression (linear sibling of the PQ/int8 quantizers)
+# ---------------------------------------------------------------------------
+
+
+def pca_train(
+    df: DataFrame,
+    dim: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train a ``k``-component PCA over the embedding column.
+
+    The covariance matrix is accumulated DISTRIBUTED as per-Arrow-batch
+    partials — each batch emits one (count, sum-vector, sum-outer-product)
+    row of bounded size (1 + dim + dim² doubles, independent of batch
+    rows), the classic two-phase moment aggregation — and only those tiny
+    partials reach the driver, where the dim×dim eigendecomposition is
+    trivial. No vector ever leaves the executors; sample-based shortcuts
+    aren't needed because the EXACT covariance costs one scan.
+
+    Deterministic per layout: eigenvectors come from ``numpy.linalg.eigh``
+    with a sign convention (largest-|component| entry positive), so
+    repeated runs on the same partitioning are identical; ACROSS
+    partitionings the axes agree only to float-summation tolerance
+    (partial sums accumulate in batch order — the usual distributed-
+    moments caveat), which is why ``pca_check`` records properties, not
+    raw axes.
+
+    Returns ``(mean[dim], components[k, dim])`` (rows = principal axes,
+    descending eigenvalue).
+    """
+    import pandas as pd  # noqa: F811 - local alias for the UDF closure
+
+    d = int(dim)
+
+    def _partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(x))],
+                    "s": [x.sum(axis=0).tolist()],
+                    "o": [(x.T @ x).reshape(-1).tolist()],
+                }
+            )
+
+    parts = df.select(vec_col).mapInPandas(
+        _partials, f"n double, s array<double>, o array<double>"
+    ).collect()
+    n = sum(r["n"] for r in parts)
+    if n < 2:
+        raise ValueError("pca_train needs at least 2 vectors")
+    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
+    o = np.sum([np.array(r["o"]).reshape(d, d) for r in parts], axis=0)
+    mean = s / n
+    cov = o / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][: int(k)]
+    comps = vecs[:, order].T  # (k, dim)
+    # sign convention: the largest-magnitude entry of each axis is positive
+    for i in range(comps.shape[0]):
+        j = np.argmax(np.abs(comps[i]))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps
+
+
+def pca_project(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """(id, projected array<double>[k]) — center and project each vector
+    onto the principal axes, one Arrow-batched matmul per batch. A
+    dim→k compression is a (dim·8)→(k·8) bytes-per-row cut for every
+    downstream scan/shuffle, on top of whatever quantizer follows."""
+    m = np.asarray(mean, dtype=np.float64)
+    c = np.asarray(components, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def _proj(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array(v.tolist(), dtype=np.float64) - m
+        return pd.Series(list(x @ c.T))
+
+    return df.select(F.col(id_col), _proj(F.col(vec_col)).alias(out_col))
+
+
+def pca_check(
+    df: DataFrame,
+    dim: int,
+    k: int,
+    min_variance_kept: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(ok, variance_kept, orthonormal_ok) single row — the property
+    oracle for PCA (axes have sign/rotation freedom no independent engine
+    reproduces): kept-variance share Σλ_top-k / Σλ ≥ floor, and the
+    component rows are orthonormal within 1e-8."""
+    mean, comps = pca_train(df, dim, k, id_col, vec_col)
+    proj = pca_project(df, mean, comps, id_col, vec_col)
+    # variance kept = mean squared norm of projections / total variance
+    stats = proj.select(
+        F.aggregate(
+            F.transform("projected", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("p2")
+    ).agg(F.avg("p2").alias("kept")).collect()[0]
+    g = comps @ comps.T
+    orth = bool(np.max(np.abs(g - np.eye(comps.shape[0]))) < 1e-8)
+    # total variance from the same training pass would need a second agg;
+    # recompute exactly via the centered second moment
+    tot = (
+        df.select(F.col(vec_col).alias("v"))
+        .select(
+            F.aggregate(
+                F.transform("v", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("s2")
+        )
+        .agg(F.avg("s2").alias("m2"))
+        .collect()[0]["m2"]
+    )
+    total_var = float(tot) - float(np.dot(mean, mean))
+    kept_share = float(stats["kept"]) / total_var if total_var > 0 else 1.0
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(bool(kept_share >= min_variance_kept and orth),
+          float(round(kept_share, 4)), orth)],
+        "ok boolean, variance_kept double, orthonormal_ok boolean",
+    )

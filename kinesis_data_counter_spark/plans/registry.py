@@ -2769,6 +2769,22 @@ def _q_ann_ivf_pq_recall(spark, sf_dir):
     return res.select("ok")
 
 
+def _q_embedding_pca_check(spark, sf_dir):
+    # PCA embedding compression (similarity.py::pca_train/pca_project):
+    # exact covariance from bounded per-batch moment partials (1+d+d²
+    # doubles each — no vector leaves the executors), driver-side eigh,
+    # Arrow-batched projection. Axes carry sign/rotation freedom no
+    # independent engine reproduces, so the recorded result is the
+    # property row: kept-variance share ≥ floor and orthonormal axes.
+    # The isotropic fixture spreads variance evenly, so k=32 of 64 dims
+    # must keep roughly half: floor 0.4, and the negative-control test
+    # (tests/test_similarity.py) proves the check can fail.
+    (em,) = _tables(spark, sf_dir, "embeddings")
+    return SIM.pca_check(em, dim=64, k=32, min_variance_kept=0.4).select(
+        "ok", "orthonormal_ok"
+    )
+
+
 def _q_json_bad_records(spark, sf_dir):
     # S4: JSON decode + bad-record routing. Corruption is injected
     # deterministically (every 7th event loses its closing brace) so the
@@ -3472,6 +3488,9 @@ GROUP BY 1, 2
     "knn_label_propagation_bucketed": "SELECT true AS ok",
     "ann_pq_recall": "SELECT true AS ok",
     "ann_ivf_pq_recall": "SELECT true AS ok",
+    "embedding_pca_check": """
+SELECT true AS ok, true AS orthonormal_ok
+""",
     # sketch-mode RFM: thresholds are engine-internal percentile sketches,
     # so the oracle is the tie-aware boundary property per dimension
     "sample_token_budget": r"""
@@ -4271,6 +4290,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_quantized_recall": _q_ann_quantized_recall,
     "ann_pq_recall": _q_ann_pq_recall,
     "ann_ivf_pq_recall": _q_ann_ivf_pq_recall,
+    "embedding_pca_check": _q_embedding_pca_check,
     "sample_hash_split": _q_sample_hash_split,
     "sample_mix_rates": _q_sample_mix_rates,
     "sample_stratified": _q_sample_stratified,

@@ -409,3 +409,60 @@ def test_property_harnesses_are_not_tautologies(spark):
         method="lsh", num_bits=12, num_tables=1,
     ).collect()[0]
     assert not r.ok, r
+
+
+# ---------------------------------------------------------------------------
+# round-4: PCA embedding compression
+# ---------------------------------------------------------------------------
+
+def test_pca_matches_numpy_and_is_partition_invariant(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    # anisotropic data: two dominant directions embedded in 8 dims
+    base = rng.normal(size=(300, 2)) @ rng.normal(size=(2, 8)) * 3
+    noise = rng.normal(size=(300, 8)) * 0.1
+    x = base + noise
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    mean, comps = SIM.pca_train(df, dim=8, k=2)
+    # float32 storage rounds the inputs: compare against numpy on the
+    # SAME float32-rounded matrix
+    x32 = x.astype(np.float32).astype(np.float64)
+    np.testing.assert_allclose(mean, x32.mean(axis=0), atol=1e-9)
+    cov = np.cov(x32.T, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    want = vecs[:, np.argsort(vals)[::-1][:2]].T
+    for i in range(2):  # sign-free comparison
+        assert min(
+            np.abs(comps[i] - want[i]).max(), np.abs(comps[i] + want[i]).max()
+        ) < 1e-7
+    # across partitionings the float partial sums accumulate in different
+    # orders: axes agree to summation tolerance, not bit-for-bit
+    m2, c2 = SIM.pca_train(df.repartition(7), dim=8, k=2)
+    np.testing.assert_allclose(mean, m2, atol=1e-10)
+    np.testing.assert_allclose(comps, c2, atol=1e-7)
+
+
+def test_pca_check_property_and_negative_control(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(200, 2)) @ rng.normal(size=(2, 8)) * 3
+    x = base + rng.normal(size=(200, 8)) * 0.05
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    r = SIM.pca_check(df, dim=8, k=2, min_variance_kept=0.95).collect()[0]
+    assert r.ok and r.orthonormal_ok and r.variance_kept > 0.95, r
+    # isotropic data: 2 of 8 dims cannot hold 95% of the variance
+    iso = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in
+         enumerate(rng.normal(size=(200, 8)))],
+        "vec_id long, embedding array<float>",
+    )
+    r = SIM.pca_check(iso, dim=8, k=2, min_variance_kept=0.95).collect()[0]
+    assert not r.ok and r.variance_kept < 0.5, r
