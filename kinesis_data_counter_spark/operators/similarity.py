@@ -1,20 +1,21 @@
-"""Embedding similarity search: brute-force cosine top-k and LSH-bucketed ANN.
+"""Embedding similarity search, compression, and auto-labeling.
 
 Beyond-reference operators (SURVEY.md §7 Phase 5) over the ``embeddings``
 fixture (vec_id, embedding array<float>, label).
 
-Two paths:
-- ``cosine_topk``: exact brute force — queries × corpus join with the dot
-  product computed by built-in higher-order functions (``zip_with`` +
-  ``aggregate``), ranked by a window function. With a small query set the
-  join is a broadcast: the corpus is scanned once, never shuffled. This is
-  the correctness baseline and is already the right plan for "few queries ×
-  huge corpus" at 100 TB.
-- ``ann_lsh_topk``: random-hyperplane LSH — sign-bit signatures bucket the
-  corpus; each query probes its own bucket (optionally multi-probe with
-  hamming-1 neighbors), exact cosine re-ranks within the candidate set.
-  Scale path for "many queries × huge corpus": turns the cross join into an
-  equi-join on bucket keys.
+The ladder, from correctness baseline to 100 TB plans:
+- ``cosine_topk``: exact brute force — broadcast query block against the
+  un-shuffled corpus scan; the right plan for "few queries × huge corpus".
+- ``ann_lsh_topk`` / ``ann_ivf_topk``: candidate generation as pure
+  equi-joins (hyperplane sign buckets / inverted lists), exact re-rank.
+- ``quantize_embeddings`` (int8, 4×) / ``pq_*`` (product quantization,
+  byte codes, 32×) / ``pca_*`` (linear dim reduction): the storage and
+  scan-bandwidth levers; ``ivf_pq_topk`` composes lists × codes × refine —
+  the canonical large-corpus ANN design.
+- ``knn_classify`` / ``knn_classify_bucketed``: majority-vote label
+  propagation over either path, with agreement/recall property harnesses
+  (``*_check`` functions) as the recorded oracles for everything
+  approximate.
 
 Determinism: hyperplanes derive from a fixed xorshift seed (no RNG state),
 similarities are rounded before ranking, ties break on vec_id — so results
