@@ -3599,6 +3599,13 @@ SELECT 'foreign_key', 'o_custkey', CAST(count(o_custkey) AS BIGINT),
           AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
 FROM orders
 """,
+    "layout_compaction": """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(event_id) AS BIGINT) AS event_id_sum,
+       true AS files_reduced
+FROM events
+""",
     "rfm_segments_sketch": """
 SELECT 'frequency' AS dim, true AS partition_ok, true AS size_ok
 UNION ALL SELECT 'monetary', true, true
@@ -4127,6 +4134,33 @@ def _q_layout_zorder_prune(spark, sf_dir):
     )
 
 
+def _q_layout_compaction(spark, sf_dir):
+    # the small-files problem end-to-end (io.py::compact_dataset): events
+    # deliberately fragmented into 64 files (a streaming sink's accretion
+    # pattern), compacted to near-target-size files through the curated
+    # write path, then verified lossless with integer-exact aggregates
+    # recomputed off the REWRITTEN directory. files_reduced pins the
+    # point of the exercise; the oracle recomputes the same summary off
+    # the source parquet.
+    import tempfile
+
+    from kinesis_data_counter_spark import io as IO
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="kdc_compact_") + "/t"
+    ev.select("event_id", "user_id", "ts").repartition(64).write.parquet(d)
+    stats = IO.compact_dataset(spark, d, sort_by=("event_id",), target_file_mb=64)
+    back = spark.read.parquet(d)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum("event_id").alias("event_id_sum"),
+        F.lit(bool(stats["files_after"] < stats["files_before"])).alias(
+            "files_reduced"
+        ),
+    )
+
+
 def _q_corpus_quality_tiers(spark, sf_dir):
     # keep-the-best-third quality tiering (operators/corpus.py::
     # quality_tiers) in SKETCH mode — the 100 TB path (VERDICT r3 item 2):
@@ -4349,6 +4383,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lm_score": _q_text_lm_score,
     "corpus_quality_tiers": _q_corpus_quality_tiers,
     "layout_zorder_prune": _q_layout_zorder_prune,
+    "layout_compaction": _q_layout_compaction,
     "bloom_prune_join": _q_bloom_prune_join,
     "corpus_segment_dedup": _q_corpus_segment_dedup,
 }
