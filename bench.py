@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "overlap_join_sessions",
     "quality_expectations",
     "corpus_curate_full",
+    "counter_jq_generic",
 ]
 
 
