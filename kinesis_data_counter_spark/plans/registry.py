@@ -4551,7 +4551,7 @@ FROM orders
 # windows, and the full training-data pipeline; everything else follows and
 # still runs in local verification.
 _SHOWCASE_ORDER = [
-    # Round-4 rotation (VERDICT r3 item 5): 16 never-driver-recorded
+    # Round-4 rotation (VERDICT r3 item 5): 17 never-driver-recorded
     # entries rotate into the head — every round-4-touched entry
     # (counter_jq_generic, both knn_label_propagation paths,
     # corpus_quality_tiers) plus long-unrecorded representatives
