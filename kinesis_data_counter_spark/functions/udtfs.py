@@ -40,3 +40,46 @@ def tokenize_positions_udtf():
                 yield i, tok
 
     return TokenizePositions
+
+
+def jq_udtf():
+    """Factory for the ``jq(json_text, program)`` table function.
+
+    Lifts the pure-Python mini-jq interpreter (``jq_eval``) onto the SQL
+    surface: each input row's JSON text runs through the program and every
+    jq output becomes one row of compact JSON — usable as
+    ``SELECT ... FROM t, LATERAL jq_udtf(payload, '.items[]')``, the SQL
+    twin of ``apply_jq_generic``'s DataFrame form (and of gojq's 0..n
+    iterator loop, reference counter.go:439-466).
+
+    Programs compile once per (process, program) via a small cache; bad
+    JSON rows yield nothing (the per-record-failure discipline of S4, not
+    a job failure). Registration:
+    ``spark.udtf.register("jq_udtf", jq_udtf())``.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="value string")
+    class JqTable:
+        _cache: dict = {}
+
+        def eval(self, json_text: str, program: str):  # noqa: D401
+            import json as _json
+
+            if json_text is None or program is None:
+                return
+            prog = self._cache.get(program)
+            if prog is None:
+                from kinesis_data_counter_spark.jq_eval import compile_program
+
+                prog = self._cache[program] = compile_program(program)
+            try:
+                value = _json.loads(json_text)
+            except ValueError:
+                return  # bad record: skip, never fail the job (S4 rule)
+            from kinesis_data_counter_spark.jq_eval import dumps
+
+            for out in prog(value):
+                yield (dumps(out),)
+
+    return JqTable

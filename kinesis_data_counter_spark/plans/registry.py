@@ -2616,6 +2616,41 @@ def _q_udaf_weighted_median(spark, sf_dir):
     )
 
 
+def _q_udtf_jq_lateral(spark, sf_dir):
+    # the jq interpreter on the SQL surface (functions/udtfs.py::jq_udtf):
+    # per-window counter outputs serialize to JSON, a LATERAL jq program
+    # reshapes+filters them in SQL — the reference's gojq output hook
+    # (counter.go:439-466) expressed as a table function. The oracle
+    # rebuilds the identical compact-JSON text relationally.
+    from kinesis_data_counter_spark.functions.udtfs import jq_udtf
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    win = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rows = win.select(
+        F.to_json(
+            F.struct(
+                F.unix_millis("w.start").alias("ws"),
+                F.col("event_type").alias("et"),
+                F.col("n"),
+            )
+        ).alias("payload")
+    )
+    spark.udtf.register("jq_udtf", jq_udtf())
+    rows.createOrReplaceTempView("udtf_jq_v")
+    return spark.sql(
+        """
+        SELECT t.value
+        FROM udtf_jq_v,
+             LATERAL jq_udtf(
+               payload,
+               'select(.n >= 2) | {k: (.et + "@" + (.ws | tostring)), n: .n}'
+             ) t
+        """
+    )
+
+
 def _q_udtf_token_positions(spark, sf_dir):
     # the UDTF extension point under oracle: LATERAL tokenize over docs,
     # aggregated to (token, occurrence count, position-sum checksum).
@@ -3599,6 +3634,12 @@ SELECT 'foreign_key', 'o_custkey', CAST(count(o_custkey) AS BIGINT),
           AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
 FROM orders
 """,
+    "udtf_jq_lateral": """
+SELECT concat('{"k":"', event_type, '@', epoch_ms(date_trunc('hour', ts)),
+              '","n":', count(*), '}') AS value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+HAVING count(*) >= 2
+""",
     "layout_compaction": """
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -4357,6 +4398,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_event_counts": _q_pivot_event_counts,
     "unpivot_lineitem_metrics": _q_unpivot_lineitem_metrics,
     "sql_surface_daily_top_types": _q_sql_surface_daily_top_types,
+    "udtf_jq_lateral": _q_udtf_jq_lateral,
     "udtf_token_positions": _q_udtf_token_positions,
     "udaf_weighted_median": _q_udaf_weighted_median,
     "multimodal_frame_sample": _q_multimodal_frame_sample,
