@@ -1993,8 +1993,17 @@ def _q_dedup_exact_props(spark, sf_dir):
 
 
 def _q_dedup_exact_docs(spark, sf_dir):
+    # the fixture corpus has near-dups but no byte-identical documents, so
+    # a deterministic duplicate slice is injected (every doc_id % 11 == 0
+    # re-appears under id + 1_000_000) — the entry then exercises real
+    # group formation: one group per duplicated text, canonical = min id
     (docs,) = _tables(spark, sf_dir, "documents")
-    return DD.exact_duplicates(docs).select("content_hash", "n_dups", "canonical_id")
+    dupes = docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return DD.exact_duplicates(docs.unionByName(dupes)).select(
+        "content_hash", "n_dups", "canonical_id"
+    )
 
 
 def _q_dedup_ngram_jaccard(spark, sf_dir):
@@ -3046,9 +3055,14 @@ SELECT md5({_NORM_SQL.format(c='props')}) AS content_hash,
 FROM events GROUP BY 1 HAVING count(*) > 1
 """,
     "dedup_exact_docs": f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0
+)
 SELECT md5({_NORM_SQL.format(c='text')}) AS content_hash,
        count(*) AS n_dups, min(doc_id) AS canonical_id
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM aug GROUP BY 1 HAVING count(*) > 1
 """,
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
     "dedup_minhash_lsh": _JACCARD_ORACLE,
