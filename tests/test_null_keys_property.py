@@ -178,15 +178,19 @@ def test_stratified_keep_null_keys_match_sql_twin(spark, rows):
         )
         .collect()
     )
-    got = sorted((r["doc_id"], r["lang"]) for r in kept)
+    # hypothesis can emit duplicate doc_ids with mixed None/str langs, so
+    # the comparison key must be None-safe
+    key = lambda t: (t[0] if t[0] is not None else -1, t[1] or "")  # noqa: E731
+    got = sorted(((r["doc_id"], r["lang"]) for r in kept), key=key)
 
     con = duckdb.connect()
     con.execute("CREATE TABLE t (doc_id BIGINT, lang VARCHAR)")
     con.executemany("INSERT INTO t VALUES (?, ?)", list(rows))
     pred = stratified_sql_predicate("doc_id", "lang", rates, default_rate=0.25)
     want = sorted(
-        (r[0], r[1])
-        for r in con.execute(f"SELECT doc_id, lang FROM t WHERE {pred}").fetchall()
+        ((r[0], r[1])
+         for r in con.execute(f"SELECT doc_id, lang FROM t WHERE {pred}").fetchall()),
+        key=key,
     )
     # engine parity INCLUDING the null paths: NULL doc_id hashes to NULL →
     # dropped by both; NULL lang falls to the default rate in both
