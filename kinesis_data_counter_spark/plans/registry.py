@@ -4608,7 +4608,13 @@ FROM orders
 # still runs in local verification.
 _SHOWCASE_ORDER = [
     # Round-4 rotation (VERDICT r3 item 5): 17 never-driver-recorded
-    # entries rotate into the head — every round-4-touched entry
+    # entries rotate into the head. ROUND-5 ROTATION CANDIDATES (46
+    # entries still never driver-recorded; strongest first): the round-4
+    # additions outside the head — quality_expectations, corpus_curate_full,
+    # sample_leakage_safe_split, overlap_join_sessions, udtf_jq_lateral,
+    # embedding_pca_check, ann_pq_recall, rfm_segments_sketch,
+    # layout_compaction, dedup_exact_docs — plus long-tenured text_*,
+    # sample_*, stats_* and relational representatives. — every round-4-touched entry
     # (counter_jq_generic, both knn_label_propagation paths,
     # corpus_quality_tiers) plus long-unrecorded representatives
     # (dedup_clusters, text_lm_score, gdpr_erasure_audit,
