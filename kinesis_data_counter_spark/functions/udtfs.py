@@ -77,9 +77,16 @@ def jq_udtf():
                 value = _json.loads(json_text)
             except ValueError:
                 return  # bad record: skip, never fail the job (S4 rule)
-            from kinesis_data_counter_spark.jq_eval import dumps
+            from kinesis_data_counter_spark.jq_eval import JqRuntimeError, dumps
 
-            for out in prog(value):
-                yield (dumps(out),)
+            # Same per-record-failure discipline for jq RUNTIME errors
+            # (e.g. a type mismatch on one heterogeneous row): outputs
+            # already produced are kept, the record's remainder is skipped,
+            # the job never fails. Mirrors the bad-JSON path above.
+            try:
+                for out in prog(value):
+                    yield (dumps(out),)
+            except JqRuntimeError:
+                return
 
     return JqTable

@@ -734,10 +734,11 @@ def apply_jq_generic(df: DataFrame, program: str) -> DataFrame:
     ONCE per executor, not per row): the optional ``jq`` Python binding
     when installed, else the dependency-free pure-Python mini-jq
     interpreter (:mod:`kinesis_data_counter_spark.jq_eval`, differential-
-    tested against the real jq binary). Programs beyond even the
-    interpreter's core (regex builtins, ``..`` recursion, try/catch)
-    raise :class:`JqUnsupported` at driver time, before any executor
-    work is scheduled.
+    tested against the real jq binary). The interpreter covers ``..``
+    recursion, try/catch, ``reduce``, user ``def``s, and the regex
+    builtins; the remaining out-of-core constructs (path assignment
+    ``|=``/``setpath``, slices) raise :class:`JqUnsupported` at driver
+    time, before any executor work is scheduled.
     """
     from collections.abc import Iterator
 

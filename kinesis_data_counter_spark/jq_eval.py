@@ -16,16 +16,23 @@ Python JSON values, implementing the jq core —
   ``reduce`` / ``as $x``-bindings, and a library of the common builtins
   (length, keys, has, type, tostring, tonumber, add, map, join, split,
   sort, sort_by, group_by, unique_by, min_by/max_by, flatten, range,
-  to_entries, from_entries, with_entries, explode/implode, …).
+  to_entries, from_entries, with_entries, explode/implode, …), the regex
+  builtins (``test`` / ``match`` / ``capture`` / ``scan`` / ``sub`` /
+  ``gsub`` / ``splits`` / ``split/2`` with the g i x s m n flags), and
+  user-defined functions (``def f: ...;`` / ``def f(x; $y): ...;`` with
+  call-by-name filter params, ``$``-value params, and recursion).
 
 Semantics are pinned against the real /usr/bin/jq binary by
 tests/test_jq_differential.py (evaluation order of binary operators is
 right-operand-outer, integral doubles print as integers, the jq total
 order null < false < true < numbers < strings < arrays < objects, missing
-object fields read as null). Constructs outside this core (regex builtins,
-path assignment, ``def``) raise
+object fields read as null). Constructs outside this core (path
+assignment ``|=``/``setpath``, slices) raise
 :class:`~kinesis_data_counter_spark.jq.JqUnsupported` at COMPILE time, so
-callers fail before any executor work is scheduled.
+callers fail before any executor work is scheduled. Regex dialect note:
+patterns run on Python ``re`` with ``(?<name>…)`` translated to
+``(?P<name>…)``; jq's Oniguruma and Python agree on the common dialect
+the differential suite pins, but exotic Oniguruma extensions differ.
 
 This is a per-record interpreter: the right engine for the output-shaping
 role it plays (counter outputs are tiny, already-aggregated rows). Hot
@@ -37,6 +44,7 @@ from __future__ import annotations
 import functools
 import json
 import math
+import re
 from collections.abc import Iterator
 
 __all__ = ["MiniJqProgram", "compile_program", "JqRuntimeError"]
@@ -85,6 +93,7 @@ _KEYWORDS = {
     "reduce",
     "try",
     "catch",
+    "def",
     "true",
     "false",
     "null",
@@ -260,7 +269,7 @@ _ARG_BUILTINS = {
     "endswith": 1,
     "ltrimstr": 1,
     "rtrimstr": 1,
-    "split": 1,
+    "split": (1, 2),  # split/2 is the regex form
     "join": 1,
     "range": (1, 3),
     "group_by": 1,
@@ -269,6 +278,14 @@ _ARG_BUILTINS = {
     "max_by": 1,
     "with_entries": 1,
     "flatten": 1,
+    # regex builtins (flags arg optional; sub/gsub take the replacement)
+    "test": (1, 2),
+    "match": (1, 2),
+    "capture": (1, 2),
+    "scan": (1, 2),
+    "splits": (1, 2),
+    "sub": (2, 3),
+    "gsub": (2, 3),
 }
 
 
@@ -276,6 +293,11 @@ class _P:
     def __init__(self, toks: list[tuple[str, object]]):
         self.toks = toks
         self.pos = 0
+        # (name, arity) of user `def`s seen so far. An over-approximation:
+        # a name stays "known" past its lexical scope, where a reference
+        # then fails at eval instead of compile — acceptable slack for a
+        # single-pass parser; in-scope programs resolve exactly.
+        self.defs: set[tuple[str, int]] = set()
 
     def peek(self):
         return self.toks[self.pos]
@@ -300,6 +322,8 @@ class _P:
 
     # precedence: pipe < comma < // < or < and < cmp < add < mul < unary
     def parse_pipe(self):
+        if self.peek() == ("kw", "def"):
+            return self.parse_def()
         left = self.parse_comma()
         while True:
             # `EXPR as $x | BODY` binding
@@ -310,9 +334,37 @@ class _P:
                 body = self.parse_pipe()
                 return ("bind", left, var, body)
             if self.accept("punct", "|"):
+                if self.peek() == ("kw", "def"):
+                    # a def scopes over the rest of the pipeline
+                    return ("pipe", left, self.parse_def())
                 left = ("pipe", left, self.parse_comma())
             else:
                 return left
+
+    def parse_def(self):
+        """``def name(p; $q): body; rest`` — scope is the rest of the pipe."""
+        self.expect("kw", "def")
+        name = self.expect("ident")
+        params: list[str] = []
+        if self.accept("punct", "("):
+            while True:
+                if self.accept("punct", "$"):
+                    params.append("$" + self.expect("ident"))
+                else:
+                    params.append(self.expect("ident"))
+                if self.accept("punct", ")"):
+                    break
+                self.expect("punct", ";")
+        self.expect("punct", ":")
+        self.defs.add((name, len(params)))  # visible in body: recursion
+        for p in params:
+            # filter params call like 0-arg functions; jq also exposes a
+            # $-param's value under the bare name (def f($x) ≡ x as $x)
+            self.defs.add((p.lstrip("$"), 0))
+        body = self.parse_pipe()
+        self.expect("punct", ";")
+        rest = self.parse_pipe()
+        return ("def", name, params, body, rest)
 
     def parse_comma(self):
         items = [self.parse_alt()]
@@ -534,6 +586,8 @@ class _P:
             while self.accept("punct", ";"):
                 args.append(self.parse_pipe())
             self.expect("punct", ")")
+            if (name, len(args)) in self.defs:  # user defs shadow builtins
+                return ("ucall", name, args)
             spec = _ARG_BUILTINS.get(name)
             if spec is None:
                 raise _unsupported(f"unknown function: {name}/{len(args)}")
@@ -541,6 +595,8 @@ class _P:
             if not lo <= len(args) <= hi:
                 raise _unsupported(f"{name} takes {spec} args, got {len(args)}")
             return ("call", name, args)
+        if (name, 0) in self.defs:
+            return ("ucall", name, [])
         if name in _ZERO_ARG_BUILTINS:
             return ("call", name, [])
         raise _unsupported(f"unknown function: {name}/0")
@@ -781,8 +837,48 @@ def _ev(ast, v, env) -> Iterator:
         yield acc
     elif kind == "call":
         yield from _ev_call(ast[1], ast[2], v, env)
+    elif kind == "def":
+        # ("def", name, params, body, rest): bind a closure whose env
+        # contains itself (recursion), then run the rest of the pipeline
+        fobj = {"params": ast[2], "body": ast[3], "env": None}
+        env2 = {**env, ("def", ast[1], len(ast[2])): fobj}
+        fobj["env"] = env2
+        yield from _ev(ast[4], v, env2)
+    elif kind == "ucall":
+        name, cargs = ast[1], ast[2]
+        fobj = env.get(("def", name, len(cargs)))
+        if fobj is None:
+            # parsed under an over-approximated scope; see _P.defs
+            raise _unsupported(f"undefined function: {name}/{len(cargs)}")
+        yield from _ev_ucall(fobj, cargs, v, env)
     else:  # pragma: no cover - parser emits only the kinds above
         raise _unsupported(f"unsupported AST node: {kind}")
+
+
+def _ev_ucall(fobj, cargs, v, env) -> Iterator:
+    """Invoke a user ``def``. Filter params are call-by-name: the argument
+    AST + the CALL-SITE env become a 0-arg closure, re-evaluated against
+    whatever input it is applied to inside the body (jq semantics).
+    ``$``-params evaluate the argument at the call site and bind each
+    output (cartesian over multi-output args, jq's order)."""
+    params, body = fobj["params"], fobj["body"]
+
+    def bind(i: int, benv) -> Iterator:
+        if i == len(params):
+            yield from _ev(body, v, benv)
+            return
+        p = params[i]
+        if p.startswith("$"):
+            pname = p[1:]
+            for out in _ev(cargs[i], v, env):
+                # def f($x) ≡ def f(x): x as $x — expose both spellings
+                cl = {"params": [], "body": ("lit", out), "env": benv}
+                yield from bind(i + 1, {**benv, pname: out, ("def", pname, 0): cl})
+        else:
+            cl = {"params": [], "body": cargs[i], "env": env}
+            yield from bind(i + 1, {**benv, ("def", p, 0): cl})
+
+    yield from bind(0, fobj["env"])
 
 
 def _ev_interp(parts, v, env) -> Iterator[str]:
@@ -885,12 +981,21 @@ def _arith(op: str, a, b):
     if ta == tb == "number":
         if op == "*":
             return a * b
-        if b == 0:
-            raise JqRuntimeError(f"{ta} and {tb} cannot be divided because the divisor is zero")
         if op == "/":
+            if b == 0:
+                raise JqRuntimeError(
+                    f"{ta} and {tb} cannot be divided because the divisor is zero"
+                )
             return a / b
-        # jq's % is C-style truncation toward zero (gojq/jq: -7 % 3 == -1)
-        return int(math.fmod(int(a), int(b)))
+        # jq's % is C-style truncation toward zero (gojq/jq: -7 % 3 == -1);
+        # operands truncate FIRST, so a fractional divisor like 0.5 is a
+        # divide-by-zero jq error, not a bare Python math-domain ValueError
+        ib = int(b)
+        if ib == 0:
+            raise JqRuntimeError(
+                f"{ta} and {tb} cannot be divided because the divisor is zero"
+            )
+        return int(math.fmod(int(a), ib))
     if op == "/" and ta == tb == "string":
         return b and a.split(b) or list(a)
     if op == "*" and {ta, tb} == {"string", "number"}:
@@ -965,11 +1070,158 @@ def _ev_call(name: str, args, v, env) -> Iterator:
                         yield x
                         x += step
         return
+    if name in ("test", "match", "capture", "scan", "splits", "sub", "gsub") or (
+        name == "split" and len(args) == 2
+    ):
+        yield from _ev_regex(name, args, v, env)
+        return
     if name in _ARG_BUILTINS and args:
         for arg in _ev(args[0], v, env):
             yield _builtin1(name, v, arg)
         return
     yield from _builtin0(name, v)
+
+
+# ---------------------------------------------------------------------------
+# Regex builtins — jq's test/match/capture/scan/sub/gsub/splits/split(re;f)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=256)
+def _compile_cached(pat: str, pyflags: int):
+    return re.compile(pat, pyflags)
+
+
+def _regex_compile(re_s, flags_s: str):
+    """(compiled, global?, skip_empty?) with jq flag-string semantics."""
+    if not isinstance(re_s, str):
+        raise JqRuntimeError(f"{_jq_type(re_s)} cannot be matched, as it is not a string")
+    g = skip_empty = False
+    pyflags = 0
+    for c in flags_s:
+        if c == "g":
+            g = True
+        elif c == "i":
+            pyflags |= re.IGNORECASE
+        elif c == "x":
+            pyflags |= re.VERBOSE
+        elif c == "s":
+            pyflags |= re.DOTALL
+        elif c == "m":
+            pyflags |= re.MULTILINE
+        elif c == "n":
+            skip_empty = True
+        else:
+            raise JqRuntimeError(f"{flags_s} is not a valid modifier string")
+    # Oniguruma named groups (?<name>…) → Python (?P<name>…); the
+    # lookbehind forms (?<= and (?<! must pass through untouched
+    pat = re.sub(r"\(\?<(?![=!])", "(?P<", re_s)
+    try:
+        return _compile_cached(pat, pyflags), g, skip_empty
+    except re.error as e:
+        raise JqRuntimeError(f"{re_s} is not a valid regex: {e}") from e
+
+
+def _match_obj(m: "re.Match", cre: "re.Pattern") -> dict:
+    """jq's match object. Offsets are codepoint offsets — Python string
+    indices already are codepoints, so they transfer directly."""
+    names = {idx: nm for nm, idx in cre.groupindex.items()}
+    caps = []
+    for gi in range(1, cre.groups + 1):
+        s = m.group(gi)
+        if s is None:  # non-participating group
+            caps.append({"offset": -1, "length": 0, "string": None,
+                         "name": names.get(gi)})
+        else:
+            caps.append({"offset": m.start(gi), "length": m.end(gi) - m.start(gi),
+                         "string": s, "name": names.get(gi)})
+    return {"offset": m.start(), "length": m.end() - m.start(),
+            "string": m.group(0), "captures": caps}
+
+
+def _capture_obj(m: "re.Match", cre: "re.Pattern") -> dict:
+    """jq's capture object: named groups only (null when unmatched)."""
+    return {nm: m.group(nm) for nm in cre.groupindex}
+
+
+def _finditer(cre: "re.Pattern", v: str) -> Iterator["re.Match"]:
+    """Global scan with jq/Oniguruma's edge rule: a zero-width match at
+    end-of-string is not attempted (Python's finditer emits it) — except
+    on the empty string, where position 0 IS attempted and kept."""
+    for m in cre.finditer(v):
+        if v and m.start() == len(v) and not m.group(0):
+            continue
+        yield m
+
+
+def _ev_regex(name: str, args, v, env) -> Iterator:
+    if not isinstance(v, str):
+        raise JqRuntimeError(f"{_jq_type(v)} cannot be matched, as it is not a string")
+    fi = 2 if name in ("sub", "gsub") else 1  # flags arg position
+    flag_vals = list(_ev(args[fi], v, env)) if len(args) > fi else [""]
+    for flags_v in flag_vals:
+        if flags_v is None:
+            flags_v = ""
+        if not isinstance(flags_v, str):
+            raise JqRuntimeError(f"{_jq_type(flags_v)} is not a valid modifier string")
+        for re_v in _ev(args[0], v, env):
+            cre, g, skip_empty = _regex_compile(re_v, flags_v)
+            if name == "gsub":
+                g = True
+
+            def matches():
+                out = list(_finditer(cre, v))
+                if skip_empty:
+                    out = [m for m in out if m.group(0)]
+                return out if g else out[:1]
+
+            if name == "test":
+                yield bool(matches())
+            elif name == "match":
+                for m in matches():
+                    yield _match_obj(m, cre)
+            elif name == "capture":
+                for m in matches():
+                    yield _capture_obj(m, cre)
+            elif name == "scan":  # always global by definition
+                for m in _finditer(cre, v):
+                    if cre.groups == 0:
+                        yield m.group(0)
+                    else:
+                        yield [m.group(gi) for gi in range(1, cre.groups + 1)]
+            elif name in ("splits", "split"):
+                parts, pos = [], 0
+                for m in _finditer(cre, v):
+                    if skip_empty and not m.group(0):
+                        continue
+                    parts.append(v[pos:m.start()])
+                    pos = m.end()
+                parts.append(v[pos:])
+                if name == "split":
+                    yield parts
+                else:
+                    yield from parts
+            else:  # sub / gsub
+                yield from _regex_sub(cre, matches(), args[1], v, env)
+
+
+def _regex_sub(cre, ms: list, repl_ast, v: str, env) -> Iterator[str]:
+    """sub/gsub: the replacement is a jq filter evaluated with the NAMED
+    capture object as its input (so "\\(.name)" interpolation works); a
+    multi-output replacement yields one whole result per combination."""
+
+    def rec(i: int, pos: int, acc: str) -> Iterator[str]:
+        if i == len(ms):
+            yield acc + v[pos:]
+            return
+        m = ms[i]
+        for r in _ev(repl_ast, _capture_obj(m, cre), env):
+            if not isinstance(r, str):
+                raise JqRuntimeError(
+                    f"{_jq_type(r)} cannot be used as a sub replacement"
+                )
+            yield from rec(i + 1, m.end(), acc + v[pos:m.start()] + r)
+
+    yield from rec(0, 0, "")
 
 
 def _builtin1(name: str, v, arg):
@@ -996,7 +1248,9 @@ def _builtin1(name: str, v, arg):
             return v[len(arg):] if v.startswith(arg) else v
         if name == "rtrimstr":
             return v[: -len(arg)] if arg and v.endswith(arg) else v
-        return v.split(arg)
+        # jq's split("") yields the char list; Python raises ValueError,
+        # which would escape the JqRuntimeError hierarchy and defeat try/?
+        return v.split(arg) if arg else list(v)
     if name == "join":
         if not isinstance(v, list):
             raise JqRuntimeError(f"cannot join {_jq_type(v)}")
@@ -1092,11 +1346,9 @@ def _builtin0(name: str, v) -> Iterator:
         else:
             raise JqRuntimeError(f"cannot reverse {_jq_type(v)}")
     elif name in ("first", "last"):
-        if not isinstance(v, list):
-            raise JqRuntimeError(f"{name} needs an array")
-        if not v:
-            raise JqRuntimeError(f"{name} of empty array")
-        yield v[0] if name == "first" else v[-1]
+        # jq defines first ≡ .[0] and last ≡ .[-1]: out-of-range (empty
+        # array) and null input yield null; non-array input is a jq error
+        yield _get_index(v, 0 if name == "first" else -1)
     elif name in ("ascii_downcase", "ascii_upcase"):
         if not isinstance(v, str):
             raise JqRuntimeError(f"{name} needs a string")

@@ -173,6 +173,8 @@ def validate_expectations(
     """
     from pyspark.sql import functions as F
 
+    if not expectations:
+        raise ValueError("expectations must be non-empty")
     refs = refs or {}
     row_aggs: list[Column] = []
     row_meta: list[tuple[str, str]] = []

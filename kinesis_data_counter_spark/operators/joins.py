@@ -202,17 +202,29 @@ def bloom_prefilter_join(
     # string.
     ft = dict(fact.dtypes)[fact_key]
     dt = dict(dim.dtypes)[dim_key]
+
+    def _is_numeric(t: str) -> bool:
+        # decimal(p,s) is numeric too — hashing it through the string
+        # branch would render '7.00' vs '7' and falsely prune matches
+        return t in {"tinyint", "smallint", "int", "bigint", "float", "double"} or (
+            t.startswith("decimal")
+        )
+
     if ft == dt:
         common = None
+    elif _is_numeric(ft) and _is_numeric(dt):
+        # Spark's comparison coercion promotes numeric↔numeric through a
+        # wider numeric; double hashes identically on both sides.
+        common = "double"
+    elif "string" in (ft, dt) and (_is_numeric(ft) or _is_numeric(dt)):
+        # numeric↔string compares through double in Spark's coercion
+        common = "double"
     else:
-        numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
-        numericish = numeric | {"string"}
-        if {ft, dt} <= numericish and (ft in numeric or dt in numeric):
-            # Spark's comparison coercion promotes numeric↔numeric and
-            # numeric↔string through double; hash what the join compares.
-            common = "double"
-        else:
-            common = "string"
+        # Key-type pair outside the handled coercion set (date↔timestamp,
+        # binary↔string, …): a wrong common type would create false
+        # negatives, which this function's contract forbids. Skip the
+        # prefilter — the exact join alone is always correct.
+        return fact.join(dim, fact[fact_key] == dim[dim_key], "inner")
 
     def _hkey(col: Column) -> Column:
         return col.cast(common) if common else col

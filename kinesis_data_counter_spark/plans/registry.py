@@ -233,6 +233,31 @@ def _q_counter_jq_generic(spark, sf_dir):
     )
 
 
+def _q_text_jq_normalize(spark, sf_dir):
+    # round-5 (VERDICT r4 item 4 done-criterion): the interpreter's full
+    # jq surface — user ``def``s and the regex builtins (gsub / match /
+    # test) — applied per-document, then parsed back to typed columns so
+    # the DuckDB twin replays it with its own regex engine. NULL-text docs
+    # propagate NULL (the r4 NULL-parity discipline), and the whitespace
+    # squeeze + one-space trim is chosen so jq's ltrimstr/rtrimstr equals
+    # SQL trim exactly.
+    from kinesis_data_counter_spark.jq import apply_jq_generic
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    program = r"""
+def squeeze: gsub("\\s+"; " ") | ltrimstr(" ") | rtrimstr(" ");
+def ndigits: [match("[0-9]"; "g")] | length;
+{id: .doc_id,
+ clean: (if .text == null then null else (.text | squeeze) end),
+ nd: (if .text == null then null else (.text | ndigits) end),
+ has_url: (if .text == null then null else (.text | test("https?://")) end)}
+"""
+    out = apply_jq_generic(docs.select("doc_id", "text"), program)
+    return out.select(
+        F.from_json("value", "id long, clean string, nd long, has_url boolean").alias("r")
+    ).select("r.*")
+
+
 def _hll_ok(approx, exact):
     return (F.abs(approx - exact) <= F.greatest(F.lit(1.0), F.lit(HLL_TOL) * exact)).alias("ok")
 
@@ -3049,6 +3074,13 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_T}
 """
 
 _PIPELINE_ORACLES = {
+    "text_jq_normalize": r"""
+SELECT doc_id AS id,
+       trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS nd,
+       regexp_matches(text, 'https?://') AS has_url
+FROM documents
+""",
     "dedup_exact_props": f"""
 SELECT md5({_NORM_SQL.format(c='props')}) AS content_hash,
        count(*) AS n_dups, min(event_id) AS canonical_id
@@ -4311,6 +4343,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_jq_select": _q_counter_jq_select,
     "counter_jq_iterate": _q_counter_jq_iterate,
     "counter_jq_generic": _q_counter_jq_generic,
+    "text_jq_normalize": _q_text_jq_normalize,
     "counter_distinct_user": _q_counter_distinct_user,
     "counter_distinct_expr": _q_counter_distinct_expr,
     "counter_two_level": _q_counter_two_level,
@@ -4607,53 +4640,59 @@ FROM orders
 # windows, and the full training-data pipeline; everything else follows and
 # still runs in local verification.
 _SHOWCASE_ORDER = [
-    # Round-4 rotation (VERDICT r3 item 5): 17 never-driver-recorded
-    # entries rotate into the head. ROUND-5 ROTATION CANDIDATES (46
-    # entries still never driver-recorded; strongest first): the round-4
-    # additions outside the head — quality_expectations, corpus_curate_full,
-    # sample_leakage_safe_split, overlap_join_sessions, udtf_jq_lateral,
-    # embedding_pca_check, ann_pq_recall, rfm_segments_sketch,
-    # layout_compaction, dedup_exact_docs — plus long-tenured text_*,
-    # sample_*, stats_* and relational representatives. — every round-4-touched entry
-    # (counter_jq_generic, both knn_label_propagation paths,
-    # corpus_quality_tiers) plus long-unrecorded representatives
-    # (dedup_clusters, text_lm_score, gdpr_erasure_audit,
-    # layout_zorder_prune, profile_key_skew, sample_stratified,
-    # retention_cohorts, funnel_signup_purchase, udaf_weighted_median,
-    # grouping_sets_orders). The 14 ceded slots were all green in r1-r3
-    # recordings and keep running in local verification + tests.
+    # Round-5 rotation (VERDICT r4 item 1): the 10 named never-driver-
+    # recorded candidates rotate in (quality_expectations,
+    # corpus_curate_full, sample_leakage_safe_split, overlap_join_sessions,
+    # udtf_jq_lateral, embedding_pca_check, ann_pq_recall,
+    # rfm_segments_sketch, layout_compaction, dedup_exact_docs) plus the
+    # new text_jq_normalize (full jq surface: def + gsub/match/test) —
+    # 11 first-time-recorded rows. The 11 ceded slots
+    # (counter_count_expr_nonbool, counter_jq_iterate, theta_set_ops_users,
+    # tpch_q18, window_rank_orders, dedup_exact_props,
+    # dedup_embedding_cosine, dedup_incremental, scd2_user_state,
+    # corpus_clean, text_lang_id) all carry ≥2 driver-recorded green rounds
+    # and keep running in local verification + tests; every ceded family
+    # keeps at least one head representative. Never-driver-recorded after
+    # this rotation: 36 of 142.
+    # ROUND-6 ROTATION CANDIDATES (strongest first): stream-curate capstone
+    # entries if added, ann_lsh_recall, ann_ivf_recall, dedup_ngram_jaccard,
+    # corpus_pack_sequences, corpus_decontaminate, text_fingerprint,
+    # text_winnow, sample_hash_split, sessionize_users,
+    # range_join_session_events, events_transitions.
     #
     # reference-parity counter core (A1-A8, F1-F8)
-    "counter_count_all", "counter_count_expr_nonbool", "counter_json_props",
-    "counter_jq_iterate", "counter_jq_generic",
+    "counter_count_all", "counter_json_props", "counter_jq_generic",
     "counter_distinct_user", "counter_two_level", "counter_partial_merge",
+    # jq full-surface extension points (interpreter + SQL table function)
+    "udtf_jq_lateral", "text_jq_normalize",
     # sketch topologies
-    "quantile_rollup_value", "cms_heavy_hitters",
-    "theta_set_ops_users", "hll_rollup_hierarchy",
+    "quantile_rollup_value", "cms_heavy_hitters", "hll_rollup_hierarchy",
     # routing / config / streaming
     "counter_multi_fanout", "config_pipeline", "streaming_stateful_counts",
     # sources & wire formats
     "kpl_roundtrip", "counter_replay_source",
     # relational representatives (rest of TPC-H follows after the head)
-    "tpch_q1", "bloom_prune_join", "tpch_q18", "asof_split_skew",
+    "tpch_q1", "bloom_prune_join", "asof_split_skew",
     "grouping_sets_orders", "retention_cohorts", "funnel_signup_purchase",
     "udaf_weighted_median",
-    # time windows & data-shape diagnostics
-    "window_rank_orders", "profile_key_skew",
-    # dedup family (ngram_jaccard stays green outside the head; its slot
-    # shows the transitive-closure clustering instead)
-    "dedup_exact_props", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_embedding_cosine", "dedup_incremental", "dedup_clusters",
-    # similarity search / auto-labeling
-    "ann_cosine_topk", "ann_ivf_pq_recall", "knn_bucketed_recall",
-    "knn_label_propagation", "knn_label_propagation_bucketed",
+    # data-shape diagnostics / quality gate / layout
+    "profile_key_skew", "quality_expectations",
+    "layout_zorder_prune", "layout_compaction",
+    # interval joins
+    "overlap_join_sessions",
+    # dedup family
+    "dedup_exact_docs", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_clusters",
+    # similarity search / auto-labeling / embedding compression
+    "ann_cosine_topk", "ann_ivf_pq_recall", "ann_pq_recall",
+    "knn_bucketed_recall", "knn_label_propagation",
+    "knn_label_propagation_bucketed", "embedding_pca_check",
     # text analysis
-    "text_lang_id", "text_quality", "text_lm_score",
-    # corpus curation + sampling + governance + multimodal + CDC + layout
-    "corpus_clean", "corpus_segment_dedup", "corpus_quality_tiers",
-    "sample_stratified", "sample_token_budget", "gdpr_erasure_audit",
-    "multimodal_decode",
-    "scd2_user_state", "layout_zorder_prune",
+    "text_quality", "text_lm_score",
+    # corpus curation + sampling + governance + multimodal + segments
+    "corpus_segment_dedup", "corpus_quality_tiers", "corpus_curate_full",
+    "sample_stratified", "sample_token_budget", "sample_leakage_safe_split",
+    "rfm_segments_sketch", "gdpr_erasure_audit", "multimodal_decode",
 ]
 
 

@@ -376,6 +376,53 @@ def test_bloom_prefilter_join_mismatched_key_types_no_false_negatives(spark):
     assert got == want and len(want) > 0
 
 
+def test_bloom_prefilter_join_decimal_keys_no_false_negatives(spark):
+    # ADVICE r4: decimal(p,s) vs bigint fell into the string branch and
+    # hashed '7.00' vs '7' differently — a forbidden false negative. The
+    # decimal↔numeric pair must hash through double like the join coerces.
+    from pyspark.sql import functions as F
+
+    from kinesis_data_counter_spark.operators.joins import bloom_prefilter_join
+
+    fact = spark.createDataFrame([(i % 7, i) for i in range(200)], "k bigint, fid long")
+    dim = spark.createDataFrame([(3, "a"), (5, "b")], "dk bigint, payload string").select(
+        F.col("dk").cast("decimal(10,2)").alias("dk"), "payload"
+    )
+    want = sorted(
+        (r["fid"], r["payload"]) for r in fact.join(dim, fact.k == dim.dk).collect()
+    )
+    got = sorted(
+        (r["fid"], r["payload"])
+        for r in bloom_prefilter_join(fact, dim, "k", "dk").collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_bloom_prefilter_join_unhandled_type_pair_skips_prefilter(spark):
+    # date↔timestamp is outside the handled coercion set: a wrong common
+    # type would false-negative, so the operator must fall back to the
+    # plain (always-correct) join and still return every match.
+    import datetime
+
+    from kinesis_data_counter_spark.operators.joins import bloom_prefilter_join
+
+    d = datetime.date(2024, 3, 1)
+    fact = spark.createDataFrame(
+        [(d, 1), (datetime.date(2024, 3, 2), 2)], "k date, fid long"
+    )
+    dim = spark.createDataFrame(
+        [(datetime.datetime(2024, 3, 1, 0, 0, 0), "x")], "dk timestamp, payload string"
+    )
+    want = sorted(
+        (r["fid"], r["payload"]) for r in fact.join(dim, fact.k == dim.dk).collect()
+    )
+    got = sorted(
+        (r["fid"], r["payload"])
+        for r in bloom_prefilter_join(fact, dim, "k", "dk").collect()
+    )
+    assert got == want
+
+
 def test_bloom_prefilter_join_null_fact_keys_dropped(spark):
     # NULL fact keys can never match; the hash probe must not crash on them
     fact = spark.createDataFrame([(None, 1), (2, 2)], "k long, fid long")

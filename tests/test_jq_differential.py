@@ -272,6 +272,45 @@ MINI_CASES = [
      ]}),
     ('[.[] | .v] | {n: length, mean: (add / length)}', [{"v": 2}, {"v": 4}]),
     ('to_entries | map(select(.value > 1)) | from_entries', {"a": 1, "b": 2, "c": 3}),
+    # --- round-5 ADVICE pins: split(""), first/last of [] -------------------
+    ('split("")', "abc"),
+    ('split("")', ""),
+    ("first, last", []),
+    ("first, last", None),
+    # --- round-5: regex builtins -------------------------------------------
+    ('test("b")', "abc"),
+    ('test("B"; "i")', "abc"),
+    ('test("x")', "abc"),
+    ('test(""; "n")', "abc"),
+    ('[match("o"; "g")]', "foo boo"),
+    ('match("(?<x>o+)")', "foo boo"),
+    ('match("zz")', "foo"),
+    ('[match("b*"; "g")]', "ab"),  # zero-width end-of-string edge rule
+    ('[match(""; "g")] | length', ""),
+    ('capture("(?<a>[a-z]+)-(?<n>[0-9]+)")', "abc-42"),
+    ('[capture("(?<d>[0-9])"; "g")]', "a1b2"),
+    ('capture("(?<a>x)|(?<b>y)")', "y"),  # non-participating named group
+    ('[scan("[0-9]+")]', "a1b22c333"),
+    ('[scan("([a-z])([0-9])")]', "a1b2"),
+    ('sub("o"; "0")', "foo"),
+    ('gsub("o"; "0")', "foo"),
+    ('sub("(?<x>o+)"; "<\\(.x)>")', "foo boo"),
+    ('gsub("(?<x>[aeiou])"; "[\\(.x)]")', "hello"),
+    ('gsub("x"; "-")', "no match"),
+    ('split("[,;]"; "")', "a,b;c"),
+    ('[splits("[,;]")]', "a,b;;c"),
+    ('split(", *"; "")', "a, b,c"),
+    ('[splits("")]', "ab"),
+    # --- round-5: user-defined functions -----------------------------------
+    ("def f: . + 1; f", 1),
+    ("def double: . * 2; [.[] | double]", [1, 2]),
+    ("def add2(f): f + 2; add2(.a)", {"a": 1}),
+    ("def f($x): $x * 2; f(3)", None),
+    ("def f($x): x; f(3)", None),  # $-param visible under the bare name too
+    ("def fact: if . <= 1 then 1 else . * (. - 1 | fact) end; fact", 5),
+    ("def inc(f): f + 1; def twice(f): f | f; twice(inc(.))", 10),
+    (". | def f: 7; f", None),  # def after a pipe
+    ('def hits(re): [match(re; "g")] | length; hits("l")', "hello"),
 ]
 
 
@@ -318,19 +357,45 @@ def test_mini_jq_runtime_errors_match_jq_error_style():
         (".[]", 5),                   # iterate a scalar
         ('.a | keys', {"a": 5}),      # keys of a number
         ("1 / 0", None),              # divide by zero
+        ("5 % 0.5", None),            # divisor truncates to 0 → jq error,
+                                      # NOT a bare Python math-domain error
+        ('test("(")', "x"),           # invalid regex → jq error, not re.error
+        ('test("a"; "q")', "x"),      # bad modifier string
+        ('sub("a"; 1)', "abc"),       # non-string replacement
+        ('test("a")', 5),             # regex input must be a string
     ]:
         with pytest.raises(JqRuntimeError):
             list(compile_program(prog)(value))
+
+
+def test_mini_jq_regex_errors_are_suppressible_by_try():
+    # the whole point of keeping errors inside JqRuntimeError: jq-level
+    # try/? must be able to suppress them (ADVICE r4: bare ValueErrors
+    # escaped the hierarchy and failed whole jobs on one bad record)
+    from kinesis_data_counter_spark.jq_eval import compile_program
+
+    assert compile_program('try (5 % 0.5) catch "bad"').lines(None) == ['"bad"']
+    assert compile_program('try test("(") catch "bad"').lines("x") == ['"bad"']
+    assert compile_program("(5 % 0.5)? // 9").lines(None) == ["9"]
+
+
+def test_mini_jq_empty_pattern_gsub_terminates():
+    # real jq 1.x loops forever on gsub(""; ...) — a binary bug, so this
+    # case is pinned directly rather than differentially; the replacement
+    # sites are exactly the (differentially-pinned) match(""; "g") set,
+    # which excludes the zero-width end-of-string position
+    from kinesis_data_counter_spark.jq_eval import compile_program
+
+    assert compile_program('gsub(""; "-")').lines("ab") == ['"-a-b"']
 
 
 def test_mini_jq_unsupported_constructs_fail_at_compile_time():
     from kinesis_data_counter_spark.jq_eval import compile_program
 
     for prog in [
-        'test("a")',                # regex builtins
         ".a = 1",                   # path assignment
-        "def f: 1; f",              # function definitions
         "getpath([1])",             # unknown function
+        "undefined_func(1)",        # unknown function with args
         "select(.a",                # unbalanced
         '"\\(.a"',                  # unterminated interpolation
     ]:
@@ -401,6 +466,25 @@ def test_iterate_rejects_scalar_elements_and_bare_dot(spark):
         apply_jq(df, ".tags[]")
     with pytest.raises(JqUnsupported):
         apply_jq(df, ".[]")
+
+
+def test_jq_udtf_skips_per_record_runtime_errors(spark):
+    # ADVICE r4: a JqRuntimeError on one heterogeneous row must skip that
+    # record (S4 per-record-failure discipline), not fail the whole query —
+    # same contract as the bad-JSON path. Outputs from other rows survive.
+    from kinesis_data_counter_spark.functions.udtfs import jq_udtf
+
+    spark.udtf.register("jq_err_udtf", jq_udtf())
+    spark.createDataFrame(
+        [(1, '{"a": 2}'), (2, '{"a": "s"}'), (3, "not json"), (4, '{"a": 5}')],
+        "id long, payload string",
+    ).createOrReplaceTempView("jq_err_v")
+    rows = spark.sql(
+        "SELECT id, t.value FROM jq_err_v, "
+        "LATERAL jq_err_udtf(payload, '.a + 1') t ORDER BY id"
+    ).collect()
+    # row 2 hits string+number (JqRuntimeError), row 3 is bad JSON: skipped
+    assert [(r["id"], r["value"]) for r in rows] == [(1, "3"), (4, "6")]
 
 
 def test_eval_jq_object_refuses_multi_output():

@@ -144,3 +144,6 @@ def test_validate_expectations_all_green_and_errors(spark):
             df, [{"rule": "foreign_key", "column": "v", "ref": "x",
                   "ref_column": "y"}]
         )
+    # ADVICE r4: an empty expectations list raised an opaque IndexError
+    with pytest.raises(ValueError, match="non-empty"):
+        validate_expectations(df, [])
