@@ -832,11 +832,20 @@ def _q_stats_percentiles(spark, sf_dir):
     # approx returns an order statistic, exact interpolates — on small
     # groups the neighbor gap alone reaches ~2% of range, so the property
     # bound is 5% of range
-    tol = (F.col("hi") - F.col("lo")) * 0.05
-    ok = (F.abs(F.col("p50_approx") - F.col("p50_exact")) <= tol) & (
-        F.abs(F.col("p95_approx") - F.col("p95_exact")) <= tol
+    ok = _range_band_ok(
+        F.col("p50_approx"), F.col("p50_exact"), F.col("lo"), F.col("hi")
+    ) & _range_band_ok(
+        F.col("p95_approx"), F.col("p95_exact"), F.col("lo"), F.col("hi")
     )
     return agg.select("event_type", ok.alias("ok"))
+
+
+def _range_band_ok(approx, exact, lo, hi, frac: float = 0.05):
+    """|approx − exact| ≤ frac·(hi − lo): the approx-vs-exact percentile
+    property band. A named helper so tests/test_falsification.py can prove
+    the band REJECTS wrong estimates (the harness is evidence, not a
+    tautology)."""
+    return F.abs(approx - exact) <= (hi - lo) * frac
 
 
 def _q_events_interarrival(spark, sf_dir):
@@ -986,7 +995,16 @@ def _q_rfm_segments_sketch(spark, sf_dir):
         F.sum("cnt").alias("covered"),
         F.collect_list("cnt").alias("cnts"),
     )
-    out = (
+    return _quartile_bucket_props(agg, ties, tot)
+
+
+def _quartile_bucket_props(agg: DataFrame, ties: DataFrame, tot: DataFrame) -> DataFrame:
+    """(dim, partition_ok, size_ok) from bucket sizes + tie mass + totals —
+    the tie-aware bucket-by-thresholds property of _q_rfm_segments_sketch.
+    Named so tests/test_falsification.py can feed doctored inputs and prove
+    BOTH booleans can come out False (non-partitioning buckets; a
+    degenerate single bucket)."""
+    return (
         agg.join(ties, "dim").join(tot, "dim")
         .select(
             "dim",
@@ -1007,7 +1025,6 @@ def _q_rfm_segments_sketch(spark, sf_dir):
             (F.col("__dev") <= F.col("__tol")).alias("size_ok"),
         )
     )
-    return out
 
 
 def _q_window_rank_orders(spark, sf_dir):
@@ -4261,13 +4278,18 @@ def _q_corpus_quality_tiers(spark, sf_dir):
     tiers = CP.quality_tiers(docs, mode="sketch")
     counts = tiers.groupBy("tier").agg(F.count(F.lit(1)).alias("n"))
     tot = tiers.agg(F.count(F.lit(1)).alias("__n"))
-    # k=200 KLL normalized rank error is ~0.65% two-sided; 3% + a small
-    # absolute floor leaves room for boundary-score ties at tiny SFs
-    tol = F.greatest(F.lit(5.0), F.col("__n") * 0.03)
     return counts.crossJoin(F.broadcast(tot)).select(
         "tier",
-        (F.abs(F.col("n") - F.col("__n") / 3.0) <= tol).alias("size_ok"),
+        _tier_size_ok(F.col("n"), F.col("__n")).alias("size_ok"),
     )
+
+
+def _tier_size_ok(n, total, parts: int = 3, frac: float = 0.03, floor: float = 5.0):
+    """|n − total/parts| ≤ max(floor, frac·total): each tier's size must sit
+    within the KLL rank tolerance of an even split (k=200 normalized rank
+    error ~0.65% two-sided; 3% + a small absolute floor leaves room for
+    boundary-score ties at tiny SFs). Named for the falsification suite."""
+    return F.abs(n - total / float(parts)) <= F.greatest(F.lit(floor), total * frac)
 
 
 def _q_cms_heavy_hitters(spark, sf_dir):

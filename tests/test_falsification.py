@@ -1,0 +1,196 @@
+"""Falsification twins for every boolean-property oracle (VERDICT r4 item 2).
+
+A property harness that can only ever print True is not evidence — it is a
+tautology. ``dedup_exact_docs`` was green-because-empty until round 4
+(commit 1e3827a); this suite closes the sibling failure mode
+green-because-unfalsifiable: for each ok/size_ok/partition_ok/no_undercount
+family in the registry, a negative control feeds a deliberately broken
+input (crippled sketch, halved data, degenerate bucketing, wrong quantile)
+and asserts the boolean comes out **False**. The recall-family controls
+(LSH single-table, PQ no-refine, kNN agreement, PCA) live in
+tests/test_similarity.py (commit 5992507); this file covers the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import kinesis_data_counter_spark.operators.sketches as SK
+import kinesis_data_counter_spark.operators.similarity as SIM
+from kinesis_data_counter_spark.plans.registry import (
+    _hll_ok,
+    _quartile_bucket_props,
+    _range_band_ok,
+    _tier_size_ok,
+)
+
+
+def _one(spark, *cols):
+    return spark.range(1).select(*cols)
+
+
+def test_hll_tolerance_band_rejects_far_estimates(spark):
+    # the band behind counter_distinct_user/two_level/hll_rollup_hierarchy:
+    # |approx − exact| ≤ max(1, 2%·exact)
+    bad = _one(spark, _hll_ok(F.lit(1000.0), F.lit(10.0))).collect()[0][0]
+    good = _one(spark, _hll_ok(F.lit(10.0), F.lit(10.0))).collect()[0][0]
+    edge = _one(spark, _hll_ok(F.lit(11.0), F.lit(10.0))).collect()[0][0]
+    assert bad is False and good is True and edge is True
+
+
+def test_percentile_range_band_rejects(spark):
+    # stats_percentiles' ok: 5% of the value range
+    bad = _one(
+        spark, _range_band_ok(F.lit(990.0), F.lit(500.0), F.lit(0.0), F.lit(1000.0))
+    ).collect()[0][0]
+    good = _one(
+        spark, _range_band_ok(F.lit(510.0), F.lit(500.0), F.lit(0.0), F.lit(1000.0))
+    ).collect()[0][0]
+    assert bad is False and good is True
+
+
+def test_tier_size_band_rejects_uneven_tiers(spark):
+    # corpus_quality_tiers' size_ok: a tier holding 1/6 instead of 1/3
+    # of a 600-doc corpus must fail (tol = max(5, 18))
+    bad = _one(spark, _tier_size_ok(F.lit(100.0), F.lit(600.0))).collect()[0][0]
+    good = _one(spark, _tier_size_ok(F.lit(205.0), F.lit(600.0))).collect()[0][0]
+    assert bad is False and good is True
+
+
+def test_quartile_bucket_props_reject_broken_bucketing(spark):
+    # rfm_segments_sketch's two booleans:
+    # (a) buckets that do not partition the set → partition_ok False
+    # (b) a degenerate single bucket (all thresholds collapsed) → size_ok
+    #     False even though it technically "partitions"
+    agg = spark.createDataFrame(
+        [("a", 4, 900, [250, 250, 250, 150]),   # covered 900 != n 1000
+         ("b", 1, 1000, [1000])],               # one fat bucket
+        "dim string, n_buckets int, covered long, cnts array<long>",
+    )
+    ties = spark.createDataFrame([("a", 1), ("b", 1)], "dim string, tie_max long")
+    tot = spark.createDataFrame([("a", 1000), ("b", 1000)], "dim string, n long")
+    rows = {r["dim"]: r for r in _quartile_bucket_props(agg, ties, tot).collect()}
+    assert rows["a"]["partition_ok"] is False
+    assert rows["b"]["partition_ok"] is True and rows["b"]["size_ok"] is False
+    # positive control: an honest 4-way split passes both
+    agg_ok = spark.createDataFrame(
+        [("c", 4, 1000, [250, 250, 251, 249])],
+        "dim string, n_buckets int, covered long, cnts array<long>",
+    )
+    ties_ok = spark.createDataFrame([("c", 2)], "dim string, tie_max long")
+    tot_ok = spark.createDataFrame([("c", 1000)], "dim string, n long")
+    (r,) = _quartile_bucket_props(agg_ok, ties_ok, tot_ok).collect()
+    assert r["partition_ok"] is True and r["size_ok"] is True
+
+
+def test_cms_built_on_half_the_data_undercounts(spark):
+    # cms_heavy_hitters' no_undercount is CMS's one-sided guarantee — but
+    # only for a sketch that saw every row. A sketch built on HALF the
+    # stream must undercount the true totals, and the comparison must say
+    # so: est('a') ≤ 50 + 25 (all of b colliding) < 100.
+    rows = [("a",)] * 100 + [("b",)] * 50
+    df = spark.createDataFrame(rows, "item string")
+    half = spark.createDataFrame(rows[:50] + rows[100:125], "item string")
+    merged = SK.cms_merge(SK.cms_partials(half, "item", depth=4, hex_chars=2))
+    est = SK.cms_point_estimates(merged, df, "item", depth=4, hex_chars=2)
+    exact = df.groupBy(F.col("item")).agg(F.count(F.lit(1)).alias("exact"))
+    out = {
+        r["item"]: r
+        for r in est.join(exact, "item")
+        .select("item", (F.col("est") >= F.col("exact")).alias("no_undercount"))
+        .collect()
+    }
+    assert out["a"]["no_undercount"] is False
+    # positive control: the full-data sketch never undercounts
+    merged_full = SK.cms_merge(SK.cms_partials(df, "item", depth=4, hex_chars=2))
+    est_full = SK.cms_point_estimates(merged_full, df, "item", depth=4, hex_chars=2)
+    assert all(
+        r["ok"]
+        for r in est_full.join(exact, "item")
+        .select((F.col("est") >= F.col("exact")).alias("ok"))
+        .collect()
+    )
+
+
+def test_theta_exact_mode_comparison_discriminates(spark):
+    # counter_distinct_theta's oracle compares theta estimates against
+    # exact distincts (exact mode under 4096/group). A sketch fed only
+    # half the distinct values must NOT match — the equality compare is
+    # doing real work.
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base) for i in range(200)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    half = df.filter(F.col("user_id") < 100)
+    (r_half,) = SK.theta_distinct_windowed(half, "user_id", "1 hour").collect()
+    (r_full,) = SK.theta_distinct_windowed(df, "user_id", "1 hour").collect()
+    assert r_full["approx"] == 200 and r_half["approx"] == 100
+    assert r_half["approx"] != r_full["approx"]
+
+
+def test_kll_band_rejects_wrong_quantile(spark):
+    # quantile_rollup_value's ok: est must land between the exact
+    # percentiles at q∓0.04. Asking the sketch for p99 and holding it to
+    # the p50 band must fail on any spread-out distribution.
+    df = spark.range(1, 1001).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("value")
+    )
+    est = SK.quantile_two_level(df, "value", quantiles=(0.99,), group_col="g")
+    band = df.groupBy(F.col("g").alias("group")).agg(
+        F.percentile("value", F.lit(0.46)).alias("lo"),
+        F.percentile("value", F.lit(0.54)).alias("hi"),
+    )
+    (bad,) = (
+        est.join(band, "group")
+        .select(F.col("est").between(F.col("lo"), F.col("hi")).alias("ok"))
+        .collect()
+    )
+    assert bad["ok"] is False
+    # positive control: p50 against its own band passes
+    est50 = SK.quantile_two_level(df, "value", quantiles=(0.5,), group_col="g")
+    (good,) = (
+        est50.join(band, "group")
+        .select(F.col("est").between(F.col("lo"), F.col("hi")).alias("ok"))
+        .collect()
+    )
+    assert good["ok"] is True
+
+
+def _planted_vectors(spark, n=120, dim=8, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)], i % 3) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_ivf_recall_check_can_fail(spark):
+    # ann_ivf_recall's ok: nprobe=1 over many lists on isotropic data
+    # (ANN's worst case) must miss neighbors and report ok=False
+    df = _planted_vectors(spark, n=200, dim=16, seed=13)
+    queries = df.filter(F.col("vec_id") % 41 == 0)
+    (r,) = SIM.ann_recall_check(
+        df, queries, dim=16, k=10, min_recall=0.9,
+        method="ivf", num_lists=16, nprobe=1,
+    ).collect()
+    assert r["ok"] is False and r["recall"] < 0.9, r
+
+
+def test_quantized_recall_check_can_fail(spark):
+    # ann_quantized_recall's ok: a corpus with one huge constant dimension
+    # collapses the int8 code space (everything quantizes to [127,0,...]),
+    # so the quantized ranking is tie-broken noise → recall tanks
+    import random
+
+    rng = random.Random(17)
+    rows = [
+        (i, [50.0] + [rng.uniform(-0.5, 0.5) for _ in range(7)])
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 10)
+    (r,) = SIM.quantized_recall_check(df, queries, k=5, min_recall=0.9).collect()
+    assert r["ok"] is False and r["recall"] < 0.9, r

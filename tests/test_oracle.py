@@ -42,13 +42,22 @@ def test_every_query_has_builder_and_most_have_oracles():
     assert len(os_) / len(qs) >= 0.9
 
 
+# Empty at sf0.001 purely from filter selectivity (e.g. TPC-H q21's
+# multi-supplier-wait pattern needs more orders); proven non-empty at the
+# driver's sf0.01 by test_sparse_entries_nonempty_at_sf001 below. Any OTHER
+# entry returning 0 rows is vacuously green (the dedup_exact_docs failure
+# mode, commit 1e3827a) and must fail here.
+EMPTY_AT_SF0001 = {"counter_jq_iterate", "tpch_q7", "tpch_q11", "tpch_q20", "tpch_q21"}
+
+
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     fn = entry_mod.queries()[name]
     oracles = entry_mod.oracle_sql()
     sdf = fn(spark, sf_dir).toPandas()
+    if name not in EMPTY_AT_SF0001:
+        assert len(sdf) > 0, f"{name} is vacuously green: 0 rows at {sf_dir}"
     if name not in oracles:
-        assert len(sdf) >= 0  # rows-only check
         return
     odf = duck.execute(oracles[name]).df()
     assert sorted(sdf.columns) == sorted(odf.columns)
@@ -57,3 +66,11 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     s = sdf[cols].sort_values(by=cols).reset_index(drop=True)
     o = odf[cols].sort_values(by=cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("name", sorted(EMPTY_AT_SF0001))
+def test_sparse_entries_nonempty_at_sf001(spark, name):
+    # the driver records at sf0.01 — every selectivity-sparse entry must
+    # produce rows there, or its green row would be green-because-empty
+    fn = entry_mod.queries()[name]
+    assert fn(spark, "/root/testdata/sf0.01").count() > 0, name
