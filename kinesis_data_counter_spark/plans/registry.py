@@ -903,31 +903,34 @@ def _q_events_daily_anomaly(spark, sf_dir):
 
 def _q_rfm_segments(spark, sf_dir):
     # RFM segmentation: per-customer recency / frequency / monetary
-    # quartiles via ntile over a deterministic total order (metric, then
-    # custkey), reported as segment-cell sizes. Monetary stays an exact
-    # decimal through the ordering so both engines quartile identically.
-    # SCALE NOTE: an unpartitioned ntile is a single-partition sort — fine
-    # for a per-customer table (already |customers| rows after the first
-    # agg, ~1e8 at 100 TB: one fat but feasible task), but the unbounded
-    # formulation is percentile_approx quartile THRESHOLDS broadcast back
-    # as a bucket-by-comparison projection; exact ntile is kept here
-    # because the oracle contract needs deterministic bucket membership;
-    # the recorded scale path is rfm_segments_sketch below.
+    # quartiles over a deterministic total order (metric, then custkey),
+    # reported as segment-cell sizes. Monetary stays an exact decimal
+    # through the ordering so both engines quartile identically.
+    # SCALE (VERDICT r4 item 7): exact quartiles come from operators/
+    # windows.py::global_ntile — range-repartition + parallel per-range
+    # row_number + O(numPartitions) offset table — NOT the unpartitioned
+    # ntile window (a single-task sort of the whole customer table). Bucket
+    # membership is bit-identical to ntile, so the oracle keeps the plain
+    # ntile formulation; test_plans.py pins the no-SinglePartition-sort
+    # plan shape. The sketch sibling (rfm_segments_sketch) remains the
+    # threshold-based recorded path.
+    from kinesis_data_counter_spark.operators.windows import global_ntile
+
     (od,) = _tables(spark, sf_dir, "orders")
     per_cust = od.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("spend"),
-    )
-    q = lambda col, key: F.ntile(4).over(  # noqa: E731
-        Window.orderBy(F.col(col).asc(), F.col(key).asc())
-    )
-    seg = per_cust.select(
-        "o_custkey",
-        q("last_order", "o_custkey").alias("r_q"),
-        q("n_orders", "o_custkey").alias("f_q"),
-        q("spend", "o_custkey").alias("m_q"),
-    )
+    ).persist()
+    seg = per_cust.select("o_custkey")
+    for col, out in (("last_order", "r_q"), ("n_orders", "f_q"), ("spend", "m_q")):
+        tiles = global_ntile(
+            per_cust.select("o_custkey", col),
+            [F.col(col).asc(), F.col("o_custkey").asc()],
+            n_tiles=4,
+            out_col=out,
+        ).select("o_custkey", out)
+        seg = seg.join(tiles, "o_custkey")
     return seg.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("o_custkey").alias("custkey_sum"),

@@ -337,6 +337,17 @@ def test_rfm_sketch_has_no_window_sort(spark, sf_dir):
     assert "percentile_approx" in plan or "ObjectHashAggregate" in plan
 
 
+def test_rfm_exact_has_no_single_partition_sort(spark, sf_dir):
+    # VERDICT r4 item 7: the exact entry now quartiles via global_ntile
+    # (range repartition + parallel per-range row_number + broadcast offset
+    # table) — no ntile window over an unpartitioned order, which would
+    # plan Exchange SinglePartition + one fat Sort task
+    plan = _plan(spark, sf_dir, "rfm_segments")
+    assert "ntile" not in plan
+    assert "SinglePartition" not in plan
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+
+
 def test_token_budget_mix_never_shuffles_the_corpus(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sample_token_budget")
     # the only aggregates are per-source totals and the report; the doc

@@ -153,6 +153,69 @@ def test_firehose_writer_partition_side_puts(spark, tmp_path):
     assert all("shard_id" not in json.loads(r["Data"]) for r in recs)
 
 
+def test_kinesis_writer_exact_chunk_sequence(spark, tmp_path):
+    # single partition → deterministic chunking: 1203 rows must ship as
+    # exactly [500, 500, 203] (counter.go:525-537's put loop cap)
+    from kinesis_data_counter_spark.streaming.sinks import kinesis_writer
+
+    spool = str(tmp_path / "spool_seq")
+    df = spark.createDataFrame(
+        [("c", i) for i in range(1203)], "counter_id string, value long"
+    ).coalesce(1)
+    kinesis_writer(
+        "arn:aws:kinesis:us-east-1:1:stream/out",
+        client_factory=_spool_client_factory(spool),
+    )(df, epoch_id=0)
+    sizes = sorted(len(c["records"]) for c in _read_spool(spool))
+    assert sizes == [203, 500, 500]
+
+
+def test_put_writers_reject_wrong_service_arn():
+    import pytest
+
+    from kinesis_data_counter_spark.streaming.sinks import (
+        firehose_writer,
+        kinesis_writer,
+    )
+
+    with pytest.raises(ValueError, match="not a kinesis stream"):
+        kinesis_writer("arn:aws:firehose:r:1:deliverystream/d")
+    with pytest.raises(ValueError, match="not a firehose"):
+        firehose_writer("arn:aws:kinesis:r:1:stream/s")
+
+
+def test_put_writers_gate_cleanly_without_boto3(spark):
+    # boto3 is absent in this container BY DESIGN: without an injected
+    # client the writers must fail loudly at WRITE time (not import time),
+    # before any executor work is scheduled
+    import pytest
+
+    from kinesis_data_counter_spark.streaming import sinks
+
+    if sinks._HAS_BOTO3:  # pragma: no cover - container has no boto3
+        pytest.skip("boto3 present; gate branch unreachable")
+    df = spark.createDataFrame([("c", 1)], "counter_id string, value long")
+    with pytest.raises(NotImplementedError, match="boto3"):
+        sinks.kinesis_writer("arn:aws:kinesis:r:1:stream/s")(df, 0)
+    with pytest.raises(NotImplementedError, match="boto3"):
+        sinks.firehose_writer("arn:aws:firehose:r:1:deliverystream/d")(df, 0)
+
+
+def test_dry_run_routes_to_console_end_to_end(spark):
+    # the ignorePutRecord contract (counter.go:58-60): dry_run with a REAL
+    # kinesis ARN must print the records instead of putting them
+    import io
+
+    buf = io.StringIO()
+    w = writer_for_arn(
+        "arn:aws:kinesis:us-east-1:1:stream/out", dry_run=True, stream=buf
+    )
+    df = spark.createDataFrame([("c1", 7)], "counter_id string, value long")
+    w(df, 0)
+    (line,) = [ln for ln in buf.getvalue().splitlines() if ln]
+    assert json.loads(line) == {"counter_id": "c1", "value": 7}
+
+
 def test_batch_keyed_writes_are_replay_idempotent(spark, tmp_path):
     # a crash between the foreachBatch write and the checkpoint commit
     # replays the batch: the re-write must REPLACE the epoch's output, not

@@ -198,3 +198,42 @@ def test_sessionize_bulk_random_properties(spark):
         ends = got["session_end"].to_numpy()
         assert (ends >= starts).all()
         assert ((starts[1:] - ends[:-1]) > gap_ms).all()  # (b)
+
+
+def test_global_ntile_matches_window_ntile_exactly(spark):
+    # the scalable formulation must be bit-identical to ntile's bucket
+    # membership across remainder cases and the n < tiles degenerate
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kinesis_data_counter_spark.operators.windows import global_ntile
+
+    rng = random.Random(3)
+    for n, tiles in [(1000, 4), (7, 4), (3, 4), (101, 3), (250, 7)]:
+        rows = [(i, rng.randint(0, 50)) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, metric long").repartition(8)
+        want = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id",
+                F.ntile(tiles).over(Window.orderBy("metric", "id")).alias("t"),
+            ).collect()
+        }
+        got = {
+            r["id"]: r["tile"]
+            for r in global_ntile(
+                df, [F.col("metric").asc(), F.col("id").asc()], n_tiles=tiles
+            ).collect()
+        }
+        assert got == want, (n, tiles)
+
+
+def test_global_ntile_empty_input(spark):
+    from pyspark.sql import functions as F
+
+    from kinesis_data_counter_spark.operators.windows import global_ntile
+
+    df = spark.createDataFrame([], "id long, metric long")
+    assert global_ntile(df, [F.col("metric"), F.col("id")]).count() == 0
