@@ -86,10 +86,45 @@ BENCH_QUERIES = [
     "quality_expectations",
     "corpus_curate_full",
     "counter_jq_generic",
+    # round-5 additions: full-jq-surface normalize (def + regex builtins),
+    # the sketch-mode RFM recorded path, cluster-keyed leakage-safe
+    # splitting, and the PCA moment-pass compression check
+    "text_jq_normalize",
+    "rfm_segments_sketch",
+    "sample_leakage_safe_split",
+    "embedding_pca_check",
 ]
 
 
+# the 5 heaviest families: scaling-curvature spot check at sf1 (10× data).
+# Expected wall-time growth is ~linear in data (plus fixed overheads that
+# make small-SF ratios land UNDER 10); anything well past the shuffle-growth
+# band flags a plan whose cost curve would not survive 100×.
+SF1_SPOT_QUERIES = [
+    "corpus_curate_full",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "ann_pq_recall",
+    "knn_label_propagation_bucketed",
+]
+SF1_LINEAR_BAND = 15.0  # 10× data + superlinear shuffle slack
+
+
+def _wait_for_quiet(max_load: float, max_wait_s: float) -> float:
+    """Block until 1-min loadavg < max_load (bounded): min-of-3 under an
+    11+ loadavg is ±40% noise (VERDICT r4 item 8), making round-over-round
+    deltas unadjudicable. Returns seconds waited."""
+    waited = 0.0
+    while os.getloadavg()[0] >= max_load and waited < max_wait_s:
+        time.sleep(10)
+        waited += 10
+    return waited
+
+
 def main() -> None:
+    max_load = float(os.environ.get("SPARK_BENCH_MAX_LOAD", "4.0"))
+    max_wait = float(os.environ.get("SPARK_BENCH_LOAD_WAIT", "600"))
+    waited_s = _wait_for_quiet(max_load, max_wait)
     load_before = os.getloadavg()
     spark = get_spark(app_name="kdc-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -114,6 +149,38 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
+    # scaling-curvature spot-bench (VERDICT r4 item 5): the heaviest
+    # families re-timed at sf1 (10× documents/embeddings, generated
+    # deterministically on first use); ratio vs this run's sf0.1 numbers.
+    # Gated off when benching a non-default SF or via SPARK_BENCH_SF1=0.
+    sf1_spot: dict[str, dict] = {}
+    if os.environ.get("SPARK_BENCH_SF1", "1") == "1" and SF_DIR.rstrip("/").endswith("sf0.1"):
+        try:
+            from scripts.gen_scale_fixtures import ensure_sf1
+
+            sf1_dir = ensure_sf1(SF_DIR)
+            for name in SF1_SPOT_QUERIES:
+                best = None
+                for _ in range(2):
+                    t0 = time.time()
+                    QUERIES[name].builder(spark, sf1_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                ratio = round(best / timings[name], 2) if timings.get(name) else None
+                sf1_spot[name] = {
+                    "sf0.1_s": timings.get(name),
+                    "sf1_s": round(best, 3),
+                    "ratio": ratio,
+                    "verdict": (
+                        "linear-ish" if ratio is not None and ratio <= SF1_LINEAR_BAND
+                        else "SUPERLINEAR: investigate"
+                    ),
+                }
+        except Exception as e:  # spot-bench must never sink the main metric
+            sf1_spot = {"error": f"{type(e).__name__}: {e}"}
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -127,9 +194,13 @@ def main() -> None:
                 "runs": max(1, runs),
                 # ambient-load stamps (1/5/15-min loadavg before and after):
                 # cross-round timing drift is only adjudicable when both
-                # rounds ran on a comparably quiet machine (VERDICT r3 §perf)
+                # rounds ran on a comparably quiet machine (VERDICT r3 §perf);
+                # the quiet-wait gate (r4 item 8) blocks until loadavg <
+                # SPARK_BENCH_MAX_LOAD or SPARK_BENCH_LOAD_WAIT runs out
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                "quiet_wait_s": waited_s,
+                "sf1_spot": sf1_spot,
             }
         )
     )

@@ -1,0 +1,94 @@
+"""Deterministic sf1 fixtures for the scaling-curvature spot-bench
+(VERDICT r4 item 5): 10x the sf0.1 documents/embeddings tables, built so
+the WORKLOAD character scales linearly instead of degenerating.
+
+- documents: 10 replicas with offset doc_ids; replicas k>0 suffix every
+  word with "_k", which keeps each replica's internal dup/near-dup
+  structure identical to sf0.1 while guaranteeing ZERO cross-replica
+  shingle collisions — naive copies would make every doc a 10-way
+  duplicate and quadratically explode the dedup pair tables, which is a
+  different (and unrealistic) workload, not a scale-up.
+- embeddings: replica 0 is the original; replicas k>0 draw fresh vectors
+  from the same isotropic distribution (seeded per replica) with the
+  original label multiset, so ANN bucket occupancy grows linearly.
+
+Pure pyarrow/numpy — no Spark needed; regenerating is idempotent and
+seconds-fast, so the parquet outputs stay out of git.
+"""
+
+from __future__ import annotations
+
+import os
+
+REPLICAS = 10
+DOC_OFFSET = 1_000_000
+VEC_OFFSET = 100_000
+
+
+def ensure_sf1(
+    src_dir: str = "/root/testdata/sf0.1",
+    out_dir: str | None = None,
+) -> str:
+    """Create (once) and return the sf1 fixture directory."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = out_dir or os.path.join(repo, "fixtures", "sf1")
+    docs_path = os.path.join(out_dir, "documents.parquet")
+    emb_path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(docs_path) and os.path.exists(emb_path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = pq.read_table(os.path.join(src_dir, "documents.parquet"))
+    d = docs.to_pydict()
+    out = {k: [] for k in ("doc_id", "text", "lang", "source", "n_chars")}
+    for k in range(REPLICAS):
+        for i in range(len(d["doc_id"])):
+            text = d["text"][i]
+            if k > 0 and text is not None:
+                text = " ".join(w + f"_{k}" for w in text.split(" "))
+            out["doc_id"].append(d["doc_id"][i] + k * DOC_OFFSET)
+            out["text"].append(text)
+            out["lang"].append(d["lang"][i])
+            out["source"].append(d["source"][i])
+            out["n_chars"].append(len(text) if text is not None else None)
+    pq.write_table(
+        pa.table(out, schema=pa.schema([
+            ("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+            ("source", pa.string()), ("n_chars", pa.int64()),
+        ])),
+        docs_path,
+    )
+
+    emb = pq.read_table(os.path.join(src_dir, "embeddings.parquet"))
+    e = emb.to_pydict()
+    n, dim = len(e["vec_id"]), len(e["embedding"][0])
+    ids, vecs, labels = [], [], []
+    for k in range(REPLICAS):
+        ids.extend(v + k * VEC_OFFSET for v in e["vec_id"])
+        labels.extend(e["label"])
+        if k == 0:
+            vecs.extend(e["embedding"])
+        else:
+            rng = np.random.default_rng(1000 + k)
+            fresh = rng.uniform(-0.5, 0.5, (n, dim)).astype(np.float32)
+            vecs.extend(fresh.tolist())
+    pq.write_table(
+        pa.table(
+            {"vec_id": ids, "embedding": vecs, "label": labels},
+            schema=pa.schema([
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]),
+        ),
+        emb_path,
+    )
+    return out_dir
+
+
+if __name__ == "__main__":
+    print(ensure_sf1())

@@ -1005,3 +1005,101 @@ def test_update_mode_emits_corrections_and_converges_to_batch(spark, sf_dir):
     assert last == want and want
     if n_batches > 1:
         assert max(emissions_per_window.values()) > 1  # corrections happened
+
+
+def _ascending_doc_slices(spark, sf_dir, src, n_slices=3):
+    """Write documents as n ascending-doc_id parquet files with strictly
+    increasing mtimes so the file source drains them in id order (arrival
+    order plays the batch path's min-id survivor tie-break)."""
+    import os
+    import time as _time
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "text"
+    )
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) * k // n_slices] for k in range(1, n_slices)]
+    os.makedirs(src, exist_ok=True)
+    from pyspark.sql import functions as SF
+
+    lo = None
+    for k in range(n_slices):
+        hi = cuts[k] if k < len(cuts) else None
+        part = docs
+        if lo is not None:
+            part = part.filter(SF.col("doc_id") >= lo)
+        if hi is not None:
+            part = part.filter(SF.col("doc_id") < hi)
+        pdir = f"{src}/slice{k}"
+        part.coalesce(1).write.parquet(pdir)
+        t = _time.time() + k  # strictly increasing mtimes, slice order
+        for f in os.listdir(pdir):
+            if f.endswith(".parquet"):
+                os.utime(f"{pdir}/{f}", (t, t))
+                os.rename(f"{pdir}/{f}", f"{src}/part{k}.parquet")
+        lo = hi
+    return docs
+
+
+def test_stream_curate_equals_batch_capstone(spark, sf_dir, tmp_path):
+    # VERDICT r4 item 6: the full curation capstone as ONE stream — gate →
+    # exact dedup vs hash index → band-index probe per batch, split +
+    # accounting at drain — must equal the batch corpus_curate_full entry
+    # after all batches drain (ascending-id arrival).
+    from kinesis_data_counter_spark.plans.registry import QUERIES
+    from kinesis_data_counter_spark.streaming.runner import stream_curate
+
+    src = str(tmp_path / "docs_in")
+    _ascending_doc_slices(spark, sf_dir, src, n_slices=3)
+    got = {
+        r["split"]: (r["n_docs"], r["n_tokens"])
+        for r in stream_curate(spark, src, str(tmp_path / "curate")).collect()
+    }
+    want = {
+        r["split"]: (r["n_docs"], r["n_tokens"])
+        for r in QUERIES["corpus_curate_full"].builder(spark, sf_dir).collect()
+    }
+    assert got == want and sum(n for n, _ in want.values()) > 0
+    # gate rejections were quarantined with reasons, batch-keyed
+    rej = spark.read.parquet(str(tmp_path / "curate" / "rejected"))
+    assert {r["reason"] for r in rej.collect()} <= {"quality", "language"}
+
+
+def test_stream_curate_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    # mid-stream crash contract: re-running one epoch's batch body (the
+    # replay after a crash between write and checkpoint commit) must leave
+    # the drain-time result unchanged — every store is batch-keyed and
+    # every history read excludes the replayed epoch itself
+    import kinesis_data_counter_spark.operators.sampling as SP
+    from kinesis_data_counter_spark.operators.text import token_count
+    from kinesis_data_counter_spark.streaming.runner import (
+        _curate_batch,
+        _read_batch_keyed,
+        stream_curate,
+    )
+    from pyspark.sql import functions as SF
+
+    src = str(tmp_path / "docs_in")
+    _ascending_doc_slices(spark, sf_dir, src, n_slices=3)
+    work = str(tmp_path / "curate")
+    before = {
+        r["split"]: (r["n_docs"], r["n_tokens"])
+        for r in stream_curate(spark, src, work).collect()
+    }
+    # replay epoch 1 with exactly the rows it originally processed
+    replay_df = spark.read.parquet(f"{src}/part1.parquet")
+    _curate_batch(spark, replay_df, 1, work)
+
+    docs = _read_batch_keyed(spark, f"{work}/docs")
+    pairs = _read_batch_keyed(spark, f"{work}/pairs").select("a_id", "b_id")
+    after = {
+        r["split"]: (r["n_docs"], r["n_tokens"])
+        for r in SP.leakage_safe_split(docs, pairs)
+        .groupBy("split")
+        .agg(
+            SF.count(SF.lit(1)).alias("n_docs"),
+            SF.sum(token_count(SF.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .collect()
+    }
+    assert after == before
