@@ -735,10 +735,11 @@ def apply_jq_generic(df: DataFrame, program: str) -> DataFrame:
     when installed, else the dependency-free pure-Python mini-jq
     interpreter (:mod:`kinesis_data_counter_spark.jq_eval`, differential-
     tested against the real jq binary). The interpreter covers ``..``
-    recursion, try/catch, ``reduce``, user ``def``s, and the regex
-    builtins; the remaining out-of-core constructs (path assignment
-    ``|=``/``setpath``, slices) raise :class:`JqUnsupported` at driver
-    time, before any executor work is scheduled.
+    recursion, try/catch, ``reduce``, user ``def``s, the regex builtins,
+    and path assignment (``= |= += …``, ``del``, ``setpath``/``paths``);
+    the remaining out-of-core constructs (slices ``.[a:b]``,
+    ``label``/``foreach``, format strings) raise :class:`JqUnsupported`
+    at driver time, before any executor work is scheduled.
     """
     from collections.abc import Iterator
 

@@ -20,14 +20,17 @@ Python JSON values, implementing the jq core —
   builtins (``test`` / ``match`` / ``capture`` / ``scan`` / ``sub`` /
   ``gsub`` / ``splits`` / ``split/2`` with the g i x s m n flags), and
   user-defined functions (``def f: ...;`` / ``def f(x; $y): ...;`` with
-  call-by-name filter params, ``$``-value params, and recursion).
+  call-by-name filter params, ``$``-value params, and recursion), path
+  expressions and assignment (``= |= += -= *= /= %= //=``, ``del``,
+  ``path`` / ``paths`` / ``leaf_paths`` / ``getpath`` / ``setpath`` /
+  ``delpaths``), and the type filters (``numbers`` / ``strings`` / …).
 
 Semantics are pinned against the real /usr/bin/jq binary by
 tests/test_jq_differential.py (evaluation order of binary operators is
 right-operand-outer, integral doubles print as integers, the jq total
 order null < false < true < numbers < strings < arrays < objects, missing
-object fields read as null). Constructs outside this core (path
-assignment ``|=``/``setpath``, slices) raise
+object fields read as null). Constructs outside this core (slices
+``.[a:b]``, ``label``/``foreach``, format strings) raise
 :class:`~kinesis_data_counter_spark.jq.JqUnsupported` at COMPILE time, so
 callers fail before any executor work is scheduled. Regex dialect note:
 patterns run on Python ``re`` with ``(?<name>…)`` translated to
@@ -79,8 +82,10 @@ _PUNCT = (
     ".",
     "$",
 )
-_OPS2 = ("==", "!=", "<=", ">=", "//")
-_OPS1 = ("<", ">", "+", "-", "*", "/", "%")
+_OPS3 = ("//=",)
+_OPS2 = ("==", "!=", "<=", ">=", "//", "|=", "+=", "-=", "*=", "/=", "%=")
+_OPS1 = ("<", ">", "+", "-", "*", "/", "%", "=")
+_ASSIGN_OPS = ("=", "|=", "+=", "-=", "*=", "/=", "%=", "//=")
 _KEYWORDS = {
     "and",
     "or",
@@ -115,6 +120,10 @@ def _tokenize(src: str) -> list[tuple[str, object]]:
         c = src[i]
         if c.isspace():
             i += 1
+            continue
+        if src[i : i + 3] in _OPS3:
+            toks.append(("op", src[i : i + 3]))
+            i += 3
             continue
         two = src[i : i + 2]
         if two == "..":
@@ -258,6 +267,28 @@ _ZERO_ARG_BUILTINS = {
     "flatten",
     "explode",
     "implode",
+    "paths",
+    "leaf_paths",
+    # type filters: select the input by its type
+    "numbers",
+    "strings",
+    "booleans",
+    "nulls",
+    "arrays",
+    "objects",
+    "iterables",
+    "scalars",
+}
+
+_TYPE_FILTERS = {
+    "numbers": lambda v: isinstance(v, (int, float)) and not isinstance(v, bool),
+    "strings": lambda v: isinstance(v, str),
+    "booleans": lambda v: isinstance(v, bool),
+    "nulls": lambda v: v is None,
+    "arrays": lambda v: isinstance(v, list),
+    "objects": lambda v: isinstance(v, dict),
+    "iterables": lambda v: isinstance(v, (list, dict)),
+    "scalars": lambda v: not isinstance(v, (list, dict)),
 }
 _ARG_BUILTINS = {
     "select": 1,
@@ -286,6 +317,12 @@ _ARG_BUILTINS = {
     "splits": (1, 2),
     "sub": (2, 3),
     "gsub": (2, 3),
+    # path machinery
+    "del": 1,
+    "path": 1,
+    "getpath": 1,
+    "setpath": 2,
+    "delpaths": 1,
 }
 
 
@@ -373,9 +410,19 @@ class _P:
         return items[0] if len(items) == 1 else ("comma", items)
 
     def parse_alt(self):
-        left = self.parse_or()
+        left = self.parse_assign()
         while self.accept("op", "//"):
-            left = ("alt", left, self.parse_or())
+            left = ("alt", left, self.parse_assign())
+        return left
+
+    def parse_assign(self):
+        # jq precedence: assignment sits between '//' and 'or'; nonassoc
+        left = self.parse_or()
+        k, op = self.peek()
+        if k == "op" and op in _ASSIGN_OPS:
+            self.next()
+            right = self.parse_or()
+            return ("setop", op, left, right)
         return left
 
     def parse_or(self):
@@ -837,6 +884,8 @@ def _ev(ast, v, env) -> Iterator:
         yield acc
     elif kind == "call":
         yield from _ev_call(ast[1], ast[2], v, env)
+    elif kind == "setop":
+        yield from _ev_setop(ast[1], ast[2], ast[3], v, env)
     elif kind == "def":
         # ("def", name, params, body, rest): bind a closure whose env
         # contains itself (recursion), then run the rest of the pipeline
@@ -1075,11 +1124,286 @@ def _ev_call(name: str, args, v, env) -> Iterator:
     ):
         yield from _ev_regex(name, args, v, env)
         return
+    if name == "path":
+        for p in _paths_of(args[0], v, env):
+            yield list(p)
+        return
+    if name == "del":
+        yield _delpaths(v, list(_paths_of(args[0], v, env)))
+        return
+    if name == "getpath":
+        for p in _ev(args[0], v, env):
+            if not isinstance(p, list):
+                raise JqRuntimeError("getpath path must be an array")
+            yield _getpath(v, p)  # wrong-type steps error, like real jq
+        return
+    if name == "setpath":
+        for val in _ev(args[1], v, env):
+            for p in _ev(args[0], v, env):
+                if not isinstance(p, list):
+                    raise JqRuntimeError("setpath path must be an array")
+                yield _setpath(v, p, val)
+        return
+    if name == "delpaths":
+        for ps in _ev(args[0], v, env):
+            if not isinstance(ps, list):
+                raise JqRuntimeError("delpaths paths must be an array")
+            yield _delpaths(v, ps)
+        return
     if name in _ARG_BUILTINS and args:
         for arg in _ev(args[0], v, env):
             yield _builtin1(name, v, arg)
         return
     yield from _builtin0(name, v)
+
+
+# ---------------------------------------------------------------------------
+# Path machinery — path()/getpath/setpath/delpaths/del and the assignment
+# operators (= |= += -= *= /= %= //=), jq's `path expressions` chapter
+# ---------------------------------------------------------------------------
+
+def _paths_of(ast, v, env) -> Iterator[list]:
+    """Concrete paths (lists of string keys / int indices) denoted by a
+    path expression evaluated against ``v`` — jq's ``path()`` semantics.
+    Raises JqRuntimeError on non-path constructs so callers fail like jq
+    ("Invalid path expression")."""
+    kind = ast[0]
+    if kind == "identity":
+        yield []
+    elif kind == "recurse":
+        def walk(x, p):
+            yield list(p)
+            if isinstance(x, list):
+                for i, e in enumerate(x):
+                    yield from walk(e, p + [i])
+            elif isinstance(x, dict):
+                for k2, e in x.items():
+                    yield from walk(e, p + [k2])
+
+        yield from walk(v, [])
+    elif kind == "field":
+        for p in _paths_of(ast[1], v, env):
+            base = _getpath(v, p)
+            if base is not None and not isinstance(base, dict):
+                raise JqRuntimeError(
+                    f'cannot index {_jq_type(base)} with "{ast[2]}"'
+                )
+            yield p + [ast[2]]
+    elif kind == "index":
+        for idx in _ev(ast[2], v, env):
+            for p in _paths_of(ast[1], v, env):
+                base = _getpath(v, p)
+                if isinstance(idx, str):
+                    if base is not None and not isinstance(base, dict):
+                        raise JqRuntimeError(
+                            f'cannot index {_jq_type(base)} with "{idx}"'
+                        )
+                    yield p + [idx]
+                elif isinstance(idx, bool) or not isinstance(idx, (int, float)):
+                    raise JqRuntimeError(f"cannot index with {_jq_type(idx)}")
+                else:
+                    if base is not None and not isinstance(base, list):
+                        raise JqRuntimeError(
+                            f"cannot index {_jq_type(base)} with number"
+                        )
+                    i = int(idx)
+                    if i < 0:
+                        n = len(base) if isinstance(base, list) else 0
+                        i += n
+                        if i < 0:
+                            raise JqRuntimeError(
+                                "Out of bounds negative array index"
+                            )
+                    yield p + [i]
+    elif kind == "iterate":
+        for p in _paths_of(ast[1], v, env):
+            base = _getpath(v, p)
+            if isinstance(base, list):
+                for i in range(len(base)):
+                    yield p + [i]
+            elif isinstance(base, dict):
+                for k2 in base:
+                    yield p + [k2]
+            elif base is None:
+                continue  # jq: null iterates to nothing in path context
+            else:
+                raise JqRuntimeError(f"cannot iterate over {_jq_type(base)}")
+    elif kind == "pipe":
+        for p1 in _paths_of(ast[1], v, env):
+            sub = _getpath(v, p1)
+            for p2 in _paths_of(ast[2], sub, env):
+                yield p1 + p2
+    elif kind == "comma":
+        for item in ast[1]:
+            yield from _paths_of(item, v, env)
+    elif kind in ("try", "trycatch"):
+        gen = _paths_of(ast[1], v, env)
+        while True:
+            try:
+                p = next(gen)
+            except StopIteration:
+                break
+            except JqRuntimeError:
+                break
+            yield p
+    elif kind == "call" and ast[1] == "select":
+        for c in _ev(ast[2][0], v, env):
+            if _truthy(c):
+                yield []
+    elif kind == "call" and ast[1] in _TYPE_FILTERS:
+        if _TYPE_FILTERS[ast[1]](v):
+            yield []
+    elif kind == "call" and ast[1] == "empty":
+        return
+    elif kind == "call" and ast[1] == "getpath":
+        for p in _ev(ast[2][0], v, env):
+            if not isinstance(p, list):
+                raise JqRuntimeError("getpath path must be an array")
+            yield list(p)
+    elif kind == "if":
+        yield from _ev_if_paths(ast[1], ast[2], v, env)
+    else:
+        raise JqRuntimeError(f"invalid path expression: {kind}")
+
+
+def _ev_if_paths(branches, els, v, env) -> Iterator[list]:
+    def rec(i: int):
+        if i == len(branches):
+            yield from _paths_of(els, v, env)
+            return
+        cond, then = branches[i]
+        for c in _ev(cond, v, env):
+            if _truthy(c):
+                yield from _paths_of(then, v, env)
+            else:
+                yield from rec(i + 1)
+
+    yield from rec(0)
+
+
+def _getpath(v, path: list):
+    """Walk a concrete path; missing keys read as null, wrong types error
+    (the .foo / .[i] access rules applied stepwise)."""
+    cur = v
+    for k in path:
+        if isinstance(k, str):
+            cur = _get_field(cur, k)
+        else:
+            cur = _get_index(cur, k)
+    return cur
+
+
+def _setpath(v, path: list, val):
+    """Immutable deep-set: copies only the spine, creates objects/arrays
+    under null, pads arrays with nulls, resolves negative indices."""
+    if not path:
+        return val
+    k, rest = path[0], path[1:]
+    if isinstance(k, str):
+        if v is None:
+            base: dict = {}
+        elif isinstance(v, dict):
+            base = dict(v)
+        else:
+            raise JqRuntimeError(f'cannot index {_jq_type(v)} with "{k}"')
+        base[k] = _setpath(base.get(k), rest, val)
+        return base
+    if isinstance(k, bool) or not isinstance(k, (int, float)):
+        raise JqRuntimeError(f"cannot index with {_jq_type(k)}")
+    i = int(k)
+    if v is None:
+        arr: list = []
+    elif isinstance(v, list):
+        arr = list(v)
+    else:
+        raise JqRuntimeError(f"cannot index {_jq_type(v)} with number")
+    if i < 0:
+        i += len(arr)
+        if i < 0:
+            raise JqRuntimeError("Out of bounds negative array index")
+    while len(arr) <= i:
+        arr.append(None)
+    arr[i] = _setpath(arr[i], rest, val)
+    return arr
+
+
+def _delpath(v, path: list):
+    if not path:
+        return None  # del(.) yields null, like jq
+    k, rest = path[0], path[1:]
+    if v is None:
+        return None
+    if isinstance(k, str):
+        if not isinstance(v, dict):
+            raise JqRuntimeError(f'cannot delete field of {_jq_type(v)}')
+        if k not in v:
+            return v
+        base = dict(v)
+        if rest:
+            base[k] = _delpath(base[k], rest)
+        else:
+            del base[k]
+        return base
+    if not isinstance(v, list):
+        raise JqRuntimeError(f"cannot delete element of {_jq_type(v)}")
+    i = int(k)
+    if i < 0:
+        i += len(v)
+    if not (0 <= i < len(v)):
+        return v
+    arr = list(v)
+    if rest:
+        arr[i] = _delpath(arr[i], rest)
+    else:
+        del arr[i]
+    return arr
+
+
+def _delpaths(v, paths: list):
+    # delete deepest/highest-sorted first so earlier deletions cannot
+    # shift the indices of later ones — jq's delpaths contract
+    for p in sorted(paths, key=_SORT_KEY, reverse=True):
+        if not isinstance(p, list):
+            raise JqRuntimeError("delpaths paths must be arrays")
+        v = _delpath(v, p)
+    return v
+
+
+def _ev_setop(op: str, path_ast, val_ast, v, env) -> Iterator:
+    if op == "=":
+        # plain assignment: RHS evaluated against the ORIGINAL input, one
+        # whole-document output per RHS output
+        for val in _ev(val_ast, v, env):
+            out = v
+            for p in _paths_of(path_ast, v, env):
+                out = _setpath(out, p, val)
+            yield out
+        return
+    if op == "|=":
+        # update: the filter sees the old leaf; its FIRST output replaces
+        # it, and an empty output DELETES the path (jq 1.7 _modify)
+        out = v
+        dels = []
+        for p in _paths_of(path_ast, v, env):
+            old = _getpath(out, p)
+            it = _ev(val_ast, old, env)
+            try:
+                out = _setpath(out, p, next(it))
+            except StopIteration:
+                dels.append(p)
+        yield _delpaths(out, dels) if dels else out
+        return
+    # arithmetic updates: RHS against the ORIGINAL input, then the leaf op
+    for val in _ev(val_ast, v, env):
+        out = v
+        for p in _paths_of(path_ast, v, env):
+            old = _getpath(out, p)
+            if op == "//=":
+                new = old if _truthy(old) else val
+            else:
+                new = _arith(op[0], old, val)
+            out = _setpath(out, p, new)
+        yield out
 
 
 # ---------------------------------------------------------------------------
@@ -1262,7 +1586,10 @@ def _builtin1(name: str, v, arg):
 
 
 def _builtin0(name: str, v) -> Iterator:
-    if name == "not":
+    if name in _TYPE_FILTERS:
+        if _TYPE_FILTERS[name](v):
+            yield v
+    elif name == "not":
         yield not _truthy(v)
     elif name == "length":
         if v is None:
@@ -1363,6 +1690,19 @@ def _builtin0(name: str, v) -> Iterator:
         if not isinstance(v, list):
             raise JqRuntimeError("implode needs an array")
         yield "".join(chr(int(c)) for c in v)
+    elif name in ("paths", "leaf_paths"):
+        def walk(x, p):
+            if p:  # the root's empty path is excluded
+                if name == "paths" or not isinstance(x, (list, dict)):
+                    yield list(p)
+            if isinstance(x, list):
+                for i, e in enumerate(x):
+                    yield from walk(e, p + [i])
+            elif isinstance(x, dict):
+                for k2, e in x.items():
+                    yield from walk(e, p + [k2])
+
+        yield from walk(v, [])
     elif name == "to_entries":
         if not isinstance(v, dict):
             raise JqRuntimeError("to_entries needs an object")

@@ -124,6 +124,28 @@ def _xorshift_floats(count: int, seed: int = 1234567) -> list[float]:
     return out
 
 
+def lsh_bits_for(n_corpus: int, target_bucket: int = 64, min_bits: int = 6) -> int:
+    """Hyperplane-count sizing rule: bits ≈ log2(n / target_bucket).
+
+    At FIXED num_bits, expected bucket occupancy is n/2^bits — so LSH
+    candidate volume grows LINEARLY in corpus size per query, i.e.
+    quadratically for a corpus-sized query sweep. (The round-5 sf1
+    spot-bench makes this visible: 10× vectors at 6 bits is ~100× more
+    candidate pairs for the bucketed kNN sweep; only fixed overheads kept
+    the measured ratio near-linear at fixture sizes.) Scaling bits with
+    log2(n) pins occupancy at ``target_bucket`` and restores linear total
+    work; recall lost to narrower buckets is bought back with more tables
+    or multiprobe (recall = 1-(1-p)^L). Registry entries keep fixed
+    fixture-sized bits because their recorded agreement/recall floors are
+    calibrated per SF; production deployments should size with this rule.
+    """
+    import math
+
+    if n_corpus <= target_bucket:
+        return min_bits
+    return max(min_bits, math.ceil(math.log2(n_corpus / target_bucket)))
+
+
 def hyperplane_buckets(
     df: DataFrame,
     dim: int,
@@ -1293,7 +1315,15 @@ def knn_agreement_check(
     side shrinks, which is what keeps the check affordable when queries ≈
     corpus (the brute pass is the all-pairs plan the bucketed path exists
     to avoid; running it over the full sweep would make the check cost
-    exactly what it certifies against)."""
+    exactly what it certifies against).
+
+    SAMPLED-ORACLE-ONLY, NOT A PRODUCTION OPERATOR: the brute side
+    broadcast-pairs the sampled query slice with ALL labeled rows — the
+    same fixture-sized harness stance as the dedup brute verifies
+    (``dedup.py``'s all-pairs oracles). Size ``sample_mod`` so the sampled
+    slice stays honestly broadcastable; at corpus scale, deploy the
+    bucketed path alone and run this check on a bounded sample as a
+    monitoring job, never inline on the full sweep."""
     brute_queries = (
         queries
         if sample_mod is None

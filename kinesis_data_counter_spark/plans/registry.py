@@ -4161,6 +4161,11 @@ def _q_knn_label_propagation_bucketed(spark, sf_dir):
     # the oracle, not the production plan, and runs only on the
     # deterministic 1-in-4 query slice (sample_mod) so the entry's cost
     # is dominated by the bucketed path it certifies.
+    # SCALE: num_bits=6 is calibrated to THIS fixture's corpus; at fixed
+    # bits, bucket occupancy (and so candidate volume per query) grows
+    # linearly with the corpus — production sizes bits with
+    # similarity.lsh_bits_for(n) (≈ log2(n/64)), which pins occupancy and
+    # keeps the sweep linear (see the bench's sf1_spot section).
     (emb,) = _tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 5 == 0)
     labeled = emb.filter(F.col("vec_id") % 5 != 0)

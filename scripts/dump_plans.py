@@ -185,6 +185,22 @@ SHOWCASE: dict[str, str] = {
         "equi-join back on the chunk — one hash exchange keyed by chunk, "
         "one by doc for reassembly; no global Window anywhere."
     ),
+    "rfm_segments": (
+        "Exact RFM quartiles WITHOUT the single-task ntile funnel "
+        "(round 5): each dimension range-repartitions on its metric "
+        "(RangePartitioning exchange — parallel contiguous key ranges), "
+        "row-numbers within each captured range in parallel, and joins a "
+        "broadcast O(numPartitions) offset table; the ntile bucket is "
+        "row-local integer arithmetic. No Exchange SinglePartition, no "
+        "global Sort task — bit-identical bucket membership to ntile."
+    ),
+    "text_jq_normalize": (
+        "Full-surface jq per document (user defs + gsub/match/test) runs "
+        "as ONE Arrow-batched MapInPandas over a column-pruned scan "
+        "(doc_id, text only); from_json re-types the output row-locally. "
+        "Per-row Python is the documented slow path — acceptable for the "
+        "output-shaping register, never the bulk path."
+    ),
 }
 
 

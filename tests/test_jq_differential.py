@@ -137,8 +137,11 @@ def test_generic_fallback_runs_without_binding(spark):
     assert [r["value"] for r in out] == ["1", "2"]
     out = apply_jq_generic(df, "select(.a > 1) | {v: (.a * 10)}").collect()
     assert [r["value"] for r in out] == ['{"v":20}']
-    with pytest.raises(JqUnsupported, match="unknown function"):
-        apply_jq_generic(df, "getpath([.a])")
+    with pytest.raises(JqUnsupported):
+        apply_jq_generic(df, ".[1:2]")  # slices stay out-of-core
+    # round-5: getpath/path-assignment now run through the interpreter
+    out = apply_jq_generic(df, '{a: .a} | .a |= . * 2 | getpath(["a"])').collect()
+    assert [r["value"] for r in out] == ["2", "4"]
 
 
 # --- round-4: pure-Python mini-jq vs the real jq binary --------------------
@@ -311,6 +314,49 @@ MINI_CASES = [
     ("def inc(f): f + 1; def twice(f): f | f; twice(inc(.))", 10),
     (". | def f: 7; f", None),  # def after a pipe
     ('def hits(re): [match(re; "g")] | length; hits("l")', "hello"),
+    # --- round-5: path expressions & assignment ----------------------------
+    (".a = 5", {"a": 1, "b": 2}),
+    (".a = .b", {"a": 1, "b": 2}),
+    (".c = 9", {"a": 1}),
+    (".a.b = 5", {}),
+    (".a.b = 5", None),
+    ('.[0] = "x"', [1, 2]),
+    (".[3] = 9", [1]),  # pads with nulls
+    (".[-1] = 9", [1, 2, 3]),
+    (".[] = 0", [1, 2, 3]),
+    (".a = (1, 2)", {"a": 0}),  # one whole output per RHS output
+    ("(.a, .b) = 7", {"a": 1, "b": 2}),
+    (".a |= . + 1", {"a": 5}),
+    (".[] |= . * 2", [1, 2, 3]),
+    (".a |= empty", {"a": 1, "b": 2}),  # empty update deletes the path
+    (".a += 1, .a -= 1, .a *= 2, .a /= 2, .a %= 2", {"a": 5}),
+    (".a //= 9", {"a": None}),
+    (".a //= 9", {"a": 3}),
+    ("(.a.b, .c) |= . + 1", {"a": {"b": 1}, "c": 10}),
+    (".users[] |= (.age += 1)", {"users": [{"age": 30}, {"age": 40}]}),
+    (".a = .a + 1 | .a = .a * 2", {"a": 3}),
+    ("del(.a)", {"a": 1, "b": 2}),
+    ("del(.x)", {"a": 1}),
+    ("del(.[1])", [1, 2, 3]),
+    ("del(.[0], .[2])", [1, 2, 3, 4]),  # index shift safety
+    ("del(.[] | select(. > 2))", [1, 3, 2, 4]),
+    ("del(.a[0].b)", {"a": [{"b": 1, "c": 2}]}),
+    ("del(.. | nulls)", {"a": None, "b": [1, None]}),
+    ("del(.)", 5),
+    ("path(.a.b)", {"a": {"b": 1}}),
+    ("path(.a[0], .c)", {"a": [9]}),
+    ("[paths]", {"a": [1, {"b": 2}]}),
+    ("[leaf_paths]", {"a": [1, {"b": 2}]}),
+    ('getpath(["a", "b"])', {"a": {"b": 7}}),
+    ('getpath(["a", "x"])', {"a": {"b": 7}}),
+    ('setpath(["a", "b"]; 9)', {"a": {}}),
+    ('setpath([0]; "x")', None),
+    ('delpaths([["a"], ["b", 0]])', {"a": 1, "b": [1, 2], "c": 3}),
+    ('reduce range(3) as $i (.; .[$i | tostring] = $i)', {}),
+    # type filters
+    ("[.. | numbers]", {"a": [1, "x", {"b": 2}]}),
+    ("[.[] | strings]", [1, "a", None, "b"]),
+    (".. |= numbers", 5),
 ]
 
 
@@ -363,6 +409,9 @@ def test_mini_jq_runtime_errors_match_jq_error_style():
         ('test("a"; "q")', "x"),      # bad modifier string
         ('sub("a"; 1)', "abc"),       # non-string replacement
         ('test("a")', 5),             # regex input must be a string
+        ('getpath(["a", "b"])', {"a": 5}),  # path through a scalar
+        ('.a[0] = 1', {"a": 5}),      # assignment through a wrong type
+        ('5 | .[] = 1', None),        # iterate-assign a scalar
     ]:
         with pytest.raises(JqRuntimeError):
             list(compile_program(prog)(value))
@@ -393,8 +442,9 @@ def test_mini_jq_unsupported_constructs_fail_at_compile_time():
     from kinesis_data_counter_spark.jq_eval import compile_program
 
     for prog in [
-        ".a = 1",                   # path assignment
-        "getpath([1])",             # unknown function
+        ".[1:3]",                   # slices
+        'label $out | .',           # label/break
+        "foreach .[] as $x (0; . + $x)",  # foreach
         "undefined_func(1)",        # unknown function with args
         "select(.a",                # unbalanced
         '"\\(.a"',                  # unterminated interpolation

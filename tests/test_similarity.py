@@ -466,3 +466,38 @@ def test_pca_check_property_and_negative_control(spark):
     )
     r = SIM.pca_check(iso, dim=8, k=2, min_variance_kept=0.95).collect()[0]
     assert not r.ok and r.variance_kept < 0.5, r
+
+
+def test_lsh_bits_sizing_rule():
+    # bits ≈ log2(n / target_bucket): occupancy pinned, candidate volume
+    # linear in corpus size (the sf1 spot-bench's scale lever)
+    from kinesis_data_counter_spark.operators.similarity import lsh_bits_for
+
+    assert lsh_bits_for(2_000) == 6          # fixture size: min_bits floor
+    assert lsh_bits_for(20_000) == 9
+    assert lsh_bits_for(1_000_000) == 14
+    assert lsh_bits_for(1_000_000_000) == 24
+    assert lsh_bits_for(10) == 6             # degenerate corpus
+    # occupancy stays near target across 3 orders of magnitude
+    for n in (10**5, 10**7, 10**9):
+        occ = n / 2 ** lsh_bits_for(n)
+        assert 32 <= occ <= 64, (n, occ)
+
+
+def test_lsh_scaled_bits_preserve_agreement(spark):
+    # the sizing rule must not break the recorded property at a scaled
+    # corpus: 10x vectors with log2-scaled bits and more tables still
+    # clears the same agreement floor the registry entry records
+    from kinesis_data_counter_spark.operators.similarity import lsh_bits_for
+
+    df = _random_vectors(spark, n=1500, dim=16, seed=41).withColumn(
+        "label", (F.col("vec_id") % 3).cast("int")
+    )
+    queries = df.filter(F.col("vec_id") % 5 == 0)
+    labeled = df.filter(F.col("vec_id") % 5 != 0)
+    bits = lsh_bits_for(1500, target_bucket=64)
+    (r,) = SIM.knn_agreement_check(
+        labeled, queries, dim=16, k=5, min_agreement=0.9,
+        method="lsh", num_bits=bits, num_tables=16, sample_mod=8,
+    ).collect()
+    assert r.ok, r
