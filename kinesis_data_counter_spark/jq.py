@@ -736,10 +736,11 @@ def apply_jq_generic(df: DataFrame, program: str) -> DataFrame:
     interpreter (:mod:`kinesis_data_counter_spark.jq_eval`, differential-
     tested against the real jq binary). The interpreter covers ``..``
     recursion, try/catch, ``reduce``, user ``def``s, the regex builtins,
-    and path assignment (``= |= += …``, ``del``, ``setpath``/``paths``);
-    the remaining out-of-core constructs (slices ``.[a:b]``,
-    ``label``/``foreach``, format strings) raise :class:`JqUnsupported`
-    at driver time, before any executor work is scheduled.
+    path assignment (``= |= += …``, ``del``, ``setpath``/``paths``),
+    slices, and the loop/math builtins; the remaining out-of-core
+    constructs (``label``/``break``, ``foreach``, format strings,
+    ``input``/``inputs``) raise :class:`JqUnsupported` at driver time,
+    before any executor work is scheduled.
     """
     from collections.abc import Iterator
 

@@ -29,8 +29,12 @@ Semantics are pinned against the real /usr/bin/jq binary by
 tests/test_jq_differential.py (evaluation order of binary operators is
 right-operand-outer, integral doubles print as integers, the jq total
 order null < false < true < numbers < strings < arrays < objects, missing
-object fields read as null). Constructs outside this core (slices
-``.[a:b]``, ``label``/``foreach``, format strings) raise
+object fields read as null). Slices work in value AND path position
+(slice assignment/deletion splice), and the loop builtins (``limit`` /
+``first(f)`` / ``last(f)`` / ``nth`` / ``until`` / ``while`` /
+``repeat``), ``error`` with non-string payloads, and the math builtins
+are covered. Constructs outside this core (``label``/``break``,
+``foreach``, format strings ``@base64``…, ``input``/``inputs``) raise
 :class:`~kinesis_data_counter_spark.jq.JqUnsupported` at COMPILE time, so
 callers fail before any executor work is scheduled. Regex dialect note:
 patterns run on Python ``re`` with ``(?<name>…)`` translated to
@@ -53,8 +57,20 @@ from collections.abc import Iterator
 __all__ = ["MiniJqProgram", "compile_program", "JqRuntimeError"]
 
 
+_NO_PAYLOAD = object()
+
+
 class JqRuntimeError(ValueError):
-    """A jq runtime error (type mismatch etc.) — suppressed under ``?``."""
+    """A jq runtime error (type mismatch etc.) — suppressed under ``?``.
+
+    ``payload`` carries the value passed to jq's ``error(v)`` builtin, so
+    a ``catch`` handler receives the original value (object, array, …)
+    rather than its stringification; engine-raised errors have no payload
+    and the handler gets the message string, like jq."""
+
+    def __init__(self, msg: str, payload=_NO_PAYLOAD):
+        super().__init__(msg)
+        self.payload = payload
 
 
 def _unsupported(msg: str):
@@ -269,6 +285,17 @@ _ZERO_ARG_BUILTINS = {
     "implode",
     "paths",
     "leaf_paths",
+    "error",
+    "abs",
+    "log",
+    "log2",
+    "log10",
+    "exp",
+    "isnan",
+    "isinfinite",
+    "infinite",
+    "nan",
+    "round",
     # type filters: select the input by its type
     "numbers",
     "strings",
@@ -323,6 +350,24 @@ _ARG_BUILTINS = {
     "getpath": 1,
     "setpath": 2,
     "delpaths": 1,
+    # loop / control builtins
+    "limit": 2,
+    "first": 1,
+    "last": 1,
+    "nth": (1, 2),
+    "until": 2,
+    "while": 2,
+    "repeat": 1,
+    "map_values": 1,
+    "error": 1,
+    "pow": 2,
+    "in": 1,
+    "index": 1,
+    "rindex": 1,
+    "indices": 1,
+    "inside": 1,
+    "any": (1, 2),
+    "all": (1, 2),
 }
 
 
@@ -486,10 +531,22 @@ class _P:
                 self.next()
                 if self.accept("punct", "]"):
                     node = ("iterate", node)
+                elif self.accept("punct", ":"):  # .[:hi]
+                    hi = self.parse_pipe()
+                    self.expect("punct", "]")
+                    node = ("slice", node, None, hi)
                 else:
                     idx = self.parse_pipe()
-                    self.expect("punct", "]")
-                    node = ("index", node, idx)
+                    if self.accept("punct", ":"):
+                        if self.accept("punct", "]"):  # .[lo:]
+                            node = ("slice", node, idx, None)
+                        else:
+                            hi = self.parse_pipe()
+                            self.expect("punct", "]")
+                            node = ("slice", node, idx, hi)
+                    else:
+                        self.expect("punct", "]")
+                        node = ("index", node, idx)
                 continue
             if k == "punct" and v == "?":
                 self.next()
@@ -723,9 +780,14 @@ def _jq_type(v) -> str:
 
 
 def _canon_num(v):
-    """jq prints integral doubles as integers (1.0 → 1)."""
+    """jq prints integral doubles as integers (1.0 → 1), clamps infinities
+    to ±DBL_MAX, and prints NaN as null."""
     if isinstance(v, float) and not isinstance(v, bool):
-        if math.isfinite(v) and v == int(v) and abs(v) < (1 << 53):
+        if math.isnan(v):
+            return None
+        if math.isinf(v):
+            return math.copysign(1.7976931348623157e308, v)
+        if v == int(v) and abs(v) < (1 << 53):
             return int(v)
     return v
 
@@ -781,6 +843,11 @@ def _ev(ast, v, env) -> Iterator:
                 yield from base.values()
             else:
                 raise JqRuntimeError(f"cannot iterate over {_jq_type(base)}")
+    elif kind == "slice":
+        for hi in (_ev(ast[3], v, env) if ast[3] is not None else [None]):
+            for lo in (_ev(ast[2], v, env) if ast[2] is not None else [None]):
+                for base in _ev(ast[1], v, env):
+                    yield _slice_value(base, lo, hi)
     elif kind in ("try", "trycatch"):
         # jq streams the pre-error prefix: outputs already produced before
         # the error are kept, then the handler (if any) runs on the error
@@ -793,7 +860,8 @@ def _ev(ast, v, env) -> Iterator:
                 break
             except JqRuntimeError as e:
                 if kind == "trycatch" and ast[2] is not None:
-                    yield from _ev(ast[2], str(e), env)
+                    caught = str(e) if e.payload is _NO_PAYLOAD else e.payload
+                    yield from _ev(ast[2], caught, env)
                 break
             yield out
     elif kind == "pipe":
@@ -1005,6 +1073,27 @@ def _get_index(base, idx):
     return base[i] if 0 <= i < len(base) else None
 
 
+def _slice_bound(x, n: int, default: int, *, is_hi: bool = False) -> int:
+    if x is None:
+        return default
+    if isinstance(x, bool) or not isinstance(x, (int, float)):
+        raise JqRuntimeError(f"cannot slice with {_jq_type(x)}")
+    # jq widens fractional bounds outward: floor the low, ceil the high
+    i = math.ceil(x) if is_hi else math.floor(x)
+    if i < 0:
+        i += n
+    return max(0, min(n, i))
+
+
+def _slice_value(base, lo, hi):
+    if base is None:
+        return None
+    if not isinstance(base, (list, str)):
+        raise JqRuntimeError(f"cannot slice {_jq_type(base)}")
+    n = len(base)
+    return base[_slice_bound(lo, n, 0):_slice_bound(hi, n, n, is_hi=True)]
+
+
 def _arith(op: str, a, b):
     ta, tb = _jq_type(a), _jq_type(b)
     if op == "+":
@@ -1150,11 +1239,126 @@ def _ev_call(name: str, args, v, env) -> Iterator:
                 raise JqRuntimeError("delpaths paths must be an array")
             yield _delpaths(v, ps)
         return
+    if args and name in (
+        "limit", "first", "last", "nth", "until", "while", "repeat",
+        "map_values", "error", "pow", "any", "all",
+    ):
+        yield from _ev_control(name, args, v, env)
+        return
     if name in _ARG_BUILTINS and args:
         for arg in _ev(args[0], v, env):
             yield _builtin1(name, v, arg)
         return
     yield from _builtin0(name, v)
+
+
+def _ev_control(name: str, args, v, env) -> Iterator:
+    """Loop/control builtins — each defined by its jq-manual equation."""
+    if name == "limit":
+        for n in _ev(args[0], v, env):
+            if isinstance(n, bool) or not isinstance(n, (int, float)):
+                raise JqRuntimeError("limit count must be a number")
+            n = int(n)
+            if n <= 0:
+                continue
+            emitted = 0
+            for out in _ev(args[1], v, env):  # lazily: works on repeat()
+                yield out
+                emitted += 1
+                if emitted >= n:
+                    break
+        return
+    if name == "first":  # first(f) ≡ limit(1; f)
+        for out in _ev(args[0], v, env):
+            yield out
+            return
+        return
+    if name == "last":
+        got, found = None, False
+        for out in _ev(args[0], v, env):
+            got, found = out, True
+        if found:
+            yield got
+        return
+    if name == "nth":
+        if len(args) == 1:  # nth(n) ≡ .[n]
+            for n in _ev(args[0], v, env):
+                yield _get_index(v, n)
+            return
+        for n in _ev(args[0], v, env):
+            if isinstance(n, bool) or not isinstance(n, (int, float)):
+                raise JqRuntimeError("nth index must be a number")
+            n = int(n)
+            if n < 0:
+                raise JqRuntimeError("Out of bounds negative array index")
+            for i, out in enumerate(_ev(args[1], v, env)):
+                if i == n:
+                    yield out
+                    break
+        return
+    if name == "until":
+        def _until(x) -> Iterator:
+            for c in _ev(args[0], x, env):
+                if _truthy(c):
+                    yield x
+                else:
+                    for nx in _ev(args[1], x, env):
+                        yield from _until(nx)
+
+        yield from _until(v)
+        return
+    if name == "while":
+        def _while(x) -> Iterator:
+            for c in _ev(args[0], x, env):
+                if _truthy(c):
+                    yield x
+                    for nx in _ev(args[1], x, env):
+                        yield from _while(nx)
+
+        yield from _while(v)
+        return
+    if name == "repeat":
+        # jq 1.6's builtin is `def _repeat: f, _repeat;` — f re-runs on
+        # the SAME input forever (comma keeps the input), so repeat(.*2)
+        # on 1 is 2,2,2,… not 2,4,8,…; infinite, meaningful under limit
+        while True:
+            yield from _ev(args[0], v, env)
+    if name == "map_values":  # ≡ .[] |= f
+        yield from _ev_setop("|=", ("iterate", ("identity",)), args[0], v, env)
+        return
+    if name == "error":
+        for m in _ev(args[0], v, env):
+            raise JqRuntimeError(
+                m if isinstance(m, str) else dumps(m), payload=m
+            )
+        return
+    if name == "pow":
+        for b in _ev(args[1], v, env):
+            for a in _ev(args[0], v, env):
+                for x in (a, b):
+                    if isinstance(x, bool) or not isinstance(x, (int, float)):
+                        raise JqRuntimeError(f"pow needs numbers, got {_jq_type(x)}")
+                try:
+                    yield float(a) ** float(b)
+                except (OverflowError, ZeroDivisionError):
+                    yield float("inf")
+                except ValueError:
+                    yield float("nan")
+        return
+    # any(f) / all(f) / any(gen; cond) / all(gen; cond)
+    pick = any if name == "any" else all
+    if len(args) == 1:
+        if not isinstance(v, list):
+            raise JqRuntimeError(f"{name} needs an array")
+        yield pick(
+            _truthy(o) for x in v for o in _ev(args[0], x, env)
+        )
+        return
+    yield pick(
+        _truthy(o)
+        for g in _ev(args[0], v, env)
+        for o in _ev(args[1], g, env)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1215,6 +1419,16 @@ def _paths_of(ast, v, env) -> Iterator[list]:
                                 "Out of bounds negative array index"
                             )
                     yield p + [i]
+    elif kind == "slice":
+        for hi in (_ev(ast[3], v, env) if ast[3] is not None else [None]):
+            for lo in (_ev(ast[2], v, env) if ast[2] is not None else [None]):
+                for p in _paths_of(ast[1], v, env):
+                    base = _getpath(v, p)
+                    if base is not None and not isinstance(base, list):
+                        raise JqRuntimeError(
+                            f"cannot slice {_jq_type(base)} in a path"
+                        )
+                    yield p + [{"start": lo, "end": hi}]
     elif kind == "iterate":
         for p in _paths_of(ast[1], v, env):
             base = _getpath(v, p)
@@ -1283,11 +1497,14 @@ def _ev_if_paths(branches, els, v, env) -> Iterator[list]:
 
 def _getpath(v, path: list):
     """Walk a concrete path; missing keys read as null, wrong types error
-    (the .foo / .[i] access rules applied stepwise)."""
+    (the .foo / .[i] access rules applied stepwise). A dict component
+    {"start","end"} is a slice step (jq's slice path representation)."""
     cur = v
     for k in path:
         if isinstance(k, str):
             cur = _get_field(cur, k)
+        elif isinstance(k, dict):
+            cur = _slice_value(cur, k.get("start"), k.get("end"))
         else:
             cur = _get_index(cur, k)
     return cur
@@ -1308,6 +1525,19 @@ def _setpath(v, path: list, val):
             raise JqRuntimeError(f'cannot index {_jq_type(v)} with "{k}"')
         base[k] = _setpath(base.get(k), rest, val)
         return base
+    if isinstance(k, dict):  # slice component: splice the sub-array
+        arr = [] if v is None else v
+        if not isinstance(arr, list):
+            raise JqRuntimeError(f"cannot slice {_jq_type(v)} in a path")
+        n = len(arr)
+        lo = _slice_bound(k.get("start"), n, 0)
+        hi = max(lo, _slice_bound(k.get("end"), n, n, is_hi=True))
+        new_sub = _setpath(arr[lo:hi], rest, val)
+        if not isinstance(new_sub, list):
+            raise JqRuntimeError(
+                "A slice of an array can only be assigned another array"
+            )
+        return arr[:lo] + new_sub + arr[hi:]
     if isinstance(k, bool) or not isinstance(k, (int, float)):
         raise JqRuntimeError(f"cannot index with {_jq_type(k)}")
     i = int(k)
@@ -1333,6 +1563,18 @@ def _delpath(v, path: list):
     k, rest = path[0], path[1:]
     if v is None:
         return None
+    if isinstance(k, dict):  # slice component: drop (or recurse into) it
+        if not isinstance(v, list):
+            raise JqRuntimeError(f"cannot slice {_jq_type(v)} in a path")
+        n = len(v)
+        lo = _slice_bound(k.get("start"), n, 0)
+        hi = max(lo, _slice_bound(k.get("end"), n, n, is_hi=True))
+        if rest:
+            sub = _delpath(v[lo:hi], rest)
+            if not isinstance(sub, list):  # pragma: no cover - defensive
+                raise JqRuntimeError("slice delete must produce an array")
+            return v[:lo] + sub + v[hi:]
+        return v[:lo] + v[hi:]
     if isinstance(k, str):
         if not isinstance(v, dict):
             raise JqRuntimeError(f'cannot delete field of {_jq_type(v)}')
@@ -1555,13 +1797,28 @@ def _builtin1(name: str, v, arg):
         if isinstance(v, list) and isinstance(arg, (int, float)):
             return 0 <= int(arg) < len(v)
         raise JqRuntimeError(f"cannot check {_jq_type(v)} has {_jq_type(arg)}")
+    if name == "in":
+        if isinstance(arg, dict):
+            if not isinstance(v, str):
+                raise JqRuntimeError(f"cannot check {_jq_type(v)} in object")
+            return v in arg
+        if isinstance(arg, list):
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise JqRuntimeError(f"cannot check {_jq_type(v)} in array")
+            return 0 <= int(v) < len(arg)
+        raise JqRuntimeError(f"cannot check membership in {_jq_type(arg)}")
+    if name in ("index", "rindex", "indices"):
+        pos = _positions(v, arg)
+        if name == "indices":
+            return pos
+        if pos is None or not pos:
+            return None
+        return pos[0] if name == "index" else pos[-1]
+    if name == "inside":
+        return _jq_contains(arg, v)
     if name in ("startswith", "endswith", "ltrimstr", "rtrimstr", "split", "contains"):
         if name == "contains":
-            if isinstance(v, str) and isinstance(arg, str):
-                return arg in v
-            if isinstance(v, list) and isinstance(arg, list):
-                return all(any(_cmp(x, y) == 0 for y in v) for x in arg)
-            raise JqRuntimeError(f"{_jq_type(v)} cannot contain {_jq_type(arg)}")
+            return _jq_contains(v, arg)
         if not isinstance(v, str) or not isinstance(arg, str):
             raise JqRuntimeError(f"{name} needs strings, got {_jq_type(v)}/{_jq_type(arg)}")
         if name == "startswith":
@@ -1583,6 +1840,50 @@ def _builtin1(name: str, v, arg):
             for x in v
         )
     raise _unsupported(f"unknown function: {name}/1")  # pragma: no cover
+
+
+def _jq_contains(a, b) -> bool:
+    """jq's contains: substring for strings, per-element containment for
+    arrays, recursive key containment for objects, equality for scalars."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        return all(k in a and _jq_contains(a[k], b[k]) for k in b)
+    if isinstance(a, list) and isinstance(b, list):
+        return all(any(_jq_contains(x, y) for x in a) for y in b)
+    if isinstance(a, str) and isinstance(b, str):
+        return b in a
+    if isinstance(a, (dict, list, str)) or isinstance(b, (dict, list, str)):
+        raise JqRuntimeError(f"{_jq_type(a)} cannot contain {_jq_type(b)}")
+    return _cmp(a, b) == 0
+
+
+def _positions(v, arg) -> "list | None":
+    """All match positions for index/rindex/indices (null input → null)."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        if not isinstance(arg, str):
+            raise JqRuntimeError(f"cannot search string for {_jq_type(arg)}")
+        if not arg:
+            return []
+        out, start = [], 0
+        while True:
+            i = v.find(arg, start)
+            if i < 0:
+                return out
+            out.append(i)
+            start = i + len(arg)  # strings: NON-overlapping, like jq
+            # (array subarray matches below DO overlap, also like jq)
+    if isinstance(v, list):
+        if isinstance(arg, list):
+            if not arg:
+                return []
+            return [
+                i
+                for i in range(len(v) - len(arg) + 1)
+                if all(_cmp(v[i + j], arg[j]) == 0 for j in range(len(arg)))
+            ]
+        return [i for i, x in enumerate(v) if _cmp(x, arg) == 0]
+    raise JqRuntimeError(f"cannot search {_jq_type(v)}")
 
 
 def _builtin0(name: str, v) -> Iterator:
@@ -1626,15 +1927,40 @@ def _builtin0(name: str, v) -> Iterator:
                 raise JqRuntimeError(f"cannot parse {v!r} as number") from e
         else:
             raise JqRuntimeError(f"cannot convert {_jq_type(v)} to number")
-    elif name in ("floor", "ceil", "sqrt", "fabs"):
+    elif name in ("floor", "ceil", "sqrt", "fabs", "abs", "round",
+                  "log", "log2", "log10", "exp", "isnan", "isinfinite"):
         if isinstance(v, bool) or not isinstance(v, (int, float)):
             raise JqRuntimeError(f"{_jq_type(v)} number required")
-        yield {
-            "floor": math.floor,
-            "ceil": math.ceil,
-            "sqrt": math.sqrt,
-            "fabs": abs,
-        }[name](v)
+        if name in ("floor", "ceil", "sqrt"):
+            yield {"floor": math.floor, "ceil": math.ceil, "sqrt": math.sqrt}[name](v)
+        elif name in ("fabs", "abs"):
+            yield abs(v)
+        elif name == "round":  # libm round: half away from zero
+            yield math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+        elif name == "isnan":
+            yield isinstance(v, float) and math.isnan(v)
+        elif name == "isinfinite":
+            yield isinstance(v, float) and math.isinf(v)
+        elif name == "exp":
+            try:
+                yield math.exp(v)
+            except OverflowError:
+                yield float("inf")
+        else:  # log / log2 / log10: jq maps the domain edges to -inf / nan
+            if v == 0:
+                yield float("-inf")
+            elif v < 0:
+                yield float("nan")
+            else:
+                yield {"log": math.log, "log2": math.log2, "log10": math.log10}[name](v)
+    elif name == "infinite":
+        yield float("inf")
+    elif name == "nan":
+        yield float("nan")
+    elif name == "error":
+        raise JqRuntimeError(
+            v if isinstance(v, str) else dumps(v), payload=v
+        )
     elif name == "add":
         if not isinstance(v, list):
             raise JqRuntimeError(f"cannot add {_jq_type(v)}")

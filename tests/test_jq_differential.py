@@ -138,10 +138,13 @@ def test_generic_fallback_runs_without_binding(spark):
     out = apply_jq_generic(df, "select(.a > 1) | {v: (.a * 10)}").collect()
     assert [r["value"] for r in out] == ['{"v":20}']
     with pytest.raises(JqUnsupported):
-        apply_jq_generic(df, ".[1:2]")  # slices stay out-of-core
-    # round-5: getpath/path-assignment now run through the interpreter
+        apply_jq_generic(df, "foreach .a as $x (0; . + $x)")  # out-of-core
+    # round-5: slices, getpath and path-assignment all run through the
+    # interpreter now
     out = apply_jq_generic(df, '{a: .a} | .a |= . * 2 | getpath(["a"])').collect()
     assert [r["value"] for r in out] == ["2", "4"]
+    out = apply_jq_generic(df, "[.a, .a, .a] | .[0:2]").collect()
+    assert [r["value"] for r in out] == ["[1,1]", "[2,2]"]
 
 
 # --- round-4: pure-Python mini-jq vs the real jq binary --------------------
@@ -357,6 +360,64 @@ MINI_CASES = [
     ("[.. | numbers]", {"a": [1, "x", {"b": 2}]}),
     ("[.[] | strings]", [1, "a", None, "b"]),
     (".. |= numbers", 5),
+    # --- round-5: slices (value + path position) ---------------------------
+    (".[1:3]", [0, 1, 2, 3, 4]),
+    (".[2:]", [0, 1, 2, 3]),
+    (".[:2]", [0, 1, 2, 3]),
+    (".[-2:]", [0, 1, 2, 3]),
+    (".[:-1]", [0, 1, 2]),
+    (".[3:1]", [0, 1, 2, 3]),
+    (".[1:10]", [0, 1]),
+    (".[1:3]", "hello"),
+    (".[1:3]", None),
+    (".[1.2:3.8]", [0, 1, 2, 3, 4]),  # floor the low bound, ceil the high
+    (".a[1:3]", {"a": [0, 1, 2, 3]}),
+    ("path(.[1:3])", [0, 1, 2, 3]),
+    ('.[1:3] = ["x"]', [0, 1, 2, 3, 4]),
+    (".[1:3] |= map(. * 10)", [0, 1, 2, 3, 4]),
+    ("del(.[1:3])", [0, 1, 2, 3, 4]),
+    ('.a[1:] = [9]', {"a": [0, 1, 2]}),
+    # --- round-5: loop/control + error + math builtins ---------------------
+    ("[limit(3; .[])]", [1, 2, 3, 4, 5]),
+    ("first(.[] | select(. > 2))", [1, 2, 3, 4]),
+    ("first(empty)", None),
+    ("last(.[])", [1, 2, 3]),
+    ("nth(1; .[])", [9, 8, 7]),
+    ("nth(1)", [9, 8, 7]),
+    ("[while(. < 100; . * 2)]", 1),
+    ("until(. > 100; . * 2)", 1),
+    ("[limit(4; repeat(. * 2))]", 1),  # 1.6 repeat: f re-runs on the input
+    ("map_values(. + 1)", {"a": 1, "b": 2}),
+    ("map_values(. + 1)", [1, 2]),
+    ("map_values(empty)", {"a": 1, "b": 2}),
+    ('try error("boom") catch .', None),
+    ('try error({"code": 3}) catch .', None),  # non-string payload survives
+    ("try error catch .", {"x": 1}),
+    ("pow(2; 10), pow(2; 0.5)", None),
+    ("log, log2, log10", 8),
+    ("log", 0),
+    ("log", -1),
+    ("exp", 1),
+    ("fabs", -3.5),
+    ("round, floor, ceil", 2.5),
+    ("round", -2.5),
+    ("infinite, -infinite", None),
+    ("nan | isnan, (1 | isnan)", None),
+    ("infinite | isinfinite", None),
+    ('.a | in({"a": 1})', {"a": "a"}),
+    ("1 | in([9, 8]), (5 | in([9, 8]))", None),
+    ('index("ab"), rindex("ab"), indices("ab")', "xabcab"),
+    ('indices("aa")', "aaaa"),  # strings: non-overlapping
+    ("indices([1, 1])", [1, 1, 1]),  # arrays: overlapping
+    ("index(2), rindex(2), indices(2)", [1, 2, 3, 2]),
+    ("indices([1, 2])", [0, 1, 2, 1, 2, 4]),
+    ('index("x")', "abc"),
+    ('"foo" | inside("foobar")', None),
+    ("[1] | inside([1, 2])", None),
+    ('contains({"a": {"b": 1}})', {"a": {"b": 1, "c": 2}, "d": 3}),
+    ('contains(["foo"])', ["foobar", "x"]),  # deep element containment
+    ("any(. > 2), all(. > 0)", [1, 2, 3]),
+    ("any(.[]; . > 2), all(.[]; . > 0)", [1, 2, 3]),
 ]
 
 
@@ -442,15 +503,30 @@ def test_mini_jq_unsupported_constructs_fail_at_compile_time():
     from kinesis_data_counter_spark.jq_eval import compile_program
 
     for prog in [
-        ".[1:3]",                   # slices
         'label $out | .',           # label/break
         "foreach .[] as $x (0; . + $x)",  # foreach
+        '@base64 "x"',              # format strings
+        "input",                    # input/inputs need a record stream
         "undefined_func(1)",        # unknown function with args
         "select(.a",                # unbalanced
         '"\\(.a"',                  # unterminated interpolation
     ]:
         with pytest.raises(JqUnsupported):
             compile_program(prog)
+
+
+def test_mini_jq_binary_divergences_pinned_directly():
+    # places where the jq 1.6 binary itself is buggy or lacks the builtin;
+    # the interpreter follows the documented/modern semantics and pins
+    # them directly instead of differentially
+    from kinesis_data_counter_spark.jq_eval import compile_program
+
+    # jq 1.6's limit(0; f) wrongly emits one output; the manual (and 1.7)
+    # say none
+    assert compile_program("[limit(0; .[])]").lines([1, 2]) == ["[]"]
+    # abs/0 exists only from jq 1.7
+    assert compile_program("abs").lines(-3) == ["3"]
+    assert compile_program("abs").lines(2.5) == ["2.5"]
 
 
 # --- round-3 widening: multi-output '.path[]' iteration --------------------
