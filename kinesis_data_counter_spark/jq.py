@@ -737,10 +737,11 @@ def apply_jq_generic(df: DataFrame, program: str) -> DataFrame:
     tested against the real jq binary). The interpreter covers ``..``
     recursion, try/catch, ``reduce``, user ``def``s, the regex builtins,
     path assignment (``= |= += …``, ``del``, ``setpath``/``paths``),
-    slices, and the loop/math builtins; the remaining out-of-core
-    constructs (``label``/``break``, ``foreach``, format strings,
-    ``input``/``inputs``) raise :class:`JqUnsupported` at driver time,
-    before any executor work is scheduled.
+    slices, ``foreach``, ``label``/``break``, the ``@format`` strings,
+    and the loop/math builtins; the one remaining out-of-core construct
+    (``input``/``inputs``, which needs a record stream) raises
+    :class:`JqUnsupported` at driver time, before any executor work is
+    scheduled.
     """
     from collections.abc import Iterator
 

@@ -32,9 +32,11 @@ order null < false < true < numbers < strings < arrays < objects, missing
 object fields read as null). Slices work in value AND path position
 (slice assignment/deletion splice), and the loop builtins (``limit`` /
 ``first(f)`` / ``last(f)`` / ``nth`` / ``until`` / ``while`` /
-``repeat``), ``error`` with non-string payloads, and the math builtins
-are covered. Constructs outside this core (``label``/``break``,
-``foreach``, format strings ``@base64``…, ``input``/``inputs``) raise
+``repeat``), ``foreach`` (2- and 3-arg), ``label``/``break``, the
+``@format`` strings (``@csv @tsv @sh @html @uri @json @text @base64
+@base64d``, both as filters and as string prefixes), ``error`` with
+non-string payloads, and the math builtins are covered. Constructs
+outside this core (``input``/``inputs``, which need a record stream) raise
 :class:`~kinesis_data_counter_spark.jq.JqUnsupported` at COMPILE time, so
 callers fail before any executor work is scheduled. Regex dialect note:
 patterns run on Python ``re`` with ``(?<name>…)`` translated to
@@ -48,6 +50,7 @@ data paths should stay on the compiled subset / built-in columns.
 
 from __future__ import annotations
 
+import base64
 import functools
 import json
 import math
@@ -71,6 +74,16 @@ class JqRuntimeError(ValueError):
     def __init__(self, msg: str, payload=_NO_PAYLOAD):
         super().__init__(msg)
         self.payload = payload
+
+
+class _JqBreak(Exception):
+    """Control-flow carrier for ``break $label`` — caught only by the
+    matching ``label``. Deliberately NOT a JqRuntimeError: ``try`` must
+    not intercept a break (jq ≥1.7 semantics; 1.6's try-catches-break is
+    a since-fixed binary bug, pinned directly in the tests)."""
+
+    def __init__(self, token):
+        self.token = token
 
 
 def _unsupported(msg: str):
@@ -112,6 +125,9 @@ _KEYWORDS = {
     "end",
     "as",
     "reduce",
+    "foreach",
+    "label",
+    "break",
     "try",
     "catch",
     "def",
@@ -175,6 +191,13 @@ def _tokenize(src: str) -> list[tuple[str, object]]:
                 toks.append(("kw", word))
             else:
                 toks.append(("ident", word))
+            i = j
+            continue
+        if c == "@" and i + 1 < n and _is_ident_start(src[i + 1]):
+            j = i + 1
+            while j < n and _is_ident(src[j]):
+                j += 1
+            toks.append(("format", src[i + 1 : j]))
             i = j
             continue
         if c in _OPS1:
@@ -380,6 +403,9 @@ class _P:
         # then fails at eval instead of compile — acceptable slack for a
         # single-pass parser; in-scope programs resolve exactly.
         self.defs: set[tuple[str, int]] = set()
+        # label names in (over-approximated) scope; `break $x` on a name
+        # never labeled is jq's "$*label-x is not defined" compile error
+        self.labels: set[str] = set()
 
     def peek(self):
         return self.toks[self.pos]
@@ -406,6 +432,8 @@ class _P:
     def parse_pipe(self):
         if self.peek() == ("kw", "def"):
             return self.parse_def()
+        if self.peek() == ("kw", "label"):
+            return self.parse_label()
         left = self.parse_comma()
         while True:
             # `EXPR as $x | BODY` binding
@@ -419,9 +447,21 @@ class _P:
                 if self.peek() == ("kw", "def"):
                     # a def scopes over the rest of the pipeline
                     return ("pipe", left, self.parse_def())
+                if self.peek() == ("kw", "label"):
+                    # so does a label: its body is the rest of the pipe
+                    return ("pipe", left, self.parse_label())
                 left = ("pipe", left, self.parse_comma())
             else:
                 return left
+
+    def parse_label(self):
+        """``label $name | body`` — ``break $name`` in body exits it."""
+        self.expect("kw", "label")
+        self.expect("punct", "$")
+        name = self.expect("ident")
+        self.expect("punct", "|")
+        self.labels.add(name)
+        return ("label", name, self.parse_pipe())
 
     def parse_def(self):
         """``def name(p; $q): body; rest`` — scope is the rest of the pipe."""
@@ -605,8 +645,23 @@ class _P:
             return self.parse_object()
         if k == "kw" and v == "if":
             return self.parse_if()
-        if k == "kw" and v == "reduce":
+        if k == "kw" and v in ("reduce", "foreach"):
             return self.parse_reduce()
+        if k == "kw" and v == "break":
+            self.next()
+            self.expect("punct", "$")
+            name = self.expect("ident")
+            if name not in self.labels:
+                raise _unsupported(f"$*label-{name} is not defined")
+            return ("break", name)
+        if k == "format":
+            self.next()
+            if v not in _FORMATS:
+                raise _unsupported(f"@{v} is not a valid format")
+            if self.peek()[0] == "str":
+                # @fmt "..." : interpolations are formatted, literals kept
+                return ("strlit_fmt", v, self.next()[1])
+            return ("format", v)
         if k == "kw" and v == "try":
             self.next()
             body = self.parse_postfix()
@@ -671,7 +726,8 @@ class _P:
         return ("if", [(cond, then), *elifs], els)
 
     def parse_reduce(self):
-        self.expect("kw", "reduce")
+        """``reduce SRC as $x (INIT; UPD)`` and the 2/3-arg ``foreach``."""
+        kw = self.next()[1]
         src = self.parse_postfix()
         self.expect("kw", "as")
         self.expect("punct", "$")
@@ -680,8 +736,13 @@ class _P:
         init = self.parse_pipe()
         self.expect("punct", ";")
         update = self.parse_pipe()
+        extract = None
+        if kw == "foreach" and self.accept("punct", ";"):
+            extract = self.parse_pipe()
         self.expect("punct", ")")
-        return ("reduce", src, var, init, update)
+        if kw == "reduce":
+            return ("reduce", src, var, init, update)
+        return ("foreach", src, var, init, update, extract)
 
     def parse_funcall(self):
         name = self.expect("ident")
@@ -809,6 +870,93 @@ def dumps(v) -> str:
 
 def _tostring(v) -> str:
     return v if isinstance(v, str) else dumps(v)
+
+
+# --- @format strings (jq's format-and-escape filters) ----------------------
+
+_FORMATS = frozenset(
+    {"text", "json", "html", "uri", "csv", "tsv", "sh", "base64", "base64d"}
+)
+# jq's @uri keeps RFC 2396 unreserved + mark characters verbatim
+_URI_SAFE = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-_.~!*'()"
+)
+
+
+def _format_cell(x, *, tsv: bool) -> str:
+    """One element of a @csv/@tsv row (jq calls both a \"csv row\")."""
+    if x is None:
+        return ""
+    if isinstance(x, bool):
+        return "true" if x else "false"
+    if isinstance(x, (int, float)):
+        return dumps(_canon_num(x))
+    if isinstance(x, str):
+        if tsv:
+            return (
+                x.replace("\\", "\\\\")
+                .replace("\t", "\\t")
+                .replace("\n", "\\n")
+                .replace("\r", "\\r")
+            )
+        return '"' + x.replace('"', '""') + '"'
+    raise JqRuntimeError(f"{_jq_type(x)} ({dumps(x)}) is not valid in a csv row")
+
+
+def _format_shword(x) -> str:
+    if isinstance(x, str):
+        return "'" + x.replace("'", "'\\''") + "'"
+    if isinstance(x, (dict, list)):
+        raise JqRuntimeError(
+            f"{_jq_type(x)} ({dumps(x)}) can not be escaped for shell"
+        )
+    return dumps(_canon_num(x))  # null / true / false / numbers go bare
+
+
+def _format(name: str, v) -> str:
+    if name == "text":
+        return _tostring(v)
+    if name == "json":
+        return dumps(v)
+    if name == "html":
+        s = _tostring(v)
+        for ch, ent in (
+            ("&", "&amp;"),
+            ("<", "&lt;"),
+            (">", "&gt;"),
+            ("'", "&apos;"),
+            ('"', "&quot;"),
+        ):
+            s = s.replace(ch, ent)
+        return s
+    if name == "uri":
+        return "".join(
+            c if c in _URI_SAFE else "".join(f"%{b:02X}" for b in c.encode("utf-8"))
+            for c in _tostring(v)
+        )
+    if name in ("csv", "tsv"):
+        if not isinstance(v, list):
+            raise JqRuntimeError(
+                f"{_jq_type(v)} ({dumps(v)}) cannot be {name}-formatted, only array"
+            )
+        sep = "\t" if name == "tsv" else ","
+        return sep.join(_format_cell(x, tsv=name == "tsv") for x in v)
+    if name == "sh":
+        if isinstance(v, list):
+            return " ".join(_format_shword(x) for x in v)
+        return _format_shword(v)
+    if name == "base64":
+        return base64.b64encode(_tostring(v).encode("utf-8")).decode("ascii")
+    # base64d — lenient about missing padding (jq decodes "aGk"), strict
+    # about non-alphabet bytes; invalid UTF-8 decodes with replacement
+    s = _tostring(v)
+    try:
+        raw = base64.b64decode(s + "=" * (-len(s) % 4), validate=True)
+    except Exception as e:
+        raise JqRuntimeError(
+            f"string ({dumps(s)}) is not valid base64 data"
+        ) from e
+    return raw.decode("utf-8", "replace")
 
 
 # ---------------------------------------------------------------------------
@@ -941,15 +1089,55 @@ def _ev(ast, v, env) -> Iterator:
         for bound in _ev(ast[1], v, env):
             yield from _ev(ast[3], v, {**env, ast[2]: bound})
     elif kind == "reduce":
-        acc = None
+        # jq folds once per INIT output (cartesian), not just the last
         for init in _ev(ast[3], v, env):
             acc = init
-        for item in _ev(ast[1], v, env):
-            nxt = None
-            for out in _ev(ast[4], acc, {**env, ast[2]: item}):
-                nxt = out
-            acc = nxt
-        yield acc
+            for item in _ev(ast[1], v, env):
+                nxt = None  # empty update → state becomes null, like jq
+                for out in _ev(ast[4], acc, {**env, ast[2]: item}):
+                    nxt = out
+                acc = nxt
+            yield acc
+    elif kind == "foreach":
+        # emits every UPDATE output (via EXTRACT if given); the running
+        # state is the LAST output the update actually produced — an
+        # empty update leaves it unchanged. Fully lazy: foreach over an
+        # infinite generator works under limit().
+        _src, _var, _init, _upd, _ext = ast[1:]
+        for init in _ev(_init, v, env):
+            acc = init
+            for item in _ev(_src, v, env):
+                env2 = {**env, _var: item}
+                for out in _ev(_upd, acc, env2):
+                    acc = out
+                    if _ext is None:
+                        yield out
+                    else:
+                        yield from _ev(_ext, out, env2)
+    elif kind == "label":
+        token = object()
+        gen = _ev(ast[2], v, {**env, ("label", ast[1]): token})
+        while True:
+            try:
+                out = next(gen)
+            except StopIteration:
+                break
+            except _JqBreak as e:
+                if e.token is token:
+                    break
+                raise
+            yield out
+    elif kind == "break":
+        tok = env.get(("label", ast[1]))
+        if tok is None:
+            # parsed under the over-approximated label scope; real jq
+            # rejects this at compile time
+            raise _unsupported(f"$*label-{ast[1]} is not defined")
+        raise _JqBreak(tok)
+    elif kind == "format":
+        yield _format(ast[1], v)
+    elif kind == "strlit_fmt":
+        yield from _ev_interp(ast[2], v, env, fmt=ast[1])
     elif kind == "call":
         yield from _ev_call(ast[1], ast[2], v, env)
     elif kind == "setop":
@@ -998,17 +1186,23 @@ def _ev_ucall(fobj, cargs, v, env) -> Iterator:
     yield from bind(0, fobj["env"])
 
 
-def _ev_interp(parts, v, env) -> Iterator[str]:
+def _ev_interp(parts, v, env, fmt: "str | None" = None) -> Iterator[str]:
     def rec(i: int, acc: str) -> Iterator[str]:
         if i == len(parts):
             yield acc
             return
         p = parts[i]
         if isinstance(p, str):
+            # literal pieces are NOT formatted, only interpolations (jq)
             yield from rec(i + 1, acc + p)
         else:
             for out in _ev(p[1], v, env):
-                yield from rec(i + 1, acc + _tostring(_canonical(out)))
+                piece = (
+                    _format(fmt, _canonical(out))
+                    if fmt is not None
+                    else _tostring(_canonical(out))
+                )
+                yield from rec(i + 1, acc + piece)
 
     yield from rec(0, "")
 

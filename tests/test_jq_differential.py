@@ -138,9 +138,16 @@ def test_generic_fallback_runs_without_binding(spark):
     out = apply_jq_generic(df, "select(.a > 1) | {v: (.a * 10)}").collect()
     assert [r["value"] for r in out] == ['{"v":20}']
     with pytest.raises(JqUnsupported):
-        apply_jq_generic(df, "foreach .a as $x (0; . + $x)")  # out-of-core
-    # round-5: slices, getpath and path-assignment all run through the
-    # interpreter now
+        apply_jq_generic(df, "input")  # out-of-core: needs a record stream
+    # round-5: slices, getpath, path-assignment, foreach and the @formats
+    # all run through the interpreter now
+    # per-record programs, like jq per input line: foreach state does not
+    # span rows (cross-record accumulation is exactly what the out-of-core
+    # `inputs` would provide)
+    out = apply_jq_generic(df, "foreach (.a, .a) as $x (0; . + $x)").collect()
+    assert [r["value"] for r in out] == ["1", "2", "2", "4"]
+    out = apply_jq_generic(df, '@uri "v=\\(.a) x"').collect()
+    assert [r["value"] for r in out] == ['"v=1 x"', '"v=2 x"']
     out = apply_jq_generic(df, '{a: .a} | .a |= . * 2 | getpath(["a"])').collect()
     assert [r["value"] for r in out] == ["2", "4"]
     out = apply_jq_generic(df, "[.a, .a, .a] | .[0:2]").collect()
@@ -418,6 +425,44 @@ MINI_CASES = [
     ('contains(["foo"])', ["foobar", "x"]),  # deep element containment
     ("any(. > 2), all(. > 0)", [1, 2, 3]),
     ("any(.[]; . > 2), all(.[]; . > 0)", [1, 2, 3]),
+    # --- round-5: foreach / label+break / @format strings ------------------
+    ("[foreach .[] as $x (0; . + $x)]", [1, 2, 3]),  # running sums
+    ("[foreach (1,2) as $x (0; . + $x, . + 10)]", None),  # state = LAST out
+    ("[foreach (1,2,3) as $x (0; . + $x; [$x, .])]", None),  # 3-arg extract
+    ("[foreach (1,2) as $x ((0,100); . + $x)]", None),  # cartesian init
+    ("[reduce (1,2) as $x ((0,100); . + $x)]", None),  # reduce too
+    ("[foreach (1,2) as $x (0; (. + $x), empty)]", None),  # empty keeps state
+    ("[limit(2; foreach repeat(1) as $x (0; . + $x))]", None),  # lazy
+    ("[label $out | 1, 2, (3 | break $out), 4]", None),
+    (
+        "[label $out | foreach .[] as $x "
+        "(0; . + $x; if . > 3 then break $out else . end)]",
+        [1, 2, 3, 4],
+    ),
+    ("label $a | label $b | 1, break $a, 2", None),  # break skips inner
+    ("[label $x | label $x | 1, break $x, 2]", None),  # nearest wins
+    ("@html", "<a&\"b>'c"),
+    ("@html", 1),
+    ("@uri", "a b/c?d=e&f+g~h.i-j_k!*'()"),
+    ("@uri", "äöü"),  # percent-encodes UTF-8 bytes
+    ("@uri", {"a": 1}),  # non-strings go through tostring first
+    ("@csv", [1, 'a,"b"', None, True, 2.5]),
+    ("@csv", [1e300]),  # big floats print like jq's %.17g
+    ("@tsv", [1, "a\tb\nc\\d\re", None, True]),
+    ("@sh", "it's"),
+    ("@sh", [1, "a b", True, None]),
+    ("@base64", 1),
+    ("@base64", {"a": 1}),
+    ("@base64d", "aGVsbG8="),
+    ("@base64d", "aGk"),  # lenient about missing padding
+    ("@json", "x"),
+    ("@json", [1, {"a": None}]),
+    ("@text", [1]),
+    ('@uri "q=\\(.a)&r=\\(.a)"', {"a": "x y"}),  # literals NOT escaped
+    ('@html "pre\\(.a)post"', {"a": "<b>"}),
+    ('@csv "head:\\(.a)"', {"a": [1, "x"]}),
+    ('@base64 "v=\\("hi")"', None),
+    ("map(@base64)", ["a", "b"]),  # formats compose as plain filters
 ]
 
 
@@ -503,10 +548,9 @@ def test_mini_jq_unsupported_constructs_fail_at_compile_time():
     from kinesis_data_counter_spark.jq_eval import compile_program
 
     for prog in [
-        'label $out | .',           # label/break
-        "foreach .[] as $x (0; . + $x)",  # foreach
-        '@base64 "x"',              # format strings
         "input",                    # input/inputs need a record stream
+        "@nope",                    # unknown format
+        "break $never_bound",       # unbound break: jq compile error too
         "undefined_func(1)",        # unknown function with args
         "select(.a",                # unbalanced
         '"\\(.a"',                  # unterminated interpolation
@@ -527,6 +571,27 @@ def test_mini_jq_binary_divergences_pinned_directly():
     # abs/0 exists only from jq 1.7
     assert compile_program("abs").lines(-3) == ["3"]
     assert compile_program("abs").lines(2.5) == ["2.5"]
+    # jq 1.6 lets try catch a break (returns [1,"caught"]); 1.7 fixed it —
+    # break must unwind to its label untouched by intervening try/catch
+    assert compile_program(
+        '[label $out | try (1, break $out, 2) catch "caught"]'
+    ).lines(None) == ["[1]"]
+
+
+def test_mini_jq_format_errors_are_catchable_jq_errors():
+    # bad format inputs raise JqRuntimeError (suppressable with try/?),
+    # with the binary's own wording
+    from kinesis_data_counter_spark.jq_eval import JqRuntimeError, compile_program
+
+    for prog, inp, msg in [
+        ("@csv", "x", "cannot be csv-formatted, only array"),
+        ("@tsv", [[1]], "is not valid in a csv row"),  # jq says csv for tsv too
+        ("@sh", {"a": 1}, "can not be escaped for shell"),
+        ("@base64d", "!!!", "is not valid base64 data"),
+    ]:
+        with pytest.raises(JqRuntimeError, match=msg):
+            compile_program(prog).lines(inp)
+        assert compile_program(f"try {prog} catch \"e\"").lines(inp) == ['"e"']
 
 
 # --- round-3 widening: multi-output '.path[]' iteration --------------------
