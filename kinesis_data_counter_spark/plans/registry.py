@@ -258,6 +258,35 @@ def ndigits: [match("[0-9]"; "g")] | length;
     ).select("r.*")
 
 
+def _q_text_jq_export(spark, sf_dir):
+    # round-5: the interpreter's @format strings (counter.go:439-466 runs
+    # arbitrary gojq, and @csv/@sh/@html/@base64 are the formats a counter
+    # output transform actually reaches for) plus a ``foreach`` running
+    # fold, all replayed exactly by the DuckDB twin with its own string
+    # machinery. NULL text follows jq: a null @csv cell is empty, @sh /
+    # @html / @base64 stringify null to "null".
+    from kinesis_data_counter_spark.jq import apply_jq_generic
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    program = r"""
+{id: .doc_id,
+ csv: ([.doc_id, .lang, .text] | @csv),
+ sh: (.text | @sh),
+ html: (.text | @html),
+ b64: (.text | @base64),
+ nw: (if .text == null then null
+      else [foreach (.text | splits(" "; null)) as $w (0; . + 1)] | last
+      end)}
+"""
+    out = apply_jq_generic(docs.select("doc_id", "lang", "text"), program)
+    return out.select(
+        F.from_json(
+            "value",
+            "id long, csv string, sh string, html string, b64 string, nw long",
+        ).alias("r")
+    ).select("r.*")
+
+
 def _hll_ok(approx, exact):
     return (F.abs(approx - exact) <= F.greatest(F.lit(1.0), F.lit(HLL_TOL) * exact)).alias("ok")
 
@@ -3101,6 +3130,28 @@ SELECT doc_id AS id,
        regexp_matches(text, 'https?://') AS has_url
 FROM documents
 """,
+    # jq @format semantics replayed in SQL: csv quote-doubling with empty
+    # null cells, shell single-quote escaping, the 5 html entities (&amp;
+    # first), base64 over utf8 bytes, and string_split as the foreach twin
+    "text_jq_export": """
+SELECT doc_id AS id,
+       coalesce(CAST(doc_id AS VARCHAR), '') || ',' ||
+         CASE WHEN lang IS NULL THEN ''
+              ELSE '"' || replace(lang, '"', '""') || '"' END || ',' ||
+         CASE WHEN text IS NULL THEN ''
+              ELSE '"' || replace(text, '"', '""') || '"' END AS csv,
+       CASE WHEN text IS NULL THEN 'null'
+            ELSE chr(39) ||
+                 replace(text, chr(39), chr(39)||chr(92)||chr(39)||chr(39)) ||
+                 chr(39) END AS sh,
+       CASE WHEN text IS NULL THEN 'null'
+            ELSE replace(replace(replace(replace(replace(
+                   text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                   chr(39), '&apos;'), '"', '&quot;') END AS html,
+       to_base64(encode(coalesce(text, 'null'))) AS b64,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+FROM documents
+""",
     "dedup_exact_props": f"""
 SELECT md5({_NORM_SQL.format(c='props')}) AS content_hash,
        count(*) AS n_dups, min(event_id) AS canonical_id
@@ -4374,6 +4425,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_jq_iterate": _q_counter_jq_iterate,
     "counter_jq_generic": _q_counter_jq_generic,
     "text_jq_normalize": _q_text_jq_normalize,
+    "text_jq_export": _q_text_jq_export,
     "counter_distinct_user": _q_counter_distinct_user,
     "counter_distinct_expr": _q_counter_distinct_expr,
     "counter_two_level": _q_counter_two_level,
@@ -4684,8 +4736,9 @@ _SHOWCASE_ORDER = [
     # and keep running in local verification + tests; every ceded family
     # keeps at least one head representative. Never-driver-recorded after
     # this rotation: 36 of 142.
-    # ROUND-6 ROTATION CANDIDATES (strongest first): stream-curate capstone
-    # entries if added, ann_lsh_recall, ann_ivf_recall, dedup_ngram_jaccard,
+    # ROUND-6 ROTATION CANDIDATES (strongest first): text_jq_export
+    # (@format strings + foreach through the interpreter), stream-curate
+    # capstone entries if added, ann_lsh_recall, ann_ivf_recall, dedup_ngram_jaccard,
     # corpus_pack_sequences, corpus_decontaminate, text_fingerprint,
     # text_winnow, sample_hash_split, sessionize_users,
     # range_join_session_events, events_transitions.
