@@ -135,15 +135,41 @@ def lsh_bits_for(n_corpus: int, target_bucket: int = 64, min_bits: int = 6) -> i
     the measured ratio near-linear at fixture sizes.) Scaling bits with
     log2(n) pins occupancy at ``target_bucket`` and restores linear total
     work; recall lost to narrower buckets is bought back with more tables
-    or multiprobe (recall = 1-(1-p)^L). Registry entries keep fixed
-    fixture-sized bits because their recorded agreement/recall floors are
-    calibrated per SF; production deployments should size with this rule.
+    or multiprobe (recall = 1-(1-p)^L) — size those with
+    :func:`lsh_tables_for`. The corpus-sweep registry entry
+    (``knn_label_propagation_bucketed``) sizes with this pair of rules;
+    the fixed-parameter recall entries keep fixture-calibrated constants
+    because their recorded floors are per-SF.
     """
     import math
 
     if n_corpus <= target_bucket:
         return min_bits
     return max(min_bits, math.ceil(math.log2(n_corpus / target_bucket)))
+
+
+def lsh_tables_for(
+    num_bits: int,
+    base_bits: int = 6,
+    base_tables: int = 16,
+    growth: float = 1.5,
+) -> int:
+    """Companion to :func:`lsh_bits_for`: buy back the recall narrower
+    buckets lose with more tables. Per-table collision probability for a
+    near pair falls roughly geometrically per extra hyperplane bit, and
+    recall ≈ 1-(1-p)^L, so holding recall needs L to grow geometrically
+    with bits. ``growth=1.5`` per extra bit is calibrated on the round-5
+    sf1 spot fixture (20k isotropic vectors — ANN's worst case): 6→7
+    bits with 16→24 tables held kNN label agreement at 0.98 (0.92 at 16
+    tables), at roughly half the candidate volume of staying at 6 bits;
+    8 bits needed 32+ tables for 0.97. Candidate volume per query is
+    L·n/2^bits, so the net effect of (bits_for, tables_for) together is
+    occupancy pinned at the target while per-query work grows only as
+    L = 1.5^log2(n-growth) ≈ n^0.585 — strongly sublinear, where fixed
+    bits would be linear per query (quadratic for a corpus-sized sweep)."""
+    import math
+
+    return max(base_tables, math.ceil(base_tables * growth ** (num_bits - base_bits)))
 
 
 def hyperplane_buckets(

@@ -4212,17 +4212,24 @@ def _q_knn_label_propagation_bucketed(spark, sf_dir):
     # the oracle, not the production plan, and runs only on the
     # deterministic 1-in-4 query slice (sample_mod) so the entry's cost
     # is dominated by the bucketed path it certifies.
-    # SCALE: num_bits=6 is calibrated to THIS fixture's corpus; at fixed
-    # bits, bucket occupancy (and so candidate volume per query) grows
-    # linearly with the corpus — production sizes bits with
-    # similarity.lsh_bits_for(n) (≈ log2(n/64)), which pins occupancy and
-    # keeps the sweep linear (see the bench's sf1_spot section).
+    # SCALE: bits and tables are sized from the corpus with the paired
+    # rules lsh_bits_for (pin bucket occupancy ≈ target, so candidate
+    # volume per query stays flat as n grows) and lsh_tables_for (grow
+    # tables geometrically per extra bit to hold recall) — at the
+    # recorded SFs this resolves to the calibrated (6 bits, 16 tables);
+    # at the sf1 spot-bench's 10× corpus it steps to (7, 24), which
+    # halved the sweep's wall time vs fixed-6-bits while holding
+    # agreement at 0.98 (see BENCH sf1_spot). The count() that feeds the
+    # rule prunes to the single id column (column-pruned scan, no vectors
+    # read) — O(model-sizing), not a second pass over the embeddings.
     (emb,) = _tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 5 == 0)
     labeled = emb.filter(F.col("vec_id") % 5 != 0)
+    bits = SIM.lsh_bits_for(labeled.count(), target_bucket=128)
     res = SIM.knn_agreement_check(
         labeled, queries, dim=64, k=5, min_agreement=0.9,
-        method="lsh", num_bits=6, num_tables=16, sample_mod=4,
+        method="lsh", num_bits=bits, num_tables=SIM.lsh_tables_for(bits),
+        sample_mod=4,
     )
     return res.select("ok")
 

@@ -501,3 +501,25 @@ def test_lsh_scaled_bits_preserve_agreement(spark):
         method="lsh", num_bits=bits, num_tables=16, sample_mod=8,
     ).collect()
     assert r.ok, r
+
+
+def test_lsh_tables_sizing_rule():
+    # the companion rule: tables grow geometrically per extra bit so the
+    # recall the narrower buckets lose is bought back (sf1-calibrated:
+    # 7 bits needs 24 tables, 8 needs 36 — see lsh_tables_for docstring)
+    from kinesis_data_counter_spark.operators.similarity import (
+        lsh_bits_for,
+        lsh_tables_for,
+    )
+
+    assert lsh_tables_for(6) == 16           # base point: unchanged
+    assert lsh_tables_for(5) == 16           # never below base
+    assert lsh_tables_for(7) == 24
+    assert lsh_tables_for(8) == 36
+    # the paired rules keep per-query candidate volume (L * n/2^b)
+    # sublinear in corpus size: growth ~ 1.5^log2(growth_n) = n^0.585,
+    # so 1000x vectors costs ~56x per query (fixed bits would cost 1000x)
+    def vol(n):
+        b = lsh_bits_for(n, target_bucket=128)
+        return lsh_tables_for(b) * n / 2**b
+    assert vol(16_000_000) / vol(16_000) < 60  # vs 1000x for fixed bits
