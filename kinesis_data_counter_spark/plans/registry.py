@@ -4217,19 +4217,26 @@ def _q_knn_label_propagation_bucketed(spark, sf_dir):
     # volume per query stays flat as n grows) and lsh_tables_for (grow
     # tables geometrically per extra bit to hold recall) — at the
     # recorded SFs this resolves to the calibrated (6 bits, 16 tables);
-    # at the sf1 spot-bench's 10× corpus it steps to (7, 24), which
-    # halved the sweep's wall time vs fixed-6-bits while holding
-    # agreement at 0.98 (see BENCH sf1_spot). The count() that feeds the
-    # rule prunes to the single id column (column-pruned scan, no vectors
-    # read) — O(model-sizing), not a second pass over the embeddings.
+    # at the sf1 spot-bench's 10× corpus it steps to (7, 24) and, with
+    # the bounded brute side below, takes the 10×-data wall-time ratio
+    # from 13.45× (fixed params, r5 first spot run) to ~2.5× while
+    # holding agreement at 0.98. The counts that feed the rules prune to
+    # the single id column (no vectors read) — O(model-sizing), not a
+    # second pass over the embeddings.
+    # The agreement check's brute side is likewise bounded ABSOLUTELY:
+    # sample_mod scales so ~100 queries hit the brute oracle regardless
+    # of corpus size (the docstring's bounded-sample monitoring stance) —
+    # at the recorded SFs this resolves to the calibrated mod 4.
     (emb,) = _tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 5 == 0)
     labeled = emb.filter(F.col("vec_id") % 5 != 0)
-    bits = SIM.lsh_bits_for(labeled.count(), target_bucket=128)
+    n_labeled = labeled.count()
+    n_queries = n_labeled // 4  # the % 5 split: 1 query per 4 labeled
+    bits = SIM.lsh_bits_for(n_labeled, target_bucket=128)
     res = SIM.knn_agreement_check(
         labeled, queries, dim=64, k=5, min_agreement=0.9,
         method="lsh", num_bits=bits, num_tables=SIM.lsh_tables_for(bits),
-        sample_mod=4,
+        sample_mod=max(4, n_queries // 100),
     )
     return res.select("ok")
 
