@@ -135,10 +135,12 @@ def main() -> None:
     # min over SPARK_BENCH_RUNS passes: run 1 pays one-time JIT/codegen
     # compilation per query (±2s noise locally, irrelevant at cluster
     # scale); the min is the steady-state cost of the physical plan.
-    # 3 passes: the very first Spark job after machine boot was observed
+    # 5 passes: the very first Spark job after machine boot was observed
     # paying a one-off multi-second penalty (cold page cache + JIT storm),
-    # which min-of-2 cannot always absorb
-    runs = int(os.environ.get("SPARK_BENCH_RUNS", "3"))
+    # and round-4→5 A/B runs on a QUIET machine still showed ±20-40%
+    # swings on sub-second queries under min-of-3 — min-of-5 tightens the
+    # per-query minima enough for round-over-round deltas to be signal
+    runs = int(os.environ.get("SPARK_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for _ in range(max(1, runs)):
         for name in BENCH_QUERIES:
