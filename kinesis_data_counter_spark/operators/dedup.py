@@ -17,8 +17,11 @@ Scale notes (100 TB):
   (map-side partial min ⇒ shuffle volume = docs × k, independent of text
   size); banding turns near-dup search into b equi-joins on 64-bit band
   signatures.
-- SimHash: 64 sign-sums per doc; the banded (pigeonhole) join on 16-bit
-  chunks finds all pairs within hamming ≤ 3 without an O(n²) cross join.
+- SimHash: 64 (or 128) sign-sums per doc; pigeonhole banding generalized to
+  block combinations (Manku et al. WWW'07 — size with ``simhash_blocks_for``)
+  finds all pairs within the hamming radius without an O(n²) cross join, with
+  join-key width that scales with the corpus; pairs de-dup by
+  first-agreeing-table, not a distinct shuffle.
 """
 
 from __future__ import annotations
@@ -532,34 +535,97 @@ def incremental_minhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def simhash_blocks_for(
+    n_docs: int,
+    max_hamming: int = 3,
+    bits: int = 64,
+    target_bucket: int = 64,
+    max_tables: int = 64,
+) -> int:
+    """Block-count sizing rule for combination banding (Manku et al.,
+    WWW'07 — the simhash sibling of similarity.lsh_bits_for).
+
+    With the minimal d+1 blocks, band keys are bits/(d+1) wide (16 bits
+    for 64-bit fingerprints at d=3), so bucket occupancy — and with it
+    candidate volume, which is occupancy² per bucket — grows linearly
+    with the corpus: the banded join degenerates past
+    n ≈ target·2^16 ≈ 4M docs. Splitting into m > d+1 blocks and keying
+    each of C(m, d) tables on an (m−d)-block COMBINATION keeps the
+    pigeonhole guarantee (≤ d differing bits leave some m−d blocks
+    untouched) while widening the key to ≈ bits·(m−d)/m — e.g. m=6 at
+    64-bit/d=3 gives 20 tables on 32-bit keys: ~2^16× lower occupancy
+    for 5× more tables. Returns the smallest m whose key width covers
+    ``log2(n/target)``, capped where the table count C(m, d) would pass
+    ``max_tables``.
+
+    Note hamming radius is WIDTH-RELATIVE: d of 128 bits is a stricter
+    cosine cutoff than d of 64 (the fraction of differing bits is the
+    hyperplane-angle estimate), so a wider fingerprint (``bits=128``)
+    buys estimator precision — scale d with it to hold the same
+    threshold, and let THIS rule (not fingerprint width) carry the
+    candidate-volume scaling."""
+    import math
+
+    d = max_hamming
+    need = (
+        0 if n_docs <= target_bucket else math.ceil(math.log2(n_docs / target_bucket))
+    )
+    m = d + 1
+    while (bits * (m - d)) // m < need and math.comb(m + 1, d) <= max_tables:
+        m += 1
+    return m
+
+
 def simhash_signatures(
     df: DataFrame,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bits: int = 64,
 ) -> DataFrame:
-    """(doc_id, simhash: long) 64-bit SimHash over n-gram shingles.
+    """SimHash over n-gram shingles: ``(doc_id, simhash: long)`` for
+    ``bits=64`` (the recorded-oracle default), ``(doc_id, simhash_0,
+    simhash_1)`` for ``bits=128`` (doubles estimator precision — scale
+    ``max_hamming`` with it; word w hashes through an independent
+    xxhash64 seeded by w).
 
-    bit_i(doc) = sign of Σ_shingles (2·bit_i(h) − 1): 64 conditional sums per
-    doc — one aggregation, map-side partials, no UDF.
+    bit_i(doc) = sign of Σ_shingles (2·bit_i(h) − 1): ``bits`` conditional
+    sums per doc — ONE aggregation regardless of width, map-side partials,
+    no UDF. Each word keeps its sign bit clear (63 effective bits/word) so
+    values stay positive longs.
     """
+    if bits % 64 != 0 or bits <= 0:
+        raise ValueError(f"bits must be a positive multiple of 64, got {bits}")
     post = shingles(df, text_col, n, id_col)
-    h = F.xxhash64("shingle")
-    sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(64)
-    ]
+    nwords = bits // 64
+    sums = []
+    for w in range(nwords):
+        h = F.xxhash64("shingle") if w == 0 else F.xxhash64("shingle", F.lit(w))
+        sums += [
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{w}_{i}")
+            for i in range(64)
+        ]
     agg = post.groupBy("doc_id").agg(*sums)
-    bit_terms = [
-        F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long") * F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
-        for i in range(63)  # keep sign bit clear so the value stays positive
-    ]
-    sim = bit_terms[0]
-    for t in bit_terms[1:]:
-        sim = sim + t
-    return agg.select("doc_id", sim.alias("simhash"))
+
+    def word(w):
+        terms = [
+            F.when(F.col(f"s{w}_{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for i in range(63)  # keep sign bit clear so the value stays positive
+        ]
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = expr + t
+        return expr
+
+    if nwords == 1:
+        return agg.select("doc_id", word(0).alias("simhash"))
+    return agg.select(
+        "doc_id", *[word(w).alias(f"simhash_{w}") for w in range(nwords)]
+    )
 
 
 def simhash_pairs(
@@ -569,53 +635,101 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     signatures: DataFrame | None = None,
+    bits: int = 64,
+    blocks: int | None = None,
 ) -> DataFrame:
     """Pairs with SimHash hamming distance ≤ max_hamming.
 
-    Pigeonhole banding: split 64 bits into (max_hamming+1) chunks — any pair
-    within the radius agrees exactly on ≥1 chunk, so candidates come from
-    equi-joins on (chunk_id, chunk_value) instead of a cross join. Exact
-    hamming (bit_count of XOR) then filters candidates. This is the
-    scale-correct plan: shuffle keyed by 16-bit chunk values.
+    Pigeonhole banding, generalized to block COMBINATIONS (Manku et al.,
+    WWW'07): the fingerprint splits into ``blocks`` (default the minimal
+    max_hamming+1) blocks; ≤ d differing bits leave some (blocks−d)-block
+    subset untouched, so candidates come from C(blocks, d) equi-joins,
+    each keyed by one combination's concatenated block values, instead of
+    a cross join. Exact hamming (bit_count of XOR per word) then filters
+    candidates. ``blocks`` is the scale knob — size it with
+    :func:`simhash_blocks_for`: more blocks widen the join key
+    (bits·(blocks−d)/blocks), pinning bucket occupancy as the corpus
+    grows, for a combinatorially-bounded number of tables.
+
+    A pair agreeing on several combinations is emitted once via the
+    first-agreeing-table rule (row-local comparison of the full
+    signatures both join sides already carry) — no distinct shuffle.
 
     The signature table feeds both self-join sides, so it is persisted
     (|docs| fixed-width rows); pass ``signatures`` to reuse an
-    already-computed table instead.
+    already-computed table instead. Blocks may straddle the 64-bit words
+    of a ``bits=128`` fingerprint — extraction stitches across words.
     """
+    from itertools import combinations
+
     sig = (
         signatures
         if signatures is not None
-        else simhash_signatures(df, n, text_col, id_col).persist()
+        else simhash_signatures(df, n, text_col, id_col, bits=bits).persist()
     )
-    nchunks = max_hamming + 1
-    width = 64 // nchunks
-    chunk_structs = F.array(
+    words = ["simhash"] if bits == 64 else [f"simhash_{w}" for w in range(bits // 64)]
+    d = max_hamming
+    m = blocks if blocks is not None else d + 1
+    if m <= d:
+        raise ValueError(f"blocks must exceed max_hamming ({d}), got {m}")
+    base, extra = divmod(bits, m)
+    widths = [base + 1 if i < extra else base for i in range(m)]
+    starts = [sum(widths[:i]) for i in range(m)]
+
+    def block_of(prefix: str, bi: int):
+        # gather [start, start+width) across the 64-bit words into a long
+        start, width, expr, got = starts[bi], widths[bi], None, 0
+        while got < width:
+            w, off = (start + got) // 64, (start + got) % 64
+            take = min(64 - off, width - got)
+            col = F.col(f"{prefix}.{words[w]}" if prefix else words[w])
+            seg = F.shiftright(col, off).bitwiseAND(F.lit((1 << take) - 1))
+            if got:
+                seg = seg * F.lit(1 << got).cast("long")
+            expr = seg if expr is None else expr + seg
+            got += take
+        return expr
+
+    combos = list(combinations(range(m), m - d))
+    entry_structs = F.array(
         *[
             F.struct(
-                F.lit(ci).alias("chunk"),
-                F.shiftright(F.col("simhash"), ci * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("cv"),
+                F.lit(ti).alias("tbl"),
+                F.array(*[block_of("", bi) for bi in combo]).alias("key"),
             )
-            for ci in range(nchunks)
+            for ti, combo in enumerate(combos)
         ]
     )
-    chunks = sig.select(
-        "doc_id", "simhash", F.explode(chunk_structs).alias("c")
-    ).select("doc_id", "simhash", "c.chunk", "c.cv")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    entries = sig.select(
+        "doc_id", *words, F.explode(entry_structs).alias("c")
+    ).select("doc_id", *words, "c.tbl", "c.key")
+    a = entries.alias("a")
+    b = entries.alias("b")
+    ham = F.bit_count(F.col(f"a.{words[0]}").bitwiseXOR(F.col(f"b.{words[0]}")))
+    for w in words[1:]:
+        ham = ham + F.bit_count(F.col(f"a.{w}").bitwiseXOR(F.col(f"b.{w}")))
+
+    def agrees(ti: int):
+        conds = [block_of("a", bi) == block_of("b", bi) for bi in combos[ti]]
+        expr = conds[0]
+        for c in conds[1:]:
+            expr = expr & c
+        return expr
+
+    # first combination both sides fully agree on — defined for any join hit
+    first_agree = F.when(agrees(0), F.lit(0))
+    for ti in range(1, len(combos)):
+        first_agree = first_agree.when(agrees(ti), F.lit(ti))
     return (
-        a.join(b, ["chunk", "cv"])
+        a.join(b, ["tbl", "key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.col("tbl") == first_agree)
         .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 

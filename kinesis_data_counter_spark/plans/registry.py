@@ -2240,7 +2240,11 @@ def _q_sample_stratified(spark, sf_dir):
 def _q_dedup_simhash(spark, sf_dir):
     # no independent SQL oracle exists for simhash (engine-specific xxhash64),
     # so assert the banding invariant: the pigeonhole banded join finds
-    # exactly the pairs a brute-force hamming scan finds
+    # exactly the pairs a brute-force hamming scan finds.
+    # SCALE: default blocks (= max_hamming+1, the fixture-honest minimum)
+    # here; past ~4M docs size the block count with dedup.simhash_blocks_for
+    # (Manku combination banding — wider combination keys pin bucket
+    # occupancy; tests pin it against brute force at m=8 and m=10)
     (docs,) = _tables(spark, sf_dir, "documents")
     # ONE persisted signature pass feeds the banded join (both sides) AND
     # the brute-force check — the 64-conditional-sum aggregate is the

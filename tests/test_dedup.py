@@ -80,6 +80,84 @@ def test_simhash_banding_equals_bruteforce(docs, spark):
     }
     assert banded == brute
     assert (1, 2) in banded  # identical docs at hamming 0
+    # first-agreeing-chunk rule replaced distinct: each pair exactly once
+    rows = DD.simhash_pairs(docs, max_hamming=6, n=3).collect()
+    assert len(rows) == len({(r.a_id, r.b_id) for r in rows})
+
+
+def test_simhash_128_bit_banding_equals_bruteforce(docs, spark):
+    # the corpus-scale fingerprint width (32-bit chunks): same pigeonhole
+    # guarantee, verified against the two-word brute hamming join
+    sig = DD.simhash_signatures(docs, n=3, bits=128)
+    assert set(sig.columns) == {"doc_id", "simhash_0", "simhash_1"}
+    banded = {
+        (r.a_id, r.b_id)
+        for r in DD.simhash_pairs(
+            docs, max_hamming=3, n=3, bits=128
+        ).collect()
+    }
+    a = sig.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("simhash_0").alias("a0"),
+        F.col("simhash_1").alias("a1"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("simhash_0").alias("b0"),
+        F.col("simhash_1").alias("b1"),
+    )
+    ham = F.bit_count(F.col("a0").bitwiseXOR(F.col("b0"))) + F.bit_count(
+        F.col("a1").bitwiseXOR(F.col("b1"))
+    )
+    brute = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, F.col("a_id") < F.col("b_id")).filter(ham <= 3).collect()
+    }
+    assert banded == brute
+    assert (1, 2) in banded  # identical docs at hamming 0 in any width
+    # word 0 is the same 64-bit simhash as bits=64 (seeded words extend it)
+    s64 = {r.doc_id: r.simhash for r in DD.simhash_signatures(docs, n=3).collect()}
+    s128 = {r.doc_id: r.simhash_0 for r in sig.collect()}
+    assert s64 == s128
+
+
+def test_simhash_combination_banding_equals_bruteforce(docs, spark):
+    # Manku-style m>d+1 blocks: C(m,d) tables on (m-d)-block combination
+    # keys must find exactly the brute-force pair set, once each
+    sig = DD.simhash_signatures(docs, n=3)
+    a = sig.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"))
+    brute = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 6)
+        .collect()
+    }
+    for m in (8, 10):  # C(8,6)=28 / C(10,6)=210-combination tables
+        rows = DD.simhash_pairs(docs, max_hamming=6, n=3, blocks=m).collect()
+        assert {(r.a_id, r.b_id) for r in rows} == brute, m
+        assert len(rows) == len(brute), m  # exactly once per pair
+    # 128-bit fingerprints with blocks that straddle the word boundary
+    rows = DD.simhash_pairs(docs, max_hamming=3, n=3, bits=128, blocks=6).collect()
+    assert (1, 2) in {(r.a_id, r.b_id) for r in rows}
+
+
+def test_simhash_blocks_sizing_rule():
+    # minimal d+1 blocks (16-bit keys at 64/d=3) hold to ~4M docs at
+    # occupancy 64; past that the combination count grows the key width
+    assert DD.simhash_blocks_for(100_000) == 4
+    assert DD.simhash_blocks_for(4_000_000) == 4
+    assert DD.simhash_blocks_for(50_000_000) > 4
+    # key width (m-d)/m*64 must cover log2(n/64) whenever under the cap
+    import math
+
+    for n in (10**7, 10**9, 10**11):
+        m = DD.simhash_blocks_for(n)
+        if math.comb(m, 3) <= 64:  # not capped
+            assert (64 * (m - 3)) // m >= math.ceil(math.log2(n / 64)), (n, m)
+    # table count never exceeds the cap
+    for n in (10**6, 10**9, 10**13, 10**15):
+        assert math.comb(DD.simhash_blocks_for(n), 3) <= 64, n
 
 
 def test_stop_shingle_pruning(spark):
