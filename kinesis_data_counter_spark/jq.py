@@ -780,6 +780,52 @@ def apply_jq_generic(df: DataFrame, program: str) -> DataFrame:
     return df.mapInPandas(_batches, "value string")
 
 
+def apply_jq_stream(
+    df: DataFrame, program: str, null_input: bool = True
+) -> DataFrame:
+    """jq's INPUT-STREAM model (``input``/``inputs``) per PARTITION.
+
+    Each partition's records form one jq input stream: with
+    ``null_input=True`` (jq -n) the program runs once per partition on
+    ``null`` and reads records via ``input``/``inputs``; otherwise jq's
+    default main loop runs — each unconsumed record becomes ``.`` for one
+    program pass, which may itself consume more via ``input``. Output is
+    ``value: STRING`` JSON lines, like :func:`apply_jq_generic`.
+
+    DETERMINISM CONTRACT — this is ``mapPartitions`` semantics: outputs
+    depend on partitioning and intra-partition order. Use it for
+    (a) order/partition-insensitive programs (commutative-associative
+    ``reduce inputs`` folds whose per-partition results are then merged —
+    the partial/final shape counter.go's two-level topology uses), or
+    (b) streams made deterministic first (``repartition(1)`` +
+    ``sortWithinPartitions`` on a bounded, already-aggregated input —
+    the jq-CLI-on-a-file shape). The program compiles on the driver
+    (``allow_inputs=True``), so any construct outside the interpreter
+    still fails before executor work is scheduled.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from kinesis_data_counter_spark.jq_eval import compile_program, dumps
+
+    cols = df.columns
+    compile_program(program, allow_inputs=True)  # driver-time fail-fast
+
+    def _part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        prog = compile_program(program, allow_inputs=True)
+
+        def records():
+            for pdf in batches:
+                for rec in pdf[cols].to_dict("records"):
+                    yield _plain_json(rec)
+
+        out = [dumps(o) for o in prog.stream(records(), null_input=null_input)]
+        yield pd.DataFrame({"value": pd.array(out, dtype=object)})
+
+    return df.mapInPandas(_part, "value string")
+
+
 def _plain_json(v):
     """Arrow/pandas batch values → plain JSON types (numpy scalars/arrays
     and struct Rows appear inside ``to_dict`` records; jq evaluation and

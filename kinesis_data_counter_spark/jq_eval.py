@@ -309,6 +309,8 @@ _ZERO_ARG_BUILTINS = {
     "paths",
     "leaf_paths",
     "error",
+    "input",
+    "inputs",
     "abs",
     "log",
     "log2",
@@ -1433,6 +1435,19 @@ def _ev_call(name: str, args, v, env) -> Iterator:
                 raise JqRuntimeError("delpaths paths must be an array")
             yield _delpaths(v, ps)
         return
+    if name in ("input", "inputs") and not args:
+        # the record stream bound by MiniJqProgram.stream(); outside
+        # stream mode the compile gate rejects these at driver time
+        it = env.get(("inputs",))
+        if name == "inputs":
+            if it is not None:
+                yield from it
+            return
+        if it is not None:
+            for nxt in it:
+                yield nxt
+                return
+        raise JqRuntimeError("No more inputs")
     if args and name in (
         "limit", "first", "last", "nth", "until", "while", "repeat",
         "map_values", "error", "pow", "any", "all",
@@ -2265,12 +2280,34 @@ def _flatten(v, depth: "int | None"):
 # Public API
 # ---------------------------------------------------------------------------
 
+def _ast_calls(ast, names: frozenset) -> bool:
+    """Whether any ``("call", name, ...)`` for a name in ``names`` appears."""
+    if isinstance(ast, tuple) and len(ast) >= 2 and ast[0] == "call" and ast[1] in names:
+        return True
+    if isinstance(ast, (tuple, list)):
+        return any(_ast_calls(x, names) for x in ast)
+    return False
+
+
 class MiniJqProgram:
-    """A compiled mini-jq program: ``prog(value)`` yields jq's outputs."""
+    """A compiled mini-jq program: ``prog(value)`` yields jq's outputs.
+
+    ``stream(values)`` runs jq's INPUT-STREAM model over an iterable of
+    records: with ``null_input=True`` (jq -n) the program runs once on
+    ``null`` and reads records via ``input``/``inputs``; otherwise (jq's
+    default main loop) each unconsumed record becomes ``.`` for one
+    program run, which may consume further records itself. ``input`` past
+    the end raises the catchable jq error "No more inputs" (the 1.7
+    wording; 1.6's binary garbles it as "break"); ``inputs`` just ends.
+    """
 
     def __init__(self, source: str):
         self.source = source
         self._ast = _parse(source)
+
+    @property
+    def uses_inputs(self) -> bool:
+        return _ast_calls(self._ast, frozenset({"input", "inputs"}))
 
     def __call__(self, value) -> Iterator:
         return (_canonical(o) for o in _ev(self._ast, value, {}))
@@ -2279,7 +2316,29 @@ class MiniJqProgram:
         """All outputs as compact JSON lines (the -c CLI contract)."""
         return [dumps(o) for o in _ev(self._ast, value, {})]
 
+    def stream(self, values, null_input: bool = True) -> Iterator:
+        it = iter(values)
+        env = {("inputs",): it}
+        if null_input:
+            yield from (_canonical(o) for o in _ev(self._ast, None, env))
+            return
+        for v in it:  # records the program body didn't consume
+            yield from (_canonical(o) for o in _ev(self._ast, v, env))
 
-def compile_program(source: str) -> MiniJqProgram:
-    """Parse ``source``; raises JqUnsupported on out-of-core constructs."""
-    return MiniJqProgram(source)
+    def stream_lines(self, values, null_input: bool = True) -> list[str]:
+        return [dumps(o) for o in self.stream(values, null_input)]
+
+
+def compile_program(source: str, allow_inputs: bool = False) -> MiniJqProgram:
+    """Parse ``source``; raises JqUnsupported on out-of-core constructs.
+
+    ``input``/``inputs`` compile only with ``allow_inputs=True`` (callers
+    that will run via :meth:`MiniJqProgram.stream`); in the default
+    per-record mode there is no record stream to read, so they fail at
+    compile time like the other out-of-core constructs."""
+    prog = MiniJqProgram(source)
+    if not allow_inputs and prog.uses_inputs:
+        raise _unsupported(
+            "input/inputs need a record stream - run via apply_jq_stream"
+        )
+    return prog

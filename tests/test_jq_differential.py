@@ -684,3 +684,120 @@ def test_eval_jq_object_refuses_multi_output():
 
     with pytest.raises(JU, match="multi-output"):
         eval_jq_object(".items[]", dict(NROWS[0]))
+
+
+# ---------------------------------------------------------------------------
+# input/inputs — jq's INPUT-STREAM model (MiniJqProgram.stream)
+# ---------------------------------------------------------------------------
+
+# (program, records, null_input): differential vs `jq [-n] -c` fed the
+# records as a newline-delimited JSON stream
+STREAM_CASES = [
+    ("reduce inputs as $x (0; . + $x)", [1, 2, 3, 4], True),
+    ("[inputs]", [1, 2, 3], True),
+    ("[inputs] | add", [], True),
+    ("[limit(3; inputs)]", [1, 2, 3, 4, 5], True),
+    ("[inputs | .a] | add", [{"a": 1}, {"a": 2}], True),
+    ("try input catch \"done\"", [], True),
+    ("input, input", [10, 20, 30], True),
+    ("foreach inputs as $x (0; . + $x; .)", [1, 2, 3], True),
+    (". , input", [1, 2, 3, 4], False),  # main loop: input inside a pass
+    (". + 1", [1, 2, 3], False),         # main loop without input calls
+    ("[., input]", [1, 2, 3, 4], False),
+    ("reduce inputs as $x (.; . + $x)", [1, 2, 3], False),  # first rec seeds
+]
+
+
+def _real_jq_stream(program: str, records, null_input: bool) -> list[str]:
+    argv = [JQ, "-c"] + (["-n"] if null_input else []) + [program]
+    out = subprocess.run(
+        argv,
+        input="\n".join(json.dumps(r) for r in records),
+        capture_output=True,
+        text=True,
+        timeout=30,
+    )
+    assert out.returncode == 0, out.stderr
+    return [line for line in out.stdout.splitlines() if line.strip()]
+
+
+@pytest.mark.skipif(JQ is None, reason="jq binary not available")
+@pytest.mark.parametrize(
+    "program,records,null_input",
+    STREAM_CASES,
+    ids=[f"{p}|n={n}" for p, _, n in STREAM_CASES],
+)
+def test_stream_mode_matches_real_jq(program, records, null_input):
+    from kinesis_data_counter_spark.jq_eval import compile_program
+
+    got = compile_program(program, allow_inputs=True).stream_lines(
+        records, null_input=null_input
+    )
+    assert got == _real_jq_stream(program, records, null_input), program
+
+
+def test_stream_input_past_end_is_a_catchable_jq_error():
+    # jq 1.7 wording ("No more inputs"); the 1.6 binary garbles the
+    # uncaught message as "break", so this is pinned directly — the
+    # CONTRACT under test is that try/? can suppress it.
+    from kinesis_data_counter_spark.jq_eval import JqRuntimeError, compile_program
+
+    prog = compile_program("input", allow_inputs=True)
+    with pytest.raises(JqRuntimeError, match="No more inputs"):
+        prog.stream_lines([], null_input=True)
+    ok = compile_program("input? // \"end\"", allow_inputs=True)
+    assert ok.stream_lines([], null_input=True) == ['"end"']
+
+
+def test_apply_jq_stream_partition_fold(spark):
+    # commutative-associative per-partition fold: each partition emits one
+    # partial, and the merged partials equal the global total — the
+    # partial/final counter topology expressed as a jq program
+    from kinesis_data_counter_spark.jq import apply_jq_stream
+
+    df = spark.range(0, 100).selectExpr("id AS v").repartition(4)
+    out = apply_jq_stream(df, "reduce (inputs | .v) as $x (0; . + $x)")
+    partials = [json.loads(r["value"]) for r in out.collect()]
+    assert len(partials) == out.rdd.getNumPartitions() or sum(partials) == 4950
+    assert sum(partials) == 4950
+
+
+def test_apply_jq_stream_single_partition_matches_cli(spark):
+    # the jq-CLI-on-a-file shape: one sorted partition == one input stream
+    from kinesis_data_counter_spark.jq import apply_jq_stream
+
+    rows = [{"id": i, "v": i * 10} for i in range(6)]
+    df = (
+        spark.createDataFrame([(r["id"], r["v"]) for r in rows], "id long, v long")
+        .repartition(1)
+        .sortWithinPartitions("id")
+    )
+    got = [r["value"] for r in apply_jq_stream(df, "[inputs | .v] | add").collect()]
+    if JQ is not None:
+        assert got == _real_jq_stream("[inputs | .v] | add", rows, True)
+    assert got == ["150"]
+
+
+def test_apply_jq_stream_main_loop_mode(spark):
+    from kinesis_data_counter_spark.jq import apply_jq_stream
+
+    df = (
+        spark.createDataFrame([(i,) for i in range(4)], "v long")
+        .repartition(1)
+        .sortWithinPartitions("v")
+    )
+    got = [
+        r["value"]
+        for r in apply_jq_stream(df, ".v + 1", null_input=False).collect()
+    ]
+    assert got == ["1", "2", "3", "4"]
+
+
+def test_apply_jq_generic_still_gates_inputs(spark):
+    # per-record mode has no stream to read: fail at driver time with the
+    # redirect to apply_jq_stream
+    from kinesis_data_counter_spark.jq import apply_jq_generic
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(JqUnsupported, match="apply_jq_stream"):
+        apply_jq_generic(df, "[inputs]")
