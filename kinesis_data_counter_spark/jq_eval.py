@@ -35,10 +35,13 @@ object fields read as null). Slices work in value AND path position
 ``repeat``), ``foreach`` (2- and 3-arg), ``label``/``break``, the
 ``@format`` strings (``@csv @tsv @sh @html @uri @json @text @base64
 @base64d``, both as filters and as string prefixes), ``error`` with
-non-string payloads, and the math builtins are covered. Constructs
-outside this core (``input``/``inputs``, which need a record stream) raise
-:class:`~kinesis_data_counter_spark.jq.JqUnsupported` at COMPILE time, so
-callers fail before any executor work is scheduled. Regex dialect note:
+non-string payloads, and the math builtins are covered.
+``input``/``inputs`` (jq's INPUT-STREAM model) run via
+:meth:`MiniJqProgram.stream` / ``jq.apply_jq_stream`` — per-partition
+record streams, both the ``-n`` shape and the default main loop — and
+raise :class:`~kinesis_data_counter_spark.jq.JqUnsupported` at COMPILE
+time on the default per-record path (``compile_program`` without
+``allow_inputs``), so callers fail before any executor work is scheduled. Regex dialect note:
 patterns run on Python ``re`` with ``(?<name>…)`` translated to
 ``(?P<name>…)``; jq's Oniguruma and Python agree on the common dialect
 the differential suite pins, but exotic Oniguruma extensions differ.

@@ -287,6 +287,49 @@ def _q_text_jq_export(spark, sf_dir):
     ).select("r.*")
 
 
+def _q_counter_jq_stream_fold(spark, sf_dir):
+    # round-5: jq's INPUT-STREAM model (``input``/``inputs``, the last
+    # gojq construct outside the per-record interpreter — counter.go:439-466)
+    # as the two-level counter topology: each partition runs ONE
+    # ``reduce inputs`` fold producing a map-side partial keyed by
+    # event_type (state is O(#types) per partition, never O(rows)), and
+    # Spark's final groupBy merges the partials — the partial/final shape
+    # counter.go's cross-shard counters take (counter.go:206-279). The fold
+    # is commutative-associative (count / sum / min), so the result is
+    # partitioning- and order-invariant and the DuckDB twin replays it as a
+    # plain GROUP BY. cents rounds on BOTH engines before the long cast
+    # (bare double→long casts truncate in Spark but round in DuckDB); a
+    # NULL event_type rides through the fold under a sentinel key (jq
+    # object keys must be strings) and is restored to NULL on output —
+    # differential-pinned against /usr/bin/jq in test_jq_differential.py.
+    from kinesis_data_counter_spark.jq import apply_jq_stream
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    prepped = ev.select(
+        F.col("event_type").alias("et"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("event_id").alias("id"),
+    )
+    program = r"""
+reduce inputs as $r ({};
+  ($r.et // "<NULL>") as $k
+  | .[$k] = ((.[$k] // {n: 0, amt: 0, mn: $r.id})
+             | {n: (.n + 1), amt: (.amt + $r.cents),
+                mn: ([.mn, $r.id] | min)}))
+| to_entries[]
+| {et: (.key | if . == "<NULL>" then null else . end),
+   n: .value.n, amt: .value.amt, mn: .value.mn}
+"""
+    partials = apply_jq_stream(prepped, program).select(
+        F.from_json("value", "et string, n long, amt long, mn long").alias("r")
+    ).select("r.*")
+    return partials.groupBy(F.col("et").alias("event_type")).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("amt").alias("total_cents"),
+        F.min("mn").alias("min_event_id"),
+    )
+
+
 def _hll_ok(approx, exact):
     return (F.abs(approx - exact) <= F.greatest(F.lit(1.0), F.lit(HLL_TOL) * exact)).alias("ok")
 
@@ -540,6 +583,17 @@ agg AS (
 SELECT to_json(struct_pack(ws := ws, n_types := n_types, total := total,
                            busy := busy))::VARCHAR AS value
 FROM agg
+""",
+    # the per-partition jq fold is commutative-associative, so the merged
+    # partials equal one global GROUP BY regardless of partitioning;
+    # round() before the BIGINT cast on both engines (Spark's bare cast
+    # truncates, DuckDB's rounds), and DuckDB's sum() is HUGEINT → cast
+    "counter_jq_stream_fold": """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       min(event_id) AS min_event_id
+FROM events GROUP BY 1
 """,
     "counter_distinct_user": """
 SELECT epoch_ms(date_trunc('hour', ts)) AS window_start,
@@ -4444,6 +4498,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_jq_generic": _q_counter_jq_generic,
     "text_jq_normalize": _q_text_jq_normalize,
     "text_jq_export": _q_text_jq_export,
+    "counter_jq_stream_fold": _q_counter_jq_stream_fold,
     "counter_distinct_user": _q_counter_distinct_user,
     "counter_distinct_expr": _q_counter_distinct_expr,
     "counter_two_level": _q_counter_two_level,
@@ -4753,9 +4808,12 @@ _SHOWCASE_ORDER = [
     # corpus_clean, text_lang_id) all carry ≥2 driver-recorded green rounds
     # and keep running in local verification + tests; every ceded family
     # keeps at least one head representative. Never-driver-recorded after
-    # this rotation: 36 of 142.
+    # this rotation: 38 of 144 (text_jq_export and counter_jq_stream_fold
+    # landed after the rotation and queue for round 6).
     # ROUND-6 ROTATION CANDIDATES (strongest first): text_jq_export
-    # (@format strings + foreach through the interpreter), stream-curate
+    # (@format strings + foreach through the interpreter),
+    # counter_jq_stream_fold (input/inputs stream mode as the partial/final
+    # topology), stream-curate
     # capstone entries if added, ann_lsh_recall, ann_ivf_recall, dedup_ngram_jaccard,
     # corpus_pack_sequences, corpus_decontaminate, text_fingerprint,
     # text_winnow, sample_hash_split, sessionize_users,

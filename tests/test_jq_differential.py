@@ -701,6 +701,22 @@ STREAM_CASES = [
     ("try input catch \"done\"", [], True),
     ("input, input", [10, 20, 30], True),
     ("foreach inputs as $x (0; . + $x; .)", [1, 2, 3], True),
+    # the counter_jq_stream_fold registry program: grouped partial fold
+    # with a NULL-key sentinel, dynamic-key path assignment, to_entries
+    (
+        'reduce inputs as $r ({}; ($r.et // "<NULL>") as $k '
+        "| .[$k] = ((.[$k] // {n: 0, amt: 0, mn: $r.id}) "
+        "| {n: (.n + 1), amt: (.amt + $r.cents), mn: ([.mn, $r.id] | min)})) "
+        '| to_entries[] | {et: (.key | if . == "<NULL>" then null else . end), '
+        "n: .value.n, amt: .value.amt, mn: .value.mn}",
+        [
+            {"et": "click", "cents": 100, "id": 5},
+            {"et": "view", "cents": 250, "id": 2},
+            {"et": "click", "cents": 50, "id": 1},
+            {"et": None, "cents": 7, "id": 9},
+        ],
+        True,
+    ),
     (". , input", [1, 2, 3, 4], False),  # main loop: input inside a pass
     (". + 1", [1, 2, 3], False),         # main loop without input calls
     ("[., input]", [1, 2, 3, 4], False),
