@@ -372,6 +372,92 @@ def embedding_near_dup_pairs(
     return pairs.groupBy("a_id", "b_id").agg(F.max("sim").alias("sim"))
 
 
+def semdedup(
+    df: DataFrame,
+    dim: int,
+    k: int = 8,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus
+    in embedding space, then flag within-cluster semantic duplicates.
+
+    Returns one row per document: ``(id, cluster_id, keep)`` where
+    ``keep=false`` means a SAME-CLUSTER neighbor with cosine ≥ threshold
+    and a lower id exists (the deterministic lowest-id-wins variant of the
+    paper's keep-one-per-ε-ball rule: any doc with a lower-id near-neighbor
+    in its cluster is flagged, whether or not that neighbor survives).
+
+    Deterministic and engine-replayable by construction: seeds are the k
+    lowest ``md5(id)`` docs, one Lloyd update produces ROUNDED centroids
+    (so cross-engine summation-order ulp noise can't flip an assignment),
+    assignment ties break toward the lower seed/cluster id, and all
+    cosines round to ``round_digits`` before comparison.
+
+    100 TB shape: both assignment passes are broadcast nested-loop joins
+    against O(k·dim) model tables (seeds via TakeOrdered, centroids via a
+    |k|·dim hash aggregate — no vector ever reaches the driver), and the
+    duplicate flagging runs as ONE BLAS matmul per cluster inside
+    ``applyInPandas`` — the only shuffle keyed on cluster_id. Cluster size
+    is the memory unit, so k must scale with the corpus (the paper's own
+    contract: they run k=50k on LAION); a production run sizes k so
+    |cluster| ~ corpus/k fits one task.
+    """
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    seeds = (
+        e.orderBy(F.md5(F.col("id").cast("string")))
+        .limit(k)
+        .select(F.col("id").alias("cl"), F.col("v").alias("cv"))
+    )
+
+    def _assign(docs: DataFrame, cents: DataFrame) -> DataFrame:
+        # broadcast nested-loop: n·k rows, cosine vectorized per Arrow
+        # batch; argmax via max(struct) — sim DESC then cluster id ASC
+        x = docs.crossJoin(F.broadcast(cents)).select(
+            "id",
+            "cl",
+            F.round(batch_cosine(F.col("v"), F.col("cv")), round_digits).alias("sim"),
+        )
+        best = x.groupBy("id").agg(
+            F.max(F.struct(F.col("sim"), (-F.col("cl")).alias("ncl"))).alias("b")
+        )
+        return best.select("id", (-F.col("b.ncl")).alias("cluster_id"))
+
+    a1 = _assign(e, seeds)
+    # one Lloyd update: rounded elementwise means, reassembled to arrays
+    cent_long = (
+        e.join(a1, "id")
+        .select(F.col("cluster_id").alias("cl"), F.posexplode("v").alias("pos", "x"))
+        .groupBy("cl", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), round_digits).alias("m"))
+    )
+    cents = cent_long.groupBy("cl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+    a2 = _assign(e, cents)
+
+    assigned = e.join(a2, "id").select("id", "cluster_id", "v")
+
+    def _flag(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pdf.assign(keep=True)[["id", "cluster_id", "keep"]]
+        m = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        s = np.round((m @ m.T) / np.outer(norms, norms), round_digits)
+        dominated = (np.triu(s, 1) >= threshold).any(axis=0)
+        return pdf.assign(keep=~dominated)[["id", "cluster_id", "keep"]]
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        _flag, "id long, cluster_id long, keep boolean"
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse quantizer + posting lists + nprobe
 # ---------------------------------------------------------------------------

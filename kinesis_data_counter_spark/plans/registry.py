@@ -2897,6 +2897,20 @@ def _q_dedup_embedding_clusters(spark, sf_dir):
     )
 
 
+def _q_dedup_semdedup(spark, sf_dir):
+    # SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    # clustering + within-cluster semantic dedup — the cluster-scoped
+    # complement of the global LSH pair pipeline (dedup_embedding_cosine;
+    # the paper's point is that cluster scoping bounds the pairwise stage).
+    # Deterministic md5 seeds, ONE rounded-centroid Lloyd pass, and the
+    # lowest-id-wins ε-ball rule make the whole run engine-replayable: the
+    # DuckDB twin recomputes clustering AND flagging exactly (per-doc
+    # hash-matched rows, not a tolerance property). k=8 on the 500-vector
+    # fixture ≈ the paper's corpus/k cluster-size contract.
+    (em,) = _tables(spark, sf_dir, "embeddings")
+    return SIM.semdedup(em, dim=64, k=8, threshold=0.3)
+
+
 def _q_embedding_centroids(spark, sf_dir):
     # class prototypes: per-label elementwise mean in long format — one
     # posexplode + one (label, pos)-keyed aggregate, shuffle = labels×dim
@@ -3681,6 +3695,44 @@ reach AS (SELECT src AS node, src AS tgt FROM edges
           UNION
           SELECT r.node, e2.dst FROM reach r JOIN edges e2 ON r.tgt = e2.src)
 SELECT node AS vec_id, min(tgt) AS cluster_id FROM reach GROUP BY 1
+""",
+    # SemDeDup replayed end-to-end: md5-ranked seeds, assignment by rounded
+    # cosine (ties → lower seed/cluster id), one rounded-mean Lloyd update,
+    # reassignment, then the lowest-id-wins within-cluster ε-ball flag
+    "dedup_semdedup": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+seeds AS (SELECT vec_id AS seed_id, v AS sv FROM e
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+a1 AS (
+  SELECT vec_id, seed_id AS c1 FROM (
+    SELECT e.vec_id, s.seed_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_dot_product(e.v, s.sv) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.sv, s.sv))), 6) DESC,
+             s.seed_id) AS rn
+    FROM e CROSS JOIN seeds s) WHERE rn = 1),
+cent AS (
+  SELECT c1 AS cl, idx, round(avg(x), 6) AS m FROM (
+    SELECT a1.c1, unnest(e.v) AS x, generate_subscripts(e.v, 1) AS idx
+    FROM e JOIN a1 USING (vec_id)) GROUP BY 1, 2),
+cvec AS (SELECT cl, list(m ORDER BY idx) AS cv FROM cent GROUP BY 1),
+a2 AS (
+  SELECT vec_id, cl AS cluster_id FROM (
+    SELECT e.vec_id, c.cl,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_dot_product(e.v, c.cv) /
+               (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+             c.cl) AS rn
+    FROM e CROSS JOIN cvec c) WHERE rn = 1),
+dup AS (
+  SELECT DISTINCT b.vec_id FROM e a
+  JOIN a2 pa ON a.vec_id = pa.vec_id
+  JOIN a2 pb ON pa.cluster_id = pb.cluster_id
+  JOIN e b ON b.vec_id = pb.vec_id AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3)
+SELECT a2.vec_id AS id, a2.cluster_id, dup.vec_id IS NULL AS keep
+FROM a2 LEFT JOIN dup ON a2.vec_id = dup.vec_id
 """,
     "embedding_centroids": """
 SELECT label, CAST(idx - 1 AS INT) AS pos,
@@ -4559,6 +4611,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": _q_dedup_simhash,
     "dedup_embedding_cosine": _q_dedup_embedding_cosine,
     "dedup_embedding_clusters": _q_dedup_embedding_clusters,
+    "dedup_semdedup": _q_dedup_semdedup,
     "dedup_method_agreement": _q_dedup_method_agreement,
     "embedding_centroids": _q_embedding_centroids,
     "ann_cosine_topk": _q_ann_cosine_topk,
@@ -4808,12 +4861,13 @@ _SHOWCASE_ORDER = [
     # corpus_clean, text_lang_id) all carry ≥2 driver-recorded green rounds
     # and keep running in local verification + tests; every ceded family
     # keeps at least one head representative. Never-driver-recorded after
-    # this rotation: 38 of 144 (text_jq_export and counter_jq_stream_fold
-    # landed after the rotation and queue for round 6).
+    # this rotation: 39 of 145 (text_jq_export, counter_jq_stream_fold and
+    # dedup_semdedup landed after the rotation and queue for round 6).
     # ROUND-6 ROTATION CANDIDATES (strongest first): text_jq_export
     # (@format strings + foreach through the interpreter),
     # counter_jq_stream_fold (input/inputs stream mode as the partial/final
-    # topology), stream-curate
+    # topology), dedup_semdedup (cluster-scoped semantic dedup, per-doc
+    # hash-matched oracle), stream-curate
     # capstone entries if added, ann_lsh_recall, ann_ivf_recall, dedup_ngram_jaccard,
     # corpus_pack_sequences, corpus_decontaminate, text_fingerprint,
     # text_winnow, sample_hash_split, sessionize_users,

@@ -523,3 +523,33 @@ def test_lsh_tables_sizing_rule():
         b = lsh_bits_for(n, target_bucket=128)
         return lsh_tables_for(b) * n / 2**b
     assert vol(16_000_000) / vol(16_000) < 60  # vs 1000x for fixed bits
+
+
+def test_semdedup_flags_within_cluster_duplicates(spark):
+    # two tight direction clusters; 1 duplicates 0 (same direction), 11
+    # duplicates 10; the outlier and cluster representatives survive.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0, 0.0]),      # cosine 1.0 with id 0 → flagged
+        (2, [0.0, 0.0, 0.0, 1.0]),      # orthogonal: kept
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 0.99, 0.01, 0.0]),   # near-dup of 10 → flagged
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = {r.id: r for r in SIM.semdedup(df, dim=4, k=2, threshold=0.9).collect()}
+    assert len(res) == 5  # one row per doc, always
+    assert not res[1].keep and not res[11].keep
+    assert res[0].keep and res[10].keep and res[2].keep
+    # the lowest-id-wins rule: the flagged doc shares its survivor's cluster
+    assert res[1].cluster_id == res[0].cluster_id
+    assert res[11].cluster_id == res[10].cluster_id
+
+
+def test_semdedup_negative_control_high_threshold(spark):
+    # falsification twin: with an unreachable threshold nothing is flagged,
+    # proving the keep column is computed, not constant-false
+    rows = [(i, [float(i + 1), float(i % 3), 1.0, 0.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.semdedup(df, dim=4, k=2, threshold=1.0000001)
+    assert out.filter(~F.col("keep")).count() == 0
+    assert out.count() == 8
