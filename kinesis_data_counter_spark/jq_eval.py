@@ -35,7 +35,11 @@ object fields read as null). Slices work in value AND path position
 ``repeat``), ``foreach`` (2- and 3-arg), ``label``/``break``, the
 ``@format`` strings (``@csv @tsv @sh @html @uri @json @text @base64
 @base64d``, both as filters and as string prefixes), ``error`` with
-non-string payloads, and the math builtins are covered.
+non-string payloads, the math builtins, and the UTC datetime family
+(``gmtime``/``mktime``/``strftime``/``strptime``/``todate``/``fromdate``
+and the iso8601 aliases; ``now``/``localtime``/``strflocaltime`` stay
+compile-gated — wall-clock and executor-TZ dependence would break
+deterministic replay) are covered.
 ``input``/``inputs`` (jq's INPUT-STREAM model) run via
 :meth:`MiniJqProgram.stream` / ``jq.apply_jq_stream`` — per-partition
 record streams, both the ``-n`` shape and the default main loop — and
@@ -54,10 +58,12 @@ data paths should stay on the compiled subset / built-in columns.
 from __future__ import annotations
 
 import base64
+import calendar
 import functools
 import json
 import math
 import re
+import time
 from collections.abc import Iterator
 
 __all__ = ["MiniJqProgram", "compile_program", "JqRuntimeError"]
@@ -315,6 +321,16 @@ _ZERO_ARG_BUILTINS = {
     "input",
     "inputs",
     "abs",
+    # datetime family (UTC-only: gmtime/mktime and the ISO8601 pair;
+    # `now`, `localtime` and `strflocaltime` stay unregistered — wall-clock
+    # and executor-TZ dependence would break deterministic replay, so they
+    # fail at compile time like other out-of-core constructs)
+    "gmtime",
+    "mktime",
+    "todate",
+    "fromdate",
+    "todateiso8601",
+    "fromdateiso8601",
     "log",
     "log2",
     "log10",
@@ -372,6 +388,9 @@ _ARG_BUILTINS = {
     "splits": (1, 2),
     "sub": (2, 3),
     "gsub": (2, 3),
+    # datetime formatting (UTC; see the zero-arg datetime note)
+    "strftime": 1,
+    "strptime": 1,
     # path machinery
     "del": 1,
     "path": 1,
@@ -2002,7 +2021,97 @@ def _regex_sub(cre, ms: list, repl_ast, v: str, env) -> Iterator[str]:
     yield from rec(0, 0, "")
 
 
+# ---------------------------------------------------------------------------
+# Datetime family — jq 1.6 semantics, UTC only, differential-pinned.
+# jq's broken-down time is [year, month(0-based), mday, hour, min,
+# sec(fraction preserved by gmtime), wday(0=Sunday), yday(0-based)].
+# ---------------------------------------------------------------------------
+
+_ISO_FMT = "%Y-%m-%dT%H:%M:%SZ"
+
+
+def _tm_to_jq(t: "time.struct_time", frac: float = 0.0) -> list:
+    return [t.tm_year, t.tm_mon - 1, t.tm_mday, t.tm_hour, t.tm_min,
+            t.tm_sec + frac if frac else t.tm_sec,
+            (t.tm_wday + 1) % 7, t.tm_yday - 1]
+
+
+def _epoch_gmtime(v) -> "time.struct_time":
+    try:
+        return time.gmtime(math.floor(v))
+    except (OverflowError, OSError, ValueError):
+        raise JqRuntimeError(f"timestamp out of range: {v}") from None
+
+
+def _jq_mktime(v) -> int:
+    # jq ignores the wday/yday tail and truncates fractional seconds
+    if not isinstance(v, list):
+        raise JqRuntimeError("mktime requires array inputs")
+    head = v[:6]
+    if len(head) < 6 or any(
+        isinstance(x, bool) or not isinstance(x, (int, float)) for x in head
+    ):
+        raise JqRuntimeError("mktime requires parsed datetime inputs")
+    y, mo, d, h, mi, s = (int(x) for x in head)
+    try:
+        return calendar.timegm((y, mo + 1, d, h, mi, s, 0, 0, 0))
+    except (ValueError, IndexError, OverflowError):
+        raise JqRuntimeError("mktime requires parsed datetime inputs") from None
+
+
+def _jq_strptime(v, fmt: str, as_epoch: bool):
+    if not isinstance(v, str):
+        raise JqRuntimeError(f"{_jq_type(v)} cannot be parsed as a date")
+    try:
+        t = time.strptime(v, fmt)
+    except ValueError:
+        raise JqRuntimeError(
+            f'date "{v}" does not match format "{fmt}"'
+        ) from None
+    return calendar.timegm(t) if as_epoch else _tm_to_jq(t)
+
+
+def _jq_strftime_struct(fmt: str, t: "time.struct_time", epoch: int) -> str:
+    # %s is TZ-dependent in C strftime (it mktime()s the tm in LOCAL time);
+    # jq's %s is the UTC epoch — substitute before the strftime call so the
+    # output never depends on the executor's TZ. '%%' pieces are split out
+    # first so an escaped '%%s' stays literal.
+    parts = [p.replace("%s", str(int(epoch))) for p in fmt.split("%%")]
+    try:
+        return time.strftime("%%".join(parts), t)
+    except ValueError as e:
+        raise JqRuntimeError(f"strftime format error: {e}") from None
+
+
+def _jq_strftime(v, fmt: str) -> str:
+    # jq 1.6's binary ABORTS on a non-string format (jv.c assertion); the
+    # interpreter pins the sane catchable error instead
+    if not isinstance(fmt, str):
+        raise JqRuntimeError("strftime/1 requires a string format")
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        sec = math.floor(v)
+        return _jq_strftime_struct(fmt, _epoch_gmtime(v), sec)
+    if isinstance(v, list):
+        head = v[:6]
+        if len(v) < 6 or any(
+            isinstance(x, bool) or not isinstance(x, (int, float)) for x in head
+        ):
+            raise JqRuntimeError("strftime/1 requires parsed datetime inputs")
+        y, mo, d, h, mi, s = (int(x) for x in head)
+        wday = int(v[6]) if len(v) > 6 and isinstance(v[6], (int, float)) else 0
+        yday = int(v[7]) if len(v) > 7 and isinstance(v[7], (int, float)) else 0
+        t = time.struct_time((y, mo + 1, d, h, mi, s, (wday + 6) % 7, yday + 1, 0))
+        return _jq_strftime_struct(fmt, t, _jq_mktime(v))
+    raise JqRuntimeError("strftime/1 requires parsed datetime inputs")
+
+
 def _builtin1(name: str, v, arg):
+    if name == "strftime":
+        return _jq_strftime(v, arg)
+    if name == "strptime":
+        if not isinstance(arg, str):
+            raise JqRuntimeError("strptime/1 requires a string format")
+        return _jq_strptime(v, arg, as_epoch=False)
     if name == "has":
         if isinstance(v, dict) and isinstance(arg, str):
             return arg in v
@@ -2165,6 +2274,19 @@ def _builtin0(name: str, v) -> Iterator:
                 yield float("nan")
             else:
                 yield {"log": math.log, "log2": math.log2, "log10": math.log10}[name](v)
+    elif name == "gmtime":
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise JqRuntimeError("gmtime requires a number")
+        sec = math.floor(v)
+        yield _tm_to_jq(_epoch_gmtime(v), v - sec)
+    elif name == "mktime":
+        yield _jq_mktime(v)
+    elif name in ("todate", "todateiso8601"):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise JqRuntimeError(f"{name} requires a number")
+        yield _jq_strftime_struct(_ISO_FMT, _epoch_gmtime(v), math.floor(v))
+    elif name in ("fromdate", "fromdateiso8601"):
+        yield _jq_strptime(v, _ISO_FMT, as_epoch=True)
     elif name == "infinite":
         yield float("inf")
     elif name == "nan":

@@ -463,6 +463,33 @@ MINI_CASES = [
     ('@csv "head:\\(.a)"', {"a": [1, "x"]}),
     ('@base64 "v=\\("hi")"', None),
     ("map(@base64)", ["a", "b"]),  # formats compose as plain filters
+    # --- round-5: datetime family (UTC; jq 1.6 semantics) ---
+    ("gmtime", 1700000000),
+    ("gmtime", 1700000000.5),        # fraction preserved in the sec field
+    ("gmtime", -1000),               # pre-epoch
+    ("gmtime", 0),
+    ("gmtime | mktime", 1700000000),  # roundtrip
+    ("mktime", [2023, 10, 14, 22, 13, 20, 2, 317]),
+    ("mktime", [2023, 10, 14, 22, 13, 20.9, 9, 999]),  # tail/fraction ignored
+    ("try mktime catch .", "x"),
+    ("try mktime catch .", [2023, 10, 14]),
+    ("todate", 1700000000),
+    ("todate", 1700000000.7),        # truncates toward the floor second
+    ("todateiso8601", 1700000000),
+    ("fromdate", "2023-11-14T22:13:20Z"),
+    ("fromdateiso8601", "2023-11-14T22:13:20Z"),
+    ("try fromdate catch .", "2023-11-14"),
+    ("fromdate | todate", "2023-11-14T22:13:20Z"),
+    ('strftime("%Y-%m-%d %H:%M:%S")', 1700000000),
+    ('strftime("%A %j")', 1700000000),           # names + 1-based yday
+    ('strftime("%s")', 1700000000),              # UTC epoch, TZ-independent
+    ('strftime("100%% %T")', 1700000000),        # escaped percent
+    ("gmtime | strftime(\"%F\")", 1700000000),   # broken-down-time input
+    ('strptime("%d/%m/%Y")', "14/11/2023"),      # derived wday/yday filled
+    ('strptime("%b %d %Y")', "Mar 10 2024"),
+    ('strptime("%Y-%m-%dT%H:%M:%SZ") | mktime', "2023-11-14T22:13:20Z"),
+    ('try strptime("%Y") catch .', "notayear"),
+    ('[1700000000, 1700086400] | map(todate)', None),
 ]
 
 
@@ -817,3 +844,29 @@ def test_apply_jq_generic_still_gates_inputs(spark):
     df = spark.createDataFrame([(1,)], "v long")
     with pytest.raises(JqUnsupported, match="apply_jq_stream"):
         apply_jq_generic(df, "[inputs]")
+
+
+# ---------------------------------------------------------------------------
+# datetime edges the binary can't pin
+# ---------------------------------------------------------------------------
+
+
+def test_strftime_non_string_format_is_catchable():
+    # jq 1.6's BINARY aborts on `strftime(5)` (jv.c assertion) — the
+    # interpreter pins the sane behavior instead: a catchable jq error
+    from kinesis_data_counter_spark.jq_eval import JqRuntimeError, compile_program
+
+    with pytest.raises(JqRuntimeError, match="string format"):
+        list(compile_program("strftime(5)")(1700000000))
+    assert compile_program('strftime(5)? // "bad"').lines(1700000000) == ['"bad"']
+
+
+def test_wall_clock_builtins_stay_compile_gated():
+    # now/localtime/strflocaltime would break deterministic replay across
+    # engines and executors; they fail at compile time like other
+    # out-of-core constructs
+    from kinesis_data_counter_spark.jq_eval import compile_program
+
+    for prog in ("now", "localtime", 'strflocaltime("%T")'):
+        with pytest.raises(JqUnsupported):
+            compile_program(prog)
