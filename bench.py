@@ -93,6 +93,10 @@ BENCH_QUERIES = [
     "rfm_segments_sketch",
     "sample_leakage_safe_split",
     "embedding_pca_check",
+    # round-5 late additions: the jq INPUT-STREAM partial/final fold and
+    # cluster-scoped semantic dedup (SemDeDup)
+    "counter_jq_stream_fold",
+    "dedup_semdedup",
 ]
 
 

@@ -1249,19 +1249,20 @@ def _majority_vote(qid_label: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def _bucketed_topk(
+def _bucketed_scored(
     labeled: DataFrame,
     queries: DataFrame,
     dim: int,
-    k: int = 5,
     method: str = "lsh",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     **ann_kwargs,
 ) -> DataFrame:
-    """Candidate-generated top-k neighbors for LARGE query sets:
-    (qid, rid, dot, rk) rows, the shared engine under
-    ``knn_classify_bucketed`` and ``knn_bucketed_recall_check``.
+    """Candidate-generated scored neighbor pairs for LARGE query sets:
+    (qid, rid, dot) rows — the shared engine under ``_bucketed_topk``
+    (ranking), ``knn_classify_bucketed``, ``knn_bucketed_recall_check``
+    and ``mine_hard_negatives_bucketed`` (which filters by label BEFORE
+    ranking, so the top-k is taken among different-label candidates).
 
     ``knn_classify``'s broadcast-queries cross product is the right plan
     only while the query block fits in executor memory; an auto-labeling
@@ -1368,15 +1369,163 @@ def _bucketed_topk(
     # score on the (shuffled, never broadcast) bucket equi-join; duplicate
     # (qid, rid) collisions across tables/probes collapse in the same
     # aggregate that dedups candidates — one shuffle for dedup+score
-    scored = (
+    return (
         cb.join(qb, keys)
         .filter(F.col("qid") != F.col("rid"))
         .select("qid", "rid", _batch_qdot_udf("qv", "cv").alias("dot"))
         .groupBy("qid", "rid")
         .agg(F.max("dot").alias("dot"))
     )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     wn = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("rid").asc())
     return scored.withColumn("rk", F.row_number().over(wn)).filter(F.col("rk") <= k)
+
+
+def _bucketed_topk(
+    labeled: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    method: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **ann_kwargs,
+) -> DataFrame:
+    """(qid, rid, dot, rk) top-k rows over ``_bucketed_scored`` candidates."""
+    return _rank_topk(
+        _bucketed_scored(labeled, queries, dim, method, id_col, vec_col, **ann_kwargs),
+        k,
+    )
+
+
+def mine_hard_negatives(
+    labeled: DataFrame,
+    anchors: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining, brute path: for each anchor, the
+    k most similar corpus vectors with a DIFFERENT label.
+
+    The training-data move for contrastive embedding training (in-batch
+    negatives are mostly easy; the informative ones are the near-misses):
+    similarity is the engine-exact quantized dot (``batch_qdot``), so the
+    mined set is deterministic and oracle-reproducible; ties break by
+    neighbor id. Output: (anchor_id, negative_id, rank, qdot) —
+    anchor rows with no different-label corpus vector produce no rows.
+
+    Plan shape = ``knn_classify``: the corpus scans UN-shuffled against the
+    broadcast anchor block, so anchors must be a broadcast-sized slice;
+    corpus-sized anchor sweeps go through ``mine_hard_negatives_bucketed``.
+    """
+    global _batch_qdot_udf
+    if _batch_qdot_udf is None:
+        from pyspark.sql.functions import pandas_udf
+
+        def _qdot(qa: pd.Series, qb: pd.Series) -> pd.Series:
+            return batch_qdot(qa, qb)
+
+        _batch_qdot_udf = pandas_udf(_qdot, "double")
+
+    q = anchors.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("qlabel"),
+    )
+    c = fan_out(labeled, id_col).select(
+        F.col(id_col).alias("rid"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("rlabel"),
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.lit(True))
+        .filter(
+            (F.col("qid") != F.col("rid"))
+            & ~F.col("rlabel").eqNullSafe(F.col("qlabel"))
+        )
+        .select("qid", "rid", _batch_qdot_udf("qv", "cv").alias("dot"))
+    )
+    return _rank_topk(pairs, k).select(
+        F.col("qid").alias("anchor_id"),
+        F.col("rid").alias("negative_id"),
+        F.col("rk").alias("rank"),
+        F.col("dot").alias("qdot"),
+    )
+
+
+def mine_hard_negatives_bucketed(
+    labeled: DataFrame,
+    anchors: DataFrame,
+    dim: int,
+    k: int = 1,
+    method: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    **ann_kwargs,
+) -> DataFrame:
+    """Hard-negative mining at corpus scale: ``_bucketed_scored``'s LSH/IVF
+    candidates (pure equi-joins on bucket keys — never broadcast, never
+    all-pairs), label-filtered BEFORE ranking so the top-k is taken among
+    different-label candidates only. Same output shape and metric as the
+    brute path; the only divergence is candidate recall, which
+    ``hard_negative_agreement_check`` measures rather than assumes."""
+    scored = _bucketed_scored(
+        labeled, anchors, dim, method, id_col, vec_col, **ann_kwargs
+    )
+    lab = labeled.select(F.col(id_col).alias("rid"), F.col(label_col).alias("rlabel"))
+    alab = anchors.select(F.col(id_col).alias("qid"), F.col(label_col).alias("qlabel"))
+    filtered = (
+        scored.join(lab, "rid")
+        .join(alab, "qid")
+        .filter(~F.col("rlabel").eqNullSafe(F.col("qlabel")))
+        .select("qid", "rid", "dot")
+    )
+    return _rank_topk(filtered, k).select(
+        F.col("qid").alias("anchor_id"),
+        F.col("rid").alias("negative_id"),
+        F.col("rk").alias("rank"),
+        F.col("dot").alias("qdot"),
+    )
+
+
+def hard_negative_agreement_check(
+    labeled: DataFrame,
+    anchors: DataFrame,
+    dim: int,
+    min_agreement: float = 0.8,
+    method: str = "lsh",
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    **ann_kwargs,
+) -> DataFrame:
+    """(ok, agreement) single row: fraction of (sampled) anchors whose
+    bucketed top-1 hard negative equals the brute top-1 — the sampled-
+    oracle property check for the approximate miner (the brute side runs
+    only on the ``sample_mod`` slice, so it stays fixture-sized)."""
+    sample = (
+        anchors.filter(F.col(id_col) % sample_mod == 0) if sample_mod else anchors
+    )
+    brute = mine_hard_negatives(
+        labeled, sample, 1, id_col, vec_col, label_col
+    ).select("anchor_id", F.col("negative_id").alias("brute_neg"))
+    approx = mine_hard_negatives_bucketed(
+        labeled, sample, dim, 1, method, id_col, vec_col, label_col, **ann_kwargs
+    ).select("anchor_id", F.col("negative_id").alias("approx_neg"))
+    j = brute.join(approx, "anchor_id", "left")
+    return j.agg(
+        F.round(F.avg(F.col("approx_neg").eqNullSafe(F.col("brute_neg")).cast("double")), 6).alias(
+            "agreement"
+        )
+    ).select(
+        (F.col("agreement") >= min_agreement).alias("ok"), "agreement"
+    )
 
 
 def knn_classify_bucketed(

@@ -3744,6 +3744,25 @@ FROM (SELECT label,
       FROM embeddings)
 GROUP BY 1, 2
 """,
+    # brute hard negatives replayed exactly: quantized-dot ranking (exact
+    # integers — floor(x*1000) components), ties to the lower neighbor id
+    "mine_hard_negatives": """
+WITH e AS (SELECT vec_id, label,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> floor(x * 1000)) AS q
+           FROM embeddings),
+p AS (SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+             list_dot_product(a.q, b.q) AS qdot,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY list_dot_product(a.q, b.q) DESC,
+                                         b.vec_id) AS rk
+      FROM e a JOIN e b
+        ON b.vec_id <> a.vec_id AND b.label IS DISTINCT FROM a.label
+      WHERE a.vec_id % 23 = 0)
+SELECT anchor_id, negative_id, CAST(rk AS BIGINT) AS rank, qdot
+FROM p WHERE rk <= 3
+""",
+    "ann_hard_negative_agreement": "SELECT true AS ok",
     "ann_ivf_recall": "SELECT true AS ok",
     "ann_quantized_recall": "SELECT true AS ok",
     "knn_bucketed_recall": "SELECT true AS ok",
@@ -4368,6 +4387,38 @@ def _q_knn_bucketed_recall(spark, sf_dir):
     return res.select("ok")
 
 
+def _q_mine_hard_negatives(spark, sf_dir):
+    # contrastive hard-negative mining (similarity.py::mine_hard_negatives):
+    # for each anchor, the 3 most similar corpus vectors with a DIFFERENT
+    # label — the near-misses contrastive embedding training needs (in-batch
+    # negatives are mostly easy). Engine-exact quantized-dot metric, so
+    # every (anchor, negative, rank, qdot) row is hash-matched against the
+    # brute SQL replay. The anchor set is the % 23 slice (~4%) — the
+    # broadcast-sized-slice contract of the brute plan (knn_label_propagation
+    # precedent); corpus-sized sweeps go through the bucketed miner below.
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 23 == 0)
+    return SIM.mine_hard_negatives(emb, anchors, k=3).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def _q_ann_hard_negative_agreement(spark, sf_dir):
+    # the corpus-scale miner (similarity.py::mine_hard_negatives_bucketed):
+    # LSH candidates label-filtered BEFORE ranking, pure equi-joins. The
+    # recorded row is the sampled-oracle property: top-1 hard negative
+    # agreement with the brute path on the % 7 anchor slice. Measured
+    # 1.0 at sf0.01 / 0.986 at sf0.1 (6 bits × 16 tables, isotropic
+    # worst-case fixture); floor 0.8. Falsifiability: the harness check in
+    # tests/test_similarity.py proves ok goes false.
+    (emb,) = _tables(spark, sf_dir, "embeddings")
+    res = SIM.hard_negative_agreement_check(
+        emb, emb, dim=64, min_agreement=0.8, sample_mod=7,
+        num_bits=6, num_tables=16,
+    )
+    return res.select("ok")
+
+
 def _q_gdpr_erasure_audit(spark, sf_dir):
     # right-to-erasure propagation across two fact tables with a broadcast
     # request set (operators/corpus.py::erase_subjects); synthetic request
@@ -4672,6 +4723,8 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_label_propagation": _q_knn_label_propagation,
     "knn_label_propagation_bucketed": _q_knn_label_propagation_bucketed,
     "knn_bucketed_recall": _q_knn_bucketed_recall,
+    "mine_hard_negatives": _q_mine_hard_negatives,
+    "ann_hard_negative_agreement": _q_ann_hard_negative_agreement,
     "sample_class_balance": _q_sample_class_balance,
     "asof_forward_order": _q_asof_forward_order,
     "asof_split_skew": _q_asof_split_skew,
@@ -4861,13 +4914,15 @@ _SHOWCASE_ORDER = [
     # corpus_clean, text_lang_id) all carry ≥2 driver-recorded green rounds
     # and keep running in local verification + tests; every ceded family
     # keeps at least one head representative. Never-driver-recorded after
-    # this rotation: 39 of 145 (text_jq_export, counter_jq_stream_fold and
-    # dedup_semdedup landed after the rotation and queue for round 6).
+    # this rotation: 41 of 147 (text_jq_export, counter_jq_stream_fold,
+    # dedup_semdedup, mine_hard_negatives and ann_hard_negative_agreement
+    # landed after the rotation and queue for round 6).
     # ROUND-6 ROTATION CANDIDATES (strongest first): text_jq_export
     # (@format strings + foreach through the interpreter),
     # counter_jq_stream_fold (input/inputs stream mode as the partial/final
     # topology), dedup_semdedup (cluster-scoped semantic dedup, per-doc
-    # hash-matched oracle), stream-curate
+    # hash-matched oracle), mine_hard_negatives (contrastive mining,
+    # hash-matched brute replay) + ann_hard_negative_agreement, stream-curate
     # capstone entries if added, ann_lsh_recall, ann_ivf_recall, dedup_ngram_jaccard,
     # corpus_pack_sequences, corpus_decontaminate, text_fingerprint,
     # text_winnow, sample_hash_split, sessionize_users,

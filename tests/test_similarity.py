@@ -553,3 +553,57 @@ def test_semdedup_negative_control_high_threshold(spark):
     out = SIM.semdedup(df, dim=4, k=2, threshold=1.0000001)
     assert out.filter(~F.col("keep")).count() == 0
     assert out.count() == 8
+
+
+def test_mine_hard_negatives_brute(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0, 0.0], 0),   # same label: never a negative
+        (10, [0.9, 0.3, 0.0, 0.0], 1),   # nearest different-label to 0
+        (11, [0.0, 1.0, 0.0, 0.0], 1),
+        (20, [0.0, 0.0, 1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = SIM.mine_hard_negatives(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [(r.anchor_id, r.negative_id, r.rank) for r in
+            sorted(got, key=lambda r: r.rank)] == [(0, 10, 1), (0, 11, 2)]
+
+
+def test_mine_hard_negatives_all_same_label_is_empty(spark):
+    # falsification twin: with one label there is no different-label
+    # neighbor, so the miner must produce nothing (not same-label fallback)
+    rows = [(i, [float(i + 1), 1.0, 0.0, 0.0], 7) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    assert SIM.mine_hard_negatives(df, df, k=3).count() == 0
+
+
+def test_mine_hard_negatives_bucketed_matches_brute(spark, sf_dir):
+    import kinesis_data_counter_spark as kdc
+
+    emb = kdc.load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    anchors = emb.filter(F.col("vec_id") % 29 == 0)
+    brute = {
+        (r.anchor_id, r.rank): r.negative_id
+        for r in SIM.mine_hard_negatives(emb, anchors, k=1).collect()
+    }
+    approx = {
+        (r.anchor_id, r.rank): r.negative_id
+        for r in SIM.mine_hard_negatives_bucketed(
+            emb, anchors, dim=64, k=1, num_bits=6, num_tables=16
+        ).collect()
+    }
+    same = sum(1 for k_ in brute if approx.get(k_) == brute[k_])
+    assert same / len(brute) >= 0.8, (same, len(brute))
+
+
+def test_hard_negative_agreement_check_can_fail(spark, sf_dir):
+    # the property harness is not a tautology: an unreachable floor must
+    # flip ok to false while still reporting the measured agreement
+    import kinesis_data_counter_spark as kdc
+
+    emb = kdc.load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    (r,) = SIM.hard_negative_agreement_check(
+        emb, emb, dim=64, min_agreement=1.01, sample_mod=31,
+        num_bits=6, num_tables=16,
+    ).collect()
+    assert not r.ok and r.agreement <= 1.0
