@@ -738,10 +738,12 @@ def apply_jq_generic(df: DataFrame, program: str) -> DataFrame:
     recursion, try/catch, ``reduce``, user ``def``s, the regex builtins,
     path assignment (``= |= += …``, ``del``, ``setpath``/``paths``),
     slices, ``foreach``, ``label``/``break``, the ``@format`` strings,
-    and the loop/math builtins; the one remaining out-of-core construct
-    (``input``/``inputs``, which needs a record stream) raises
-    :class:`JqUnsupported` at driver time, before any executor work is
-    scheduled.
+    the loop/math builtins, and the UTC datetime family; ``input``/
+    ``inputs`` (which need a record stream) raise :class:`JqUnsupported`
+    at driver time on THIS per-record path — run those through
+    :func:`apply_jq_stream` instead. Wall-clock builtins
+    (``now``/``localtime``) stay compile-gated everywhere: they would
+    break deterministic replay.
     """
     from collections.abc import Iterator
 

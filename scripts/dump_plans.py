@@ -179,6 +179,29 @@ SHOWCASE: dict[str, str] = {
         "fan-out is a sequence-explode — the corpus itself is never "
         "shuffled, and the md5 fractional ticket stays in codegen."
     ),
+    "counter_jq_stream_fold": (
+        "jq INPUT-STREAM mode as the two-level counter topology: one "
+        "mapInPandas stage folds each partition to O(#event_types) partial "
+        "rows (reduce inputs — no per-row Python dispatch, one interpreter "
+        "pass per partition), and the only exchange carries those partials "
+        "into the final hash aggregate keyed on event_type."
+    ),
+    "dedup_semdedup": (
+        "SemDeDup: both assignment passes are BroadcastNestedLoopJoins "
+        "against O(k·dim) model tables (seeds via TakeOrdered, centroids "
+        "via a k×dim hash aggregate — no vector reaches the driver); the "
+        "within-cluster flagging is ONE applyInPandas keyed on cluster_id, "
+        "so the only corpus shuffle is the cluster exchange and cluster "
+        "size (corpus/k) is the explicit memory unit, per the paper."
+    ),
+    "mine_hard_negatives": (
+        "Contrastive hard-negative mining, brute path: the corpus scans "
+        "UN-shuffled against the broadcast anchor block; the label-mismatch "
+        "filter runs before the quantized-dot UDF so same-label pairs never "
+        "cross the Arrow boundary, and only |anchors|×k survivor rows reach "
+        "the ranking exchange. Corpus-sized sweeps take the bucketed path "
+        "(equi-joins on LSH keys — see knn_label_propagation_bucketed)."
+    ),
     "corpus_segment_dedup": (
         "Cross-document segment dedup: first-occurrence selection is a "
         "map-side-combinable min(struct(doc_id, pos)) aggregate plus an "
