@@ -407,3 +407,212 @@ def redact_pii(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE subword tokenizer (Sennrich et al. 2016, "Neural Machine Translation of
+# Rare Words with Subword Units") — the real-tokenizer tier above the
+# bpe_ish_token_count regex proxy.
+# ---------------------------------------------------------------------------
+
+_BPE_EOW = "</w>"  # end-of-word symbol, its own token like the paper's
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_merges: int = 200,
+    sample_docs: int = 512,
+) -> list:
+    """Train a BPE merge list driver-side on a bounded md5-ordered sample.
+
+    The merge table is a bounded-sample artifact by design (the PQ-codebook
+    precedent, similarity.py::pq_train_codebooks): ``sample_docs`` docs
+    chosen by deterministic md5 ticket (TakeOrderedAndProject — no full
+    sort, no RNG, unbiased under corpus growth) train the classic
+    frequency-greedy merge loop in pure Python; only the sampled text ever
+    reaches the driver, and the returned list is O(num_merges) — a
+    broadcastable model, never O(corpus).
+
+    Deterministic: ties in pair frequency break lexicographically, so the
+    same sample always yields the same merge list on any engine.
+
+    Returns ``[(left_symbol, right_symbol), ...]`` in merge-rank order.
+    """
+    ticket = F.md5(F.concat(F.lit("bpe"), F.col(id_col).cast("string")))
+    rows = (
+        df.select(F.col(text_col).alias("t"), ticket.alias("k"))
+        .orderBy("k")
+        .limit(int(sample_docs))
+        .collect()
+    )
+    word_freq: dict = {}
+    for r in rows:
+        if r["t"] is None:
+            continue
+        for w in r["t"].split():
+            word_freq[w] = word_freq.get(w, 0) + 1
+    vocab = {w: tuple(w) + (_BPE_EOW,) for w in word_freq}
+    merges: list = []
+    for _ in range(int(num_merges)):
+        pair_freq: dict = {}
+        for w, syms in vocab.items():
+            f = word_freq[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_freq[p] = pair_freq.get(p, 0) + f
+        if not pair_freq:
+            break
+        # deterministic tie-break: max frequency, then lexicographically
+        # smallest pair (max() alone would depend on dict order)
+        top = max(pair_freq.values())
+        best = min(p for p, f in pair_freq.items() if f == top)
+        merges.append(best)
+        a, b = best
+        merged = a + b
+        new_vocab = {}
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[w] = tuple(out)
+        vocab = new_vocab
+    return merges
+
+
+def _bpe_word_encoder(merges: list):
+    """Word → token-tuple closure with a per-partition cache (natural-
+    language word frequency is Zipfian, so the cache absorbs almost every
+    lookup at corpus scale)."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    cache: dict = {}
+
+    def encode(word: str) -> tuple:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word) + [_BPE_EOW]
+        while len(syms) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            a, b = merges[best_rank]
+            merged = a + b
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        res = tuple(syms)
+        cache[word] = res
+        return res
+
+    return encode
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a trained merge list: (id, tokens array<string>,
+    n_tokens). Arrow-batched ``mapInPandas`` with the O(num_merges) merge
+    table captured in the closure (broadcast with the task, never joined);
+    NULL text propagates NULL tokens (the NULL-parity discipline)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    cols = [id_col, text_col]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = _bpe_word_encoder(merges)
+        for pdf in it:
+            ids, toks, ns = [], [], []
+            for rid, txt in zip(pdf[id_col], pdf[text_col]):
+                ids.append(rid)
+                if txt is None or (isinstance(txt, float) and pd.isna(txt)):
+                    toks.append(None)
+                    ns.append(None)
+                else:
+                    t = [s for w in txt.split() for s in enc(w)]
+                    toks.append(t)
+                    ns.append(len(t))
+            yield pd.DataFrame({"id": ids, "tokens": toks, "n_tokens": ns})
+
+    return df.select(*cols).mapInPandas(
+        _batches, "id long, tokens array<string>, n_tokens long"
+    ).withColumnRenamed("id", id_col)
+
+
+def bpe_roundtrip_stats(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-pass encode + invertibility check: a single corpus-level row
+    (n_docs, n_nonnull, roundtrip_all, compression_ok).
+
+    BPE is lossless by construction — concatenating a word's tokens and
+    stripping the end-of-word marker recovers the word — so
+    ``roundtrip_all`` must hold for every non-null doc (checked per doc in
+    the same Arrow batch that encodes it; whitespace is normalized on both
+    sides since tokenization is word-level). Known falsifier: text
+    containing the LITERAL end-of-word marker string collides with the
+    decode rule — the tests pin that the check catches it. ``compression_ok`` asserts
+    the merges actually compress: total tokens < total unmerged symbols
+    (chars + one end-of-word per word) — with zero merges it is exactly
+    equal, so the bound fails, which is the falsification control the
+    tests pin."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = _bpe_word_encoder(merges)
+        n_docs = n_nonnull = n_tokens = n_syms = 0
+        ok = True
+        for pdf in it:
+            for txt in pdf[text_col]:
+                n_docs += 1
+                if txt is None or (isinstance(txt, float) and pd.isna(txt)):
+                    continue
+                n_nonnull += 1
+                words = txt.split()
+                toks = [s for w in words for s in enc(w)]
+                n_tokens += len(toks)
+                n_syms += sum(len(w) + 1 for w in words)
+                decoded = "".join(toks).replace(_BPE_EOW, " ").rstrip(" ")
+                if decoded != " ".join(words):
+                    ok = False
+        yield pd.DataFrame(
+            {"n_docs": [n_docs], "n_nonnull": [n_nonnull],
+             "n_tokens": [n_tokens], "n_syms": [n_syms], "ok": [ok]}
+        )
+
+    partials = df.select(text_col).mapInPandas(
+        _batches,
+        "n_docs long, n_nonnull long, n_tokens long, n_syms long, ok boolean",
+    )
+    return partials.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_nonnull").alias("n_nonnull"),
+        F.bool_and("ok").alias("roundtrip_all"),
+        (F.sum("n_tokens") < F.sum("n_syms")).alias("compression_ok"),
+    )

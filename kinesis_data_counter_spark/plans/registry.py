@@ -3763,6 +3763,13 @@ SELECT anchor_id, negative_id, CAST(rk AS BIGINT) AS rank, qdot
 FROM p WHERE rk <= 3
 """,
     "ann_hard_negative_agreement": "SELECT true AS ok",
+    # BPE has no SQL replay: exact doc counts from SQL, the invertibility
+    # and compression booleans asserted as engine-side properties
+    "text_bpe_roundtrip": """
+SELECT count(*) AS n_docs, count(text) AS n_nonnull,
+       true AS roundtrip_all, true AS compression_ok
+FROM documents
+""",
     "ann_ivf_recall": "SELECT true AS ok",
     "ann_quantized_recall": "SELECT true AS ok",
     "knn_bucketed_recall": "SELECT true AS ok",
@@ -4387,6 +4394,24 @@ def _q_knn_bucketed_recall(spark, sf_dir):
     return res.select("ok")
 
 
+def _q_text_bpe_roundtrip(spark, sf_dir):
+    # Real BPE subword tokenizer (Sennrich et al. 2016) above the
+    # bpe_ish_token_count regex proxy: the merge table trains driver-side
+    # on a bounded md5-ordered sample (the PQ-codebook precedent —
+    # O(num_merges) model, never O(corpus)), then one Arrow-batched
+    # mapInPandas pass encodes and roundtrip-checks every doc with a
+    # Zipf-friendly per-partition word cache. BPE has no sane SQL replay,
+    # so the recorded row mixes exact counts (n_docs / n_nonnull — SQL
+    # twins) with two engine-side properties: lossless roundtrip
+    # (invertibility) and actually-compresses (tokens < unmerged symbols
+    # — exactly EQUAL at zero merges, the falsification control
+    # tests/test_text.py pins alongside a corrupted-merge roundtrip
+    # failure).
+    (docs,) = _tables(spark, sf_dir, "documents")
+    merges = TX.bpe_train_merges(docs, num_merges=200, sample_docs=512)
+    return TX.bpe_roundtrip_stats(docs, merges)
+
+
 def _q_mine_hard_negatives(spark, sf_dir):
     # contrastive hard-negative mining (similarity.py::mine_hard_negatives):
     # for each anchor, the 3 most similar corpus vectors with a DIFFERENT
@@ -4725,6 +4750,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bucketed_recall": _q_knn_bucketed_recall,
     "mine_hard_negatives": _q_mine_hard_negatives,
     "ann_hard_negative_agreement": _q_ann_hard_negative_agreement,
+    "text_bpe_roundtrip": _q_text_bpe_roundtrip,
     "sample_class_balance": _q_sample_class_balance,
     "asof_forward_order": _q_asof_forward_order,
     "asof_split_skew": _q_asof_split_skew,
@@ -4914,15 +4940,16 @@ _SHOWCASE_ORDER = [
     # corpus_clean, text_lang_id) all carry ≥2 driver-recorded green rounds
     # and keep running in local verification + tests; every ceded family
     # keeps at least one head representative. Never-driver-recorded after
-    # this rotation: 41 of 147 (text_jq_export, counter_jq_stream_fold,
-    # dedup_semdedup, mine_hard_negatives and ann_hard_negative_agreement
-    # landed after the rotation and queue for round 6).
+    # this rotation: 42 of 148 (text_jq_export, counter_jq_stream_fold,
+    # dedup_semdedup, mine_hard_negatives, ann_hard_negative_agreement and
+    # text_bpe_roundtrip landed after the rotation and queue for round 6).
     # ROUND-6 ROTATION CANDIDATES (strongest first): text_jq_export
     # (@format strings + foreach through the interpreter),
     # counter_jq_stream_fold (input/inputs stream mode as the partial/final
     # topology), dedup_semdedup (cluster-scoped semantic dedup, per-doc
     # hash-matched oracle), mine_hard_negatives (contrastive mining,
-    # hash-matched brute replay) + ann_hard_negative_agreement, stream-curate
+    # hash-matched brute replay) + ann_hard_negative_agreement,
+    # text_bpe_roundtrip (real BPE tokenizer), stream-curate
     # capstone entries if added, ann_lsh_recall, ann_ivf_recall, dedup_ngram_jaccard,
     # corpus_pack_sequences, corpus_decontaminate, text_fingerprint,
     # text_winnow, sample_hash_split, sessionize_users,

@@ -198,3 +198,67 @@ def test_lm_quality_score_matches_hand_computation(spark):
     assert 2 not in got  # empty docs have no token rows
     # the rare-token doc scores strictly lower
     assert got[1][1] < got[0][1]
+
+
+# ---------------------------------------------------------------------------
+# BPE subword tokenizer
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_is_deterministic_and_greedy(spark):
+    docs = spark.createDataFrame(
+        [(0, "low low low low low lower lower newest newest")], "doc_id long, text string"
+    )
+    m1 = TX.bpe_train_merges(docs, num_merges=4, sample_docs=10)
+    m2 = TX.bpe_train_merges(docs, num_merges=4, sample_docs=10)
+    assert m1 == m2 and len(m1) == 4
+    # the most frequent pair corpus-wide merges first: 'l'+'o' (freq 7)
+    assert m1[0] == ("l", "o")
+
+
+def test_bpe_encode_roundtrips_and_compresses(spark):
+    rows = [
+        (0, "spark table scan spark table"),
+        (1, "table scan table scan scan"),
+        (2, None),            # NULL text → NULL tokens (NULL-parity rule)
+        (3, ""),              # empty doc → zero tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = TX.bpe_train_merges(docs, num_merges=50, sample_docs=10)
+    enc = {r.doc_id: r for r in TX.bpe_encode(docs, merges).collect()}
+    assert enc[2].tokens is None and enc[2].n_tokens is None
+    assert enc[3].tokens == [] and enc[3].n_tokens == 0
+    # losslessness per doc
+    for d in (0, 1):
+        text = rows[d][1]
+        decoded = "".join(enc[d].tokens).replace("</w>", " ").rstrip(" ")
+        assert decoded == " ".join(text.split())
+    # with 50 merges this tiny vocab collapses to one token per word
+    assert enc[0].n_tokens == 5
+
+    (stats,) = TX.bpe_roundtrip_stats(docs, merges).collect()
+    assert (stats.n_docs, stats.n_nonnull) == (4, 3)
+    assert stats.roundtrip_all and stats.compression_ok
+
+
+def test_bpe_falsification_controls(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta beta gamma"), (1, "alpha alpha beta")],
+        "doc_id long, text string",
+    )
+    # zero merges: tokens == unmerged symbols exactly, so the strict
+    # compression bound must FAIL (proves compression_ok is computed)
+    (s0,) = TX.bpe_roundtrip_stats(docs, []).collect()
+    assert s0.roundtrip_all and not s0.compression_ok
+    # the documented end-of-word-marker collision: a doc whose TEXT contains
+    # the literal "</w>" cannot decode losslessly, so roundtrip_all must go
+    # false (proves the invertibility check is computed, not assumed)
+    merges = TX.bpe_train_merges(docs, num_merges=3, sample_docs=10)
+    collide = spark.createDataFrame(
+        [(0, "weird</w>token here")], "doc_id long, text string"
+    )
+    (s_bad,) = TX.bpe_roundtrip_stats(collide, merges).collect()
+    assert not s_bad.roundtrip_all
+    # sanity: the same merges still roundtrip clean text
+    (s_ok,) = TX.bpe_roundtrip_stats(docs, merges).collect()
+    assert s_ok.roundtrip_all
