@@ -616,3 +616,81 @@ def bpe_roundtrip_stats(
         F.bool_and("ok").alias("roundtrip_all"),
         (F.sum("n_tokens") < F.sum("n_syms")).alias("compression_ok"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: "tuple[str, ...]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 (Robertson-Spärck Jones) for a fixed
+    query term set — ranked retrieval over the corpus, the search tier
+    above per-doc TF-IDF keywords.
+
+    idf = ln(1 + (N - df + .5)/(df + .5)); per-term contributions are
+    ROUNDED to 6 digits before the doc-level sum and the sum re-rounded,
+    so cross-engine ln()/summation-order ulp noise can't flip the ranking
+    (the tfidf_top_terms discipline). k1+1 is computed as (k1 + 1.0) so
+    the oracle can replay the identical float op.
+
+    100 TB shape: term frequencies come from a codegen ``filter``-count
+    per query term over each doc's token array — |terms| is query-sized,
+    so NO corpus-wide explode and no (doc, term) shuffle for the whole
+    vocabulary; corpus stats (N, avgdl) ride in as one broadcast scalar
+    row; df comes from a |terms|-key aggregate. The final top-k is
+    TakeOrdered (O(n) scan keeping k), never a global sort; ranks are
+    assigned on the ≤k survivor rows. NULL-text docs score no rows (the
+    tfidf/explode convention).
+    """
+    from pyspark.sql import Window
+
+    from kinesis_data_counter_spark.session import fan_out
+
+    base = fan_out(df, id_col).filter(F.col(text_col).isNotNull())
+    toks = clean_tokens(F.col(text_col))
+
+    def _eq(term):  # closure factory: a default arg would read as Spark's
+        return lambda x: x == F.lit(term)  # two-arg (value, index) lambda
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.size(F.filter(toks, _eq(t))).alias("tf"),
+            )
+            for t in query_terms
+        ]
+    )
+    per_term = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.inline(pairs),
+    ).filter(F.col("tf") > 0)
+    stats = base.select(F.size(toks).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = per_term.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df_docs") + 0.5) / (F.col("df_docs") + 0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = (
+        per_term.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * F.col("tf") * (F.lit(k1) + F.lit(1.0)) / denom, 6).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score"
+    )

@@ -3770,6 +3770,34 @@ SELECT count(*) AS n_docs, count(text) AS n_nonnull,
        true AS roundtrip_all, true AS compression_ok
 FROM documents
 """,
+    # BM25 replayed exactly: identical float-op order (contribution =
+    # ln-idf * tf * (1.2 + 1.0) / denom, rounded per term THEN summed and
+    # re-rounded), same tokenization as the tfidf twin
+    "text_bm25": r"""
+WITH d AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents WHERE text IS NOT NULL),
+dl AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+q AS (SELECT unnest(['spark', 'scan', 'merge', 'window']) AS term),
+tf AS (SELECT doc_id, dl, term, len(list_filter(toks, x -> x = term)) AS tf
+       FROM dl CROSS JOIN q),
+pos AS (SELECT * FROM tf WHERE tf > 0),
+dfreq AS (SELECT term, count(*) AS df_docs FROM pos GROUP BY 1),
+contrib AS (
+  SELECT pos.doc_id,
+         round(ln(1.0 + (stats.n_docs - dfreq.df_docs + 0.5)
+                        / (dfreq.df_docs + 0.5))
+               * pos.tf * (1.2 + 1.0)
+               / (pos.tf + 1.2 * (1.0 - 0.75 + 0.75 * pos.dl / stats.avgdl)),
+               6) AS c
+  FROM pos JOIN dfreq USING (term) CROSS JOIN stats),
+scored AS (SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
     "ann_ivf_recall": "SELECT true AS ok",
     "ann_quantized_recall": "SELECT true AS ok",
     "knn_bucketed_recall": "SELECT true AS ok",
@@ -4394,6 +4422,19 @@ def _q_knn_bucketed_recall(spark, sf_dir):
     return res.select("ok")
 
 
+def _q_text_bm25(spark, sf_dir):
+    # Ranked retrieval (BM25) over the corpus for a fixed query — the
+    # search tier above per-doc TF-IDF keywords (text.py::bm25_scores).
+    # Term frequencies come from codegen filter-counts per QUERY term (no
+    # corpus-wide vocabulary explode), corpus stats ride in as a broadcast
+    # scalar row, and the top-k is TakeOrdered, never a global sort.
+    # Per-term contributions round to 6 digits before the doc sum (and the
+    # sum re-rounds) so ln()/summation-order ulp noise can't flip the
+    # ranking; the DuckDB twin replays score and rank exactly.
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return TX.bm25_scores(docs, ("spark", "scan", "merge", "window"), k=10)
+
+
 def _q_text_bpe_roundtrip(spark, sf_dir):
     # Real BPE subword tokenizer (Sennrich et al. 2016) above the
     # bpe_ish_token_count regex proxy: the merge table trains driver-side
@@ -4751,6 +4792,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mine_hard_negatives": _q_mine_hard_negatives,
     "ann_hard_negative_agreement": _q_ann_hard_negative_agreement,
     "text_bpe_roundtrip": _q_text_bpe_roundtrip,
+    "text_bm25": _q_text_bm25,
     "sample_class_balance": _q_sample_class_balance,
     "asof_forward_order": _q_asof_forward_order,
     "asof_split_skew": _q_asof_split_skew,
@@ -4940,16 +4982,18 @@ _SHOWCASE_ORDER = [
     # corpus_clean, text_lang_id) all carry ≥2 driver-recorded green rounds
     # and keep running in local verification + tests; every ceded family
     # keeps at least one head representative. Never-driver-recorded after
-    # this rotation: 42 of 148 (text_jq_export, counter_jq_stream_fold,
-    # dedup_semdedup, mine_hard_negatives, ann_hard_negative_agreement and
-    # text_bpe_roundtrip landed after the rotation and queue for round 6).
+    # this rotation: 43 of 149 (text_jq_export, counter_jq_stream_fold,
+    # dedup_semdedup, mine_hard_negatives, ann_hard_negative_agreement,
+    # text_bpe_roundtrip and text_bm25 landed after the rotation and queue
+    # for round 6).
     # ROUND-6 ROTATION CANDIDATES (strongest first): text_jq_export
     # (@format strings + foreach through the interpreter),
     # counter_jq_stream_fold (input/inputs stream mode as the partial/final
     # topology), dedup_semdedup (cluster-scoped semantic dedup, per-doc
     # hash-matched oracle), mine_hard_negatives (contrastive mining,
     # hash-matched brute replay) + ann_hard_negative_agreement,
-    # text_bpe_roundtrip (real BPE tokenizer), stream-curate
+    # text_bpe_roundtrip (real BPE tokenizer), text_bm25 (ranked
+    # retrieval, hash-matched oracle), stream-curate
     # capstone entries if added, ann_lsh_recall, ann_ivf_recall, dedup_ngram_jaccard,
     # corpus_pack_sequences, corpus_decontaminate, text_fingerprint,
     # text_winnow, sample_hash_split, sessionize_users,

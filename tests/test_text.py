@@ -262,3 +262,28 @@ def test_bpe_falsification_controls(spark):
     # sanity: the same merges still roundtrip clean text
     (s_ok,) = TX.bpe_roundtrip_stats(docs, merges).collect()
     assert s_ok.roundtrip_all
+
+
+def test_bm25_ranking_and_edges(spark):
+    rows = [
+        (0, "spark spark spark"),            # high tf for 'spark'
+        (1, "spark table"),                  # one hit, short doc
+        (2, "table scan scan scan scan"),    # rare-term hits
+        (3, "nothing relevant here at all"), # no query terms → no row
+        (4, None),                           # NULL text → no row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = TX.bm25_scores(docs, ("spark", "scan"), k=10).collect()
+    by_id = {r.doc_id: r for r in got}
+    assert 3 not in by_id and 4 not in by_id
+    # 'scan' appears in 1 of 4 docs, 'spark' in 2 → scan is rarer, and doc 2
+    # has tf=4 of it: it must outrank the spark docs
+    assert [r.doc_id for r in sorted(got, key=lambda r: r.rank)][0] == 2
+    # ranks are dense from 1 and scores non-increasing
+    ranks = sorted(r.rank for r in got)
+    assert ranks == list(range(1, len(got) + 1))
+    ordered = sorted(got, key=lambda r: r.rank)
+    assert all(a.score >= b.score for a, b in zip(ordered, ordered[1:]))
+    # deterministic across runs
+    again = TX.bm25_scores(docs, ("spark", "scan"), k=10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
