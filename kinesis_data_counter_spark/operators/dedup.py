@@ -839,3 +839,63 @@ def duplicate_clusters(
         max_shingle_freq=max_shingle_freq,
     )
     return connected_components(pairs)
+
+
+def fuzzy_string_pairs(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 2,
+    q: int = 2,
+    max_gram_freq: "int | None" = None,
+) -> DataFrame:
+    """Edit-distance similarity join over a string column (entity
+    resolution / fuzzy key dedup): distinct-value pairs with
+    ``1 ≤ levenshtein ≤ max_dist``, as (a_name, b_name, dist).
+
+    Blocking is a positional-free q-gram inverted index with the classic
+    count-filtering guarantee (Gravano et al., VLDB 2001): strings with
+    edit distance ≤ d share at least ``max_len − q + 1 − d·q`` q-grams, so
+    requiring one shared gram has PERFECT recall for strings of length
+    ≥ q·(d+1) — shorter values are excluded up front (documented
+    precondition, applied identically in the SQL twin), which keeps the
+    candidate join an equi-join with provable completeness, never a
+    cartesian. Candidates are verified with the built-in ``levenshtein``
+    (JVM-side, row-local).
+
+    100 TB shape: one distinct on the value universe (entity-resolution
+    inputs have |distinct| ≪ |rows|), one gram-keyed equi-join, one pair
+    dedup, and a codegen verify. ``max_gram_freq`` is the skew guard for
+    degenerate alphabets — grams above the cap are dropped from pairing
+    (recall then relies on each pair's OTHER shared grams; the default
+    None keeps the exactness guarantee).
+    """
+    min_len = q * (max_dist + 1)
+    names = (
+        df.select(F.col(col).cast("string").alias("s"))
+        .filter(F.length("s") >= min_len)
+        .distinct()
+    )
+    idx = F.sequence(F.lit(1), F.length("s") - (q - 1))
+    grams = names.select(
+        "s",
+        F.explode(
+            F.array_distinct(F.transform(idx, lambda i: F.substring(F.col("s"), i, q)))
+        ).alias("g"),
+    )
+    if max_gram_freq is not None:
+        freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__n"))
+        grams = grams.join(
+            freq.filter(F.col("__n") <= max_gram_freq).select("g"), "g"
+        )
+    a = grams.select(F.col("s").alias("a_name"), "g")
+    b = grams.select(F.col("s").alias("b_name"), "g")
+    cand = (
+        a.join(b, "g")
+        .filter(F.col("a_name") < F.col("b_name"))
+        .select("a_name", "b_name")
+        .distinct()
+    )
+    dist = F.levenshtein("a_name", "b_name")
+    return cand.select(
+        "a_name", "b_name", dist.cast("long").alias("dist")
+    ).filter(F.col("dist") <= max_dist)

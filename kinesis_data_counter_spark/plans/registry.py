@@ -3770,6 +3770,16 @@ SELECT count(*) AS n_docs, count(text) AS n_nonnull,
        true AS roundtrip_all, true AS compression_ok
 FROM documents
 """,
+    # fuzzy join replayed brute-force over distinct names: the q-gram
+    # blocking must achieve PERFECT recall (count-filtering bound) for the
+    # hash match to hold; same length-≥-q(d+1) precondition on both sides
+    "fuzzy_match_part_names": """
+WITH n AS (SELECT DISTINCT p_name AS s FROM part WHERE length(p_name) >= 6)
+SELECT a.s AS a_name, b.s AS b_name,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM n a JOIN n b ON a.s < b.s
+WHERE levenshtein(a.s, b.s) <= 2
+""",
     # BM25 replayed exactly: identical float-op order (contribution =
     # ln-idf * tf * (1.2 + 1.0) / denom, rounded per term THEN summed and
     # re-rounded), same tokenization as the tfidf twin
@@ -4422,6 +4432,19 @@ def _q_knn_bucketed_recall(spark, sf_dir):
     return res.select("ok")
 
 
+def _q_fuzzy_match_part_names(spark, sf_dir):
+    # Edit-distance similarity join (entity resolution / fuzzy key dedup,
+    # dedup.py::fuzzy_string_pairs): q-gram inverted-index blocking with
+    # the Gravano count-filtering guarantee (perfect recall for strings of
+    # length ≥ q·(d+1) — the identical length precondition appears in the
+    # SQL twin), levenshtein verify row-local. The oracle recomputes the
+    # pairs brute-force over the distinct-name universe, so every
+    # (a, b, dist) row is hash-matched — the blocking must be lossless,
+    # not just plausible.
+    (part,) = _tables(spark, sf_dir, "part")
+    return DD.fuzzy_string_pairs(part, "p_name", max_dist=2, q=2)
+
+
 def _q_text_bm25(spark, sf_dir):
     # Ranked retrieval (BM25) over the corpus for a fixed query — the
     # search tier above per-doc TF-IDF keywords (text.py::bm25_scores).
@@ -4793,6 +4816,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_hard_negative_agreement": _q_ann_hard_negative_agreement,
     "text_bpe_roundtrip": _q_text_bpe_roundtrip,
     "text_bm25": _q_text_bm25,
+    "fuzzy_match_part_names": _q_fuzzy_match_part_names,
     "sample_class_balance": _q_sample_class_balance,
     "asof_forward_order": _q_asof_forward_order,
     "asof_split_skew": _q_asof_split_skew,
@@ -4982,10 +5006,10 @@ _SHOWCASE_ORDER = [
     # corpus_clean, text_lang_id) all carry ≥2 driver-recorded green rounds
     # and keep running in local verification + tests; every ceded family
     # keeps at least one head representative. Never-driver-recorded after
-    # this rotation: 43 of 149 (text_jq_export, counter_jq_stream_fold,
+    # this rotation: 44 of 150 (text_jq_export, counter_jq_stream_fold,
     # dedup_semdedup, mine_hard_negatives, ann_hard_negative_agreement,
-    # text_bpe_roundtrip and text_bm25 landed after the rotation and queue
-    # for round 6).
+    # text_bpe_roundtrip, text_bm25 and fuzzy_match_part_names landed after
+    # the rotation and queue for round 6).
     # ROUND-6 ROTATION CANDIDATES (strongest first): text_jq_export
     # (@format strings + foreach through the interpreter),
     # counter_jq_stream_fold (input/inputs stream mode as the partial/final
@@ -4993,7 +5017,8 @@ _SHOWCASE_ORDER = [
     # hash-matched oracle), mine_hard_negatives (contrastive mining,
     # hash-matched brute replay) + ann_hard_negative_agreement,
     # text_bpe_roundtrip (real BPE tokenizer), text_bm25 (ranked
-    # retrieval, hash-matched oracle), stream-curate
+    # retrieval, hash-matched oracle), fuzzy_match_part_names
+    # (edit-distance join, hash-matched brute oracle), stream-curate
     # capstone entries if added, ann_lsh_recall, ann_ivf_recall, dedup_ngram_jaccard,
     # corpus_pack_sequences, corpus_decontaminate, text_fingerprint,
     # text_winnow, sample_hash_split, sessionize_users,

@@ -194,3 +194,34 @@ def test_shingle_word_hash_projection_stays_separate(spark):
     docs = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
     plan = shingles(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert "__wh#" in plan, plan
+
+
+def test_fuzzy_string_pairs_exact_recall(spark):
+    rows = [
+        ("small ring",), ("smalls ring",),   # d=1 (insert)
+        ("red widget",), ("red wadget",),    # d=1 (substitute)
+        ("blue bolt",), ("bolt blue",),      # d=6: beyond threshold
+        ("tiny",),                           # below q*(d+1)=6: excluded
+        ("small ring",),                     # duplicate row: distinct first
+    ]
+    df = spark.createDataFrame(rows, "p_name string")
+    got = {
+        (r.a_name, r.b_name): r.dist
+        for r in DD.fuzzy_string_pairs(df, "p_name", max_dist=2, q=2).collect()
+    }
+    assert got == {
+        ("red wadget", "red widget"): 1,
+        ("small ring", "smalls ring"): 1,
+    }
+
+
+def test_fuzzy_string_pairs_skew_guard_trades_recall(spark):
+    # capping gram frequency drops pairs whose ONLY shared grams are the
+    # capped ones — proving the guard is live and the uncapped default is
+    # what carries the exactness guarantee
+    rows = [("aaaaaaa",), ("aaaaaab",)]
+    df = spark.createDataFrame(rows, "p_name string")
+    full = DD.fuzzy_string_pairs(df, "p_name", max_dist=2, q=2)
+    assert full.count() == 1
+    capped = DD.fuzzy_string_pairs(df, "p_name", max_dist=2, q=2, max_gram_freq=1)
+    assert capped.count() == 0
