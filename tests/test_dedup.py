@@ -225,3 +225,37 @@ def test_fuzzy_string_pairs_skew_guard_trades_recall(spark):
     assert full.count() == 1
     capped = DD.fuzzy_string_pairs(df, "p_name", max_dist=2, q=2, max_gram_freq=1)
     assert capped.count() == 0
+
+
+def test_fuzzy_string_pairs_matches_brute_on_random_corpus(spark):
+    # seeded random corpus from a tiny alphabet (maximizes near-collisions);
+    # the q-gram blocking must reproduce the brute levenshtein join exactly
+    import itertools
+    import random
+
+    rng = random.Random(20260814)
+    words = list({
+        "".join(rng.choice("abcd") for _ in range(rng.randint(6, 9)))
+        for _ in range(80)
+    })
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b): lev(a, b)
+        for a, b in itertools.combinations(sorted(words), 2)
+        if lev(a, b) <= 2
+    }
+    df = spark.createDataFrame([(w,) for w in words], "p_name string")
+    got = {
+        (r.a_name, r.b_name): r.dist
+        for r in DD.fuzzy_string_pairs(df, "p_name", max_dist=2, q=2).collect()
+    }
+    assert got == want, (len(got), len(want))
