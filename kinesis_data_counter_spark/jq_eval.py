@@ -35,7 +35,14 @@ object fields read as null). Slices work in value AND path position
 ``repeat``), ``foreach`` (2- and 3-arg), ``label``/``break``, the
 ``@format`` strings (``@csv @tsv @sh @html @uri @json @text @base64
 @base64d``, both as filters and as string prefixes), ``error`` with
-non-string payloads, the math builtins, and the UTC datetime family
+non-string payloads, the math builtins (including the libm family —
+trig/hyperbolic, cbrt/exp2/exp10/logb/significand/frexp/modf/trunc/
+nearbyint, gamma≡lgamma/tgamma, atan2/drem/ldexp/scalb — with libm's
+domain-edge contract: nan/±inf, never a raised error), the
+prelude-derived builtins shipped as jq SOURCE exactly like builtin.jq
+(``walk``, ``fromstream``, ``truncate_stream`` with 1.6's null-input
+rebind, ``combinations``/0+1) plus native ``tostream`` / ``fromjson`` /
+``utf8bytelength`` / ``transpose``, and the UTC datetime family
 (``gmtime``/``mktime``/``strftime``/``strptime``/``todate``/``fromdate``
 and the iso8601 aliases; ``now``/``localtime``/``strflocaltime`` stay
 compile-gated — wall-clock and executor-TZ dependence would break
@@ -321,6 +328,11 @@ _ZERO_ARG_BUILTINS = {
     "input",
     "inputs",
     "abs",
+    "fromjson",
+    "tojson",
+    "utf8bytelength",
+    "transpose",
+    "tostream",
     # datetime family (UTC-only: gmtime/mktime and the ISO8601 pair;
     # `now`, `localtime` and `strflocaltime` stay unregistered — wall-clock
     # and executor-TZ dependence would break deterministic replay, so they
@@ -340,6 +352,31 @@ _ZERO_ARG_BUILTINS = {
     "infinite",
     "nan",
     "round",
+    # libm family (domain edges follow libm/jq: nan, ±inf — never a raise)
+    "trunc",
+    "nearbyint",
+    "significand",
+    "logb",
+    "cbrt",
+    "exp2",
+    "exp10",
+    "gamma",
+    "lgamma",
+    "tgamma",
+    "frexp",
+    "modf",
+    "sin",
+    "cos",
+    "tan",
+    "asin",
+    "acos",
+    "atan",
+    "sinh",
+    "cosh",
+    "tanh",
+    "asinh",
+    "acosh",
+    "atanh",
     # type filters: select the input by its type
     "numbers",
     "strings",
@@ -408,6 +445,11 @@ _ARG_BUILTINS = {
     "map_values": 1,
     "error": 1,
     "pow": 2,
+    "atan2": 2,
+    "drem": 2,
+    "ldexp": 2,
+    "scalb": 2,
+    "scalbln": 2,
     "in": 1,
     "index": 1,
     "rindex": 1,
@@ -458,7 +500,17 @@ class _P:
             return self.parse_def()
         if self.peek() == ("kw", "label"):
             return self.parse_label()
-        left = self.parse_comma()
+        # `done` holds the folded pipe of COMPLETED stages; `cur` is the
+        # rightmost stage, kept unfolded because an `as` binds ONLY it:
+        # `X | E as $v | B` is `X | (E as $v | B)` — B's input is X's
+        # output, not the whole pipe's input (chained-as bug, pinned by
+        # the tostream/truncate_stream differential cases)
+        done = None
+        cur = self.parse_comma()
+
+        def fold(a, b):
+            return b if a is None else ("pipe", a, b)
+
         while True:
             # `EXPR as $x | BODY` binding
             if self.accept("kw", "as"):
@@ -466,17 +518,18 @@ class _P:
                 var = self.expect("ident")
                 self.expect("punct", "|")
                 body = self.parse_pipe()
-                return ("bind", left, var, body)
+                return fold(done, ("bind", cur, var, body))
             if self.accept("punct", "|"):
                 if self.peek() == ("kw", "def"):
                     # a def scopes over the rest of the pipeline
-                    return ("pipe", left, self.parse_def())
+                    return fold(fold(done, cur), self.parse_def())
                 if self.peek() == ("kw", "label"):
                     # so does a label: its body is the rest of the pipe
-                    return ("pipe", left, self.parse_label())
-                left = ("pipe", left, self.parse_comma())
+                    return fold(fold(done, cur), self.parse_label())
+                done = fold(done, cur)
+                cur = self.parse_comma()
             else:
-                return left
+                return fold(done, cur)
 
     def parse_label(self):
         """``label $name | body`` — ``break $name`` in body exits it."""
@@ -791,8 +844,37 @@ class _P:
         raise _unsupported(f"unknown function: {name}/0")
 
 
+# Derived builtins defined in jq SOURCE and prepended to every program —
+# exactly how jq itself ships them (builtin.jq). The interpreter's core
+# (def/reduce/foreach/setpath/slices/computed keys) is enough to host the
+# canonical jq 1.6 definitions verbatim, so their semantics are inherited
+# rather than re-derived; user `def`s of the same names shadow them, like
+# real jq. truncate_stream's `null |` input rebind is 1.6's (1.7 changed
+# it) — the differential suite pins against the installed 1.6 binary.
+_PRELUDE_SRC = """
+def walk(f): . as $in
+  | if type == "object"
+    then reduce keys[] as $key ({}; . + {($key): ($in[$key] | walk(f))}) | f
+    elif type == "array" then map(walk(f)) | f
+    else f end;
+def fromstream(f): {x: null, e: false} as $init
+  | foreach f as $i ($init;
+      if .e then $init else . end
+      | if $i | length == 2
+        then setpath(["e"]; $i[0] | length == 0)
+             | setpath(["x"] + $i[0]; $i[1])
+        else setpath(["e"]; $i[0] | length == 1) end;
+      if .e then .x else empty end);
+def truncate_stream(stream): . as $n | null | stream | . as $input
+  | if (.[0] | length) > $n then setpath([0]; .[0][$n:]) else empty end;
+def combinations: if length == 0 then [] else
+    .[0][] as $x | (.[1:] | combinations) as $rest | [$x] + $rest end;
+def combinations(n): . as $dot | [range(n)] | map($dot) | combinations;
+"""
+
+
 def _parse(src: str):
-    p = _P(_tokenize(src))
+    p = _P(_tokenize(_PRELUDE_SRC + "(" + src + "\n)"))
     ast = p.parse_pipe()
     if p.peek()[0] != "end":
         raise _unsupported(f"trailing tokens: {p.toks[p.pos:]!r}")
@@ -1473,6 +1555,7 @@ def _ev_call(name: str, args, v, env) -> Iterator:
     if args and name in (
         "limit", "first", "last", "nth", "until", "while", "repeat",
         "map_values", "error", "pow", "any", "all",
+        "atan2", "drem", "ldexp", "scalb", "scalbln",
     ):
         yield from _ev_control(name, args, v, env)
         return
@@ -1562,6 +1645,24 @@ def _ev_control(name: str, args, v, env) -> Iterator:
             raise JqRuntimeError(
                 m if isinstance(m, str) else dumps(m), payload=m
             )
+        return
+    if name in ("atan2", "drem", "ldexp", "scalb", "scalbln"):
+        for b in _ev(args[1], v, env):
+            for a in _ev(args[0], v, env):
+                for x in (a, b):
+                    if isinstance(x, bool) or not isinstance(x, (int, float)):
+                        raise JqRuntimeError(f"{name} needs numbers, got {_jq_type(x)}")
+                try:
+                    if name == "atan2":
+                        yield math.atan2(a, b)
+                    elif name == "drem":
+                        yield math.remainder(a, b)
+                    else:  # ldexp / scalb / scalbln: a · 2^b
+                        yield math.ldexp(a, int(b))
+                except (OverflowError, ZeroDivisionError):
+                    yield float("inf")
+                except ValueError:
+                    yield float("nan")
         return
     if name == "pow":
         for b in _ev(args[1], v, env):
@@ -2140,16 +2241,20 @@ def _builtin1(name: str, v, arg):
     if name in ("startswith", "endswith", "ltrimstr", "rtrimstr", "split", "contains"):
         if name == "contains":
             return _jq_contains(v, arg)
+        if name in ("ltrimstr", "rtrimstr"):
+            # jq passes non-string input OR argument through UNCHANGED
+            # (pinned vs the binary) — never an error
+            if not isinstance(v, str) or not isinstance(arg, str):
+                return v
+            if name == "ltrimstr":
+                return v[len(arg):] if v.startswith(arg) else v
+            return v[: -len(arg)] if arg and v.endswith(arg) else v
         if not isinstance(v, str) or not isinstance(arg, str):
             raise JqRuntimeError(f"{name} needs strings, got {_jq_type(v)}/{_jq_type(arg)}")
         if name == "startswith":
             return v.startswith(arg)
         if name == "endswith":
             return v.endswith(arg)
-        if name == "ltrimstr":
-            return v[len(arg):] if v.startswith(arg) else v
-        if name == "rtrimstr":
-            return v[: -len(arg)] if arg and v.endswith(arg) else v
         # jq's split("") yields the char list; Python raises ValueError,
         # which would escape the JqRuntimeError hierarchy and defeat try/?
         return v.split(arg) if arg else list(v)
@@ -2207,6 +2312,79 @@ def _positions(v, arg) -> "list | None":
     raise JqRuntimeError(f"cannot search {_jq_type(v)}")
 
 
+# libm one-arg functions with jq/libm domain-edge semantics: out-of-domain
+# is nan (atanh(±1) is ±inf), overflow is inf — NEVER a raised Python error
+# (a bare ValueError would escape jq's try/? and fail the whole job).
+_LIBM_1 = {
+    "trunc": math.trunc,
+    "nearbyint": lambda x: round(x),  # round-half-even, like libm
+    "cbrt": lambda x: math.copysign(abs(x) ** (1.0 / 3.0), x),
+    "exp2": lambda x: 2.0 ** x,
+    "exp10": lambda x: 10.0 ** x,
+    # jq's gamma IS lgamma (ln|Γ|), like glibc's. Route through
+    # log(Γ(x)) when Γ is finite and positive: both log and gamma are
+    # correctly rounded there, matching glibc's lgamma bit-for-bit where
+    # Python's own math.lgamma sits 1 ulp off (pinned at x=5)
+    "gamma": lambda x: _lgamma(x),
+    "lgamma": lambda x: _lgamma(x),
+    "tgamma": math.gamma,
+    "frexp": lambda x: list(math.frexp(x)),
+    "modf": lambda x: list(math.modf(x)),
+    "sin": math.sin, "cos": math.cos, "tan": math.tan,
+    "asin": math.asin, "acos": math.acos, "atan": math.atan,
+    "sinh": math.sinh, "cosh": math.cosh, "tanh": math.tanh,
+    "asinh": math.asinh, "acosh": math.acosh, "atanh": math.atanh,
+    "significand": lambda x: math.frexp(x)[0] * 2.0 if x else 0.0,
+    "logb": lambda x: (
+        float("-inf") if x == 0
+        else float("inf") if math.isinf(x)
+        else float("nan") if math.isnan(x)
+        else float(math.frexp(x)[1] - 1)
+    ),
+}
+
+
+def _lgamma(x):
+    try:
+        g = math.gamma(x)
+    except (ValueError, OverflowError):
+        return math.lgamma(x)
+    if g > 0 and math.isfinite(g):
+        return math.log(g)
+    return math.lgamma(x)
+
+
+def _libm(name: str, v):
+    if name == "atanh" and abs(v) == 1:
+        return math.copysign(float("inf"), v)
+    try:
+        return _LIBM_1[name](v)
+    except OverflowError:
+        return float("inf")
+    except ValueError:
+        return float("nan")
+
+
+def _tostream(v) -> Iterator:
+    """jq's tostream events: [path, leaf] per leaf, [path-of-last-child]
+    after each non-empty container closes (pinned against the binary)."""
+
+    def rec(x, path):
+        if isinstance(x, list) and x:
+            for i, c in enumerate(x):
+                yield from rec(c, path + [i])
+            yield [path + [len(x) - 1]]
+        elif isinstance(x, dict) and x:
+            ks = list(x.keys())
+            for k in ks:
+                yield from rec(x[k], path + [k])
+            yield [path + [ks[-1]]]
+        else:  # scalars and EMPTY containers are stream leaves
+            yield [path, x]
+
+    yield from rec(v, [])
+
+
 def _builtin0(name: str, v) -> Iterator:
     if name in _TYPE_FILTERS:
         if _TYPE_FILTERS[name](v):
@@ -2249,11 +2427,20 @@ def _builtin0(name: str, v) -> Iterator:
         else:
             raise JqRuntimeError(f"cannot convert {_jq_type(v)} to number")
     elif name in ("floor", "ceil", "sqrt", "fabs", "abs", "round",
-                  "log", "log2", "log10", "exp", "isnan", "isinfinite"):
+                  "log", "log2", "log10", "exp", "isnan", "isinfinite",
+                  "trunc", "nearbyint", "significand", "logb", "cbrt",
+                  "exp2", "exp10", "gamma", "lgamma", "tgamma", "frexp",
+                  "modf", "sin", "cos", "tan", "asin", "acos", "atan",
+                  "sinh", "cosh", "tanh", "asinh", "acosh", "atanh"):
         if isinstance(v, bool) or not isinstance(v, (int, float)):
             raise JqRuntimeError(f"{_jq_type(v)} number required")
-        if name in ("floor", "ceil", "sqrt"):
-            yield {"floor": math.floor, "ceil": math.ceil, "sqrt": math.sqrt}[name](v)
+        if name in _LIBM_1:
+            yield _libm(name, v)
+        elif name in ("floor", "ceil", "sqrt"):
+            if name == "sqrt" and v < 0:
+                yield float("nan")  # libm: domain edge is nan, not a raise
+            else:
+                yield {"floor": math.floor, "ceil": math.ceil, "sqrt": math.sqrt}[name](v)
         elif name in ("fabs", "abs"):
             yield abs(v)
         elif name == "round":  # libm round: half away from zero
@@ -2287,6 +2474,29 @@ def _builtin0(name: str, v) -> Iterator:
         yield _jq_strftime_struct(_ISO_FMT, _epoch_gmtime(v), math.floor(v))
     elif name in ("fromdate", "fromdateiso8601"):
         yield _jq_strptime(v, _ISO_FMT, as_epoch=True)
+    elif name == "fromjson":
+        if not isinstance(v, str):
+            raise JqRuntimeError(
+                f"{_jq_type(v)} ({dumps(_canonical(v))}) only strings can be parsed"
+            )
+        try:
+            yield json.loads(v)
+        except ValueError:
+            raise JqRuntimeError(f"{v} cannot be parsed as JSON") from None
+    elif name == "utf8bytelength":
+        if not isinstance(v, str):
+            raise JqRuntimeError(
+                f"{_jq_type(v)} ({dumps(_canonical(v))}) only strings have "
+                "UTF-8 byte length"
+            )
+        yield len(v.encode("utf-8"))
+    elif name == "transpose":
+        if not isinstance(v, list) or any(not isinstance(r, list) for r in v):
+            raise JqRuntimeError("transpose needs an array of arrays")
+        width = max((len(r) for r in v), default=0)
+        yield [[r[i] if i < len(r) else None for r in v] for i in range(width)]
+    elif name == "tostream":
+        yield from _tostream(v)
     elif name == "infinite":
         yield float("inf")
     elif name == "nan":

@@ -490,6 +490,50 @@ MINI_CASES = [
     ('strptime("%Y-%m-%dT%H:%M:%SZ") | mktime', "2023-11-14T22:13:20Z"),
     ('try strptime("%Y") catch .', "notayear"),
     ('[1700000000, 1700086400] | map(todate)', None),
+    # --- round-5: prelude-derived builtins (walk/streams/combinations) ---
+    ('walk(if type == "number" then . + 1 else . end)', {"a": [1, 2], "b": 3}),
+    ('walk(if type == "array" then sort else . end)', {"a": [3, 1, 2]}),
+    ("transpose", [[1, 2], [3, 4, 5]]),
+    ("transpose", []),
+    ("combinations", [[1, 2], [3, 4]]),
+    ("combinations", [[1], [], [2]]),   # empty axis -> no combinations
+    ("[limit(4; combinations(2))]", [0, 1]),
+    ("[tostream]", {"a": [1, {"b": 2}]}),
+    ("[tostream]", [[1, 2], [3, 4]]),
+    ("[tostream]", 1),
+    ("[tostream]", []),
+    ("[tostream]", {}),
+    ("fromstream(tostream)", {"a": [1, {"b": 2}], "c": []}),
+    ("fromstream(tostream)", [1, [2, [3]]]),
+    ("fromstream(1 | truncate_stream([[0],1],[[1,0],2],[[1,0]],[[1]]))", None),
+    ("fromjson", '"[1, {\\"a\\": null}]"'),
+    ("try fromjson catch .", 5),
+    ("utf8bytelength", "h\u00e9llo"),
+    # --- round-5: libm family (domain edges are nan/inf, never a raise) ---
+    ("trunc, nearbyint, ceil, floor", 3.7),
+    ("trunc, nearbyint", -3.7),
+    ("sqrt", -1),
+    ("asin, acos", 2),
+    ("atanh", 1),
+    ("atanh", -1),
+    ("acosh", 0.5),
+    ("sin, cos, tan, atan", 0.5),
+    ("sinh, cosh, tanh, asinh", 0.5),
+    ("acosh", 2.5),
+    ("cbrt, exp2, exp10", 5),
+    ("logb, significand", 8),
+    ("logb", 0),
+    ("gamma, lgamma, tgamma", 5),
+    ("frexp, modf", 3.7),
+    ("[atan2(1; 2), drem(7; 3), ldexp(3; 2), scalb(3; 2), scalbln(3; 2)]", None),
+    # --- round-5: non-string ltrimstr/rtrimstr pass through, like jq ---
+    ('ltrimstr("a"), rtrimstr("b")', 5),
+    ('ltrimstr("a")', ["ab"]),
+    # --- round-5: chained as-bindings rebind only their pipe stage ---
+    ('. as $n | (null | tostream) | . as $i | [$n, $i]', 7),
+    ('.a as $x | .b as $y | [$x, $y, .]', {"a": 1, "b": 2}),
+    ('1, . as $x | $x', 5),
+    ('[.[] | . as $x | . + 1 | . as $y | [$x, $y]]', [10, 20]),
 ]
 
 
