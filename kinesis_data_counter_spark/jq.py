@@ -738,7 +738,10 @@ def apply_jq_generic(df: DataFrame, program: str) -> DataFrame:
     recursion, try/catch, ``reduce``, user ``def``s, the regex builtins,
     path assignment (``= |= += …``, ``del``, ``setpath``/``paths``),
     slices, ``foreach``, ``label``/``break``, the ``@format`` strings,
-    the loop/math builtins, and the UTC datetime family; ``input``/
+    the loop builtins, the full libm math family, the stream-events and
+    structural derivations (``walk``/``tostream``/``fromstream``/
+    ``truncate_stream``/``combinations``/``transpose``), and the UTC
+    datetime family; ``input``/
     ``inputs`` (which need a record stream) raise :class:`JqUnsupported`
     at driver time on THIS per-record path — run those through
     :func:`apply_jq_stream` instead. Wall-clock builtins

@@ -2235,6 +2235,52 @@ def _q_corpus_curate_full(spark, sf_dir):
     )
 
 
+def _q_corpus_curate_semantic(spark, sf_dir):
+    # the SEMANTIC curation capstone (round 5): quality gate → exact dedup
+    # → SemDeDup cluster-scoped semantic dedup over the survivors'
+    # embeddings → corpus accounting. The lexical capstone
+    # (corpus_curate_full) pins the shingle/LSH/split composition; this one
+    # pins the embedding-space composition — every stage is an
+    # already-oracled operator and the whole run is hash-matched (SemDeDup
+    # is deterministic end to end, so the composed oracle replays seeds,
+    # centroids, assignment AND flagging). Docs without an embedding can't
+    # be semantically deduped and are KEPT (documented rule, LEFT join).
+    from kinesis_data_counter_spark.operators.text import token_count
+
+    docs, emb = _tables(spark, sf_dir, "documents", "embeddings")
+    base = docs.select("doc_id", "text")
+    qual = (
+        TX.quality_features(base, "text")
+        .filter(F.col("quality_ok"))
+        .select("doc_id", "text")
+    )
+    # ex feeds the semdedup join, the final anti-join and two counts —
+    # persist or the quality chain re-executes per consumer
+    ex = DD.deduplicate_exact(qual, "text", "doc_id").persist()
+    surv_emb = emb.join(
+        ex.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    ).select("vec_id", "embedding")
+    sem = SIM.semdedup(surv_emb, dim=64, k=8, threshold=0.3)
+    final = (
+        ex.join(
+            sem.filter(~F.col("keep")).select(F.col("id").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    return (
+        base.agg(F.count(F.lit(1)).alias("n_input"))
+        .crossJoin(qual.agg(F.count(F.lit(1)).alias("n_quality")))
+        .crossJoin(ex.agg(F.count(F.lit(1)).alias("n_exact")))
+        .crossJoin(
+            final.agg(
+                F.count(F.lit(1)).alias("n_final"),
+                F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+            )
+        )
+    )
+
+
 def _q_corpus_decontaminate(spark, sf_dir):
     # benchmark decontamination: train docs sharing any 6-gram with the
     # eval slice (doc_id % 7) are flagged via one semi join on hashed
@@ -3856,6 +3902,69 @@ FROM per_doc p JOIN r3 USING (source)
 GROUP BY 1
 """,
     "corpus_curate_full": _corpus_curate_full_oracle(),
+    # the semantic capstone replayed end to end: quality gate + exact
+    # dedup (the corpus_curate_full fragments) composed with the full
+    # dedup_semdedup replay over the survivors' embeddings
+    "corpus_curate_semantic": """
+WITH base AS (SELECT doc_id, text FROM documents),
+qstats AS (SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct
+  FROM base),
+qual AS (SELECT doc_id, text FROM qstats
+  WHERE n_tokens >= 5 AND n_chars * 1.0 / n_tokens >= 2.0
+    AND n_chars * 1.0 / n_tokens <= 20.0 AND punct * 1.0 / n_chars <= 0.2),
+ex AS (SELECT doc_id, text FROM (
+    SELECT doc_id, text, row_number() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      ORDER BY doc_id) AS rn
+    FROM qual) WHERE rn = 1),
+se AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+       FROM embeddings e JOIN ex ON e.vec_id = ex.doc_id),
+seeds AS (SELECT vec_id AS seed_id, v AS sv FROM se
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+a1 AS (
+  SELECT vec_id, seed_id AS c1 FROM (
+    SELECT se.vec_id, s.seed_id,
+           row_number() OVER (PARTITION BY se.vec_id ORDER BY
+             round(list_dot_product(se.v, s.sv) /
+               (sqrt(list_dot_product(se.v, se.v)) * sqrt(list_dot_product(s.sv, s.sv))), 6) DESC,
+             s.seed_id) AS rn
+    FROM se CROSS JOIN seeds s) WHERE rn = 1),
+cent AS (
+  SELECT c1 AS cl, idx, round(avg(x), 6) AS m FROM (
+    SELECT a1.c1, unnest(se.v) AS x, generate_subscripts(se.v, 1) AS idx
+    FROM se JOIN a1 USING (vec_id)) GROUP BY 1, 2),
+cvec AS (SELECT cl, list(m ORDER BY idx) AS cv FROM cent GROUP BY 1),
+a2 AS (
+  SELECT vec_id, cl AS cluster_id FROM (
+    SELECT se.vec_id, c.cl,
+           row_number() OVER (PARTITION BY se.vec_id ORDER BY
+             round(list_dot_product(se.v, c.cv) /
+               (sqrt(list_dot_product(se.v, se.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+             c.cl) AS rn
+    FROM se CROSS JOIN cvec c) WHERE rn = 1),
+dup AS (
+  SELECT DISTINCT b.vec_id FROM se a
+  JOIN a2 pa ON a.vec_id = pa.vec_id
+  JOIN a2 pb ON pa.cluster_id = pb.cluster_id
+  JOIN se b ON b.vec_id = pb.vec_id AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3),
+final AS (SELECT ex.doc_id, ex.text FROM ex
+          LEFT JOIN dup ON ex.doc_id = dup.vec_id
+          WHERE dup.vec_id IS NULL)
+SELECT (SELECT count(*) FROM base) AS n_input,
+       (SELECT count(*) FROM qual) AS n_quality,
+       (SELECT count(*) FROM ex) AS n_exact,
+       CAST(count(*) AS BIGINT) AS n_final,
+       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+            AS BIGINT) AS n_tokens
+FROM final
+""",
     "sample_leakage_safe_split": f"""
 WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 s AS (SELECT DISTINCT doc_id,
@@ -4768,6 +4877,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_token_budget": _q_sample_token_budget,
     "sample_leakage_safe_split": _q_sample_leakage_safe_split,
     "corpus_curate_full": _q_corpus_curate_full,
+    "corpus_curate_semantic": _q_corpus_curate_semantic,
     "corpus_decontaminate": _q_corpus_decontaminate,
     "corpus_pack_sequences": _q_corpus_pack_sequences,
     "dedup_incremental": _q_dedup_incremental,
@@ -5006,10 +5116,11 @@ _SHOWCASE_ORDER = [
     # corpus_clean, text_lang_id) all carry ≥2 driver-recorded green rounds
     # and keep running in local verification + tests; every ceded family
     # keeps at least one head representative. Never-driver-recorded after
-    # this rotation: 44 of 150 (text_jq_export, counter_jq_stream_fold,
+    # this rotation: 45 of 151 (text_jq_export, counter_jq_stream_fold,
     # dedup_semdedup, mine_hard_negatives, ann_hard_negative_agreement,
-    # text_bpe_roundtrip, text_bm25 and fuzzy_match_part_names landed after
-    # the rotation and queue for round 6).
+    # text_bpe_roundtrip, text_bm25, fuzzy_match_part_names and
+    # corpus_curate_semantic landed after the rotation and queue for
+    # round 6).
     # ROUND-6 ROTATION CANDIDATES (strongest first): text_jq_export
     # (@format strings + foreach through the interpreter),
     # counter_jq_stream_fold (input/inputs stream mode as the partial/final
@@ -5018,7 +5129,8 @@ _SHOWCASE_ORDER = [
     # hash-matched brute replay) + ann_hard_negative_agreement,
     # text_bpe_roundtrip (real BPE tokenizer), text_bm25 (ranked
     # retrieval, hash-matched oracle), fuzzy_match_part_names
-    # (edit-distance join, hash-matched brute oracle), stream-curate
+    # (edit-distance join, hash-matched brute oracle),
+    # corpus_curate_semantic (the embedding-space capstone), stream-curate
     # capstone entries if added, ann_lsh_recall, ann_ivf_recall, dedup_ngram_jaccard,
     # corpus_pack_sequences, corpus_decontaminate, text_fingerprint,
     # text_winnow, sample_hash_split, sessionize_users,
