@@ -202,6 +202,29 @@ SHOWCASE: dict[str, str] = {
         "the ranking exchange. Corpus-sized sweeps take the bucketed path "
         "(equi-joins on LSH keys — see knn_label_propagation_bucketed)."
     ),
+    "text_bm25": (
+        "BM25 ranked retrieval: term frequencies are codegen filter-counts "
+        "per QUERY term over each doc's token array — no vocabulary-wide "
+        "explode, no (doc, term) shuffle for the corpus. Corpus stats (N, "
+        "avgdl) and the |terms|-row df table broadcast back; the top-k is "
+        "TakeOrderedAndProject (O(n) scan keeping k), never a global sort."
+    ),
+    "fuzzy_match_part_names": (
+        "Edit-distance similarity join: one distinct on the value universe, "
+        "a q-gram-keyed equi-join for candidates (count-filtering bound = "
+        "provably perfect recall at the documented length floor), one pair "
+        "dedup, then a codegen levenshtein verify. No cartesian anywhere — "
+        "the classic blocked entity-resolution shape."
+    ),
+    "corpus_curate_semantic": (
+        "The embedding-space curation capstone: quality gate and exact "
+        "dedup reuse their pinned shapes; SemDeDup's two assignment passes "
+        "are BroadcastNestedLoopJoins against O(k·dim) model tables and its "
+        "flagging is ONE applyInPandas keyed on cluster_id; the survivor "
+        "anti-join is doc_id-keyed. Stage counts are single-row aggregates "
+        "crossJoined (broadcast) — no corpus recomputation (exact-dedup "
+        "output is persisted)."
+    ),
     "corpus_segment_dedup": (
         "Cross-document segment dedup: first-occurrence selection is a "
         "map-side-combinable min(struct(doc_id, pos)) aggregate plus an "
