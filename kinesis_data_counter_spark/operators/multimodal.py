@@ -5,14 +5,16 @@ media at 100 TB: payloads travel as ``binary`` columns with typed metadata
 alongside; decode / feature-extraction runs in ``mapInPandas`` so each Arrow
 batch of payload bytes is handed to Python exactly once — never row-at-a-time.
 
-Codecs: BMP (24-bit BI_RGB) and WAV (PCM 8/16-bit) decode END-TO-END with
-pure-``struct`` parsers (``decode_bmp`` / ``decode_wav`` — no external
-libs), so the decode path runs for real in this container; JPEG/PNG/MP3
-remain import-gated on pillow/soundfile (``decode_image`` falls back to
-the BMP parser when the payload sniffs as BMP). Everything around decode —
-schema, batch iteration, Arrow binary transfer, partition sizing — is the
-same either way, and ``media_features`` keeps a codec-free byte-level
-fallback output.
+Codecs: BMP (24-bit BI_RGB), WAV (PCM 8/16-bit) and PNG (non-interlaced
+8-bit gray/RGB/GA/RGBA — stdlib zlib + struct cover chunk framing with
+CRC, IDAT inflate, and all five scanline filters) decode END-TO-END with
+pure-Python parsers (``decode_bmp`` / ``decode_wav`` / ``decode_png`` —
+no external libs), so the decode path runs for real in this container;
+JPEG/MP3 remain import-gated on pillow/soundfile (``decode_image``
+dispatches by magic to the bundled parsers first). Everything around
+decode — schema, batch iteration, Arrow binary transfer, partition
+sizing — is the same either way, and ``media_features`` keeps a
+codec-free byte-level fallback output.
 """
 
 from __future__ import annotations
@@ -40,14 +42,17 @@ except ImportError:
 def decode_image(payload: bytes) -> Any:
     """Decode an image payload.
 
-    BMP payloads (magic ``BM``) decode with the bundled pure-Python parser
-    — ``(width, height, bgr_bytes)``; other formats need pillow (not
-    bundled) and return a PIL image."""
+    BMP payloads (magic ``BM``) and PNG payloads (the 8-byte signature)
+    decode with the bundled pure-Python parsers — ``(width, height,
+    bgr_bytes)`` / ``(width, height, channels, pixels)``; other formats
+    need pillow (not bundled) and return a PIL image."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     if not _HAS_PIL:
         raise NotImplementedError(
-            "non-BMP image decode requires pillow; install it or use media_features()"
+            "non-BMP/PNG image decode requires pillow; install it or use media_features()"
         )
     import io
 
@@ -178,6 +183,129 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
     if bits not in (8, 16):
         raise NotImplementedError(f"{bits}-bit PCM unsupported (8/16 only)")
     return sample_rate, channels, bits, data
+
+
+# ---------------------------------------------------------------------------
+# PNG (ISO/IEC 15948) — stdlib zlib + struct are a COMPLETE toolchain for
+# non-interlaced 8-bit gray/RGB PNG, so this path is real, not gated:
+# chunk framing with CRC, IDAT inflate, and all five scanline filters
+# (None/Sub/Up/Average/Paeth) per the spec's reconstruction functions.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        _struct.pack(">I", len(data))
+        + typ
+        + data
+        + _struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def encode_png(gray: bytes, width: int, height: int) -> bytes:
+    """``width × height`` grayscale bytes (row-major top-down; short input
+    zero-padded) → a standards-compliant non-interlaced 8-bit grayscale
+    PNG (filter 0 per scanline, one zlib IDAT)."""
+    import zlib
+
+    w, h = int(width), int(height)
+    gray = gray.ljust(w * h, b"\0")
+    raw = b"".join(b"\x00" + gray[y * w : (y + 1) * w] for y in range(h))
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytes:
+    """Reverse the per-scanline filters (PNG spec §9 Recon functions)."""
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(h):
+        ft = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG scanline filter {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a non-interlaced 8-bit gray/RGB/gray+alpha/RGBA PNG →
+    ``(width, height, channels, pixels)`` with ``pixels`` row-major
+    top-down, ``channels`` ∈ {1, 2, 3, 4}. Raises ValueError on malformed
+    files (bad signature/CRC/filter/truncation) and NotImplementedError on
+    interlaced, paletted, or non-8-bit variants."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = _struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = _struct.unpack_from(">I", payload, pos + 8 + ln)
+        if crc != zlib.crc32(typ + data):
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = _struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if interlace:
+        raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG unsupported (8-bit only)")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color} unsupported")
+    if comp != 0 or filt != 0:
+        raise ValueError("bad PNG compression/filter method")
+    raw = zlib.decompress(bytes(idat))
+    return w, h, channels, _png_unfilter(raw, w, h, channels)
 
 
 MEDIA_FEATURE_SCHEMA = T.StructType(
@@ -336,7 +464,8 @@ def decode_media_table(
     """Decode real BMP/WAV payloads into typed media metadata.
 
     Input rows carry standards-compliant container bytes in
-    ``payload_col`` (sniffed by magic: ``BM`` → BMP, ``RIFF…WAVE`` → WAV);
+    ``payload_col`` (sniffed by magic: ``BM`` → BMP, PNG signature → PNG,
+    ``RIFF…WAVE`` → WAV);
     output is one metadata row per payload — dimensions / sample rate,
     unit count (pixels or samples), container size, the first content
     byte as hex (BMP: blue channel of pixel (0,0); WAV: first data byte),
@@ -360,6 +489,13 @@ def decode_media_table(
                     rows.append(
                         (doc_id, "bmp", w, h, 0, w * h, len(p),
                          f"{bgr[0]:02X}" if bgr else "", ok)
+                    )
+                elif p[:8] == _PNG_SIG:
+                    w, h, nch, px = decode_png(p)
+                    rows.append(
+                        (doc_id, "png", w, h, 0, w * h, len(p),
+                         f"{px[0]:02X}" if px else "",
+                         len(px) == w * h * nch)
                     )
                 elif p[:4] == b"RIFF":
                     rate, ch, bits, data = decode_wav(p)
@@ -479,3 +615,57 @@ def sample_frames(
         F.col(id_col).cast("long").alias("doc_id"), F.col(payload_col).alias("payload")
     )
     return slim.mapInPandas(_frames, FRAME_SAMPLE_SCHEMA)
+
+
+def png_roundtrip_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc PNG encode→decode byte-level roundtrip over REAL deflate.
+
+    Each document's UTF-8 bytes become a ⌈√n⌉-wide grayscale grid (the
+    ``documents_as_containers`` dimension rule), encoded as a
+    standards-compliant 8-bit PNG and decoded back through the full
+    chunk/CRC/inflate/unfilter path inside the same Arrow batch.
+    ``pixels_match`` asserts the decoded pixels equal the original bytes
+    zero-padded to w×h — content-level losslessness through zlib, which a
+    size-predicting oracle cannot check (deflate output length is not
+    SQL-computable; the BMP sibling covers the predictable-size case).
+    Empty/NULL docs produce no container: (0, 0, 0, false), mirroring the
+    BMP rule. One ``mapInPandas`` pass; output is oracle-predictable from
+    ``n_chars`` alone except the match flag, which is the engine-side
+    property under test.
+    """
+    import math
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = (text or "").encode("utf-8")
+                n = len(b)
+                if n == 0:
+                    rows.append((doc_id, 0, 0, 0, False))
+                    continue
+                w = int(math.ceil(math.sqrt(n)))
+                h = int(math.ceil(n / w))
+                dw, dh, ch, px = decode_png(encode_png(b, w, h))
+                ok = (
+                    (dw, dh, ch) == (w, h, 1)
+                    and px == b.ljust(w * h, b"\0")
+                )
+                rows.append((doc_id, dw, dh, dw * dh, ok))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_pixels", "pixels_match"],
+            ).astype(
+                {"doc_id": "int64", "width": "int32", "height": "int32",
+                 "n_pixels": "int64"}
+            )
+
+    slim = fan_out(df, id_col).select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return slim.mapInPandas(
+        _roundtrip,
+        "doc_id long, width int, height int, n_pixels long, pixels_match boolean",
+    )

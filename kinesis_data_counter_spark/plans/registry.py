@@ -3593,6 +3593,22 @@ SELECT doc_id,
   CASE WHEN doc_id % 2 = 0 AND n = 0 THEN false ELSE true END AS roundtrip_ok
 FROM wh
 """,
+    # dims/pixel counts predicted exactly from n_chars (the BMP grid rule);
+    # pixels_match is the engine-side deflate-losslessness property
+    "multimodal_png_roundtrip": """
+WITH d AS (SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n
+           FROM documents),
+w AS (SELECT doc_id, n,
+             CASE WHEN n = 0 THEN 0 ELSE CAST(ceil(sqrt(n)) AS INT) END AS ow
+      FROM d),
+wh AS (SELECT doc_id, n, ow,
+              CASE WHEN n = 0 THEN 0 ELSE CAST(ceil(n / ow) AS INT) END AS oh
+       FROM w)
+SELECT doc_id, CAST(ow AS INT) AS width, CAST(oh AS INT) AS height,
+       CAST(ow * oh AS BIGINT) AS n_pixels,
+       n > 0 AS pixels_match
+FROM wh
+""",
     "sql_surface_daily_top_types": """
 WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
@@ -4541,6 +4557,21 @@ def _q_knn_bucketed_recall(spark, sf_dir):
     return res.select("ok")
 
 
+def _q_multimodal_png_roundtrip(spark, sf_dir):
+    # PNG de-stubbed (round 5): stdlib zlib+struct are a complete toolchain
+    # for non-interlaced 8-bit PNG, so the encode→decode roundtrip runs for
+    # REAL — chunk CRCs, IDAT inflate, scanline unfiltering
+    # (multimodal.py::encode_png/decode_png). Deflate output length is not
+    # SQL-computable, so unlike the size-predicting BMP/WAV oracle
+    # (multimodal_decode) this entry records the byte-level losslessness
+    # property: decoded pixels == original text bytes zero-padded to the
+    # ⌈√n⌉ grid; dims and pixel counts ARE predicted exactly from n_chars.
+    # Falsifiability: tests corrupt a CRC and a filter byte and assert the
+    # decoder rejects them.
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return MM.png_roundtrip_table(docs)
+
+
 def _q_fuzzy_match_part_names(spark, sf_dir):
     # Edit-distance similarity join (entity resolution / fuzzy key dedup,
     # dedup.py::fuzzy_string_pairs): q-gram inverted-index blocking with
@@ -4927,6 +4958,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_roundtrip": _q_text_bpe_roundtrip,
     "text_bm25": _q_text_bm25,
     "fuzzy_match_part_names": _q_fuzzy_match_part_names,
+    "multimodal_png_roundtrip": _q_multimodal_png_roundtrip,
     "sample_class_balance": _q_sample_class_balance,
     "asof_forward_order": _q_asof_forward_order,
     "asof_split_skew": _q_asof_split_skew,
@@ -5116,11 +5148,11 @@ _SHOWCASE_ORDER = [
     # corpus_clean, text_lang_id) all carry ≥2 driver-recorded green rounds
     # and keep running in local verification + tests; every ceded family
     # keeps at least one head representative. Never-driver-recorded after
-    # this rotation: 45 of 151 (text_jq_export, counter_jq_stream_fold,
+    # this rotation: 46 of 152 (text_jq_export, counter_jq_stream_fold,
     # dedup_semdedup, mine_hard_negatives, ann_hard_negative_agreement,
-    # text_bpe_roundtrip, text_bm25, fuzzy_match_part_names and
-    # corpus_curate_semantic landed after the rotation and queue for
-    # round 6).
+    # text_bpe_roundtrip, text_bm25, fuzzy_match_part_names,
+    # corpus_curate_semantic and multimodal_png_roundtrip landed after the
+    # rotation and queue for round 6).
     # ROUND-6 ROTATION CANDIDATES (strongest first): text_jq_export
     # (@format strings + foreach through the interpreter),
     # counter_jq_stream_fold (input/inputs stream mode as the partial/final
@@ -5130,7 +5162,8 @@ _SHOWCASE_ORDER = [
     # text_bpe_roundtrip (real BPE tokenizer), text_bm25 (ranked
     # retrieval, hash-matched oracle), fuzzy_match_part_names
     # (edit-distance join, hash-matched brute oracle),
-    # corpus_curate_semantic (the embedding-space capstone), stream-curate
+    # corpus_curate_semantic (the embedding-space capstone),
+    # multimodal_png_roundtrip (de-stubbed PNG codec), stream-curate
     # capstone entries if added, ann_lsh_recall, ann_ivf_recall, dedup_ngram_jaccard,
     # corpus_pack_sequences, corpus_decontaminate, text_fingerprint,
     # text_winnow, sample_hash_split, sessionize_users,

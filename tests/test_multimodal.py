@@ -262,3 +262,130 @@ def test_decode_media_table_end_to_end(spark):
         assert r["kind"] == "wav" and r["sample_rate"] == 8000
         assert r["n_units"] == n and r["roundtrip_ok"]
         assert r["n_payload_bytes"] == 44 + 2 * n
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (pure stdlib zlib+struct)
+# ---------------------------------------------------------------------------
+
+
+def _png_with_filters(rows_by_filter, w, channels=1):
+    """Hand-build a PNG whose scanlines use explicit filter types —
+    exercises the decoder's Recon functions beyond encode_png's filter 0."""
+    import struct
+    import zlib
+
+    from kinesis_data_counter_spark.operators import multimodal as MM
+
+    raw = b"".join(bytes([ft]) + bytes(row) for ft, row in rows_by_filter)
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", w, len(rows_by_filter), 8, color, 0, 0, 0)
+    return (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(raw))
+        + MM._png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_and_all_filters():
+    from kinesis_data_counter_spark.operators import multimodal as MM
+
+    data = bytes((i * 7 + 3) % 256 for i in range(60))
+    w, h, ch, px = MM.decode_png(MM.encode_png(data, 10, 6))
+    assert (w, h, ch) == (10, 6, 1) and px == data
+
+    # filters: 0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth — filtered bytes
+    # hand-computed so the decoder must apply each Recon function
+    rows = [
+        (0, [10, 20, 30]),          # -> 10 20 30
+        (1, [5, 5, 5]),             # Sub: 5, 10, 15
+        (2, [1, 1, 1]),             # Up: 6, 11, 16
+        (3, [4, 4, 4]),             # Avg: 7 (0+6)/2+4... recon left+up
+        (4, [1, 1, 1]),             # Paeth
+    ]
+    w2, h2, ch2, px2 = MM.decode_png(_png_with_filters(rows, 3))
+    assert (w2, h2, ch2) == (3, 5, 1)
+    got = list(px2)
+    assert got[0:3] == [10, 20, 30]
+    assert got[3:6] == [5, 10, 15]          # Sub
+    assert got[6:9] == [6, 11, 16]          # Up
+    # Average: recon[i] = raw + (left + up)//2
+    r3 = [(4 + ((0 + 6) >> 1)) & 0xFF]
+    r3.append((4 + ((r3[0] + 11) >> 1)) & 0xFF)
+    r3.append((4 + ((r3[1] + 16) >> 1)) & 0xFF)
+    assert got[9:12] == r3
+    # Paeth row decodes without error and stays in byte range
+    assert all(0 <= b <= 255 for b in got[12:15])
+
+    # RGB (color type 2)
+    w3, h3, ch3, px3 = MM.decode_png(_png_with_filters([(0, [255, 0, 0, 0, 255, 0])], 2, channels=3))
+    assert (w3, h3, ch3) == (2, 1, 3) and list(px3) == [255, 0, 0, 0, 255, 0]
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from kinesis_data_counter_spark.operators import multimodal as MM
+
+    good = MM.encode_png(b"hello world!", 4, 3)
+    # corrupt one IDAT payload byte -> CRC mismatch must be DETECTED
+    idat_at = good.find(b"IDAT")
+    bad = bytearray(good)
+    bad[idat_at + 5] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        MM.decode_png(bytes(bad))
+    # invalid scanline filter type byte -> rejected after inflate
+    raw = b"\x09" + bytes(4) + b"\x00" + bytes(4) + b"\x00" + bytes(4)
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0)
+    evil = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(raw))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="filter"):
+        MM.decode_png(evil)
+    # interlaced and 16-bit gates
+    for depth, color, interlace, err in [
+        (8, 0, 1, "interlaced"),
+        (16, 0, 0, "16-bit"),
+        (8, 3, 0, "color type"),
+    ]:
+        ihdr2 = struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace)
+        p = (
+            MM._PNG_SIG
+            + MM._png_chunk(b"IHDR", ihdr2)
+            + MM._png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+            + MM._png_chunk(b"IEND", b"")
+        )
+        with _pytest.raises(NotImplementedError):
+            MM.decode_png(p)
+    with _pytest.raises(ValueError, match="not a PNG"):
+        MM.decode_png(b"nope")
+
+
+def test_png_roundtrip_table_and_decode_media_dispatch(spark):
+    from kinesis_data_counter_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(0, "hello png world"), (1, ""), (2, None), (3, "x" * 100)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in MM.png_roundtrip_table(docs).collect()}
+    assert rows[0].pixels_match and rows[3].pixels_match
+    assert rows[0].n_pixels == rows[0].width * rows[0].height
+    assert not rows[1].pixels_match and rows[1].width == 0
+    assert not rows[2].pixels_match   # NULL text == empty, by the BMP rule
+    assert rows[3].width == 10 and rows[3].height == 10
+    # decode_media_table dispatches PNG payloads by signature
+    payloads = spark.createDataFrame(
+        [(0, bytearray(MM.encode_png(b"abcd", 2, 2)))],
+        "doc_id long, payload binary",
+    )
+    (m,) = MM.decode_media_table(payloads).collect()
+    assert (m.kind, m.width, m.height, m.n_units) == ("png", 2, 2, 4)
+    assert m.roundtrip_ok and m.head_hex == "61"
