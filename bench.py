@@ -93,10 +93,16 @@ BENCH_QUERIES = [
     "rfm_segments_sketch",
     "sample_leakage_safe_split",
     "embedding_pca_check",
-    # round-5 late additions: the jq INPUT-STREAM partial/final fold and
-    # cluster-scoped semantic dedup (SemDeDup)
+    # round-5 late additions: the jq INPUT-STREAM partial/final fold,
+    # cluster-scoped semantic dedup (SemDeDup), the embedding-space
+    # curation capstone, ranked retrieval, the edit-distance join, and the
+    # PNG deflate roundtrip
     "counter_jq_stream_fold",
     "dedup_semdedup",
+    "corpus_curate_semantic",
+    "text_bm25",
+    "fuzzy_match_part_names",
+    "multimodal_png_roundtrip",
 ]
 
 
@@ -106,6 +112,7 @@ BENCH_QUERIES = [
 # band flags a plan whose cost curve would not survive 100×.
 SF1_SPOT_QUERIES = [
     "corpus_curate_full",
+    "corpus_curate_semantic",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "ann_pq_recall",
