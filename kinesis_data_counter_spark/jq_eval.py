@@ -854,7 +854,8 @@ class _P:
 _PRELUDE_SRC = """
 def walk(f): . as $in
   | if type == "object"
-    then reduce keys[] as $key ({}; . + {($key): ($in[$key] | walk(f))}) | f
+    then reduce keys_unsorted[] as $key
+           ({}; . + {($key): ($in[$key] | walk(f))}) | f
     elif type == "array" then map(walk(f)) | f
     else f end;
 def fromstream(f): {x: null, e: false} as $init
@@ -2506,10 +2507,11 @@ def _builtin0(name: str, v) -> Iterator:
             v if isinstance(v, str) else dumps(v), payload=v
         )
     elif name == "add":
-        if not isinstance(v, list):
+        # jq's add folds .[] — objects sum their VALUES ({} adds to null)
+        if not isinstance(v, (list, dict)):
             raise JqRuntimeError(f"cannot add {_jq_type(v)}")
         acc = None
-        for x in v:
+        for x in (v.values() if isinstance(v, dict) else v):
             acc = _arith("+", acc, x)
         yield acc
     elif name in ("any", "all"):
@@ -2536,12 +2538,24 @@ def _builtin0(name: str, v) -> Iterator:
             raise JqRuntimeError("sort needs an array")
         yield sorted(v, key=_SORT_KEY)
     elif name == "reverse":
+        # jq 1.6 defines reverse via length+indexing: any zero-length
+        # value (null, 0, "", {}) reverses to [], everything non-array
+        # with length > 0 errors (1.7 added string reverse — not 1.6)
         if isinstance(v, list):
             yield list(reversed(v))
-        elif isinstance(v, str):
-            yield v[::-1]
         else:
-            raise JqRuntimeError(f"cannot reverse {_jq_type(v)}")
+            n = (
+                0 if v is None
+                else abs(v) if isinstance(v, (int, float)) and not isinstance(v, bool)
+                else len(v) if isinstance(v, (str, dict))
+                else 1
+            )
+            if n == 0:
+                yield []
+            else:
+                raise JqRuntimeError(
+                    f"Cannot index {_jq_type(v)} with number"
+                )
     elif name in ("first", "last"):
         # jq defines first ≡ .[0] and last ≡ .[-1]: out-of-range (empty
         # array) and null input yield null; non-array input is a jq error
@@ -2563,7 +2577,14 @@ def _builtin0(name: str, v) -> Iterator:
     elif name in ("paths", "leaf_paths"):
         def walk(x, p):
             if p:  # the root's empty path is excluded
-                if name == "paths" or not isinstance(x, (list, dict)):
+                # leaf_paths ≡ paths(scalars), and select() tests the
+                # TRUTHINESS of the scalar itself — so null and false
+                # leaves are dropped (pinned vs the binary)
+                if name == "paths" or (
+                    not isinstance(x, (list, dict))
+                    and x is not None
+                    and x is not False
+                ):
                     yield list(p)
             if isinstance(x, list):
                 for i, e in enumerate(x):
@@ -2574,20 +2595,34 @@ def _builtin0(name: str, v) -> Iterator:
 
         yield from walk(v, [])
     elif name == "to_entries":
-        if not isinstance(v, dict):
+        # arrays entry-ize by index (jq defines to_entries via keys)
+        if isinstance(v, list):
+            yield [{"key": i, "value": x} for i, x in enumerate(v)]
+        elif isinstance(v, dict):
+            yield [{"key": k, "value": x} for k, x in v.items()]
+        else:
             raise JqRuntimeError("to_entries needs an object")
-        yield [{"key": k, "value": x} for k, x in v.items()]
     elif name == "from_entries":
         if not isinstance(v, list):
             raise JqRuntimeError("from_entries needs an array")
+        # jq 1.6: key = .key // .name // .Name (the // skips null AND
+        # false); a non-string winner is an ERROR, not stringified
         out = {}
         for e in v:
             if not isinstance(e, dict):
                 raise JqRuntimeError("from_entries entry must be an object")
-            key = e.get("key", e.get("k", e.get("name")))
-            out[key if isinstance(key, str) else _tostring(_canonical(key))] = e.get(
-                "value", e.get("v")
-            )
+            key = None
+            for kk in ("key", "name", "Name"):
+                kv = e.get(kk)
+                if kv is not None and kv is not False:
+                    key = kv
+                    break
+            if not isinstance(key, str):
+                raise JqRuntimeError(
+                    f"Cannot use {_jq_type(key)} ({dumps(_canonical(key))}) "
+                    "as object key"
+                )
+            out[key] = e.get("value")
         yield out
     else:  # pragma: no cover - parser rejects unknown names
         raise _unsupported(f"unknown function: {name}/0")
@@ -2600,6 +2635,10 @@ def _cmp_keylist(a, b) -> int:
 
 
 def _flatten(v, depth: "int | None"):
+    # jq's flatten reduces over .[] — an OBJECT flattens its values (only
+    # nested ARRAYS recurse, per the builtin.jq definition)
+    if isinstance(v, dict):
+        v = list(v.values())
     if not isinstance(v, list):
         raise JqRuntimeError(f"cannot flatten {_jq_type(v)}")
     out: list = []
