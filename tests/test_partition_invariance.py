@@ -165,3 +165,97 @@ def test_cms_merge_invariant_under_partitioning(spark):
             sorted((r["d"], r["bucket"], r["cnt"]) for r in merged.collect())
         )
     assert all(c == cells[0] for c in cells[1:])
+
+
+def test_semdedup_invariant_under_partitioning(spark):
+    # seeds come from TakeOrdered, centroids from a hash aggregate with
+    # ROUNDED means, flags from per-cluster matmuls — none may depend on
+    # physical layout
+    from kinesis_data_counter_spark.operators.similarity import semdedup
+
+    vecs = _vectors(spark)
+    results = []
+    for layout in _layouts(vecs):
+        out = semdedup(layout.drop("__part_key"), dim=16, k=4, threshold=0.2)
+        results.append(
+            sorted((r.id, r.cluster_id, r.keep) for r in out.collect())
+        )
+    assert any(not k for _, _, k in results[0]), "fixture flagged nothing"
+    assert all(r == results[0] for r in results[1:])
+
+
+def test_hard_negatives_invariant_under_partitioning(spark):
+    from kinesis_data_counter_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    vecs = _vectors(spark).withColumn("label", (F.col("vec_id") % 3).cast("int"))
+    anchors = vecs.filter(F.col("vec_id") % 10 == 0)
+    results = []
+    for layout in _layouts(vecs):
+        out = mine_hard_negatives(layout.drop("__part_key"), anchors, k=2)
+        results.append(
+            sorted(
+                (r.anchor_id, r.rank, r.negative_id, r.qdot) for r in out.collect()
+            )
+        )
+    assert results[0], "fixture mined nothing"
+    assert all(r == results[0] for r in results[1:])
+
+
+def test_bm25_invariant_under_partitioning(spark):
+    from kinesis_data_counter_spark.operators.text import bm25_scores
+
+    docs = _docs(spark)
+    results = []
+    for layout in _layouts(docs):
+        out = bm25_scores(layout.drop("__part_key"), ("w1", "w2", "w3"), k=8)
+        results.append(
+            sorted((r.rank, r.doc_id, r.score) for r in out.collect())
+        )
+    assert results[0], "fixture scored nothing"
+    assert all(r == results[0] for r in results[1:])
+
+
+def test_fuzzy_pairs_invariant_under_partitioning(spark):
+    from kinesis_data_counter_spark.operators.dedup import fuzzy_string_pairs
+
+    rng = random.Random(11)
+    rows = [
+        ("".join(rng.choice("abc") for _ in range(rng.randint(6, 8))),)
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(rows, "p_name string").withColumn(
+        "__part_key", F.length("p_name") % 3
+    )
+    results = []
+    for layout in _layouts(df):
+        out = fuzzy_string_pairs(layout.drop("__part_key"), "p_name", max_dist=2)
+        results.append(
+            sorted((r.a_name, r.b_name, r.dist) for r in out.collect())
+        )
+    assert results[0], "fixture matched nothing"
+    assert all(r == results[0] for r in results[1:])
+
+
+def test_bpe_encode_invariant_under_partitioning(spark):
+    # the merge table is trained ONCE (md5-ordered sample is layout-free);
+    # encoding is per-doc, so tokens must not depend on partitioning
+    from kinesis_data_counter_spark.operators.text import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    docs = _docs(spark, n=40)
+    merges_per_layout = [
+        bpe_train_merges(lay.drop("__part_key"), num_merges=30, sample_docs=100)
+        for lay in _layouts(docs)
+    ]
+    assert all(m == merges_per_layout[0] for m in merges_per_layout[1:])
+    results = []
+    for layout in _layouts(docs):
+        out = bpe_encode(layout.drop("__part_key"), merges_per_layout[0])
+        results.append(
+            sorted((r.doc_id, tuple(r.tokens or ()), r.n_tokens) for r in out.collect())
+        )
+    assert all(r == results[0] for r in results[1:])
