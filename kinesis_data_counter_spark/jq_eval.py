@@ -874,7 +874,11 @@ def combinations(n): . as $dot | [range(n)] | map($dot) | combinations;
 """
 
 
+@functools.lru_cache(maxsize=512)
 def _parse(src: str):
+    # memoized: the prelude re-parses per compile otherwise (~0.5 ms), and
+    # the per-record Lambda-handler path compiles per call. ASTs are
+    # treated as immutable by the evaluator, so sharing is safe.
     p = _P(_tokenize(_PRELUDE_SRC + "(" + src + "\n)"))
     ast = p.parse_pipe()
     if p.peek()[0] != "end":
