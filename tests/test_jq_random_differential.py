@@ -136,3 +136,43 @@ def test_random_array_algebra_matches(a, b):
     rc, want = _real(prog, [a, b])
     assert rc == 0
     assert compile_program(prog).lines([a, b]) == want, (a, b)
+
+
+STREAM_PROGRAMS = [
+    ('reduce inputs as $x (0; . + ($x | if type == "object" '
+     "then (.a // 0) else . end))"),
+    "[inputs] | length",
+    "[limit(3; inputs)]",
+    "[inputs | tostring] | sort",
+]
+
+
+@pytest.mark.skipif(JQ is None, reason="jq binary not available")
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(
+    records=st.lists(
+        st.one_of(
+            st.integers(-100, 100),
+            st.dictionaries(
+                st.sampled_from(["a", "b"]), st.integers(0, 9), max_size=2
+            ),
+        ),
+        max_size=6,
+    )
+)
+def test_random_streams_match_real_jq(records):
+    # the INPUT-STREAM model on random record streams (jq -n)
+    from kinesis_data_counter_spark.jq_eval import compile_program
+
+    for prog in STREAM_PROGRAMS:
+        out = subprocess.run(
+            [JQ, "-cn", prog],
+            input="\n".join(json.dumps(r) for r in records),
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        assert out.returncode == 0, out.stderr
+        want = [l for l in out.stdout.split("\n") if l.strip()]
+        got = compile_program(prog, allow_inputs=True).stream_lines(records)
+        assert got == want, (prog, records)
