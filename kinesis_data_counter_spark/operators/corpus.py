@@ -332,6 +332,135 @@ def quality_tiers(
     )
 
 
+def boilerplate_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 8,
+    max_docs: int = 2,
+) -> DataFrame:
+    """Frequency-thresholded boilerplate removal (the CCNet/RefinedWeb
+    repeated-line rule): split documents into fixed ``chunk_words``-word
+    segments, drop every segment whose text appears in MORE THAN
+    ``max_docs`` distinct documents, and reassemble the survivors per doc.
+
+    Complements :func:`segment_dedup` (first-occurrence survival): here a
+    segment shared by a handful of documents survives EVERYWHERE — only
+    corpus-wide boilerplate (navigation chrome, cookie banners, license
+    headers) crosses the document-frequency threshold and is removed from
+    ALL documents including the first. Within-document repeats of a
+    below-threshold segment are all kept (repetition inside one document
+    is :func:`~..text.repetition_features`'s concern, not boilerplate).
+
+    Plan shape (no Python anywhere):
+      split → chunk via ``transform(sequence(...))`` → posexplode
+      → groupBy(chunk hash).agg(count_distinct(doc)) [one shuffle, with a
+        map-side partial-distinct combine]
+      → equi-join back on the 8-byte hash to flag survivors
+      → groupBy(doc).collect_list → array_sort → array_join [one shuffle]
+
+    The doc-frequency table is chunk-keyed and shrinks with distinctness,
+    never with corpus size per key — no window, no global sort; both
+    exchanges are plain hash shuffles that scale with the data.
+
+    Returns one row per input doc (docs with NULL/empty text included):
+    (doc_id, text_out, n_kept int, n_dropped int); ``text_out`` is ''
+    when every segment of the doc is corpus-wide boilerplate.
+    """
+    chunks = doc_chunks(df, text_col, id_col, chunk_words).withColumn(
+        "__h", F.xxhash64("chunk")
+    )
+    # document frequency per distinct segment: the 64-bit hash is the
+    # shuffle key (8 bytes instead of the raw string, same trade as
+    # segment_dedup; collisions ~|chunks|²/2⁶⁴)
+    freq = chunks.groupBy("__h").agg(
+        F.count_distinct(F.col(id_col)).alias("__df")
+    )
+    marked = chunks.join(freq, "__h").withColumn(
+        "__keep", F.col("__df") <= F.lit(int(max_docs))
+    )
+    out = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("pos", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text_out"),
+        F.count_if(F.col("__keep")).cast("int").alias("n_kept"),
+        F.count_if(~F.col("__keep")).cast("int").alias("n_dropped"),
+    )
+    # docs whose text yields zero chunks (NULL/empty) must survive with
+    # empty output — same document-preservation rule as segment_dedup
+    docs = df.select(F.col(id_col)).distinct()
+    return docs.join(out, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("text_out", F.lit("")).alias("text_out"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+    )
+
+
+def chunk_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping retrieval chunking (the RAG indexing fan-out): emit a
+    word-aligned window of ``size`` words starting every ``stride`` words,
+    so consecutive chunks overlap by ``size - stride`` words and no
+    sentence is ever split across a chunk boundary without also appearing
+    whole in a neighbor.
+
+    Distinct from :func:`doc_chunks` (non-overlapping, dedup granularity)
+    and :func:`pack_sequences` (training-sequence packing): this is the
+    one-to-many fan-out an embedding/indexing stage consumes. Start
+    positions are 0, stride, 2·stride, … while start < n_words; the last
+    chunk may be short. NULL/empty texts yield zero chunks (same rule as
+    ``doc_chunks`` — an empty document has nothing to index).
+
+    Entirely built-in expressions — ``transform(sequence(...))`` +
+    ``posexplode`` fan out row-locally inside whole-stage codegen; there
+    is no shuffle at all, so the operator scales embarrassingly.
+
+    Returns (doc_id, chunk_id int 0-based, chunk string, n_words int).
+    """
+    if not (0 < int(stride) <= int(size)):
+        raise ValueError(
+            f"need 0 < stride <= size, got size={size} stride={stride}"
+        )
+    sz, st = int(size), int(stride)
+    ws = F.split(F.col(text_col), " ")
+    out = (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor((F.size(ws) - F.lit(1)) / F.lit(st)).cast(
+                            "int"
+                        ),
+                    ),
+                    lambda k: F.array_join(
+                        F.slice(ws, k * F.lit(st) + F.lit(1), sz), " "
+                    ),
+                )
+            ).alias("chunk_id", "chunk"),
+        )
+    )
+    return out.withColumn(
+        "n_words", F.size(F.split(F.col("chunk"), " ")).cast("int")
+    )
+
+
 def erase_subjects(
     df: DataFrame,
     subjects: DataFrame,

@@ -4151,6 +4151,37 @@ FROM g GROUP BY 1
     # identical 8-word chunking + global first-occurrence rule (window rank
     # ordered by (doc_id, pos)); Spark's pos is 0-based and the oracle's
     # 1-based, but both only order within a doc so the outputs agree
+    # same chunking as corpus_segment_dedup, but the survival rule is the
+    # document-frequency threshold: chunks in > 2 distinct docs drop
+    # everywhere (CCNet repeated-line boilerplate), below-threshold chunks
+    # keep ALL their occurrences
+    "corpus_boilerplate": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE text IS NOT NULL AND len(text) > 0),
+c AS (
+  SELECT doc_id, i AS pos, array_to_string(ws[(i-1)*8+1:i*8], ' ') AS chunk
+  FROM w, unnest(generate_series(1, CAST(ceil(len(ws)/8.0) AS INT))) t(i)
+),
+f AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM c GROUP BY 1),
+m AS (SELECT c.*, f.df <= 2 AS keep FROM c JOIN f USING (chunk))
+SELECT d.doc_id,
+       coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE keep), '') AS text_out,
+       CAST(coalesce(count(*) FILTER (WHERE keep), 0) AS INT) AS n_kept,
+       CAST(coalesce(count(*) FILTER (WHERE NOT keep), 0) AS INT) AS n_dropped
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN m USING (doc_id)
+GROUP BY d.doc_id
+""",
+    # 32-word windows starting every 24 words; the slice bounds replay
+    # chunk_overlap's start grid exactly (1-based inclusive list slices)
+    "corpus_chunk_overlap": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE text IS NOT NULL AND len(text) > 0)
+SELECT doc_id, CAST(k AS INT) AS chunk_id,
+       array_to_string(ws[k*24+1:k*24+32], ' ') AS chunk,
+       CAST(len(ws[k*24+1:k*24+32]) AS INT) AS n_words
+FROM w, unnest(generate_series(0, CAST(floor((len(ws)-1)/24.0) AS INT))) t(k)
+""",
     "corpus_segment_dedup": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 c AS (
@@ -4817,6 +4848,30 @@ def _q_corpus_segment_dedup(spark, sf_dir):
     )
 
 
+def _q_corpus_boilerplate(spark, sf_dir):
+    # frequency-thresholded boilerplate removal (operators/corpus.py::
+    # boilerplate_removal): 8-word chunks; any chunk text appearing in
+    # MORE THAN 2 distinct documents is corpus-wide boilerplate and is
+    # dropped from EVERY document (including the first occurrence, which
+    # segment_dedup would keep). The oracle replays the same chunking and
+    # document-frequency rule.
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return CP.boilerplate_removal(docs, chunk_words=8, max_docs=2).select(
+        "doc_id", "text_out", "n_kept", "n_dropped"
+    )
+
+
+def _q_corpus_chunk_overlap(spark, sf_dir):
+    # overlapping retrieval chunking (operators/corpus.py::chunk_overlap):
+    # 32-word windows every 24 words (8-word overlap), the one-to-many
+    # fan-out an embedding/indexing stage consumes. Pure row-local
+    # codegen — no shuffle anywhere in the plan.
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return CP.chunk_overlap(docs, size=32, stride=24).select(
+        "doc_id", "chunk_id", "chunk", "n_words"
+    )
+
+
 _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_count_all": _q_counter_count_all,
     "counter_count_column": _q_counter_count_column,
@@ -4970,6 +5025,8 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "layout_compaction": _q_layout_compaction,
     "bloom_prune_join": _q_bloom_prune_join,
     "corpus_segment_dedup": _q_corpus_segment_dedup,
+    "corpus_boilerplate": _q_corpus_boilerplate,
+    "corpus_chunk_overlap": _q_corpus_chunk_overlap,
 }
 
 _HISTORY_ORACLES = {

@@ -235,3 +235,91 @@ def test_quality_tiers_sketch_agrees_with_exact(spark):
     # KLL k=200 holds every value exactly at this size; disagreement can
     # only come from cutoff-boundary tie handling
     assert agree >= 0.9, agree
+
+
+def test_boilerplate_removal_threshold_drops_everywhere(spark):
+    from kinesis_data_counter_spark.operators.corpus import boilerplate_removal
+
+    # chunk_words=2, max_docs=2: [a b] appears in 3 distinct docs → dropped
+    # from ALL of them (including the first, which segment_dedup keeps);
+    # [c d] appears in exactly 2 docs → at the threshold, kept in both
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c d"), (2, "a b e f")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text_out"], r["n_kept"], r["n_dropped"])
+        for r in boilerplate_removal(docs, chunk_words=2, max_docs=2).collect()
+    }
+    assert got[0] == ("c d", 1, 1)
+    assert got[1] == ("c d", 1, 1)
+    assert got[2] == ("e f", 1, 1)
+
+
+def test_boilerplate_removal_keeps_within_doc_repeats(spark):
+    from kinesis_data_counter_spark.operators.corpus import boilerplate_removal
+
+    # [x y] repeats 3 times inside ONE doc: document frequency is 1, so
+    # every occurrence survives — within-doc repetition is not boilerplate
+    docs = spark.createDataFrame([(5, "x y x y x y")], "doc_id long, text string")
+    got = boilerplate_removal(docs, chunk_words=2, max_docs=1).collect()[0]
+    assert (got["text_out"], got["n_kept"], got["n_dropped"]) == ("x y x y x y", 3, 0)
+
+
+def test_boilerplate_removal_preserves_null_and_empty_docs(spark):
+    from kinesis_data_counter_spark.operators.corpus import boilerplate_removal
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "k m")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text_out"], r["n_kept"], r["n_dropped"])
+        for r in boilerplate_removal(docs, chunk_words=2, max_docs=1).collect()
+    }
+    assert got[1] == ("", 0, 0)
+    assert got[2] == ("", 0, 0)
+    assert got[3] == ("k m", 1, 0)
+
+
+def test_chunk_overlap_windows_and_ragged_tail(spark):
+    from kinesis_data_counter_spark.operators.corpus import chunk_overlap
+
+    # 7 words, size=4, stride=2 → starts 0,2,4,6: the last two windows are
+    # short; consecutive chunks share size-stride=2 words
+    docs = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    got = sorted(
+        (r["chunk_id"], r["chunk"], r["n_words"])
+        for r in chunk_overlap(docs, size=4, stride=2).collect()
+    )
+    assert got == [
+        (0, "a b c d", 4),
+        (1, "c d e f", 4),
+        (2, "e f g", 3),
+        (3, "g", 1),
+    ]
+
+
+def test_chunk_overlap_no_overlap_when_stride_equals_size(spark):
+    from kinesis_data_counter_spark.operators.corpus import chunk_overlap
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = sorted(
+        (r["chunk_id"], r["chunk"]) for r in chunk_overlap(docs, size=2, stride=2).collect()
+    )
+    assert got == [(0, "a b"), (1, "c d")]
+
+
+def test_chunk_overlap_rejects_bad_stride_and_skips_empty(spark):
+    import pytest
+
+    from kinesis_data_counter_spark.operators.corpus import chunk_overlap
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "solo")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError):
+        chunk_overlap(docs, size=2, stride=3)
+    with pytest.raises(ValueError):
+        chunk_overlap(docs, size=2, stride=0)
+    got = chunk_overlap(docs, size=2, stride=1).collect()
+    assert [(r["doc_id"], r["chunk_id"], r["chunk"]) for r in got] == [(3, 0, "solo")]
