@@ -143,6 +143,143 @@ def profile_key_skew(
     )
 
 
+def drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    numeric_cols: tuple[str, ...] | list[str] = (),
+    categorical_cols: tuple[str, ...] | list[str] = (),
+    bins: int = 10,
+    eps: float = 1e-6,
+    threshold: float = 0.2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Distribution-drift report between a reference slice and a current
+    slice of the same table: per-column Population Stability Index plus a
+    null-rate delta, the monitor a recurring ingest runs before trusting a
+    new batch (the 0.1/0.2 PSI bands are the standard alert levels).
+
+    Numeric columns are binned into ``bins`` fixed-width buckets derived
+    from the REFERENCE slice's min/max (out-of-range current values clamp
+    to the edge buckets — new mass outside the reference range must be
+    *visible* as edge drift, not silently dropped); categorical columns
+    bucket by value with NULL as its own bucket. PSI is
+    ``Σ (p_cur − p_ref)·ln(p_cur/p_ref)`` over the bucket union, shares
+    floored at ``eps`` so one-sided buckets contribute finite mass.
+
+    Engine-portable by construction: buckets are exact integer counts,
+    shares are one double division, and the sum is rounded to
+    ``round_digits`` before the threshold comparison — an oracle replays
+    it bit-for-bit.
+
+    Plan shape: per side, ONE wide min/max aggregate (numeric bounds, a
+    1-row broadcast) and ONE scan that ``stack``s the audited columns into
+    (col, bucket) rows — row-local fan-out of width ``n_cols`` — followed
+    by a (col, bucket)-keyed partial+final count agg. Bucket tables are
+    ``n_cols × bins`` rows, so the join/PSI arithmetic is driver-trivial
+    and broadcast; nothing downstream of the two scans depends on data
+    size. No window, no sort, no Python.
+
+    Returns (col_name string, kind numeric|categorical, psi double,
+    null_delta double, drifted boolean).
+    """
+    from pyspark.sql import functions as F
+
+    ncols, ccols = list(numeric_cols), list(categorical_cols)
+    if not ncols and not ccols:
+        raise ValueError("drift_report needs at least one audited column")
+    k = int(bins)
+
+    bounds = ref.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in ncols],
+        *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in ncols],
+    ) if ncols else None
+
+    def buckets(df: DataFrame) -> DataFrame:
+        d = df.crossJoin(F.broadcast(bounds)) if bounds is not None else df
+        pieces = []
+        for c in ncols:
+            lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+            width = (hi - lo) / F.lit(float(k))
+            idx = F.least(
+                F.lit(k - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col(c).cast("double") - lo) / width).cast("int"),
+                ),
+            )
+            b = (
+                F.when(F.col(c).isNull(), F.lit(None).cast("string"))
+                # a zero-width reference range puts everything in bucket 0
+                .when(hi == lo, F.lit("b0"))
+                .otherwise(F.concat(F.lit("b"), F.lpad(idx.cast("string"), 4, "0")))
+            )
+            pieces.append((c, b))
+        for c in ccols:
+            pieces.append(
+                (c, F.coalesce(F.col(c).cast("string"), F.lit("∅NULL")))
+            )
+        stacked = d.select(
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(c).alias("col_name"), b.alias("bucket"))
+                    for c, b in pieces
+                ])
+            ).alias("s")
+        ).select("s.col_name", "s.bucket")
+        return stacked.groupBy("col_name", "bucket").agg(
+            F.count(F.when(F.col("bucket").isNotNull(), 1)).alias("n"),
+            F.count(F.lit(1)).alias("n_all"),
+        )
+
+    def side(df: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
+        b = buckets(df)
+        tot = b.groupBy("col_name").agg(
+            F.sum(F.when(F.col("bucket").isNotNull(), F.col("n"))).alias(f"t_{tag}"),
+            F.sum(F.when(F.col("bucket").isNull(), F.col("n_all")).otherwise(0)).alias(
+                f"nn_{tag}"
+            ),
+            F.sum("n_all").alias(f"all_{tag}"),
+        )
+        return (
+            b.filter(F.col("bucket").isNotNull()).select(
+                "col_name", "bucket", F.col("n").alias(f"n_{tag}")
+            ),
+            tot,
+        )
+
+    rb, rtot = side(ref, "ref")
+    cb, ctot = side(cur, "cur")
+    j = (
+        rb.join(cb, ["col_name", "bucket"], "full_outer")
+        .join(F.broadcast(rtot), "col_name")
+        .join(F.broadcast(ctot), "col_name")
+    )
+    pr = F.greatest(F.coalesce(F.col("n_ref"), F.lit(0)) / F.col("t_ref"), F.lit(float(eps)))
+    pc = F.greatest(F.coalesce(F.col("n_cur"), F.lit(0)) / F.col("t_cur"), F.lit(float(eps)))
+    contrib = (pc - pr) * F.log(pc / pr)
+    kind = F.when(
+        F.col("col_name").isin(*ncols) if ncols else F.lit(False), "numeric"
+    ).otherwise("categorical")
+    return (
+        j.groupBy("col_name")
+        .agg(
+            F.round(F.sum(contrib), round_digits).alias("psi"),
+            F.round(
+                F.first(F.col("nn_cur") / F.col("all_cur"))
+                - F.first(F.col("nn_ref") / F.col("all_ref")),
+                round_digits,
+            ).alias("null_delta"),
+        )
+        .select(
+            "col_name",
+            kind.alias("kind"),
+            "psi",
+            "null_delta",
+            (F.col("psi") > F.lit(float(threshold))).alias("drifted"),
+        )
+    )
+
+
 def validate_expectations(
     df: DataFrame,
     expectations: list[dict],

@@ -61,6 +61,55 @@ def scd2_intervals(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots of the same table (the dataset
+    versioning primitive: what changed between yesterday's curated corpus
+    and today's?).
+
+    Classifies every key present in either snapshot:
+      ``added``     — key only in ``new``
+      ``removed``   — key only in ``old``
+      ``changed``   — key in both, any compare column differs
+      ``unchanged`` — key in both, all compare columns equal
+
+    Column comparison is null-safe per column (``eqNullSafe``), NOT a
+    serialized row hash — hashing would couple the diff to one engine's
+    float/decimal rendering, while direct column equality is exactly the
+    semantics every engine shares (``IS NOT DISTINCT FROM``).
+
+    Plan: ONE full outer shuffle join on the key; the classification is a
+    row-local CASE over the joined row. Both sides partition by the same
+    key so AQE can coalesce; there is no window, no sort, no second pass.
+    At 100 TB the join is the floor cost of any diff — every competing
+    formulation (except-based, hash-compare) pays at least the same
+    exchange, and except pays it twice.
+
+    Returns (key, change_type string) with one row per distinct key.
+    """
+    k = key_col
+    o = old.select(k, *compare_cols).alias("o")
+    n = new.select(k, *compare_cols).alias("n")
+    joined = o.join(n, F.col(f"o.{k}") == F.col(f"n.{k}"), "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change = (
+        F.when(F.col(f"o.{k}").isNull(), "added")
+        .when(F.col(f"n.{k}").isNull(), "removed")
+        .when(same, "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(
+        F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k),
+        change.alias("change_type"),
+    )
+
+
 def transition_counts(
     df: DataFrame,
     key_col: str = "user_id",

@@ -4151,6 +4151,97 @@ FROM g GROUP BY 1
     # identical 8-word chunking + global first-occurrence rule (window rank
     # ordered by (doc_id, pos)); Spark's pos is 0-based and the oracle's
     # 1-based, but both only order within a doc so the outputs agree
+    # one full outer join on the key + null-safe per-column compare — the
+    # same change taxonomy, IS NOT DISTINCT FROM mirroring eqNullSafe
+    "dataset_snapshot_diff": """
+WITH old AS (
+  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
+  FROM orders WHERE o_orderkey % 17 <> 3),
+new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS p,
+         o_orderstatus AS s
+  FROM orders WHERE o_orderkey % 19 <> 5)
+SELECT coalesce(old.k, new.k) AS o_orderkey,
+       CASE WHEN old.k IS NULL THEN 'added'
+            WHEN new.k IS NULL THEN 'removed'
+            WHEN old.p IS NOT DISTINCT FROM new.p
+             AND old.s IS NOT DISTINCT FROM new.s THEN 'unchanged'
+            ELSE 'changed' END AS change_type
+FROM old FULL OUTER JOIN new ON old.k = new.k
+""",
+    # replays drift_report exactly: reference-derived fixed-width bins
+    # (edge-clamped), eps-floored shares over the bucket union, PSI summed
+    # then rounded to 6dp, null-rate delta per side
+    "profile_drift": """
+WITH ref AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+cur AS (SELECT * FROM events
+        WHERE ts >= TIMESTAMP '2024-01-16'
+          AND (value <= 40 OR event_type = 'purchase')),
+b AS (SELECT CAST(min(value) AS DOUBLE) AS lo_v, CAST(max(value) AS DOUBLE) AS hi_v,
+             CAST(min(user_id) AS DOUBLE) AS lo_u, CAST(max(user_id) AS DOUBLE) AS hi_u
+      FROM ref),
+rl AS (
+  SELECT 'value' AS col_name,
+         'b' || lpad(CAST(least(9, greatest(0,
+             CAST(floor((CAST(value AS DOUBLE) - lo_v)/((hi_v-lo_v)/10.0)) AS INT))) AS VARCHAR), 4, '0') AS bucket
+  FROM ref, b WHERE value IS NOT NULL
+  UNION ALL
+  SELECT 'user_id',
+         'b' || lpad(CAST(least(9, greatest(0,
+             CAST(floor((CAST(user_id AS DOUBLE) - lo_u)/((hi_u-lo_u)/10.0)) AS INT))) AS VARCHAR), 4, '0')
+  FROM ref, b WHERE user_id IS NOT NULL
+  UNION ALL
+  SELECT 'event_type', coalesce(event_type, '∅NULL') FROM ref
+),
+cl AS (
+  SELECT 'value' AS col_name,
+         'b' || lpad(CAST(least(9, greatest(0,
+             CAST(floor((CAST(value AS DOUBLE) - lo_v)/((hi_v-lo_v)/10.0)) AS INT))) AS VARCHAR), 4, '0') AS bucket
+  FROM cur, b WHERE value IS NOT NULL
+  UNION ALL
+  SELECT 'user_id',
+         'b' || lpad(CAST(least(9, greatest(0,
+             CAST(floor((CAST(user_id AS DOUBLE) - lo_u)/((hi_u-lo_u)/10.0)) AS INT))) AS VARCHAR), 4, '0')
+  FROM cur, b WHERE user_id IS NOT NULL
+  UNION ALL
+  SELECT 'event_type', coalesce(event_type, '∅NULL') FROM cur
+),
+rc AS (SELECT col_name, bucket, count(*) AS n FROM rl GROUP BY 1, 2),
+cc AS (SELECT col_name, bucket, count(*) AS n FROM cl GROUP BY 1, 2),
+rt AS (SELECT col_name, sum(n) AS t FROM rc GROUP BY 1),
+ct AS (SELECT col_name, sum(n) AS t FROM cc GROUP BY 1),
+nulls AS (
+  SELECT 'value' AS col_name,
+         (SELECT count(*) FILTER (value IS NULL) * 1.0 / count(*) FROM cur)
+       - (SELECT count(*) FILTER (value IS NULL) * 1.0 / count(*) FROM ref) AS nd
+  UNION ALL
+  SELECT 'user_id',
+         (SELECT count(*) FILTER (user_id IS NULL) * 1.0 / count(*) FROM cur)
+       - (SELECT count(*) FILTER (user_id IS NULL) * 1.0 / count(*) FROM ref)
+  UNION ALL
+  SELECT 'event_type', 0.0
+),
+j AS (
+  SELECT col_name, bucket,
+         greatest(coalesce(rc.n, 0) * 1.0 / rt.t, 1e-6) AS pr,
+         greatest(coalesce(cc.n, 0) * 1.0 / ct.t, 1e-6) AS pc
+  FROM rc FULL OUTER JOIN cc USING (col_name, bucket)
+  JOIN rt USING (col_name) JOIN ct USING (col_name)
+),
+psi AS (
+  SELECT col_name, round(sum((pc - pr) * ln(pc / pr)), 6) AS psi
+  FROM j GROUP BY 1
+)
+SELECT psi.col_name,
+       CASE WHEN psi.col_name IN ('value', 'user_id') THEN 'numeric'
+            ELSE 'categorical' END AS kind,
+       psi.psi,
+       round(nulls.nd, 6) AS null_delta,
+       psi.psi > 0.2 AS drifted
+FROM psi JOIN nulls USING (col_name)
+""",
     # same chunking as corpus_segment_dedup, but the survival rule is the
     # document-frequency threshold: chunks in > 2 distinct docs drop
     # everywhere (CCNet repeated-line boilerplate), below-threshold chunks
@@ -4848,6 +4939,51 @@ def _q_corpus_segment_dedup(spark, sf_dir):
     )
 
 
+def _q_dataset_snapshot_diff(spark, sf_dir):
+    # row-level diff between two snapshot versions of one table
+    # (operators/history.py::snapshot_diff). The two versions are carved
+    # deterministically from orders so every class is populated: keys
+    # ≡3 (mod 17) exist only in the new snapshot (added), keys ≡5 (mod 19)
+    # only in the old (removed), keys ≡0 (mod 13) get a price bump
+    # (changed); everything else is unchanged. ONE full outer join on the
+    # key, row-local null-safe column compare — no hash, no second pass.
+    (orders,) = _tables(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 17 != 3)
+    new = orders.filter(F.col("o_orderkey") % 19 != 5).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return HS.snapshot_diff(
+        old, new, "o_orderkey", ["o_totalprice", "o_orderstatus"]
+    )
+
+
+def _q_profile_drift(spark, sf_dir):
+    # PSI drift monitor (metrics.py::drift_report): reference = the first
+    # half of the month, current = a deliberately biased second-half slice
+    # (values capped at 40 except purchases), so `value` drifts hard
+    # (PSI≈0.44), `event_type` shifts mildly below the 0.2 alert band
+    # (purchase share up, PSI≈0.06) and `user_id` stays stationary
+    # (PSI≈0.005) — the report must flag exactly one column and grade the
+    # other two by magnitude. The oracle replays the binning, the
+    # eps-floored shares, and the rounded PSI sum bit-for-bit.
+    (ev,) = _tables(spark, sf_dir, "events")
+    ref = ev.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    cur = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+        & ((F.col("value") <= 40) | (F.col("event_type") == "purchase"))
+    )
+    return MT.drift_report(
+        ref,
+        cur,
+        numeric_cols=("value", "user_id"),
+        categorical_cols=("event_type",),
+        bins=10,
+    )
+
+
 def _q_corpus_boilerplate(spark, sf_dir):
     # frequency-thresholded boilerplate removal (operators/corpus.py::
     # boilerplate_removal): 8-word chunks; any chunk text appearing in
@@ -5027,6 +5163,8 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_segment_dedup": _q_corpus_segment_dedup,
     "corpus_boilerplate": _q_corpus_boilerplate,
     "corpus_chunk_overlap": _q_corpus_chunk_overlap,
+    "dataset_snapshot_diff": _q_dataset_snapshot_diff,
+    "profile_drift": _q_profile_drift,
 }
 
 _HISTORY_ORACLES = {

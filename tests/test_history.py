@@ -64,3 +64,38 @@ def test_transitions_never_cross_users(spark):
     rows = [(1, 1, _ts(0), "a"), (2, 2, _ts(1), "b")]
     df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
     assert HS.transition_counts(df).count() == 0
+
+
+def test_snapshot_diff_classifies_all_four_ways(spark):
+    from kinesis_data_counter_spark.operators.history import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C"), (4, None, "D")],
+        "k long, price double, status string",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged, 2 price-changed, 4 NULL→NULL unchanged (null-safe),
+        # 5 added; 3 removed
+        [(1, 10.0, "A"), (2, 21.0, "B"), (4, None, "D"), (5, 50.0, "E")],
+        "k long, price double, status string",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, "k", ["price", "status"]).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",
+        5: "added",
+    }
+
+
+def test_snapshot_diff_null_to_value_is_changed(spark):
+    from kinesis_data_counter_spark.operators.history import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, v string")
+    new = spark.createDataFrame([(1, "x")], "k long, v string")
+    got = snapshot_diff(old, new, "k", ["v"]).collect()
+    assert [(r["k"], r["change_type"]) for r in got] == [(1, "changed")]

@@ -147,3 +147,71 @@ def test_validate_expectations_all_green_and_errors(spark):
     # ADVICE r4: an empty expectations list raised an opaque IndexError
     with pytest.raises(ValueError, match="non-empty"):
         validate_expectations(df, [])
+
+
+def test_drift_report_flags_shifted_numeric_column(spark):
+    from kinesis_data_counter_spark.metrics import drift_report
+
+    # ref uniform over [0,100); cur concentrated in [0,10) → massive PSI
+    ref = spark.createDataFrame([(float(i % 100),) for i in range(200)], "v double")
+    cur = spark.createDataFrame([(float(i % 10),) for i in range(200)], "v double")
+    row = drift_report(ref, cur, numeric_cols=("v",)).collect()[0]
+    assert row["kind"] == "numeric"
+    assert row["drifted"] is True and row["psi"] > 1.0
+
+
+def test_drift_report_identical_slices_have_zero_psi(spark):
+    from kinesis_data_counter_spark.metrics import drift_report
+
+    d = spark.createDataFrame(
+        [(float(i % 50), str(i % 3)) for i in range(300)], "v double, c string"
+    )
+    rows = drift_report(d, d, numeric_cols=("v",), categorical_cols=("c",)).collect()
+    assert {r["col_name"]: (r["psi"], r["drifted"]) for r in rows} == {
+        "v": (0.0, False),
+        "c": (0.0, False),
+    }
+
+
+def test_drift_report_null_delta_and_categorical_null_bucket(spark):
+    from kinesis_data_counter_spark.metrics import drift_report
+
+    # numeric: cur introduces 50% NULLs → null_delta 0.5, NULLs excluded
+    # from binning; categorical: NULL becomes its own bucket so nullness
+    # shows up as PSI drift instead
+    ref = spark.createDataFrame(
+        [(float(i % 10), "a") for i in range(100)], "v double, c string"
+    )
+    # NULL the second half (not every other row — that would keep only
+    # even residues and genuinely drift the surviving shape)
+    cur = spark.createDataFrame(
+        [(float(i % 10) if i < 50 else None, "a" if i < 50 else None)
+         for i in range(100)],
+        "v double, c string",
+    )
+    rows = {r["col_name"]: r for r in drift_report(
+        ref, cur, numeric_cols=("v",), categorical_cols=("c",)
+    ).collect()}
+    assert rows["v"]["null_delta"] == 0.5
+    assert rows["v"]["psi"] == 0.0  # surviving values keep the ref shape
+    assert rows["c"]["null_delta"] == 0.0
+    assert rows["c"]["drifted"] is True  # the new NULL bucket is drift
+
+
+def test_drift_report_out_of_range_values_clamp_to_edge_bins(spark):
+    from kinesis_data_counter_spark.metrics import drift_report
+
+    ref = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    cur = spark.createDataFrame([(1000.0,)] * 10, "v double")
+    row = drift_report(ref, cur, numeric_cols=("v",)).collect()[0]
+    assert row["drifted"] is True  # new mass lands visibly in the top bin
+
+
+def test_drift_report_rejects_empty_column_lists(spark):
+    import pytest
+
+    from kinesis_data_counter_spark.metrics import drift_report
+
+    d = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        drift_report(d, d)
