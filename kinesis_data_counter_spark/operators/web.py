@@ -1,0 +1,155 @@
+"""Web-provenance curation: URL → registered domain, per-domain rollups,
+blocklist filtering, and per-domain document caps.
+
+Web-scale corpora (C4, RefinedWeb, Dolma) gate documents by where they
+came from before looking at what they say: a registered-domain key powers
+opt-out/blocklist enforcement, per-domain quality statistics, and the
+anti-concentration cap that stops one mirror farm from dominating the
+training mix. Everything here is built-in expressions — URL parsing is
+regexp + array slicing inside whole-stage codegen, never a Python UDF.
+
+Scale notes:
+- Domain extraction is row-local (zero shuffle).
+- ``domain_rollup`` is one partial+final hash agg keyed by domain.
+- ``blocklist_filter`` broadcasts the block set (legal/opt-out lists are
+  small) — no shuffle of the corpus.
+- ``domain_cap`` is skew-aware: domains are Zipfian, so it first computes
+  per-domain counts (one agg) and only routes docs of OVER-cap domains
+  through the rank window — the long tail (most of the corpus) bypasses
+  the sort entirely and keeps everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# multi-label public suffixes the two-label default would mis-split; a
+# production deployment swaps in the full Mozilla public-suffix list via
+# ``extra_suffixes`` (it's data, not code — the algorithm is unchanged)
+DEFAULT_MULTI_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.nz",
+)
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
+
+
+def host_of(url: Column) -> Column:
+    """Lower-cased host of an absolute URL: scheme and optional userinfo
+    stripped, terminated by port / path / query / fragment. Malformed
+    URLs (no ``scheme://``) yield NULL, not garbage."""
+    h = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
+
+
+def registered_domain(
+    url: Column,
+    extra_suffixes: tuple[str, ...] = DEFAULT_MULTI_SUFFIXES,
+) -> Column:
+    """eTLD+1 of a URL: the last two host labels, or the last three when
+    the last two form a listed multi-label public suffix (``co.uk`` and
+    friends). Hosts with fewer labels than needed return the whole host;
+    malformed URLs return NULL. Pure array arithmetic — row-local."""
+    h = host_of(url)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    take = F.when(last2.isin(*extra_suffixes), 3).otherwise(2)
+    return F.when(h.isNull(), F.lit(None).cast("string")).when(
+        n <= take, h
+    ).otherwise(F.array_join(F.slice(labels, -take, 3), "."))
+
+
+def domain_rollup(
+    df: DataFrame,
+    url_col: str = "url",
+    size_col: str | None = None,
+    extra_suffixes: tuple[str, ...] = DEFAULT_MULTI_SUFFIXES,
+) -> DataFrame:
+    """Per-registered-domain provenance statistics: document count and
+    (optionally) total/average size — the table a curation run consults
+    for concentration and quality-by-source decisions.
+
+    One partial+final hash agg keyed by domain (NULL domain = malformed
+    URLs, kept as its own row so bad provenance is visible)."""
+    d = df.withColumn(
+        "__dom", registered_domain(F.col(url_col), extra_suffixes)
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if size_col is not None:
+        aggs += [
+            F.sum(size_col).alias("total_size"),
+            F.round(F.avg(size_col), 6).alias("avg_size"),
+        ]
+    return d.groupBy(F.col("__dom").alias("domain")).agg(*aggs)
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    extra_suffixes: tuple[str, ...] = DEFAULT_MULTI_SUFFIXES,
+) -> DataFrame:
+    """Drop documents whose registered domain is on the block list
+    (opt-outs, spam domains, PII-heavy hosts). ``blocked`` is a one-column
+    (``domain``) frame; legal lists are small, so it broadcasts into a
+    LEFT ANTI join — the corpus never shuffles. Malformed-URL docs
+    (NULL domain) can never match a block entry and are retained — route
+    them through a quality gate instead of silently dropping them here."""
+    d = df.withColumn(
+        "__dom", registered_domain(F.col(url_col), extra_suffixes)
+    )
+    out = d.join(
+        F.broadcast(blocked.select(F.col("domain").alias("__dom")).distinct()),
+        "__dom",
+        "left_anti",
+    )
+    return out.drop("__dom")
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    extra_suffixes: tuple[str, ...] = DEFAULT_MULTI_SUFFIXES,
+) -> DataFrame:
+    """Anti-concentration cap: keep at most ``cap`` documents per
+    registered domain, selected deterministically by md5 ticket (a seeded
+    shuffle, not "first N in scan order" — scan order is not stable).
+
+    Skew-aware two-phase plan: domains are Zipfian, and a rank window
+    partitioned by domain would funnel each mega-domain through one task.
+    Phase 1 aggregates per-domain counts (partial+final agg, broadcast
+    back); docs in under-cap domains — the long tail, most of the corpus —
+    keep unconditionally WITHOUT entering any window. Only over-cap
+    domains' docs (bounded by the concentration the cap exists to remove)
+    pay the per-domain rank sort.
+
+    Returns the input plus (domain string, kept boolean) — callers filter
+    on ``kept`` or keep the flag for accounting.
+    """
+    d = df.withColumn(
+        "__dom", registered_domain(F.col(url_col), extra_suffixes)
+    ).withColumn(
+        "__ticket",
+        F.md5(F.concat(F.lit("cap:"), F.col(id_col).cast("string"))),
+    )
+    counts = d.groupBy("__dom").agg(F.count(F.lit(1)).alias("__n"))
+    d = d.join(counts, "__dom")
+    small = d.filter(F.col("__n") <= cap).withColumn("kept", F.lit(True))
+    w = Window.partitionBy("__dom").orderBy("__ticket", id_col)
+    big = (
+        d.filter(F.col("__n") > cap)
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn("kept", F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+    return (
+        small.unionByName(big)
+        .withColumn("domain", F.col("__dom"))
+        .drop("__dom", "__n", "__ticket")
+    )

@@ -29,6 +29,7 @@ from kinesis_data_counter_spark.operators import similarity as SIM
 from kinesis_data_counter_spark.operators import text as TX
 from kinesis_data_counter_spark.operators import multimodal as MM
 from kinesis_data_counter_spark.operators import sketches as SK
+from kinesis_data_counter_spark.operators import web as WB
 from kinesis_data_counter_spark.operators import windows as WN
 from kinesis_data_counter_spark.operators import history as HS
 from kinesis_data_counter_spark import metrics as MT
@@ -4151,6 +4152,32 @@ FROM g GROUP BY 1
     # identical 8-word chunking + global first-occurrence rule (window rank
     # ordered by (doc_id, pos)); Spark's pos is 0-based and the oracle's
     # 1-based, but both only order within a doc so the outputs agree
+    # the oracle derives each doc's registered domain directly from the
+    # synthesis rule — the engine must recover the SAME domain by parsing
+    # the full URL (scheme/userinfo/port/path stripping + eTLD+1), so the
+    # hash comparison verifies the parser; cap selection replays the
+    # md5-ticket rank rule
+    "web_domain_curation": """
+WITH u AS (
+  SELECT doc_id,
+         'example-' || CAST(least(doc_id % 10, 3) AS VARCHAR) || '.' ||
+         CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                         WHEN 2 THEN 'net' ELSE 'co.uk' END AS domain
+  FROM documents),
+c AS (SELECT domain, count(*) AS n FROM u GROUP BY 1),
+r AS (
+  SELECT u.doc_id, u.domain, c.n,
+         row_number() OVER (
+           PARTITION BY u.domain
+           ORDER BY md5('cap:' || CAST(u.doc_id AS VARCHAR)), u.doc_id
+         ) AS rk
+  FROM u JOIN c USING (domain))
+SELECT doc_id, domain,
+       domain IN ('example-1.org', 'example-2.net') AS blocked,
+       (CASE WHEN n <= 30 THEN TRUE ELSE rk <= 30 END)
+         AND domain NOT IN ('example-1.org', 'example-2.net') AS kept
+FROM r
+""",
     # one full outer join on the key + null-safe per-column compare — the
     # same change taxonomy, IS NOT DISTINCT FROM mirroring eqNullSafe
     "dataset_snapshot_diff": """
@@ -4939,6 +4966,46 @@ def _q_corpus_segment_dedup(spark, sf_dir):
     )
 
 
+def _q_web_domain_curation(spark, sf_dir):
+    # web-provenance gate (operators/web.py): documents get deterministic
+    # synthetic URLs (the fixture has no url column — the derivation is
+    # part of the query, replayed by the oracle), then the registered
+    # domain is parsed back OUT of the full URL (regexp host extraction +
+    # public-suffix-aware eTLD+1 — the oracle derives the domain directly,
+    # so any parse defect hash-mismatches), a skew-aware md5-ticket cap
+    # keeps ≤30 docs per domain (the least(doc_id%10,3) skew makes some
+    # domains over-cap and some under, exercising both the window path and
+    # the agg-only bypass), and a blocklist marks two domains. kept =
+    # within-cap AND not blocked.
+    (docs,) = _tables(spark, sf_dir, "documents")
+    tld = (
+        F.when(F.col("doc_id") % 4 == 0, "com")
+        .when(F.col("doc_id") % 4 == 1, "org")
+        .when(F.col("doc_id") % 4 == 2, "net")
+        .otherwise("co.uk")
+    )
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example-"),
+        F.least(F.col("doc_id") % 10, F.lit(3)).cast("string"),
+        F.lit("."),
+        tld,
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    capped = WB.domain_cap(
+        docs.withColumn("url", url), cap=30, url_col="url", id_col="doc_id"
+    )
+    blocked = F.col("domain").isin("example-1.org", "example-2.net")
+    return capped.select(
+        "doc_id",
+        "domain",
+        blocked.alias("blocked"),
+        (F.col("kept") & ~blocked).alias("kept"),
+    )
+
+
 def _q_dataset_snapshot_diff(spark, sf_dir):
     # row-level diff between two snapshot versions of one table
     # (operators/history.py::snapshot_diff). The two versions are carved
@@ -5165,6 +5232,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_chunk_overlap": _q_corpus_chunk_overlap,
     "dataset_snapshot_diff": _q_dataset_snapshot_diff,
     "profile_drift": _q_profile_drift,
+    "web_domain_curation": _q_web_domain_curation,
 }
 
 _HISTORY_ORACLES = {

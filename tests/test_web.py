@@ -1,0 +1,103 @@
+"""Web-provenance operators: URL parsing, blocklist, per-domain cap."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_data_counter_spark.operators.web import (
+    blocklist_filter,
+    domain_cap,
+    domain_rollup,
+    host_of,
+    registered_domain,
+)
+
+
+def _parse(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        host_of(F.col("url")).alias("h"),
+        registered_domain(F.col("url")).alias("d"),
+    ).collect()
+    return [(r["h"], r["d"]) for r in rows]
+
+
+def test_host_and_registered_domain_messy_urls(spark):
+    got = _parse(
+        spark,
+        [
+            "https://www.news.example.com/a/b?q=1#f",
+            "http://user:pw@Sub.Example.CO.UK:8080/x",
+            "ftp://files.example.org",
+            "https://a.b.c.d.example.net/deep",
+            "https://example.com",
+            "https://co.uk/odd",
+            "not a url",
+            "https://localhost/dev",
+        ],
+    )
+    assert got == [
+        ("www.news.example.com", "example.com"),
+        ("sub.example.co.uk", "example.co.uk"),
+        ("files.example.org", "example.org"),
+        ("a.b.c.d.example.net", "example.net"),
+        ("example.com", "example.com"),
+        # bare multi-label suffix: fewer labels than eTLD+1 needs → host
+        ("co.uk", "co.uk"),
+        (None, None),
+        ("localhost", "localhost"),
+    ]
+
+
+def test_domain_rollup_counts_and_null_domain_row(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.example.com/1", 10),
+            (2, "https://b.example.com/2", 30),
+            (3, "https://other.org/3", 5),
+            (4, "garbage", 7),
+        ],
+        "doc_id long, url string, n long",
+    )
+    got = {
+        r["domain"]: (r["n_docs"], r["total_size"], r["avg_size"])
+        for r in domain_rollup(df, size_col="n").collect()
+    }
+    assert got["example.com"] == (2, 40, 20.0)
+    assert got["other.org"] == (1, 5, 5.0)
+    assert got[None] == (1, 7, 7.0)
+
+
+def test_blocklist_filter_drops_only_blocked_and_keeps_malformed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.bad.com/x"),
+            (2, "https://ok.good.com/y"),
+            (3, "no-scheme"),
+        ],
+        "doc_id long, url string",
+    )
+    blocked = spark.createDataFrame([("bad.com",)], "domain string")
+    got = sorted(r["doc_id"] for r in blocklist_filter(df, blocked).collect())
+    assert got == [2, 3]
+
+
+def test_domain_cap_exact_md5_selection_and_bypass(spark):
+    # hot.com has 5 docs, cap=3 → exactly the 3 smallest md5 tickets keep;
+    # cold.org has 2 docs → under cap, bypasses the window, all keep
+    import hashlib
+
+    rows = [(i, "https://www.hot.com/p") for i in range(5)] + [
+        (10, "https://cold.org/a"),
+        (11, "https://cold.org/b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: (r["domain"], r["kept"]) for r in domain_cap(df, cap=3).collect()}
+    tickets = sorted(
+        (hashlib.md5(f"cap:{i}".encode()).hexdigest(), i) for i in range(5)
+    )
+    expect_keep = {i for _, i in tickets[:3]}
+    for i in range(5):
+        assert got[i] == ("hot.com", i in expect_keep)
+    assert got[10] == ("cold.org", True)
+    assert got[11] == ("cold.org", True)
