@@ -407,3 +407,50 @@ def leakage_safe_split(
         .withColumn(split_col, split_column(rep, splits, salt))
         .drop("cluster_id")
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards — WITHOUT a
+    global sort.
+
+    Training runs need the corpus in (pseudo)random order, reproducibly:
+    the standard layout is N shard files whose concatenation is a seeded
+    permutation of the data. A naive ``ORDER BY rand()`` is a full
+    distributed sort of 100 TB; this operator shows the sort is never
+    needed. md5(seed ∥ id) drives BOTH decisions: its 16-bit prefix
+    hex-range-buckets the row into a shard (the same threshold rule as
+    ``split_column`` with N equal fractions — no hex→int conversion, no
+    modulus), and the full digest is the within-shard sort key. The write
+    path is ``repartition(n, shard).sortWithinPartitions(ticket)`` — a
+    plain hash exchange plus N independent LOCAL sorts, each 1/N of the
+    data; reading shards 0..N−1 in ticket order replays the identical
+    permutation on any engine, any cluster size, any partitioning.
+
+    Adding documents never moves an existing doc between shards or
+    reorders existing pairs within a shard (hash-keyed, not rank-keyed) —
+    the property that makes incremental corpus growth append-cheap.
+
+    NULL ids have no identity to hash: shard NULL, ticket NULL (the
+    ``split_column`` rule).
+
+    Returns the input plus (shard int, ticket string).
+    """
+    n = int(n_shards)
+    if n < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n}")
+    shards = [(str(i), 1.0 / n) for i in range(n)]
+    idc = F.col(id_col)
+    return df.withColumn(
+        "shard",
+        split_column(idc, shards, salt=f"shuffle:{seed}:").cast("int"),
+    ).withColumn(
+        "ticket",
+        F.when(idc.isNull(), F.lit(None).cast("string")).otherwise(
+            F.md5(F.concat(F.lit(f"shuffle:{seed}:"), idc.cast("string")))
+        ),
+    )

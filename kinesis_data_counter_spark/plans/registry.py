@@ -4069,6 +4069,15 @@ SELECT 'frequency' AS dim, true AS partition_ok, true AS size_ok
 UNION ALL SELECT 'monetary', true, true
 UNION ALL SELECT 'recency', true, true
 """,
+    # the same equal-fraction hex-threshold rule, cast to int, plus the
+    # full-digest ticket: shard assignment AND within-shard order both pin
+    "corpus_shuffle_shards": f"""
+SELECT doc_id,
+       CAST({SP.split_sql_case('doc_id', [(str(i), 1.0 / 8) for i in range(8)], salt='shuffle:r6:')} AS INT) AS shard,
+       CASE WHEN doc_id IS NULL THEN NULL
+            ELSE md5(concat('shuffle:r6:', CAST(doc_id AS VARCHAR))) END AS ticket
+FROM documents
+""",
     "sample_hash_split": f"""
 SELECT {SP.split_sql_case('doc_id')} AS split,
   count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
@@ -4966,6 +4975,19 @@ def _q_corpus_segment_dedup(spark, sf_dir):
     )
 
 
+def _q_corpus_shuffle_shards(spark, sf_dir):
+    # deterministic shuffle-to-shards (operators/sampling.py::
+    # shuffle_shards): md5 prefix hex-range-buckets each doc into one of 8
+    # shards, the full digest is the within-shard order — the training
+    # shard layout WITHOUT any global sort (write path = hash exchange +
+    # N local sorts). The oracle replays shard AND ticket bit-for-bit, so
+    # the comparison pins the entire permutation.
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return SP.shuffle_shards(docs, n_shards=8, seed="r6").select(
+        "doc_id", "shard", "ticket"
+    )
+
+
 def _q_web_domain_curation(spark, sf_dir):
     # web-provenance gate (operators/web.py): documents get deterministic
     # synthetic URLs (the fixture has no url column — the derivation is
@@ -5233,6 +5255,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_snapshot_diff": _q_dataset_snapshot_diff,
     "profile_drift": _q_profile_drift,
     "web_domain_curation": _q_web_domain_curation,
+    "corpus_shuffle_shards": _q_corpus_shuffle_shards,
 }
 
 _HISTORY_ORACLES = {

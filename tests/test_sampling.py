@@ -235,3 +235,64 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     # cluster members follow their representative's (min id) assignment
     assert out[1] == out[2] == plain[0]
     assert out[53] == plain[50]
+
+
+def test_shuffle_shards_matches_python_md5_and_is_growth_stable(spark):
+    import hashlib
+
+    from kinesis_data_counter_spark.operators.sampling import shuffle_shards
+
+    ids = list(range(200))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: (r["shard"], r["ticket"])
+        for r in shuffle_shards(df, n_shards=8, seed="s").collect()
+    }
+
+    def expect(i):
+        h = hashlib.md5(f"shuffle:s:{i}".encode()).hexdigest()
+        # 8 equal 16-bit hex ranges: bucket = number of bounds <= prefix
+        bounds = [format(round((k + 1) / 8 * 65536), "04x") for k in range(7)]
+        shard = sum(1 for b in bounds if h[:4] >= b)
+        return shard, h
+
+    assert got == {i: expect(i) for i in ids}
+
+    # growth stability: doubling the corpus never moves an existing doc
+    df2 = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    got2 = {
+        r["doc_id"]: (r["shard"], r["ticket"])
+        for r in shuffle_shards(df2, n_shards=8, seed="s").collect()
+    }
+    assert all(got2[i] == got[i] for i in ids)
+
+
+def test_shuffle_shards_null_id_and_single_shard(spark):
+    import pytest
+
+    from kinesis_data_counter_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(None,), (1,)], "doc_id long")
+    got = {r["doc_id"]: (r["shard"], r["ticket"]) for r in shuffle_shards(df).collect()}
+    assert got[None] == (None, None)
+    assert got[1][0] is not None and got[1][1] is not None
+
+    one = shuffle_shards(df, n_shards=1).collect()
+    assert {r["shard"] for r in one if r["doc_id"] is not None} == {0}
+    with pytest.raises(ValueError):
+        shuffle_shards(df, n_shards=0)
+
+
+def test_shuffle_shards_concatenation_is_a_seeded_permutation(spark):
+    from kinesis_data_counter_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    rows = shuffle_shards(df, n_shards=4, seed="p").collect()
+    order = [r["doc_id"] for r in sorted(rows, key=lambda r: (r["shard"], r["ticket"]))]
+    assert sorted(order) == list(range(300))  # a permutation…
+    assert order != list(range(300))  # …that actually shuffles
+    # roughly balanced shards (binomial, n=300, p=1/4)
+    from collections import Counter
+
+    c = Counter(r["shard"] for r in rows)
+    assert set(c) == {0, 1, 2, 3} and all(40 <= v <= 110 for v in c.values())
