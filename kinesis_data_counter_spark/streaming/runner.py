@@ -1049,6 +1049,72 @@ def _curate_batch(
     base.unpersist()
 
 
+def stream_drift_monitor(
+    spark: SparkSession,
+    path: str,
+    work_dir: str,
+    ref: DataFrame,
+    numeric_cols: Sequence[str] = (),
+    categorical_cols: Sequence[str] = (),
+    bins: int = 10,
+    threshold: float = 0.2,
+    max_files_per_trigger: int | None = 1,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Streaming distribution-drift monitor: every micro-batch is scored
+    against a frozen reference slice with the batch PSI operator
+    (``metrics.drift_report``), and the per-column report rows land
+    batch-keyed — the continuous twin of the one-shot drift check a
+    recurring ingest runs.
+
+    The reference is persisted ONCE here (its bounds/bucket aggregates
+    re-run per batch off the cached partitions, never a re-scan of the
+    source); each batch then pays one scan of ITSELF, exactly like the
+    batch operator. Reports are written with ``_write_batch_keyed``, so a
+    crash-replayed batch recomputes and overwrites its own verdict —
+    alerting stays idempotent across restarts.
+
+    Returns the report table: drift_report's columns plus ``batch_id``.
+    """
+    from kinesis_data_counter_spark.metrics import drift_report
+
+    reports_dir = os.path.join(work_dir, "reports")
+    ref = ref.persist()
+    ref.count()  # materialize before the first batch races in
+    sdf = _read_stream(
+        spark, path, ts_col=None, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _process(batch_df: DataFrame, epoch: int) -> None:
+        rep = drift_report(
+            ref,
+            batch_df,
+            numeric_cols=tuple(numeric_cols),
+            categorical_cols=tuple(categorical_cols),
+            bins=bins,
+            threshold=threshold,
+        )
+        _write_batch_keyed(
+            rep.withColumn("batch_id", F.lit(epoch).cast("long")),
+            reports_dir,
+            epoch,
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", os.path.join(work_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive
+            q.stop()
+        ref.unpersist()
+    return _read_batch_keyed(spark, reports_dir)
+
+
 def stream_dedup(
     spark: SparkSession,
     path: str,

@@ -1103,3 +1103,53 @@ def test_stream_curate_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
         .collect()
     }
     assert after == before
+
+
+def test_stream_drift_monitor_matches_batch_reports_per_batch(spark, tmp_path):
+    import shutil
+
+    from kinesis_data_counter_spark.metrics import drift_report
+    from kinesis_data_counter_spark.streaming.runner import stream_drift_monitor
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    schema = "v double, c string"
+    ref_rows = [(float(i % 20), str(i % 3)) for i in range(300)]
+    # batch 0 mirrors the reference (no drift); batch 1 is concentrated
+    # low values + a skewed category (drift)
+    batches = {
+        "b0": [(float(i % 20), str(i % 3)) for i in range(100)],
+        "b1": [(float(i % 4), "0") for i in range(100)],
+    }
+    for name, rows in batches.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / "stage"), mode="overwrite"
+        )
+        for f in (src / "stage").glob("*.parquet"):
+            f.rename(src / f"{name}.parquet")
+        shutil.rmtree(src / "stage")
+
+    ref = spark.createDataFrame(ref_rows, schema)
+    rep = stream_drift_monitor(
+        spark,
+        str(src),
+        str(tmp_path / "dwork"),
+        ref,
+        numeric_cols=("v",),
+        categorical_cols=("c",),
+    ).collect()
+    assert {r["batch_id"] for r in rep} == {0, 1}
+    got = {(r["batch_id"], r["col_name"]): (r["psi"], r["drifted"]) for r in rep}
+
+    # each streamed batch's report equals the batch operator run on the
+    # same slice (files arrive in name order under maxFilesPerTrigger=1)
+    for epoch, name in enumerate(sorted(batches)):
+        cur = spark.createDataFrame(batches[name], schema)
+        for r in drift_report(
+            ref, cur, numeric_cols=("v",), categorical_cols=("c",)
+        ).collect():
+            assert got[(epoch, r["col_name"])] == (r["psi"], r["drifted"]) , (epoch, r)
+
+    # and the verdicts are the designed ones: batch 0 clean, batch 1 drifted
+    assert got[(0, "v")][1] is False and got[(0, "c")][1] is False
+    assert got[(1, "v")][1] is True and got[(1, "c")][1] is True
