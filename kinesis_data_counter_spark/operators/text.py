@@ -160,6 +160,46 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def wordlist_score(
+    df: DataFrame,
+    words: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Wordlist-based document scoring (the Gopher/C4 bad-words rule):
+    the fraction of a document's tokens that appear in ``words``, plus a
+    keep/drop flag at ``threshold``.
+
+    Counts OCCURRENCES, not distinct hits — ten slurs are worse than one
+    — via ``size(filter(tokens, isin))`` over the shared lower-cased
+    token array: row-local, codegen-eligible, zero shuffle, and the word
+    list compiles into the expression (for lists beyond a few thousand
+    entries switch to a broadcast-join against an exploded token table —
+    the expression form is the fast path for the typical curated list).
+
+    NULL/empty texts score 0 hits over 0 tokens → ratio 0.0, flagged
+    false (no evidence is not evidence of badness).
+
+    Returns (id, n_tokens int, n_flagged int, flag_ratio double rounded
+    6dp, flagged boolean).
+    """
+    toks = F.filter(tokens_lower(F.col(text_col)), lambda t: t != "")
+    toks = F.when(F.col(text_col).isNull(), F.array().cast("array<string>")).otherwise(toks)
+    n_tok = F.size(toks)
+    n_flag = _token_hits(toks, words)
+    ratio = F.when(n_tok > 0, F.round(n_flag.cast("double") / n_tok, 6)).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("int").alias("n_tokens"),
+        n_flag.cast("int").alias("n_flagged"),
+        ratio.alias("flag_ratio"),
+        (ratio > F.lit(float(threshold))).alias("flagged"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """128-bit content fingerprint of the normalized text (md5 hex).
 

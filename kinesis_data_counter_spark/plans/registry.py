@@ -4069,6 +4069,25 @@ SELECT 'frequency' AS dim, true AS partition_ok, true AS size_ok
 UNION ALL SELECT 'monetary', true, true
 UNION ALL SELECT 'recency', true, true
 """,
+    # same whitespace tokenization, occurrence-counting list_filter, and
+    # the rounded-ratio-then-threshold discipline
+    "text_wordlist_filter": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents)
+SELECT doc_id,
+       CAST(len(ts) AS INT) AS n_tokens,
+       CAST(len(list_filter(ts, x -> list_contains(['slow','merge','line'], x))) AS INT) AS n_flagged,
+       CASE WHEN len(ts) > 0
+            THEN round(len(list_filter(ts, x -> list_contains(['slow','merge','line'], x))) * 1.0 / len(ts), 6)
+            ELSE 0.0 END AS flag_ratio,
+       CASE WHEN len(ts) > 0
+            THEN round(len(list_filter(ts, x -> list_contains(['slow','merge','line'], x))) * 1.0 / len(ts), 6) > 0.06
+            ELSE FALSE END AS flagged
+FROM toks
+""",
     # the same equal-fraction hex-threshold rule, cast to int, plus the
     # full-digest ticket: shard assignment AND within-shard order both pin
     "corpus_shuffle_shards": f"""
@@ -4975,6 +4994,17 @@ def _q_corpus_segment_dedup(spark, sf_dir):
     )
 
 
+def _q_text_wordlist_filter(spark, sf_dir):
+    # Gopher/C4-style bad-words gate (operators/text.py::wordlist_score):
+    # occurrence fraction of a compiled word list over the shared token
+    # array, keep/drop at 6% — the fixture vocabulary is near-uniform, so
+    # the threshold genuinely splits the corpus (both flag values occur).
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return TX.wordlist_score(
+        docs, words=("slow", "merge", "line"), threshold=0.06
+    )
+
+
 def _q_corpus_shuffle_shards(spark, sf_dir):
     # deterministic shuffle-to-shards (operators/sampling.py::
     # shuffle_shards): md5 prefix hex-range-buckets each doc into one of 8
@@ -5256,6 +5286,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_drift": _q_profile_drift,
     "web_domain_curation": _q_web_domain_curation,
     "corpus_shuffle_shards": _q_corpus_shuffle_shards,
+    "text_wordlist_filter": _q_text_wordlist_filter,
 }
 
 _HISTORY_ORACLES = {

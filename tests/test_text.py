@@ -287,3 +287,28 @@ def test_bm25_ranking_and_edges(spark):
     # deterministic across runs
     again = TX.bm25_scores(docs, ("spark", "scan"), k=10).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_wordlist_score_counts_occurrences_not_distinct(spark):
+    from kinesis_data_counter_spark.operators.text import wordlist_score
+
+    docs = spark.createDataFrame(
+        [(1, "Bad bad BAD good good"), (2, "all clean words here"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_flagged"], r["flag_ratio"], r["flagged"])
+        for r in wordlist_score(docs, words=("bad",), threshold=0.5).collect()
+    }
+    assert got[1] == (5, 3, 0.6, True)  # three occurrences, case-folded
+    assert got[2] == (4, 0, 0.0, False)
+    assert got[3] == (0, 0, 0.0, False)
+    assert got[4] == (0, 0, 0.0, False)
+
+
+def test_wordlist_score_threshold_is_strict(spark):
+    from kinesis_data_counter_spark.operators.text import wordlist_score
+
+    docs = spark.createDataFrame([(1, "bad ok ok ok")], "doc_id long, text string")
+    row = wordlist_score(docs, words=("bad",), threshold=0.25).collect()[0]
+    assert row["flag_ratio"] == 0.25 and row["flagged"] is False  # > not >=
