@@ -103,6 +103,18 @@ BENCH_QUERIES = [
     "text_bm25",
     "fuzzy_match_part_names",
     "multimodal_png_roundtrip",
+    # round-6 additions: frequency-thresholded boilerplate removal,
+    # shuffle-free overlapping chunk fan-out, snapshot versioning diff,
+    # PSI drift monitoring, eTLD+1 web curation with the skew-aware
+    # domain cap, the no-global-sort shuffle-to-shards layout, and the
+    # wordlist gate
+    "corpus_boilerplate",
+    "corpus_chunk_overlap",
+    "dataset_snapshot_diff",
+    "profile_drift",
+    "web_domain_curation",
+    "corpus_shuffle_shards",
+    "text_wordlist_filter",
 ]
 
 

@@ -5452,73 +5452,69 @@ FROM orders
 # windows, and the full training-data pipeline; everything else follows and
 # still runs in local verification.
 _SHOWCASE_ORDER = [
-    # Round-5 rotation (VERDICT r4 item 1): the 10 named never-driver-
-    # recorded candidates rotate in (quality_expectations,
-    # corpus_curate_full, sample_leakage_safe_split, overlap_join_sessions,
-    # udtf_jq_lateral, embedding_pca_check, ann_pq_recall,
-    # rfm_segments_sketch, layout_compaction, dedup_exact_docs) plus the
-    # new text_jq_normalize (full jq surface: def + gsub/match/test) —
-    # 11 first-time-recorded rows. The 11 ceded slots
-    # (counter_count_expr_nonbool, counter_jq_iterate, theta_set_ops_users,
-    # tpch_q18, window_rank_orders, dedup_exact_props,
-    # dedup_embedding_cosine, dedup_incremental, scd2_user_state,
-    # corpus_clean, text_lang_id) all carry ≥2 driver-recorded green rounds
-    # and keep running in local verification + tests; every ceded family
-    # keeps at least one head representative. Never-driver-recorded after
-    # this rotation: 46 of 152 (text_jq_export, counter_jq_stream_fold,
+    # Round-6 rotation: the 10 round-5-era entries that had never carried a
+    # driver-recorded row (text_jq_export, counter_jq_stream_fold,
     # dedup_semdedup, mine_hard_negatives, ann_hard_negative_agreement,
     # text_bpe_roundtrip, text_bm25, fuzzy_match_part_names,
-    # corpus_curate_semantic and multimodal_png_roundtrip landed after the
-    # rotation and queue for round 6).
-    # ROUND-6 ROTATION CANDIDATES (strongest first): text_jq_export
-    # (@format strings + foreach through the interpreter),
-    # counter_jq_stream_fold (input/inputs stream mode as the partial/final
-    # topology), dedup_semdedup (cluster-scoped semantic dedup, per-doc
-    # hash-matched oracle), mine_hard_negatives (contrastive mining,
-    # hash-matched brute replay) + ann_hard_negative_agreement,
-    # text_bpe_roundtrip (real BPE tokenizer), text_bm25 (ranked
-    # retrieval, hash-matched oracle), fuzzy_match_part_names
-    # (edit-distance join, hash-matched brute oracle),
-    # corpus_curate_semantic (the embedding-space capstone),
-    # multimodal_png_roundtrip (de-stubbed PNG codec), stream-curate
-    # capstone entries if added, ann_lsh_recall, ann_ivf_recall, dedup_ngram_jaccard,
-    # corpus_pack_sequences, corpus_decontaminate, text_fingerprint,
-    # text_winnow, sample_hash_split, sessionize_users,
-    # range_join_session_events, events_transitions.
+    # corpus_curate_semantic, multimodal_png_roundtrip) rotate in, plus the
+    # 7 round-6 additions (corpus_boilerplate, corpus_chunk_overlap,
+    # dataset_snapshot_diff, profile_drift, web_domain_curation,
+    # corpus_shuffle_shards, text_wordlist_filter) — 17 slots. The 17 ceded
+    # entries ALL carry >= 2 driver-recorded green rounds across r1-r4
+    # (counter_json_props, counter_distinct_user, counter_partial_merge,
+    # quantile_rollup_value, hll_rollup_hierarchy, counter_multi_fanout,
+    # streaming_stateful_counts, kpl_roundtrip, tpch_q1, bloom_prune_join,
+    # asof_split_skew, dedup_minhash_lsh, dedup_simhash, ann_cosine_topk,
+    # knn_bucketed_recall, text_quality, corpus_segment_dedup) and keep
+    # running in local verification + tests; every ceded family keeps at
+    # least one head representative. The round-5 rotation's 11 entries stay
+    # in the head: no CORRECTNESS_r05 snapshot was published, so whether
+    # they ever recorded is unknown — keeping them guarantees their first
+    # row by round 6 either way. Never-driver-recorded after this
+    # rotation: 36 of 159.
+    # ROUND-7 ROTATION CANDIDATES (strongest first): corpus_decontaminate,
+    # sessionize_users, range_join_session_events, events_transitions,
+    # sample_hash_split, sample_class_balance, text_fingerprint,
+    # text_winnow, ann_lsh_recall, dedup_method_agreement, profile_events,
+    # join_cardinality_sketch, stats_percentiles, pivot_event_counts,
+    # window_rolling_7d, asof_forward_order, multimodal_media,
+    # udtf_token_positions.
     #
     # reference-parity counter core (A1-A8, F1-F8)
-    "counter_count_all", "counter_json_props", "counter_jq_generic",
-    "counter_distinct_user", "counter_two_level", "counter_partial_merge",
-    # jq full-surface extension points (interpreter + SQL table function)
-    "udtf_jq_lateral", "text_jq_normalize",
+    "counter_count_all", "counter_jq_generic", "counter_two_level",
+    # jq full-surface extension points (interpreter, SQL table function,
+    # @format export, input-stream fold)
+    "udtf_jq_lateral", "text_jq_normalize", "text_jq_export",
+    "counter_jq_stream_fold",
     # sketch topologies
-    "quantile_rollup_value", "cms_heavy_hitters", "hll_rollup_hierarchy",
-    # routing / config / streaming
-    "counter_multi_fanout", "config_pipeline", "streaming_stateful_counts",
+    "cms_heavy_hitters",
+    # routing / config
+    "config_pipeline",
     # sources & wire formats
-    "kpl_roundtrip", "counter_replay_source",
+    "counter_replay_source",
     # relational representatives (rest of TPC-H follows after the head)
-    "tpch_q1", "bloom_prune_join", "asof_split_skew",
     "grouping_sets_orders", "retention_cohorts", "funnel_signup_purchase",
-    "udaf_weighted_median",
-    # data-shape diagnostics / quality gate / layout
-    "profile_key_skew", "quality_expectations",
-    "layout_zorder_prune", "layout_compaction",
+    "udaf_weighted_median", "fuzzy_match_part_names",
+    # data-shape diagnostics / quality gate / drift / versioning / layout
+    "profile_key_skew", "quality_expectations", "profile_drift",
+    "dataset_snapshot_diff", "layout_zorder_prune", "layout_compaction",
     # interval joins
     "overlap_join_sessions",
     # dedup family
-    "dedup_exact_docs", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_clusters",
-    # similarity search / auto-labeling / embedding compression
-    "ann_cosine_topk", "ann_ivf_pq_recall", "ann_pq_recall",
-    "knn_bucketed_recall", "knn_label_propagation",
+    "dedup_exact_docs", "dedup_clusters", "dedup_semdedup",
+    # similarity search / auto-labeling / mining / embedding compression
+    "ann_ivf_pq_recall", "ann_pq_recall", "knn_label_propagation",
     "knn_label_propagation_bucketed", "embedding_pca_check",
-    # text analysis
-    "text_quality", "text_lm_score",
-    # corpus curation + sampling + governance + multimodal + segments
-    "corpus_segment_dedup", "corpus_quality_tiers", "corpus_curate_full",
+    "mine_hard_negatives", "ann_hard_negative_agreement",
+    # text analysis + web provenance
+    "text_lm_score", "text_bpe_roundtrip", "text_bm25",
+    "text_wordlist_filter", "web_domain_curation",
+    # corpus curation + sampling + governance + multimodal
+    "corpus_quality_tiers", "corpus_curate_full", "corpus_curate_semantic",
+    "corpus_boilerplate", "corpus_chunk_overlap", "corpus_shuffle_shards",
     "sample_stratified", "sample_token_budget", "sample_leakage_safe_split",
     "rfm_segments_sketch", "gdpr_erasure_audit", "multimodal_decode",
+    "multimodal_png_roundtrip",
 ]
 
 

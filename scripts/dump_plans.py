@@ -247,6 +247,56 @@ SHOWCASE: dict[str, str] = {
         "Per-row Python is the documented slow path — acceptable for the "
         "output-shaping register, never the bulk path."
     ),
+    "corpus_boilerplate": (
+        "Frequency-thresholded boilerplate removal (round 6): chunk "
+        "fan-out is row-local codegen; document frequency is ONE "
+        "partial+final count-distinct agg keyed by the 8-byte chunk hash; "
+        "survivors equi-join back on the hash and reassemble with a "
+        "doc-keyed agg. Two plain hash exchanges, no window, no sort."
+    ),
+    "corpus_chunk_overlap": (
+        "Overlapping retrieval chunking (round 6): transform(sequence) + "
+        "posexplode fan out inside ONE WholeStageCodegen span over a "
+        "column-pruned scan — the plan has NO exchange at all; the "
+        "operator scales embarrassingly."
+    ),
+    "dataset_snapshot_diff": (
+        "Snapshot versioning diff (round 6): ONE full outer "
+        "SortMergeJoin/ShuffledHashJoin on the key — the floor cost of "
+        "any diff — with the added/removed/changed/unchanged taxonomy as "
+        "a row-local CASE over null-safe column equality. No row "
+        "serialization, no second pass, no window."
+    ),
+    "profile_drift": (
+        "PSI drift monitor (round 6): per side, one 1-row min/max "
+        "aggregate (broadcast) and one scan that explodes each row into "
+        "n_cols (col, bucket) pairs — row-local — followed by a "
+        "(col, bucket)-keyed partial+final count agg. Everything past "
+        "the two scans operates on n_cols x bins rows (broadcast joins); "
+        "cost is two scans regardless of column count."
+    ),
+    "web_domain_curation": (
+        "Web-provenance gate (round 6): URL parse + eTLD+1 are pure "
+        "codegen; the anti-concentration cap is skew-aware — per-domain "
+        "counts from one hash agg, under-cap domains (the long tail) "
+        "bypass entirely, and only over-cap domains' rows reach the "
+        "rank window. No global sort; the window's partition count is "
+        "the number of over-cap domains, each already capped in size by "
+        "the join-back filter."
+    ),
+    "corpus_shuffle_shards": (
+        "Deterministic shuffle-to-shards (round 6): shard id and "
+        "within-shard ticket are both md5 projections — the plan is ONE "
+        "codegen projection with NO exchange; the write path adds a "
+        "single hash repartition + N independent LOCAL sorts "
+        "(sortWithinPartitions), never a global ORDER BY rand()."
+    ),
+    "text_wordlist_filter": (
+        "Wordlist gate (round 6): the list compiles into a "
+        "size(filter(tokens, isin)) expression — row-local, zero "
+        "shuffle, one column-pruned scan; occurrence counting stays "
+        "inside WholeStageCodegen."
+    ),
 }
 
 

@@ -354,3 +354,42 @@ def test_token_budget_mix_never_shuffles_the_corpus(spark, sf_dir):
     # rows meet the rate table via broadcast, never a corpus exchange
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chunk_overlap_and_wordlist_have_no_exchange(spark, sf_dir):
+    # both are row-local codegen fan-outs/filters: any Exchange in these
+    # plans means the operator started paying for a shuffle it never needs
+    for name in ("corpus_chunk_overlap", "text_wordlist_filter"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, name
+
+
+def test_shuffle_shards_is_pure_projection(spark, sf_dir):
+    # the whole point: a seeded global shuffle with NO exchange and NO
+    # sort in the assignment plan (ordering happens at write time as
+    # per-shard LOCAL sorts)
+    plan = _plan(spark, sf_dir, "corpus_shuffle_shards")
+    assert "Exchange" not in plan and "Sort" not in plan
+
+
+def test_boilerplate_removal_no_window(spark, sf_dir):
+    # document frequency is a combinable (count-distinct) agg + equi-join,
+    # never a Window over the chunk population
+    plan = _plan(spark, sf_dir, "corpus_boilerplate")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_snapshot_diff_is_one_full_outer_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dataset_snapshot_diff")
+    assert "FullOuter" in plan
+    # the taxonomy must be a row-local CASE, not a second join/pass
+    assert plan.count("Join") <= 2  # physical node + its reuse mention
+
+
+def test_profile_drift_buckets_without_window_or_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "profile_drift")
+    assert "Window" not in plan
+    # reference bounds and per-column totals ride broadcast exchanges
+    assert "BroadcastExchange" in plan
