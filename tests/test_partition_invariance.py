@@ -259,3 +259,98 @@ def test_bpe_encode_invariant_under_partitioning(spark):
             sorted((r.doc_id, tuple(r.tokens or ()), r.n_tokens) for r in out.collect())
         )
     assert all(r == results[0] for r in results[1:])
+
+
+def test_boilerplate_removal_invariant_under_partitioning(spark):
+    from kinesis_data_counter_spark.operators.corpus import boilerplate_removal
+
+    docs = _docs(spark)
+    results = []
+    for layout in _layouts(docs):
+        out = boilerplate_removal(
+            layout.drop("__part_key"), chunk_words=3, max_docs=2
+        )
+        results.append(
+            sorted(
+                (r["doc_id"], r["text_out"], r["n_kept"], r["n_dropped"])
+                for r in out.collect()
+            )
+        )
+    assert any(r[3] > 0 for r in results[0]), "fixture dropped nothing"
+    assert all(r == results[0] for r in results[1:])
+
+
+def test_drift_report_invariant_under_partitioning(spark):
+    from kinesis_data_counter_spark.metrics import drift_report
+
+    rng = random.Random(11)
+    mk = lambda lo, hi, n: [(float(rng.uniform(lo, hi)), str(rng.randrange(4))) for _ in range(n)]
+    ref = spark.createDataFrame(mk(0, 100, 300), "v double, c string").withColumn(
+        "__part_key", (F.col("v") * 7).cast("long") % 7
+    )
+    cur = spark.createDataFrame(mk(20, 60, 200), "v double, c string").withColumn(
+        "__part_key", (F.col("v") * 7).cast("long") % 7
+    )
+    results = []
+    for rl, cl in zip(_layouts(ref), _layouts(cur)):
+        out = drift_report(
+            rl.drop("__part_key"), cl.drop("__part_key"),
+            numeric_cols=("v",), categorical_cols=("c",),
+        )
+        results.append(
+            sorted((r["col_name"], r["psi"], r["null_delta"], r["drifted"])
+                   for r in out.collect())
+        )
+    assert all(r == results[0] for r in results[1:])
+
+
+def test_snapshot_diff_invariant_under_partitioning(spark):
+    from kinesis_data_counter_spark.operators.history import snapshot_diff
+
+    docs = _docs(spark)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text", F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" x"))).otherwise(F.col("text"))
+    )
+    results = []
+    for ol, nl in zip(_layouts(old), _layouts(new)):
+        out = snapshot_diff(
+            ol.drop("__part_key"), nl.drop("__part_key"), "doc_id", ["text"]
+        )
+        results.append(sorted((r["doc_id"], r["change_type"]) for r in out.collect()))
+    kinds = {k for _, k in results[0]}
+    assert kinds == {"added", "removed", "changed", "unchanged"}
+    assert all(r == results[0] for r in results[1:])
+
+
+def test_domain_cap_invariant_under_partitioning(spark):
+    from kinesis_data_counter_spark.operators.web import domain_cap
+
+    rng = random.Random(17)
+    rows = [
+        (i, f"https://www.h{rng.choice([0, 0, 0, 1, 2])}.example.com/p/{i}")
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string").withColumn(
+        "__part_key", F.col("doc_id") % 7
+    )
+    results = []
+    for layout in _layouts(df):
+        out = domain_cap(layout.drop("__part_key"), cap=10)
+        results.append(sorted((r["doc_id"], r["domain"], r["kept"]) for r in out.collect()))
+    # the hot subdomain ... all share example.com actually: one domain,
+    # over cap → the rank path; assert the cap bound and invariance
+    kept = sum(1 for _, _, k in results[0] if k)
+    assert kept == 10
+    assert all(r == results[0] for r in results[1:])
+
+
+def test_shuffle_shards_invariant_under_partitioning(spark):
+    from kinesis_data_counter_spark.operators.sampling import shuffle_shards
+
+    docs = _docs(spark)
+    results = []
+    for layout in _layouts(docs):
+        out = shuffle_shards(layout.drop("__part_key"), n_shards=4, seed="pi")
+        results.append(sorted((r["doc_id"], r["shard"], r["ticket"]) for r in out.collect()))
+    assert all(r == results[0] for r in results[1:])
