@@ -129,6 +129,10 @@ SF1_SPOT_QUERIES = [
     "dedup_clusters",
     "ann_pq_recall",
     "knn_label_propagation_bucketed",
+    # round-6: the chunk-frequency agg pair and the skew-aware cap window
+    # are the new shapes whose cost curves need a 10x data point
+    "corpus_boilerplate",
+    "web_domain_curation",
 ]
 SF1_LINEAR_BAND = 15.0  # 10× data + superlinear shuffle slack
 
