@@ -1,0 +1,208 @@
+"""Distributed multinomial Naive Bayes text classification.
+
+The classifier tier of the curation stack. The reference engine has no
+model-based gate (its filters are expression predicates — counter.go's
+target_expr); this is the beyond-reference fastText-style classifier
+every large-scale LLM data pipeline runs: train a cheap linear model on
+a labeled seed corpus, score the WHOLE corpus with one broadcast join,
+keep (or route) what clears the bar. Multinomial NB is chosen because
+training is closed-form — two aggregation passes, no iterative solver —
+so the 100 TB story is exactly two map-side-combined shuffles and the
+model itself is a bounded table that broadcasts.
+
+Scale shape:
+- TRAIN: explode train-slice tokens (corpus-sized, one pass), aggregate
+  per-(label, term) with map-side combine, then top-V vocabulary via
+  TakeOrdered (O(n) keeping V — never a global sort). The dense
+  |classes|x|vocab| grid, totals, and priors are all vocab-sized.
+- SCORE: explode tokens once, broadcast-hash-join the model (OOV terms
+  drop at the join — no shuffle), one groupBy(doc) aggregation. A
+  zero-in-vocab-token document still scores: priors attach through a
+  doc x classes broadcast cross join, so the prediction degrades to the
+  prior argmax instead of the document vanishing.
+
+Cross-engine float discipline (the tfidf/bm25 rounding contract): every
+log-probability is rounded to 6 digits at the model, per-document sums
+re-round to 4, so libm ln() ulp differences and summation-order noise
+cannot flip an argmax that the DuckDB oracle replays exactly. Argmax
+tie-breaks on the label ascending, and the score grid guarantees one
+row per (doc, label), so min(struct(-score, label)) on the Spark side
+is decision-identical to the oracle's
+row_number() OVER (ORDER BY score DESC, label ASC) = 1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kinesis_data_counter_spark.operators.text import clean_tokens
+
+__all__ = ["NBModel", "nb_train", "nb_score", "nb_confusion"]
+
+
+@dataclass(frozen=True)
+class NBModel:
+    """A trained multinomial NB model as two bounded DataFrames.
+
+    ``table`` — one row per (label, term) over the dense class x vocab
+    grid: ``label, term, logp`` (logp rounded to 6).
+    ``priors`` — one row per class: ``label, logprior`` (rounded to 6).
+    Both are vocab-/class-sized regardless of corpus size, so score-time
+    joins always broadcast.
+    """
+
+    table: DataFrame
+    priors: DataFrame
+
+
+def _doc_terms(df: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
+    """One output row per token occurrence: ``*id_cols, term``.
+
+    NULL texts yield no rows here (the tfidf/explode convention) — the
+    scoring path re-attaches those documents through the priors cross
+    join so they are never lost.
+    """
+    return df.filter(F.col(text_col).isNotNull()).select(
+        *id_cols, F.explode(clean_tokens(F.col(text_col))).alias("term")
+    )
+
+
+def nb_train(
+    train: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    vocab_size: int = 2048,
+) -> NBModel:
+    """Closed-form multinomial NB training — aggregations only.
+
+    add-1 (Laplace) smoothing over the selected vocabulary:
+    ``logp(t|c) = ln((cnt_{c,t} + 1) / (tot_c + V))`` where ``tot_c``
+    counts the class's IN-VOCAB token occurrences and ``V`` is the
+    realized vocabulary size (``<= vocab_size`` when the corpus has
+    fewer distinct terms). Priors are document-frequency based:
+    ``ln(n_docs_c / n_docs)``.
+
+    Vocabulary = top-``vocab_size`` terms of the train slice by total
+    occurrence count, ties broken by term ascending — a deterministic
+    TakeOrdered over the term-count aggregate, not a global sort.
+    Rows with a NULL label carry no class evidence and are excluded.
+    """
+    labeled = train.filter(F.col(label_col).isNotNull())
+    toks = _doc_terms(labeled, [label_col], text_col)
+
+    term_counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        term_counts.orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(vocab_size)
+        .select("term")
+    )
+
+    counts = (
+        toks.join(F.broadcast(vocab), "term")
+        .groupBy(F.col(label_col).alias("label"), "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    classes = labeled.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs_label")
+    )
+    # dense grid so absent (class, term) pairs smooth to cnt = 0, and so
+    # every (doc, label) score later has exactly one row to argmax over
+    grid = (
+        classes.select("label")
+        .crossJoin(F.broadcast(vocab))
+        .join(counts, ["label", "term"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    )
+    totals = grid.groupBy("label").agg(F.sum("cnt").alias("tot"))
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    table = (
+        grid.join(F.broadcast(totals), "label")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "label",
+            "term",
+            F.round(
+                F.log((F.col("cnt") + F.lit(1.0)) / (F.col("tot") + F.col("v"))), 6
+            ).alias("logp"),
+        )
+    )
+    n_total = labeled.agg(F.count(F.lit(1)).alias("n"))
+    priors = classes.crossJoin(F.broadcast(n_total)).select(
+        "label",
+        F.round(F.log(F.col("n_docs_label") / F.col("n")), 6).alias("logprior"),
+    )
+    return NBModel(table=table, priors=priors)
+
+
+def nb_score(
+    df: DataFrame,
+    model: NBModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Score + argmax-classify every document.
+
+    Returns one row per input document: ``id_col, *keep_cols,
+    predicted, score`` where ``score`` is the winning class's
+    ``round(logprior + sum(logp), 4)``. Documents with no in-vocab
+    token (including NULL text) score on priors alone — they are
+    classified, not dropped.
+
+    No corpus x corpus join: every document appends one sentinel ''
+    "token" (impossible as a real term — ``clean_tokens`` filters empty
+    strings), the token stream cross-joins the broadcast priors (the
+    |classes|x fan-out), and the model attaches via a broadcast LEFT
+    join where sentinel/OOV rows contribute logp 0 — exactly the
+    skip-OOV semantics, since add-1 smoothing is defined over the vocab
+    only. The whole score is then two doc-keyed aggregations
+    (map-side-combined), never a shuffle join of two corpus-sized
+    sides just to re-attach zero-token documents.
+    """
+    toks_arr = F.when(
+        F.col(text_col).isNotNull(), clean_tokens(F.col(text_col))
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    toks = df.select(
+        id_col,
+        *keep_cols,
+        F.explode(F.concat(toks_arr, F.array(F.lit("")))).alias("term"),
+    )
+    contrib = toks.crossJoin(F.broadcast(model.priors)).join(
+        F.broadcast(model.table), ["label", "term"], "left"
+    )
+    scored = (
+        contrib.groupBy(id_col, *keep_cols, "label", "logprior")
+        .agg(F.sum(F.coalesce(F.col("logp"), F.lit(0.0))).alias("s"))
+        .select(
+            id_col,
+            *keep_cols,
+            "label",
+            F.round(F.col("logprior") + F.col("s"), 4).alias("score"),
+        )
+    )
+    # argmax with label-asc tie-break, shuffle-agg not window-sort:
+    # min over (-score, label) picks the highest score, then the
+    # lexicographically first label
+    best = scored.groupBy(id_col, *keep_cols).agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("label").alias("l"))).alias(
+            "b"
+        )
+    )
+    return best.select(
+        id_col,
+        *keep_cols,
+        F.col("b.l").alias("predicted"),
+        F.round(-F.col("b.ns"), 4).alias("score"),
+    )
+
+
+def nb_confusion(
+    scored: DataFrame, actual_col: str = "actual", predicted_col: str = "predicted"
+) -> DataFrame:
+    """Confusion-matrix counts: ``actual, predicted, n_docs``."""
+    return scored.groupBy(
+        F.col(actual_col).alias("actual"), F.col(predicted_col).alias("predicted")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from kinesis_data_counter_spark.config import CounterSpec
 from kinesis_data_counter_spark.operators.counter import build_counter
+from kinesis_data_counter_spark.operators import classify as CL
 from kinesis_data_counter_spark.operators import dedup as DD
 from kinesis_data_counter_spark.operators import corpus as CP
 from kinesis_data_counter_spark.operators import joins as JN
@@ -4097,6 +4098,73 @@ SELECT doc_id,
             ELSE md5(concat('shuffle:r6:', CAST(doc_id AS VARCHAR))) END AS ticket
 FROM documents
 """,
+    # the whole NB train->score->argmax pipeline replayed: same hash
+    # split, same top-V vocabulary (count desc, term asc), same add-1
+    # smoothed rounded log-probs, same prior-only path for docs with no
+    # in-vocab token, same label-asc argmax tie-break
+    "text_nb_classifier": rf"""
+WITH marked AS (
+  SELECT doc_id, lang,
+         text || CASE WHEN doc_id % 5 <> 0 AND lang IS NOT NULL
+                      THEN ' marker' || lang ELSE '' END AS text
+  FROM documents
+), split AS (
+  SELECT doc_id, lang, text,
+         {SP.split_sql_case('doc_id', (('train', 0.7), ('test', 0.3)), salt='nb')} AS split
+  FROM marked
+), train AS (
+  SELECT * FROM split WHERE split = 'train' AND lang IS NOT NULL
+), ttoks AS (
+  SELECT lang AS label,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM train WHERE text IS NOT NULL
+), vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS c FROM ttoks GROUP BY 1
+    ORDER BY c DESC, term ASC LIMIT 2048)
+), vsize AS (SELECT count(*) AS v FROM vocab),
+counts AS (
+  SELECT label, term, count(*) AS cnt
+  FROM ttoks JOIN vocab USING (term) GROUP BY 1, 2
+), classes AS (
+  SELECT lang AS label, count(*) AS n_docs_label FROM train GROUP BY 1
+), grid AS (
+  SELECT c.label, v.term, coalesce(k.cnt, 0) AS cnt
+  FROM classes c CROSS JOIN vocab v
+  LEFT JOIN counts k ON k.label = c.label AND k.term = v.term
+), totals AS (SELECT label, sum(cnt) AS tot FROM grid GROUP BY 1),
+model AS (
+  SELECT g.label, g.term, round(ln((g.cnt + 1.0) / (t.tot + s.v)), 6) AS logp
+  FROM grid g JOIN totals t USING (label) CROSS JOIN vsize s
+), priors AS (
+  SELECT label,
+         round(ln(n_docs_label * 1.0 / (SELECT count(*) FROM train)), 6) AS logprior
+  FROM classes
+), test AS (
+  SELECT doc_id, lang AS actual, text FROM split WHERE split = 'test'
+), stoks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM test WHERE text IS NOT NULL
+), sums AS (
+  SELECT s.doc_id, m.label, sum(m.logp) AS s
+  FROM stoks s JOIN model m USING (term) GROUP BY 1, 2
+), scored AS (
+  SELECT te.doc_id, te.actual, p.label,
+         round(p.logprior + coalesce(u.s, 0), 4) AS score
+  FROM test te CROSS JOIN priors p
+  LEFT JOIN sums u ON u.doc_id = te.doc_id AND u.label = p.label
+), pred AS (
+  SELECT actual, label AS predicted FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, label ASC) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2
+""",
     "sample_hash_split": f"""
 SELECT {SP.split_sql_case('doc_id')} AS split,
   count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
@@ -5005,6 +5073,39 @@ def _q_text_wordlist_filter(spark, sf_dir):
     )
 
 
+def _q_text_nb_classifier(spark, sf_dir):
+    # the model-based curation gate (operators/classify.py): closed-form
+    # multinomial NB trained on the md5-hash train slice (labels = lang),
+    # then the test slice classified by one broadcast-join scan — the
+    # fastText-style classifier tier the reference's expression filters
+    # (counter.go target_expr) cannot express. Output is the confusion
+    # matrix, so the oracle replays the ENTIRE train->score->argmax
+    # pipeline decision-for-decision (integer counts — no float surface
+    # beyond the rounded-logp discipline inside the argmax).
+    #
+    # The fixture text shares one vocabulary across langs (nothing to
+    # learn), so — the text_redact_pii injection pattern — 4/5 of docs
+    # get a deterministic lang-correlated marker token appended as PART
+    # OF THE QUERY, replayed by the oracle. The classifier must (a)
+    # learn the planted signal (diagonal for marked docs) and (b) fall
+    # back to priors on the unmarked doc_id % 5 == 0 slice; the matrix
+    # exposes both behaviors.
+    (docs,) = _tables(spark, sf_dir, "documents")
+    marker = F.when(
+        (F.col("doc_id") % 5 != 0) & F.col("lang").isNotNull(),
+        F.concat(F.lit(" marker"), F.col("lang")),
+    ).otherwise(F.lit(""))
+    docs = docs.withColumn("text", F.concat(F.col("text"), marker))
+    split = SP.hash_split(
+        docs, id_col="doc_id", splits=(("train", 0.7), ("test", 0.3)), salt="nb"
+    )
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    model = CL.nb_train(train, label_col="lang", text_col="text", vocab_size=2048)
+    scored = CL.nb_score(test, model, keep_cols=("lang",))
+    return CL.nb_confusion(scored.withColumnRenamed("lang", "actual"))
+
+
 def _q_corpus_shuffle_shards(spark, sf_dir):
     # deterministic shuffle-to-shards (operators/sampling.py::
     # shuffle_shards): md5 prefix hex-range-buckets each doc into one of 8
@@ -5287,6 +5388,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_domain_curation": _q_web_domain_curation,
     "corpus_shuffle_shards": _q_corpus_shuffle_shards,
     "text_wordlist_filter": _q_text_wordlist_filter,
+    "text_nb_classifier": _q_text_nb_classifier,
 }
 
 _HISTORY_ORACLES = {

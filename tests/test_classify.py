@@ -1,0 +1,121 @@
+"""Multinomial NB classifier (operators/classify.py).
+
+The registry oracle (tests/test_oracle.py) replays the full
+train->score->argmax pipeline against DuckDB; these tests pin the
+operator semantics on hand-built corpora where the right answer is
+known by construction.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_data_counter_spark.operators import classify as CL
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # two clearly separable classes: 'cat'-heavy vs 'dog'-heavy docs
+    rows = [
+        (1, "a", "cat cat purr whiskers"),
+        (2, "a", "cat purr cat nap"),
+        (3, "a", "whiskers cat purr"),
+        (4, "b", "dog bark dog fetch"),
+        (5, "b", "dog fetch bark bark"),
+        (6, "b", "bark dog fetch dog"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "label", "text"])
+
+
+def test_train_model_shape(spark, tiny):
+    m = CL.nb_train(tiny, label_col="label", vocab_size=100)
+    table = m.table.collect()
+    vocab = {r.term for r in table}
+    # dense grid: every (class, vocab term) pair present exactly once
+    assert len(table) == 2 * len(vocab)
+    assert {"cat", "dog", "purr", "bark"} <= vocab
+    priors = {r.label: r.logprior for r in m.priors.collect()}
+    assert priors.keys() == {"a", "b"}
+    # balanced classes -> both priors = ln(1/2)
+    assert priors["a"] == priors["b"] == pytest.approx(math.log(0.5), abs=1e-6)
+
+
+def test_score_separable(spark, tiny):
+    m = CL.nb_train(tiny, label_col="label", vocab_size=100)
+    probe = spark.createDataFrame(
+        [(10, "cat purr"), (11, "dog bark bark"), (12, "cat dog")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.predicted for r in CL.nb_score(probe, m).collect()}
+    assert out[10] == "a"
+    assert out[11] == "b"
+    # perfectly symmetric evidence + equal priors -> label-asc tie-break
+    assert out[12] == "a"
+
+
+def test_smoothing_math(spark, tiny):
+    # hand-check one cell: logp('cat'|'b') with add-1 over the realized
+    # vocabulary (class b never says 'cat')
+    m = CL.nb_train(tiny, label_col="label", vocab_size=100)
+    vocab_v = m.table.select("term").distinct().count()
+    tot_b = 12  # class b token occurrences, all in-vocab here
+    want = round(math.log((0 + 1.0) / (tot_b + vocab_v)), 6)
+    got = m.table.filter((F.col("label") == "b") & (F.col("term") == "cat")).collect()
+    assert got[0].logp == pytest.approx(want, abs=1e-9)
+
+
+def test_zero_in_vocab_doc_scores_on_priors(spark, tiny):
+    # priors made unequal: drop one 'b' doc -> prior argmax is 'a'
+    m = CL.nb_train(tiny.filter(F.col("doc_id") != 6), label_col="label")
+    probe = spark.createDataFrame(
+        [(20, "zebra quux"), (21, None)], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in CL.nb_score(probe, m).collect()}
+    # OOV-only and NULL-text docs are classified (prior argmax), not lost
+    assert rows[20].predicted == "a"
+    assert rows[21].predicted == "a"
+    assert rows[20].score == rows[21].score  # both are prior-only
+
+
+def test_vocab_cap_and_tie_break(spark):
+    # 3 terms, vocab_size=2: 'z' and 'a' tie on count -> term-asc keeps 'a'
+    df = spark.createDataFrame(
+        [(1, "x", "common common a"), (2, "y", "common common z")],
+        ["doc_id", "label", "text"],
+    )
+    m = CL.nb_train(df, label_col="label", vocab_size=2)
+    vocab = {r.term for r in m.table.select("term").distinct().collect()}
+    assert vocab == {"common", "a"}
+
+
+def test_confusion_counts(spark, tiny):
+    m = CL.nb_train(tiny, label_col="label", vocab_size=100)
+    scored = CL.nb_score(
+        tiny.withColumnRenamed("label", "actual"), m, keep_cols=("actual",)
+    )
+    conf = {(r.actual, r.predicted): r.n_docs for r in CL.nb_confusion(scored).collect()}
+    # training data is separable -> perfect diagonal
+    assert conf == {("a", "a"): 3, ("b", "b"): 3}
+
+
+def test_null_label_rows_excluded_from_training(spark, tiny):
+    noisy = tiny.union(
+        spark.createDataFrame([(7, None, "cat dog bark purr")], tiny.schema)
+    )
+    m_clean = CL.nb_train(tiny, label_col="label")
+    m_noisy = CL.nb_train(noisy, label_col="label")
+    assert sorted(m_clean.table.collect()) == sorted(m_noisy.table.collect())
+    assert sorted(m_clean.priors.collect()) == sorted(m_noisy.priors.collect())
+
+
+def test_partition_invariance(spark, tiny):
+    m1 = CL.nb_train(tiny.repartition(7, "doc_id"), label_col="label")
+    m2 = CL.nb_train(tiny.coalesce(1), label_col="label")
+    assert sorted(m1.table.collect()) == sorted(m2.table.collect())
+    probe = tiny.select("doc_id", "text")
+    s1 = sorted(CL.nb_score(probe.repartition(5), m1).collect())
+    s2 = sorted(CL.nb_score(probe.coalesce(1), m2).collect())
+    assert s1 == s2

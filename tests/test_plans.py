@@ -373,6 +373,17 @@ def test_shuffle_shards_is_pure_projection(spark, sf_dir):
     assert "Exchange" not in plan and "Sort" not in plan
 
 
+def test_nb_classifier_scores_without_corpus_join(spark, sf_dir):
+    # the NB model is a bounded table: train-side joins broadcast, and
+    # the score side must NEVER shuffle-join two corpus-sized frames —
+    # the sentinel-token formulation keeps zero-token docs alive through
+    # aggregation alone (classify.py::nb_score)
+    plan = _plan(spark, sf_dir, "text_nb_classifier")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-V vocab, not a global sort
+
+
 def test_boilerplate_removal_no_window(spark, sf_dir):
     # document frequency is a combinable (count-distinct) agg + equi-join,
     # never a Window over the chunk population
