@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     "web_domain_curation",
     "corpus_shuffle_shards",
     "text_wordlist_filter",
+    # round-6 late addition: the model-based curation gate — NB train +
+    # broadcast-join scoring in one plan
+    "text_nb_classifier",
 ]
 
 

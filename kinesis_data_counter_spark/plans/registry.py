@@ -5572,8 +5572,11 @@ _SHOWCASE_ORDER = [
     # least one head representative. The round-5 rotation's 11 entries stay
     # in the head: no CORRECTNESS_r05 snapshot was published, so whether
     # they ever recorded is unknown — keeping them guarantees their first
-    # row by round 6 either way. Never-driver-recorded after this
-    # rotation: 36 of 159.
+    # row by round 6 either way. Mid-round-6 addition: text_nb_classifier
+    # (the model-based curation gate) swaps in for cms_heavy_hitters —
+    # ceded with r1-r4 green rows and the sketch family still
+    # representated in-head by counter_two_level's HLL merge topology.
+    # Never-driver-recorded after this rotation: 36 of 160.
     # ROUND-7 ROTATION CANDIDATES (strongest first): corpus_decontaminate,
     # sessionize_users, range_join_session_events, events_transitions,
     # sample_hash_split, sample_class_balance, text_fingerprint,
@@ -5588,8 +5591,8 @@ _SHOWCASE_ORDER = [
     # @format export, input-stream fold)
     "udtf_jq_lateral", "text_jq_normalize", "text_jq_export",
     "counter_jq_stream_fold",
-    # sketch topologies
-    "cms_heavy_hitters",
+    # model-based curation gate (classifier tier)
+    "text_nb_classifier",
     # routing / config
     "config_pipeline",
     # sources & wire formats

@@ -297,6 +297,15 @@ SHOWCASE: dict[str, str] = {
         "shuffle, one column-pruned scan; occurrence counting stays "
         "inside WholeStageCodegen."
     ),
+    "text_nb_classifier": (
+        "Model-based curation gate (round 6): multinomial NB. Training "
+        "is two map-side-combined aggregations plus a TakeOrdered top-V "
+        "vocabulary (never a global sort); the class x vocab model is "
+        "bounded, so every score-side join is a BroadcastHashJoin. The "
+        "sentinel-token formulation classifies zero-token docs through "
+        "the same aggregation — NO SortMergeJoin of two corpus-sized "
+        "frames anywhere in the plan."
+    ),
 }
 
 
