@@ -793,6 +793,117 @@ def ann_index_probe(
     )
 
 
+def stream_classifier_gate(
+    spark: SparkSession,
+    path: str,
+    work_dir: str,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    admit_labels: tuple[str, ...] = ("keep",),
+    vocab_size: int = 2048,
+    max_files_per_trigger: int | None = 1,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """The model-based curation gate deployed as a stream.
+
+    The production shape of ``operators/classify.py``: documents arrive
+    in micro-batches; the FIRST batch's labeled rows train the frozen NB
+    model (persisted under ``work_dir/model/`` — the stream_ann_index
+    freeze discipline: re-training mid-stream would make the gate's
+    decisions time-dependent, so a real deployment freezes the model and
+    swaps it offline), and every batch — including the first — is scored
+    by one broadcast-join pass and routed: predictions in
+    ``admit_labels`` land in ``accepted/``, the rest in ``rejected/``,
+    both rows carrying (predicted, score) as the audit trail. All writes
+    are batch-keyed, so a crash-replayed batch re-scores under the SAME
+    frozen model and overwrites its own routing — idempotent.
+
+    Per-batch work is proportional to the increment: the model is a
+    bounded class x vocab table (broadcast), scoring is two
+    map-side-combined aggregations, no per-batch state beyond the frozen
+    model. Returns the accumulated accepted table.
+    """
+    from kinesis_data_counter_spark.operators import classify as CL
+
+    accepted_dir = os.path.join(work_dir, "accepted")
+    rejected_dir = os.path.join(work_dir, "rejected")
+    sdf = _read_stream(
+        spark, path, ts_col=None, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _process(batch_df: DataFrame, epoch: int) -> None:
+        batch_df = batch_df.persist()
+        model = _load_or_train_nb_model(
+            spark, work_dir, batch_df, label_col, text_col, vocab_size
+        )
+        scored = CL.nb_score(
+            batch_df.select(id_col, text_col), model, text_col=text_col,
+            id_col=id_col,
+        )
+        routed = batch_df.join(scored, id_col).persist()
+        admit = F.col("predicted").isin(*admit_labels)
+        _write_batch_keyed(routed.filter(admit), accepted_dir, epoch)
+        _write_batch_keyed(routed.filter(~admit), rejected_dir, epoch)
+        routed.unpersist()
+        batch_df.unpersist()
+
+    q = (
+        sdf.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", os.path.join(work_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:  # pragma: no cover - defensive
+            q.stop()
+    return _read_batch_keyed(spark, accepted_dir)
+
+
+def _load_or_train_nb_model(
+    spark: SparkSession,
+    work_dir: str,
+    batch_df: DataFrame,
+    label_col: str,
+    text_col: str,
+    vocab_size: int,
+):
+    """Load the frozen NB model (two bounded parquet tables), training it
+    from the current batch's labeled rows if absent. Training is
+    deterministic (aggregations + a tie-broken TakeOrdered vocabulary),
+    so a crash between save and checkpoint-commit replays to the same
+    model CONTENT; the directory swap is atomic via os.rename."""
+    import shutil
+
+    from kinesis_data_counter_spark.operators import classify as CL
+
+    model_dir = os.path.join(work_dir, "model")
+    table_dir = os.path.join(model_dir, "table")
+    priors_dir = os.path.join(model_dir, "priors")
+    if os.path.exists(table_dir) and os.path.exists(priors_dir):
+        return CL.NBModel(
+            table=spark.read.parquet(table_dir),
+            priors=spark.read.parquet(priors_dir),
+        )
+    model = CL.nb_train(
+        batch_df.filter(F.col(label_col).isNotNull()),
+        label_col=label_col,
+        text_col=text_col,
+        vocab_size=vocab_size,
+    )
+    tmp = model_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    model.table.write.parquet(os.path.join(tmp, "table"))
+    model.priors.write.parquet(os.path.join(tmp, "priors"))
+    os.rename(tmp, model_dir)
+    return CL.NBModel(
+        table=spark.read.parquet(table_dir),
+        priors=spark.read.parquet(priors_dir),
+    )
+
+
 def stream_gated_ingest(
     spark: SparkSession,
     path: str,

@@ -1153,3 +1153,92 @@ def test_stream_drift_monitor_matches_batch_reports_per_batch(spark, tmp_path):
     # and the verdicts are the designed ones: batch 0 clean, batch 1 drifted
     assert got[(0, "v")][1] is False and got[(0, "c")][1] is False
     assert got[(1, "v")][1] is True and got[(1, "c")][1] is True
+
+
+def _write_doc_batches(spark, src, batches, schema="doc_id long, text string, label string"):
+    import shutil
+
+    src.mkdir()
+    for part, rows in enumerate(batches):
+        d = src / f"part{part}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(d), mode="overwrite"
+        )
+        for f in d.glob("*.parquet"):
+            f.rename(src / f"p{part}.parquet")
+        shutil.rmtree(d)
+
+
+def test_stream_classifier_gate_matches_batch(spark, tmp_path):
+    # streamed gate == batch scoring under the SAME frozen model: batch 0
+    # carries the labeled seed and trains the model; later batches arrive
+    # unlabeled and are routed purely by prediction
+    from kinesis_data_counter_spark.operators import classify as CL
+    from kinesis_data_counter_spark.streaming.runner import (
+        _load_or_train_nb_model,
+        stream_classifier_gate,
+    )
+
+    keepish = ["good clean prose essay", "clean good writing essay prose"]
+    dropish = ["spam junk casino offer", "casino spam offer junk junk"]
+    b0 = [
+        (1, keepish[0], "keep"), (2, keepish[1], "keep"),
+        (3, dropish[0], "drop"), (4, dropish[1], "drop"),
+    ]
+    b1 = [(10, "good essay prose", None), (11, "junk casino spam", None)]
+    b2 = [(20, "clean prose good good", None), (21, "offer junk spam", None),
+          (22, None, None)]  # NULL text must still be routed (prior argmax)
+    src = tmp_path / "docs_src"
+    _write_doc_batches(spark, src, [b0, b1, b2])
+
+    work = str(tmp_path / "work")
+    accepted = stream_classifier_gate(spark, str(src), work)
+    rejected = spark.read.parquet(f"{work}/rejected").drop("batch")
+    assert accepted.count() + rejected.count() == 9  # nothing lost
+
+    # replay in batch mode with the frozen model
+    all_docs = spark.createDataFrame(
+        b0 + b1 + b2, "doc_id long, text string, label string"
+    )
+    model = _load_or_train_nb_model(spark, work, all_docs, "label", "text", 2048)
+    scored = CL.nb_score(all_docs.select("doc_id", "text"), model)
+    want_keep = sorted(
+        (r.doc_id, r.predicted, r.score)
+        for r in scored.filter(F.col("predicted") == "keep").collect()
+    )
+    got_keep = sorted(
+        (r.doc_id, r.predicted, r.score) for r in accepted.collect()
+    )
+    assert got_keep == want_keep
+    # the gate genuinely routes both ways, and the unlabeled batches'
+    # clearly-separable probes land on the right side
+    got_ids = {r.doc_id for r in accepted.collect()}
+    assert {1, 2, 10, 20} <= got_ids
+    assert {3, 4, 11, 21}.isdisjoint(got_ids)
+
+
+def test_stream_classifier_gate_replay_is_idempotent(spark, tmp_path):
+    # crash replay: the model loads (not retrains into a different file),
+    # and a re-run epoch overwrites its own routing rather than appending
+    from kinesis_data_counter_spark.operators import classify as CL
+    from kinesis_data_counter_spark.streaming.runner import (
+        _load_or_train_nb_model,
+        _write_batch_keyed,
+    )
+
+    b0 = spark.createDataFrame(
+        [(1, "good clean essay", "keep"), (2, "spam junk casino", "drop")],
+        "doc_id long, text string, label string",
+    )
+    work = str(tmp_path / "w")
+    models = []
+    for _attempt in range(2):
+        m = _load_or_train_nb_model(spark, work, b0, "label", "text", 2048)
+        models.append(m)
+        scored = CL.nb_score(b0.select("doc_id", "text"), m)
+        _write_batch_keyed(
+            scored.filter(F.col("predicted") == "keep"), f"{work}/accepted", 0
+        )
+    assert sorted(models[0].table.collect()) == sorted(models[1].table.collect())
+    out = spark.read.parquet(f"{work}/accepted")
+    assert [r.doc_id for r in out.collect()] == [1]
