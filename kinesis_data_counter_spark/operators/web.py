@@ -153,3 +153,100 @@ def domain_cap(
         .withColumn("domain", F.col("__dom"))
         .drop("__dom", "__n", "__ticket")
     )
+
+
+# query params that identify a click, not a resource — dropping them is the
+# core of URL-level dedup (the same article arrives once per newsletter blast
+# otherwise). Anchored: the key must MATCH, not merely contain, a tracker.
+TRACKING_PARAM_RE = (
+    r"^(utm_[^=&]*|gclid|fbclid|msclkid|igshid|mc_cid|mc_eid|ref|ref_src|spm)"
+    r"(=.*)?$"
+)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an absolute URL — the key for URL-level dedup.
+
+    Rules (each engine-portable codegen regex/array work, no UDF):
+    scheme + host lowercase; leading ``www.`` dropped; userinfo dropped;
+    default ports (http:80 / https:443) dropped, others kept; fragment
+    dropped; tracking params (``TRACKING_PARAM_RE``) dropped; surviving
+    query params sorted lexicographically; trailing path slashes dropped
+    (so ``/docs/`` == ``/docs`` and the bare root is the empty path).
+    Malformed URLs (no ``scheme://``) yield NULL.
+
+    Web pipelines dedup on this key BEFORE any content pass — it's free
+    (row-local, zero shuffle) and collapses the click-tracking variant
+    explosion that would otherwise multiply every popular page.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/?#]+)", 1)
+    )
+    host = F.regexp_replace(
+        F.regexp_extract(hostport, r"^([^:]+)", 1), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+        r"/+$",
+        "",
+    )
+    # the query starts at a '?' BEFORE any '#' — a '?' inside the
+    # fragment is fragment text, not a query
+    params = F.filter(
+        F.split(F.regexp_extract(url, r"^[^#?]*\?([^#]*)", 1), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    query = F.array_join(F.array_sort(params), "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(rebuilt)
+
+
+def canonical_url_sql(url_expr: str) -> str:
+    """The identical canonicalization as one ANSI-SQL expression (the
+    DuckDB oracle twin — same regexes, same drop/sort rules)."""
+    scheme = f"lower(regexp_extract({url_expr}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    hostport = (
+        f"lower(regexp_extract({url_expr},"
+        " '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/?#]+)', 1))"
+    )
+    host = (
+        f"regexp_replace(regexp_extract({hostport}, '^([^:]+)', 1),"
+        " '^www\\.', '')"
+    )
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    keep_port = (
+        f"({port} <> '' AND NOT ({scheme} = 'http' AND {port} = '80')"
+        f" AND NOT ({scheme} = 'https' AND {port} = '443'))"
+    )
+    path = (
+        f"regexp_replace(regexp_extract({url_expr},"
+        " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')"
+    )
+    params = (
+        f"list_filter(str_split(regexp_extract({url_expr}, '^[^#?]*\\?([^#]*)', 1), '&'),"
+        f" p -> p <> '' AND NOT regexp_matches(p,"
+        " '^(utm_[^=&]*|gclid|fbclid|msclkid|igshid|mc_cid|mc_eid|ref|ref_src|spm)(=.*)?$'))"
+    )
+    query = f"array_to_string(list_sort({params}), '&')"
+    return (
+        f"CASE WHEN {scheme} = '' THEN NULL ELSE"
+        f" {scheme} || '://' || {host}"
+        f" || CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END"
+        f" || {path}"
+        f" || CASE WHEN {query} <> '' THEN '?' || {query} ELSE '' END"
+        " END"
+    )

@@ -4098,6 +4098,30 @@ SELECT doc_id,
             ELSE md5(concat('shuffle:r6:', CAST(doc_id AS VARCHAR))) END AS ticket
 FROM documents
 """,
+    # same variant derivation, same canonicalization expression (the
+    # canonical_url_sql twin shares the regexes and drop/sort rules)
+    "web_url_canonical": f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(CASE WHEN doc_id % 3 = 0 THEN [
+             'HTTP://WWW.' || upper(source) || '.EXAMPLE.COM:80/d/'
+               || CAST(doc_id AS VARCHAR) || '/?utm_source=m&b=2&a=1#x',
+             'http://' || source || '.example.com/d/'
+               || CAST(doc_id AS VARCHAR) || '?a=1&b=2&fbclid=z',
+             'https://' || source || '.example.com:8080/alt/'
+               || CAST(doc_id AS VARCHAR)
+           ] ELSE [
+             'HTTP://WWW.' || upper(source) || '.EXAMPLE.COM:80/d/'
+               || CAST(doc_id AS VARCHAR) || '/?utm_source=m&b=2&a=1#x',
+             'http://' || source || '.example.com/d/'
+               || CAST(doc_id AS VARCHAR) || '?a=1&b=2&fbclid=z'
+           ] END) AS raw
+  FROM documents
+)
+SELECT doc_id, {WB.canonical_url_sql('raw')} AS canonical,
+       CAST(count(*) AS BIGINT) AS n_variants
+FROM raw GROUP BY 1, 2
+""",
     # the whole NB train->score->argmax pipeline replayed: same hash
     # split, same top-V vocabulary (count desc, term asc), same add-1
     # smoothed rounded log-probs, same prior-only path for docs with no
@@ -5073,6 +5097,38 @@ def _q_text_wordlist_filter(spark, sf_dir):
     )
 
 
+def _q_web_url_canonical(spark, sf_dir):
+    # URL-level dedup key (operators/web.py::canonical_url): every doc
+    # gets deterministic messy variants — mixed case, www., default
+    # port, tracking params, fragment, trailing slash, unsorted query —
+    # that MUST collapse to one canonical form (n_variants = 2), while
+    # doc_id % 3 == 0 docs add a genuinely different URL (port 8080,
+    # other path) that must NOT collapse. The oracle replays the full
+    # canonicalization char-for-char via the shared SQL twin.
+    (docs,) = _tables(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    v1 = F.concat(
+        F.lit("HTTP://WWW."), F.upper("source"), F.lit(".EXAMPLE.COM:80/d/"),
+        did, F.lit("/?utm_source=m&b=2&a=1#x"),
+    )
+    v2 = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example.com/d/"),
+        did, F.lit("?a=1&b=2&fbclid=z"),
+    )
+    v3 = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com:8080/alt/"), did
+    )
+    variants = F.when(F.col("doc_id") % 3 == 0, F.array(v1, v2, v3)).otherwise(
+        F.array(v1, v2)
+    )
+    raw = docs.select("doc_id", F.explode(variants).alias("raw"))
+    return (
+        raw.select("doc_id", WB.canonical_url(F.col("raw")).alias("canonical"))
+        .groupBy("doc_id", "canonical")
+        .agg(F.count(F.lit(1)).alias("n_variants"))
+    )
+
+
 def _q_text_nb_classifier(spark, sf_dir):
     # the model-based curation gate (operators/classify.py): closed-form
     # multinomial NB trained on the md5-hash train slice (labels = lang),
@@ -5389,6 +5445,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_shuffle_shards": _q_corpus_shuffle_shards,
     "text_wordlist_filter": _q_text_wordlist_filter,
     "text_nb_classifier": _q_text_nb_classifier,
+    "web_url_canonical": _q_web_url_canonical,
 }
 
 _HISTORY_ORACLES = {

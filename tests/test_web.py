@@ -101,3 +101,57 @@ def test_domain_cap_exact_md5_selection_and_bypass(spark):
         assert got[i] == ("hot.com", i in expect_keep)
     assert got[10] == ("cold.org", True)
     assert got[11] == ("cold.org", True)
+
+
+class TestCanonicalUrl:
+    CASES = [
+        # messy -> canonical: case, www, default port, tracking params,
+        # param sort, fragment, trailing slash
+        (
+            "HTTP://WWW.NeWs.Example.COM:80/Story/42/?utm_source=m&b=2&a=1&gclid=x#f",
+            "http://news.example.com/Story/42?a=1&b=2",
+        ),
+        ("https://news.example.com:443/s?b=2&a=1", "https://news.example.com/s?a=1&b=2"),
+        # non-default port and userinfo: port kept, credentials dropped
+        ("https://user:pw@Site.org:8443/a//", "https://site.org:8443/a"),
+        ("http://example.com/", "http://example.com"),
+        # tracking-only query vanishes entirely (no dangling '?')
+        ("http://example.com/?ref=tw&fbclid=1", "http://example.com"),
+        # 'reference' is NOT the tracker 'ref' — anchored key match
+        ("http://example.com/?reference=1", "http://example.com?reference=1"),
+        ("not a url", None),
+        (None, None),
+    ]
+
+    def test_spark_canonicalization(self, spark):
+        from kinesis_data_counter_spark.operators.web import canonical_url
+
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES], "raw string")
+        got = [r.c for r in df.select(canonical_url(F.col("raw")).alias("c")).collect()]
+        assert got == [want for _, want in self.CASES]
+
+    def test_sql_twin_matches_spark(self, spark):
+        import duckdb
+
+        from kinesis_data_counter_spark.operators.web import canonical_url_sql
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(raw VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?)", [(u,) for u, _ in self.CASES])
+        got = [r[0] for r in con.execute(
+            f"SELECT {canonical_url_sql('raw')} FROM t"
+        ).fetchall()]
+        assert got == [want for _, want in self.CASES]
+
+    def test_dedup_key_collapses_variants(self, spark):
+        from kinesis_data_counter_spark.operators.web import canonical_url
+
+        variants = [
+            "http://a.com/x?p=1&utm_campaign=spring",
+            "HTTP://WWW.A.COM:80/x/?p=1",
+            "http://a.com/x#section-2?p=1",  # fragment swallows the rest
+        ]
+        df = spark.createDataFrame([(u,) for u in variants], "raw string")
+        keys = {r.c for r in df.select(canonical_url(F.col("raw")).alias("c")).collect()}
+        # first two collapse; the fragment-mangled third differs by design
+        assert "http://a.com/x?p=1" in keys and len(keys) == 2
