@@ -5634,7 +5634,8 @@ _SHOWCASE_ORDER = [
     # ceded with r1-r4 green rows and the sketch family still
     # representated in-head by counter_two_level's HLL merge topology.
     # Never-driver-recorded after this rotation: 36 of 160.
-    # ROUND-7 ROTATION CANDIDATES (strongest first): corpus_decontaminate,
+    # ROUND-7 ROTATION CANDIDATES (strongest first): web_url_canonical
+    # (added mid-round-6, after the head was frozen), corpus_decontaminate,
     # sessionize_users, range_join_session_events, events_transitions,
     # sample_hash_split, sample_class_balance, text_fingerprint,
     # text_winnow, ann_lsh_recall, dedup_method_agreement, profile_events,

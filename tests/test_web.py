@@ -155,3 +155,53 @@ class TestCanonicalUrl:
         keys = {r.c for r in df.select(canonical_url(F.col("raw")).alias("c")).collect()}
         # first two collapse; the fragment-mangled third differs by design
         assert "http://a.com/x?p=1" in keys and len(keys) == 2
+
+
+def test_canonical_url_random_differential_and_idempotence(spark):
+    # seeded generator over the URL grammar: scheme x case x www x
+    # userinfo x port x path-depth/trailing-slash x params (tracking,
+    # real, valueless, odd chars) x fragment. Spark and DuckDB must
+    # agree char-for-char, and canonicalization must be a projection
+    # onto its own fixed points (canonical(canonical(u)) == canonical(u))
+    import random
+
+    import duckdb
+
+    from kinesis_data_counter_spark.operators.web import (
+        canonical_url,
+        canonical_url_sql,
+    )
+
+    rng = random.Random(601)
+    urls = []
+    for _ in range(250):
+        scheme = rng.choice(["http", "HTTP", "https", "HtTpS", "ftp"])
+        www = rng.choice(["", "www.", "WWW."])
+        user = rng.choice(["", "u@", "u:p@"])
+        host = rng.choice(["Ex.COM", "a.b.example.org", "x.net"])
+        port = rng.choice(["", ":80", ":443", ":8080", ":8443"])
+        depth = rng.randint(0, 3)
+        path = "".join(f"/P{rng.randint(0, 9)}" for _ in range(depth))
+        path += rng.choice(["", "/", "//"])
+        pool = ["utm_source=a", "utm_x", "gclid=1", "ref=t", "reference=2",
+                "b=2", "a=1", "a=", "z", "k=v%20w"]
+        n = rng.randint(0, 4)
+        q = "&".join(rng.sample(pool, n)) if n else ""
+        frag = rng.choice(["", "#f", "#s?fake=1"])
+        urls.append(f"{scheme}://{user}{www}{host}{port}{path}"
+                    + (f"?{q}" if q else "") + frag)
+
+    df = spark.createDataFrame([(u,) for u in urls], "raw string")
+    got = [r.c for r in df.select(canonical_url(F.col("raw")).alias("c")).collect()]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(raw VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in urls])
+    want = [r[0] for r in con.execute(
+        f"SELECT {canonical_url_sql('raw')} FROM t"
+    ).fetchall()]
+    assert got == want
+
+    df2 = spark.createDataFrame([(u,) for u in got], "raw string")
+    twice = [r.c for r in df2.select(canonical_url(F.col("raw")).alias("c")).collect()]
+    assert twice == got
