@@ -136,6 +136,9 @@ SF1_SPOT_QUERIES = [
     # are the new shapes whose cost curves need a 10x data point
     "corpus_boilerplate",
     "web_domain_curation",
+    # round-6 late: the NB gate's two aggregation passes + broadcast
+    # scoring — the vocab TakeOrdered must stay flat while token volume 10x's
+    "text_nb_classifier",
 ]
 SF1_LINEAR_BAND = 15.0  # 10× data + superlinear shuffle slack
 
