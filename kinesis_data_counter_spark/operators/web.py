@@ -250,3 +250,143 @@ def canonical_url_sql(url_expr: str) -> str:
         f" || CASE WHEN {query} <> '' THEN '?' || {query} ELSE '' END"
         " END"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Domain-authority PageRank over a (src, dst) edge table — the
+    centrality signal web-scale curation stacks (Common-Crawl-derived
+    corpora) use to weight domains before content filtering.
+
+    Fixed ``iters`` power iterations with damping; duplicate edges
+    collapse first (authority follows links, not link spam). Dangling
+    nodes (no out-edges) redistribute their rank uniformly — the
+    standard correction, one broadcast scalar per iteration. Every
+    iteration ROUNDS ranks to 6 digits, so the whole float trajectory
+    is engine-replayable (the rounded-logp discipline) and iterations
+    stay comparable across any summation order.
+
+    Scale shape: the node and degree tables derive from one
+    edge-distinct aggregation; each iteration is ONE shuffle — an
+    equi-join of edges with the current (node-keyed, usually
+    broadcast-small for domain graphs) rank table, then a groupBy(dst)
+    with map-side combine. The rank table is |domains|-sized — tiny
+    next to the corpus — so iterations broadcast. For billion-node
+    graphs the same plan holds with hash joins; ``iters`` bounds the
+    stage count (a driver loop, each round materialized with persist).
+
+    Returns (node, rank, out_deg, in_deg).
+    """
+    e = edges.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+    ).where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()).distinct()
+    e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_deg = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.join(F.broadcast(out_deg), "node", "left").select(
+        "node",
+        F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),
+        F.round(F.lit(1.0 / n_nodes), 6).alias("rank"),
+    )
+    for _ in range(iters):
+        # materialize + truncate lineage each round (the dedup_clusters
+        # iteration discipline) — the rank table is |domains|-sized
+        ranks = ranks.localCheckpoint()
+        dangling = (
+            ranks.where(F.col("out_deg") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+            )
+        ).collect()[0]["dm"]
+        contrib = (
+            e.join(F.broadcast(ranks), e.src == ranks.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("inflow"))
+        )
+        ranks = ranks.select("node", "out_deg").join(
+            F.broadcast(contrib), "node", "left"
+        ).select(
+            "node",
+            "out_deg",
+            F.round(
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n_nodes)),
+                6,
+            ).alias("rank"),
+        )
+    out = ranks.join(F.broadcast(in_deg), "node", "left").select(
+        "node",
+        "rank",
+        F.col("out_deg").cast("bigint").alias("out_deg"),
+        F.coalesce(F.col("in_deg"), F.lit(0)).cast("bigint").alias("in_deg"),
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def pagerank_sql(
+    edges_cte: str,
+    damping: float = 0.85,
+    iters: int = 3,
+) -> str:
+    """The identical fixed-iteration PageRank as unrolled ANSI SQL CTEs.
+    ``edges_cte`` must be the NAME of a CTE/view with (src, dst)
+    columns; returns a full SELECT ending in (node, rank, out_deg,
+    in_deg). Iterations are unrolled (r0..r{iters}) — same per-round
+    6-digit rounding, same uniform dangling redistribution."""
+    d = damping
+    parts = [
+        f"e AS (SELECT DISTINCT src, dst FROM {edges_cte}"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "od AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1)",
+        "idg AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY 1)",
+        "r0 AS (SELECT nodes.node, coalesce(od.out_deg, 0) AS out_deg,"
+        " round(1.0 / nn.n, 6) AS rank"
+        " FROM nodes LEFT JOIN od USING (node) CROSS JOIN nn)",
+    ]
+    for k in range(iters):
+        p, c = f"r{k}", f"r{k + 1}"
+        parts.append(
+            f"dm{k} AS (SELECT coalesce(sum(rank), 0) AS dm FROM {p}"
+            " WHERE out_deg = 0)"
+        )
+        parts.append(
+            f"in{k} AS (SELECT e.dst AS node, sum({p}.rank / {p}.out_deg)"
+            f" AS inflow FROM e JOIN {p} ON e.src = {p}.node GROUP BY 1)"
+        )
+        parts.append(
+            f"{c} AS (SELECT {p}.node, {p}.out_deg,"
+            f" round((1.0 - {d}) / nn.n + {d} * (coalesce(in{k}.inflow, 0)"
+            f" + dm{k}.dm / nn.n), 6) AS rank"
+            f" FROM {p} LEFT JOIN in{k} USING (node)"
+            f" CROSS JOIN nn CROSS JOIN dm{k})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT r{iters}.node, r{iters}.rank,"
+        f" CAST(r{iters}.out_deg AS BIGINT) AS out_deg,"
+        " CAST(coalesce(idg.in_deg, 0) AS BIGINT) AS in_deg"
+        f" FROM r{iters} LEFT JOIN idg USING (node)"
+    )

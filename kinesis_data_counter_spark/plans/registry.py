@@ -4122,6 +4122,19 @@ SELECT doc_id, {WB.canonical_url_sql('raw')} AS canonical,
        CAST(count(*) AS BIGINT) AS n_variants
 FROM raw GROUP BY 1, 2
 """,
+    # same edge derivation; the pagerank_sql twin unrolls the identical
+    # three rounded power iterations (slice off its leading WITH to chain
+    # the edge CTE in front)
+    "web_domain_rank": f"""
+WITH edges AS (
+  SELECT source || '.example.com' AS src,
+         CASE WHEN doc_id % 7 = 0 THEN 'sink.example.net'
+              ELSE 'src' || CAST((doc_id // 20 * 7 + doc_id) % 20 AS VARCHAR)
+                   || '.example.com'
+         END AS dst
+  FROM documents
+), {WB.pagerank_sql('edges', damping=0.85, iters=3)[len('WITH '):]}
+""",
     # the whole NB train->score->argmax pipeline replayed: same hash
     # split, same top-V vocabulary (count desc, term asc), same add-1
     # smoothed rounded log-probs, same prior-only path for docs with no
@@ -5129,6 +5142,33 @@ def _q_web_url_canonical(spark, sf_dir):
     )
 
 
+def _q_web_domain_rank(spark, sf_dir):
+    # domain-authority PageRank (operators/web.py::pagerank): the
+    # deterministic doc->domain link derivation gives a 21-node graph
+    # where every source fans out to many distinct targets (dst varies
+    # WITHIN a source via doc_id div 20) INCLUDING a genuine dangling node (sink.example.net receives
+    # every doc_id % 7 == 0 link but never links out), so the uniform
+    # dangling redistribution is exercised, not just implemented. Three
+    # power iterations, rank rounded to 6 each round — the oracle
+    # replays the whole float trajectory through unrolled CTEs.
+    (docs,) = _tables(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("src"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("sink.example.net"))
+        .otherwise(
+            F.concat(
+                F.lit("src"),
+                ((F.expr("doc_id div 20") * 7 + F.col("doc_id")) % 20).cast(
+                    "string"
+                ),
+                F.lit(".example.com"),
+            )
+        )
+        .alias("dst"),
+    )
+    return WB.pagerank(edges, damping=0.85, iters=3)
+
+
 def _q_text_nb_classifier(spark, sf_dir):
     # the model-based curation gate (operators/classify.py): closed-form
     # multinomial NB trained on the md5-hash train slice (labels = lang),
@@ -5446,6 +5486,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_wordlist_filter": _q_text_wordlist_filter,
     "text_nb_classifier": _q_text_nb_classifier,
     "web_url_canonical": _q_web_url_canonical,
+    "web_domain_rank": _q_web_domain_rank,
 }
 
 _HISTORY_ORACLES = {
@@ -5634,8 +5675,9 @@ _SHOWCASE_ORDER = [
     # ceded with r1-r4 green rows and the sketch family still
     # representated in-head by counter_two_level's HLL merge topology.
     # Never-driver-recorded after this rotation: 36 of 160.
-    # ROUND-7 ROTATION CANDIDATES (strongest first): web_url_canonical
-    # (added mid-round-6, after the head was frozen), corpus_decontaminate,
+    # ROUND-7 ROTATION CANDIDATES (strongest first): web_url_canonical and
+    # web_domain_rank (added mid-round-6, after the head was frozen),
+    # corpus_decontaminate,
     # sessionize_users, range_join_session_events, events_transitions,
     # sample_hash_split, sample_class_balance, text_fingerprint,
     # text_winnow, ann_lsh_recall, dedup_method_agreement, profile_events,

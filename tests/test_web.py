@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kinesis_data_counter_spark.operators.web import (
@@ -205,3 +206,66 @@ def test_canonical_url_random_differential_and_idempotence(spark):
     df2 = spark.createDataFrame([(u,) for u in got], "raw string")
     twice = [r.c for r in df2.select(canonical_url(F.col("raw")).alias("c")).collect()]
     assert twice == got
+
+
+class TestPagerank:
+    def test_two_cycle_symmetry_and_mass(self, spark):
+        from kinesis_data_counter_spark.operators.web import pagerank
+
+        e = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+        out = {r.node: r for r in pagerank(e, iters=4).collect()}
+        # symmetric graph -> equal ranks, total mass = 1
+        assert out["a"].rank == out["b"].rank == pytest.approx(0.5, abs=1e-6)
+        assert out["a"].out_deg == out["a"].in_deg == 1
+
+    def test_dangling_node_mass_is_redistributed(self, spark):
+        from kinesis_data_counter_spark.operators.web import pagerank
+
+        # b is dangling: its rank must re-enter the graph, total mass
+        # stays 1 each iteration (the standard correction)
+        e = spark.createDataFrame([("a", "b")], "src string, dst string")
+        rows = pagerank(e, iters=3).collect()
+        assert sum(r.rank for r in rows) == pytest.approx(1.0, abs=1e-5)
+        out = {r.node: r for r in rows}
+        assert out["b"].out_deg == 0
+        assert out["b"].rank > out["a"].rank  # b receives a's full outflow
+
+    def test_duplicate_edges_collapse(self, spark):
+        from kinesis_data_counter_spark.operators.web import pagerank
+
+        e1 = spark.createDataFrame(
+            [("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")],
+            "src string, dst string",
+        )
+        e2 = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")],
+            "src string, dst string",
+        )
+        r1 = sorted((r.node, r.rank) for r in pagerank(e1, iters=3).collect())
+        r2 = sorted((r.node, r.rank) for r in pagerank(e2, iters=3).collect())
+        assert r1 == r2  # link spam buys nothing
+
+    def test_sql_twin_random_graph_differential(self, spark):
+        import random
+
+        import duckdb
+
+        from kinesis_data_counter_spark.operators.web import pagerank, pagerank_sql
+
+        rng = random.Random(77)
+        edges = list(
+            {(f"n{rng.randint(0, 29)}", f"n{rng.randint(0, 34)}") for _ in range(120)}
+        )
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = sorted(
+            (r.node, r.rank, r.out_deg, r.in_deg)
+            for r in pagerank(df, damping=0.85, iters=3).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE g(src VARCHAR, dst VARCHAR)")
+        con.executemany("INSERT INTO g VALUES (?, ?)", edges)
+        want = sorted(
+            tuple(r)
+            for r in con.execute(pagerank_sql("g", damping=0.85, iters=3)).fetchall()
+        )
+        assert got == want
