@@ -297,6 +297,19 @@ SHOWCASE: dict[str, str] = {
         "shuffle, one column-pruned scan; occurrence counting stays "
         "inside WholeStageCodegen."
     ),
+    "web_url_canonical": (
+        "URL-level dedup key (round 6): canonicalization is ONE codegen "
+        "projection (regex + array sort inside WholeStageCodegen, no "
+        "UDF); the only exchange is the per-key count aggregation that "
+        "proves the variant collapse."
+    ),
+    "web_domain_rank": (
+        "Domain-authority PageRank (round 6): each power iteration is "
+        "one BroadcastHashJoin of edges with the |domains|-sized rank "
+        "table plus a map-side-combined groupBy(dst); lineage is "
+        "truncated per round by localCheckpoint, so the shown plan is "
+        "the LAST iteration's — constant-depth regardless of iters."
+    ),
     "text_nb_classifier": (
         "Model-based curation gate (round 6): multinomial NB. Training "
         "is two map-side-combined aggregations plus a TakeOrdered top-V "
