@@ -118,6 +118,10 @@ BENCH_QUERIES = [
     # round-6 late addition: the model-based curation gate — NB train +
     # broadcast-join scoring in one plan
     "text_nb_classifier",
+    # round-6 late: the web curation capstone (canonical-URL dedup ->
+    # domain cap -> NB gate) and the iterative rank table
+    "corpus_curate_web",
+    "web_domain_rank",
 ]
 
 

@@ -5,6 +5,9 @@ way a recurring training-data refresh would use it.
       → snapshot diff: what changed?                 operators/history.py
       → drift monitor: did the distribution move?    metrics.py
       → web-provenance gate: blocklist + domain cap  operators/web.py
+      → URL canonicalization (tracking-param scrub)  operators/web.py
+      → domain-authority PageRank                    operators/web.py
+      → NB classifier gate (trained on a seed slice) operators/classify.py
       → wordlist gate                                operators/text.py
       → boilerplate removal (doc-frequency rule)     operators/corpus.py
       → overlapping chunks for the retrieval index   operators/corpus.py
@@ -36,7 +39,13 @@ from kinesis_data_counter_spark.operators.corpus import (
 from kinesis_data_counter_spark.operators.history import snapshot_diff
 from kinesis_data_counter_spark.operators.sampling import shuffle_shards
 from kinesis_data_counter_spark.operators.text import wordlist_score
-from kinesis_data_counter_spark.operators.web import blocklist_filter, domain_cap
+from kinesis_data_counter_spark.operators.classify import nb_score, nb_train
+from kinesis_data_counter_spark.operators.web import (
+    blocklist_filter,
+    canonical_url,
+    domain_cap,
+    pagerank,
+)
 from kinesis_data_counter_spark.session import get_spark, load_tables
 
 
@@ -80,6 +89,60 @@ def main() -> None:
     gated = blocklist_filter(with_urls, blocked)
     capped = domain_cap(gated, cap=30).filter(F.col("kept"))
     print("after web gate:", capped.count(), "docs")
+
+    # URL-level dedup key: the crawler recorded half the URLs with click
+    # trackers and fragments — canonicalization collapses them for free
+    messy = capped.withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("url"), F.lit("?utm_source=feed&fbclid=abc#top")),
+        ).otherwise(F.col("url")),
+    )
+    canon = messy.withColumn("url_key", canonical_url(F.col("url")))
+    print(
+        "canonical keys:",
+        canon.select("url_key").distinct().count(),
+        "from", canon.count(), "raw urls",
+        "(tracking params scrubbed on",
+        canon.filter(F.col("url_key") != F.col("url")).count(), "docs)",
+    )
+
+    # domain authority: who links to whom (synthetic link derivation);
+    # the rank table is what a crawler's frontier prioritizer consumes
+    edges = canon.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("src"),
+        F.concat(
+            F.lit("src"),
+            ((F.col("doc_id") * 7 + F.expr("doc_id div 20")) % 20).cast("string"),
+            F.lit(".example.com"),
+        ).alias("dst"),
+    )
+    ranks = pagerank(edges, iters=3)
+    top = ranks.orderBy(F.col("rank").desc(), "node").limit(3).collect()
+    print("top authority domains:", [(r.node, r.rank) for r in top])
+
+    # model-based gate over the WHOLE refresh corpus: a labeled seed
+    # slice (here: lang as the label, with a planted marker standing in
+    # for real signal) trains the NB model; the rest is scored by one
+    # broadcast-join pass
+    marked = new.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                (F.col("doc_id") % 5 != 0) & F.col("lang").isNotNull(),
+                F.concat(F.lit(" marker"), F.col("lang")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    seed = marked.filter(F.col("doc_id") % 2 == 0)
+    model = nb_train(seed, label_col="lang")
+    scored = nb_score(marked.filter(F.col("doc_id") % 2 != 0), model,
+                      keep_cols=("lang",))
+    agree = scored.filter(F.col("predicted") == F.col("lang")).count()
+    total = scored.count()
+    print(f"NB gate agreement: {agree}/{total}")
 
     clean_words = capped.join(
         wordlist_score(capped, words=("slow",), threshold=0.1)

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from kinesis_data_counter_spark.operators.text import clean_tokens
 
-__all__ = ["NBModel", "nb_train", "nb_score", "nb_confusion"]
+__all__ = ["NBModel", "nb_train", "nb_score", "nb_confusion", "nb_sql_ctes"]
 
 
 @dataclass(frozen=True)
@@ -206,3 +206,67 @@ def nb_confusion(
     return scored.groupBy(
         F.col(actual_col).alias("actual"), F.col(predicted_col).alias("predicted")
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def nb_sql_ctes(
+    train_cte: str,
+    score_cte: str,
+    vocab_size: int = 2048,
+    prefix: str = "nb_",
+) -> str:
+    """The nb_train -> nb_score -> argmax pipeline as a reusable ANSI-SQL
+    CTE chain (the ``pagerank_sql`` pattern): same top-V vocabulary rule,
+    same add-1 smoothed rounded log-probs, same prior-only fallback for
+    docs with no in-vocab token, same label-asc argmax tie-break.
+
+    ``train_cte`` must expose (label, text) with label non-NULL;
+    ``score_cte`` must expose (doc_id, text). Produces ``{prefix}pred``
+    with (doc_id, predicted, score) — splice into a WITH chain and join
+    back on doc_id.
+    """
+    p = prefix
+    tok = (
+        r"unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),"
+        r" x -> x <> ''))"
+    )
+    return f"""{p}ttoks AS (
+  SELECT label, {tok} AS term FROM {train_cte} WHERE text IS NOT NULL
+), {p}vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS c FROM {p}ttoks GROUP BY 1
+    ORDER BY c DESC, term ASC LIMIT {vocab_size})
+), {p}vsize AS (SELECT count(*) AS v FROM {p}vocab),
+{p}counts AS (
+  SELECT label, term, count(*) AS cnt
+  FROM {p}ttoks JOIN {p}vocab USING (term) GROUP BY 1, 2
+), {p}classes AS (
+  SELECT label, count(*) AS n_docs_label FROM {train_cte} GROUP BY 1
+), {p}grid AS (
+  SELECT c.label, v.term, coalesce(k.cnt, 0) AS cnt
+  FROM {p}classes c CROSS JOIN {p}vocab v
+  LEFT JOIN {p}counts k ON k.label = c.label AND k.term = v.term
+), {p}totals AS (SELECT label, sum(cnt) AS tot FROM {p}grid GROUP BY 1),
+{p}model AS (
+  SELECT g.label, g.term, round(ln((g.cnt + 1.0) / (t.tot + s.v)), 6) AS logp
+  FROM {p}grid g JOIN {p}totals t USING (label) CROSS JOIN {p}vsize s
+), {p}priors AS (
+  SELECT label,
+         round(ln(n_docs_label * 1.0 / (SELECT count(*) FROM {train_cte})), 6)
+           AS logprior
+  FROM {p}classes
+), {p}stoks AS (
+  SELECT doc_id, {tok} AS term FROM {score_cte} WHERE text IS NOT NULL
+), {p}sums AS (
+  SELECT s.doc_id, m.label, sum(m.logp) AS s
+  FROM {p}stoks s JOIN {p}model m USING (term) GROUP BY 1, 2
+), {p}scored AS (
+  SELECT te.doc_id, pr.label,
+         round(pr.logprior + coalesce(u.s, 0), 4) AS score
+  FROM {score_cte} te CROSS JOIN {p}priors pr
+  LEFT JOIN {p}sums u ON u.doc_id = te.doc_id AND u.label = pr.label
+), {p}pred AS (
+  SELECT doc_id, label AS predicted, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, label ASC) AS rn
+    FROM {p}scored) WHERE rn = 1
+)"""

@@ -4098,6 +4098,65 @@ SELECT doc_id,
             ELSE md5(concat('shuffle:r6:', CAST(doc_id AS VARCHAR))) END AS ticket
 FROM documents
 """,
+    # stage-for-stage replay of the web curation funnel: the same
+    # canonical_url_sql key, the same min-doc_id URL dedup, the same
+    # md5-ticket cap rule (web_domain_curation's twin), and the NB gate
+    # through the shared nb_sql_ctes chain
+    "corpus_curate_web": rf"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         'https://www.'
+           || CASE WHEN doc_id % 20 < 4 THEN 'hub' ELSE source END
+           || '-site.com/p/'
+           || CAST(doc_id % 300 AS VARCHAR)
+           || CASE WHEN doc_id % 2 = 1 THEN '?utm_source=feed#f' ELSE '' END
+           AS url
+  FROM documents
+), keyed AS (
+  SELECT *, {WB.canonical_url_sql('url')} AS url_key FROM base
+), keyed_ok AS (
+  SELECT * FROM keyed WHERE url_key IS NOT NULL
+), winners AS (
+  SELECT url_key, min(doc_id) AS doc_id FROM keyed_ok GROUP BY 1
+), surv AS (
+  SELECT k.*, regexp_replace(regexp_extract(lower(k.url_key),
+           '://(?:[^/@]*@)?([^/:?#]+)', 1), '^www\.', '') AS host
+  FROM keyed_ok k JOIN winners w USING (url_key, doc_id)
+), dom AS (
+  SELECT *, CASE WHEN host IS NULL THEN NULL
+                 WHEN len(str_split(host, '.')) <= 2 THEN host
+                 ELSE array_to_string(str_split(host, '.')[-2:], '.') END AS domain
+  FROM surv
+), c AS (SELECT domain, count(*) AS n FROM dom GROUP BY 1),
+r AS (
+  SELECT dom.*, c.n,
+         row_number() OVER (
+           PARTITION BY dom.domain
+           ORDER BY md5('cap:' || CAST(dom.doc_id AS VARCHAR)), dom.doc_id
+         ) AS rk
+  FROM dom JOIN c USING (domain)
+), capped AS (
+  SELECT *, (CASE WHEN n <= 20 THEN TRUE ELSE rk <= 20 END) AS kept FROM r
+), marked AS (
+  SELECT doc_id, lang, domain, kept,
+         text || CASE WHEN doc_id % 5 <> 0 AND lang IS NOT NULL
+                      THEN ' marker' || lang ELSE '' END AS text
+  FROM capped WHERE kept
+), train AS (
+  SELECT lang AS label, text FROM marked
+  WHERE doc_id % 4 = 0 AND lang IS NOT NULL
+), score_in AS (
+  SELECT doc_id, text FROM marked
+), {CL.nb_sql_ctes('train', 'score_in')}
+SELECT capped.domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN capped.kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN capped.kept AND capped.lang IS NOT NULL
+                      AND p.predicted = capped.lang
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+FROM capped LEFT JOIN nb_pred p ON p.doc_id = capped.doc_id
+GROUP BY 1
+""",
     # same variant derivation, same canonicalization expression (the
     # canonical_url_sql twin shares the regexes and drop/sort rules)
     "web_url_canonical": f"""
@@ -4150,57 +4209,15 @@ WITH marked AS (
          {SP.split_sql_case('doc_id', (('train', 0.7), ('test', 0.3)), salt='nb')} AS split
   FROM marked
 ), train AS (
-  SELECT * FROM split WHERE split = 'train' AND lang IS NOT NULL
-), ttoks AS (
-  SELECT lang AS label,
-         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                            x -> x <> '')) AS term
-  FROM train WHERE text IS NOT NULL
-), vocab AS (
-  SELECT term FROM (
-    SELECT term, count(*) AS c FROM ttoks GROUP BY 1
-    ORDER BY c DESC, term ASC LIMIT 2048)
-), vsize AS (SELECT count(*) AS v FROM vocab),
-counts AS (
-  SELECT label, term, count(*) AS cnt
-  FROM ttoks JOIN vocab USING (term) GROUP BY 1, 2
-), classes AS (
-  SELECT lang AS label, count(*) AS n_docs_label FROM train GROUP BY 1
-), grid AS (
-  SELECT c.label, v.term, coalesce(k.cnt, 0) AS cnt
-  FROM classes c CROSS JOIN vocab v
-  LEFT JOIN counts k ON k.label = c.label AND k.term = v.term
-), totals AS (SELECT label, sum(cnt) AS tot FROM grid GROUP BY 1),
-model AS (
-  SELECT g.label, g.term, round(ln((g.cnt + 1.0) / (t.tot + s.v)), 6) AS logp
-  FROM grid g JOIN totals t USING (label) CROSS JOIN vsize s
-), priors AS (
-  SELECT label,
-         round(ln(n_docs_label * 1.0 / (SELECT count(*) FROM train)), 6) AS logprior
-  FROM classes
-), test AS (
-  SELECT doc_id, lang AS actual, text FROM split WHERE split = 'test'
-), stoks AS (
-  SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                            x -> x <> '')) AS term
-  FROM test WHERE text IS NOT NULL
-), sums AS (
-  SELECT s.doc_id, m.label, sum(m.logp) AS s
-  FROM stoks s JOIN model m USING (term) GROUP BY 1, 2
-), scored AS (
-  SELECT te.doc_id, te.actual, p.label,
-         round(p.logprior + coalesce(u.s, 0), 4) AS score
-  FROM test te CROSS JOIN priors p
-  LEFT JOIN sums u ON u.doc_id = te.doc_id AND u.label = p.label
-), pred AS (
-  SELECT actual, label AS predicted FROM (
-    SELECT *, row_number() OVER (PARTITION BY doc_id
-                                 ORDER BY score DESC, label ASC) AS rn
-    FROM scored) WHERE rn = 1
-)
-SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
-FROM pred GROUP BY 1, 2
+  SELECT lang AS label, text FROM split
+  WHERE split = 'train' AND lang IS NOT NULL
+), score_in AS (
+  SELECT doc_id, text FROM split WHERE split = 'test'
+), {CL.nb_sql_ctes('train', 'score_in')}
+SELECT t.lang AS actual, p.predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, lang FROM split WHERE split = 'test') t
+JOIN nb_pred p USING (doc_id)
+GROUP BY 1, 2
 """,
     "sample_hash_split": f"""
 SELECT {SP.split_sql_case('doc_id')} AS split,
@@ -5169,6 +5186,71 @@ def _q_web_domain_rank(spark, sf_dir):
     return WB.pagerank(edges, damping=0.85, iters=3)
 
 
+def _q_corpus_curate_web(spark, sf_dir):
+    # the WEB-side curation capstone — the provenance funnel a crawl
+    # refresh runs BEFORE any content pass, composed from this round's
+    # operators and replayed stage-for-stage by the oracle:
+    #   1. URL canonicalization (doc_id % 300 path collisions + trackers
+    #      on odd ids -> pairs (i, i+300) MUST collapse; min-doc_id wins;
+    #      unparseable NULL keys are dropped explicitly)
+    #   2. skew-aware per-domain cap (eTLD+1 of the canonical host; a
+    #      planted hub domain absorbs 4/20 of the corpus so the cap
+    #      genuinely binds — mirror-farm concentration)
+    #   3. NB classifier gate on the survivors (marker-planted labels,
+    #      doc_id % 4 == 0 as the labeled seed; admit predicted == lang)
+    # Output: the per-domain funnel (n_urls -> n_kept -> n_admitted).
+    (docs,) = _tables(spark, sf_dir, "documents")
+    host = F.when(F.col("doc_id") % 20 < 4, F.lit("hub")).otherwise(
+        F.col("source")
+    )
+    url = F.concat(
+        F.lit("https://www."),
+        host,
+        F.lit("-site.com/p/"),
+        (F.col("doc_id") % 300).cast("string"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("?utm_source=feed#f")).otherwise(
+            F.lit("")
+        ),
+    )
+    keyed = docs.withColumn("url", url).withColumn(
+        "url_key", WB.canonical_url(F.col("url"))
+    )
+    keyed = keyed.filter(F.col("url_key").isNotNull())
+    # min-struct survivor selection: ONE map-side-combined shuffle on the
+    # canonical key (doc_id leads the struct, so min == min-doc_id row) —
+    # no corpus x corpus join-back, no per-key window sort
+    surv = (
+        keyed.groupBy("url_key")
+        .agg(F.min(F.struct("doc_id", "lang", "text", "url")).alias("w"))
+        .select("url_key", "w.*")
+    )
+    capped = WB.domain_cap(surv, cap=20)
+    kept = capped.filter(F.col("kept"))
+    marked = kept.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                (F.col("doc_id") % 5 != 0) & F.col("lang").isNotNull(),
+                F.concat(F.lit(" marker"), F.col("lang")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    model = CL.nb_train(
+        marked.filter(F.col("doc_id") % 4 == 0), label_col="lang"
+    )
+    scored = CL.nb_score(marked, model).select("doc_id", "predicted")
+    funnel = capped.join(scored, "doc_id", "left")
+    admitted = (
+        F.col("kept") & F.col("lang").isNotNull() & (F.col("predicted") == F.col("lang"))
+    )
+    return funnel.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+        F.sum(admitted.cast("bigint")).alias("n_admitted"),
+    )
+
+
 def _q_text_nb_classifier(spark, sf_dir):
     # the model-based curation gate (operators/classify.py): closed-form
     # multinomial NB trained on the md5-hash train slice (labels = lang),
@@ -5487,6 +5569,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_nb_classifier": _q_text_nb_classifier,
     "web_url_canonical": _q_web_url_canonical,
     "web_domain_rank": _q_web_domain_rank,
+    "corpus_curate_web": _q_corpus_curate_web,
 }
 
 _HISTORY_ORACLES = {
@@ -5675,8 +5758,9 @@ _SHOWCASE_ORDER = [
     # ceded with r1-r4 green rows and the sketch family still
     # representated in-head by counter_two_level's HLL merge topology.
     # Never-driver-recorded after this rotation: 36 of 160.
-    # ROUND-7 ROTATION CANDIDATES (strongest first): web_url_canonical and
-    # web_domain_rank (added mid-round-6, after the head was frozen),
+    # ROUND-7 ROTATION CANDIDATES (strongest first): corpus_curate_web,
+    # web_url_canonical and web_domain_rank (added mid-round-6, after the
+    # head was frozen),
     # corpus_decontaminate,
     # sessionize_users, range_join_session_events, events_transitions,
     # sample_hash_split, sample_class_balance, text_fingerprint,

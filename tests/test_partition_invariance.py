@@ -354,3 +354,69 @@ def test_shuffle_shards_invariant_under_partitioning(spark):
         out = shuffle_shards(layout.drop("__part_key"), n_shards=4, seed="pi")
         results.append(sorted((r["doc_id"], r["shard"], r["ticket"]) for r in out.collect()))
     assert all(r == results[0] for r in results[1:])
+
+
+def test_nb_train_and_score_invariant_under_partitioning(spark):
+    # NB has two float-sensitive spots: per-class token sums (model) and
+    # per-doc logp sums (score) — both must be layout-independent after
+    # the rounding discipline
+    from kinesis_data_counter_spark.operators.classify import nb_score, nb_train
+
+    docs = _docs(spark).withColumn(
+        "label", F.when(F.col("doc_id") % 3 == 0, "a").otherwise("b")
+    )
+    results = []
+    for layout in _layouts(docs):
+        m = nb_train(layout.drop("__part_key"), label_col="label", vocab_size=50)
+        scored = nb_score(layout.drop("__part_key", "label"), m)
+        results.append(
+            (
+                sorted(map(tuple, m.table.collect())),
+                sorted(map(tuple, m.priors.collect())),
+                sorted((r.doc_id, r.predicted, r.score) for r in scored.collect()),
+            )
+        )
+    assert results[0][2], "fixture produced no scored docs"
+    assert all(r == results[0] for r in results[1:])
+
+
+def test_pagerank_invariant_under_partitioning(spark):
+    # per-iteration rank sums shuffle differently under each layout; the
+    # per-round rounding must keep the trajectories identical
+    from kinesis_data_counter_spark.operators.web import pagerank
+
+    rng = random.Random(31)
+    edges = spark.createDataFrame(
+        list({(f"n{rng.randint(0, 24)}", f"n{rng.randint(0, 29)}") for _ in range(90)}),
+        "src string, dst string",
+    ).withColumn("__part_key", F.crc32("src") % 7)
+    results = []
+    for layout in _layouts(edges):
+        r = pagerank(layout.drop("__part_key"), iters=3)
+        results.append(sorted(map(tuple, r.collect())))
+    assert len(results[0]) >= 25
+    assert all(r == results[0] for r in results[1:])
+
+
+def test_canonical_url_invariant_under_partitioning(spark):
+    # row-local by construction — this pins that it STAYS row-local
+    # (no hidden aggregation sneaks in)
+    from kinesis_data_counter_spark.operators.web import canonical_url
+
+    rng = random.Random(41)
+    urls = [
+        (
+            i,
+            f"HTTP://www.h{rng.randint(0, 9)}.COM:80/p{i}/"
+            f"?b={rng.randint(0, 5)}&a=1&utm_source=x#f",
+        )
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, raw string").withColumn(
+        "__part_key", F.col("doc_id") % 7
+    )
+    results = []
+    for layout in _layouts(df):
+        out = layout.select("doc_id", canonical_url(F.col("raw")).alias("c"))
+        results.append(sorted((r.doc_id, r.c) for r in out.collect()))
+    assert all(r == results[0] for r in results[1:])
