@@ -5239,15 +5239,27 @@ def _q_corpus_curate_web(spark, sf_dir):
     model = CL.nb_train(
         marked.filter(F.col("doc_id") % 4 == 0), label_col="lang"
     )
-    scored = CL.nb_score(marked, model).select("doc_id", "predicted")
-    funnel = capped.join(scored, "doc_id", "left")
-    admitted = (
-        F.col("kept") & F.col("lang").isNotNull() & (F.col("predicted") == F.col("lang"))
+    # keep_cols threads (domain, lang) through the score aggregation, so
+    # the funnel merge below is a DOMAIN-keyed broadcast join of two tiny
+    # aggregates — never a corpus x corpus doc-keyed join just to attach
+    # predictions back
+    scored = CL.nb_score(marked, model, keep_cols=("domain", "lang"))
+    admitted_agg = scored.groupBy("domain").agg(
+        F.sum(
+            (F.col("lang").isNotNull() & (F.col("predicted") == F.col("lang"))).cast(
+                "bigint"
+            )
+        ).alias("n_admitted")
     )
-    return funnel.groupBy("domain").agg(
+    base_agg = capped.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_urls"),
         F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
-        F.sum(admitted.cast("bigint")).alias("n_admitted"),
+    )
+    return base_agg.join(F.broadcast(admitted_agg), "domain", "left").select(
+        "domain",
+        "n_urls",
+        "n_kept",
+        F.coalesce(F.col("n_admitted"), F.lit(0)).alias("n_admitted"),
     )
 
 

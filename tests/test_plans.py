@@ -404,3 +404,13 @@ def test_profile_drift_buckets_without_window_or_sort(spark, sf_dir):
     assert "Window" not in plan
     # reference bounds and per-column totals ride broadcast exchanges
     assert "BroadcastExchange" in plan
+
+
+def test_curate_web_capstone_has_no_corpus_joins(spark, sf_dir):
+    # every stage is aggregation- or broadcast-shaped: min-struct URL
+    # dedup, the skew-aware cap, broadcast NB scoring, and a domain-keyed
+    # aggregate merge — never a SortMergeJoin of corpus-sized frames
+    plan = _plan(spark, sf_dir, "corpus_curate_web")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
