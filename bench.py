@@ -143,6 +143,10 @@ SF1_SPOT_QUERIES = [
     # round-6 late: the NB gate's two aggregation passes + broadcast
     # scoring — the vocab TakeOrdered must stay flat while token volume 10x's
     "text_nb_classifier",
+    # round-6 late: the deepest plan in the registry (URL dedup -> cap ->
+    # NB gate); measured FLAT sf0.1->sf1 (7.9s -> 7.7s) — stage-count
+    # overhead, not data cost
+    "corpus_curate_web",
 ]
 SF1_LINEAR_BAND = 15.0  # 10× data + superlinear shuffle slack
 
