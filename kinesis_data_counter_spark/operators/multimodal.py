@@ -669,3 +669,82 @@ def png_roundtrip_table(
         _roundtrip,
         "doc_id long, width int, height int, n_pixels long, pixels_match boolean",
     )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("zcr", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_features_roundtrip(
+    df: DataFrame,
+    n_samples: int = 64,
+    sample_rate: int = 8000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Synthesize a per-doc square-wave, round-trip it through the REAL
+    WAV byte codec (``encode_wav`` -> ``decode_wav``), and extract audio
+    features from the DECODED samples — peak amplitude, zero-crossing
+    count, RMS (rounded to 3).
+
+    The waveform is a deterministic function of the id (period
+    ``id % 6 + 2``, amplitude ``(id % 5 + 1) * 1000``), so a DuckDB
+    oracle can recompute every feature from the mathematical definition
+    WITHOUT any codec: if the RIFF header arithmetic, PCM packing, or
+    the feature kernel drift by one byte or one sample, the exact-value
+    compare breaks. This is the audio analog of the BMP/PNG pixel
+    roundtrips — the ingest-side feature pass a multimodal corpus runs
+    (silence detection via RMS, clipping via peak, voicedness via ZCR).
+
+    All float surfaces are exact: samples are int16, sum of squares
+    < 2^53 (exactly representable), mean is /n of an exact integer,
+    sqrt is IEEE-deterministic, then one round(…, 3).
+
+    100 TB shape: one Arrow-batched mapInPandas pass, output 5 scalars
+    per doc regardless of payload size; NULL ids are filtered (no
+    identity -> no waveform), matching the oracle's WHERE.
+    """
+    import math
+
+    import numpy as np
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, peaks, zcrs, rmss = [], [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                period = did % 6 + 2
+                amp = (did % 5 + 1) * 1000
+                i = np.arange(n_samples)
+                wave = np.where((i // period) % 2 == 0, amp, -amp).astype(
+                    np.int16
+                )
+                payload = encode_wav(wave.tobytes(), sample_rate, 16)
+                sr, ch, bits, raw = decode_wav(payload)
+                assert (sr, ch, bits) == (sample_rate, 1, 16)
+                s = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                ids.append(did)
+                ns.append(len(s))
+                peaks.append(int(np.abs(s).max()))
+                zcrs.append(int((np.sign(s[1:]) != np.sign(s[:-1])).sum()))
+                rmss.append(round(math.sqrt(float((s * s).mean())), 3))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "peak": pd.Series(peaks, dtype="int64"),
+                    "zcr": pd.Series(zcrs, dtype="int64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                }
+            )
+
+    slim = fan_out(df, id_col).filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("doc_id")
+    )
+    return slim.mapInPandas(_gen, AUDIO_FEATURE_SCHEMA)

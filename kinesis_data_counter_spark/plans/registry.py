@@ -4098,6 +4098,28 @@ SELECT doc_id,
             ELSE md5(concat('shuffle:r6:', CAST(doc_id AS VARCHAR))) END AS ticket
 FROM documents
 """,
+    # the waveform's closed form recomputed with no codec: same square
+    # wave, same 64 samples, lag-window sign changes, exact-integer mean
+    # under the sqrt, one final round
+    "multimodal_audio_features": """
+WITH p AS (
+  SELECT doc_id, doc_id % 6 + 2 AS prd, (doc_id % 5 + 1) * 1000 AS amp
+  FROM documents WHERE doc_id IS NOT NULL
+), s AS (
+  SELECT doc_id, i,
+         CASE WHEN (i // prd) % 2 = 0 THEN amp ELSE -amp END AS v
+  FROM p, generate_series(0, 63) AS t(i)
+), d AS (
+  SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND sign(v) <> sign(pv)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+       round(sqrt(avg(CAST(v AS DOUBLE) * v)), 3) AS rms
+FROM d GROUP BY 1
+""",
     # stage-for-stage replay of the web curation funnel: the same
     # canonical_url_sql key, the same min-doc_id URL dedup, the same
     # md5-ticket cap rule (web_domain_curation's twin), and the NB gate
@@ -5127,6 +5149,17 @@ def _q_text_wordlist_filter(spark, sf_dir):
     )
 
 
+def _q_multimodal_audio_features(spark, sf_dir):
+    # real WAV byte path, mathematical oracle: per-doc square waves are
+    # encoded with the pure-struct WAV writer, decoded back, and the
+    # features (peak / zero-crossings / RMS) come from the DECODED
+    # samples — the DuckDB twin recomputes them from the waveform's
+    # closed form with NO codec, so any drift in RIFF arithmetic, PCM
+    # packing, or the feature kernel hash-mismatches
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return MM.audio_features_roundtrip(docs)
+
+
 def _q_web_url_canonical(spark, sf_dir):
     # URL-level dedup key (operators/web.py::canonical_url): every doc
     # gets deterministic messy variants — mixed case, www., default
@@ -5582,6 +5615,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_url_canonical": _q_web_url_canonical,
     "web_domain_rank": _q_web_domain_rank,
     "corpus_curate_web": _q_corpus_curate_web,
+    "multimodal_audio_features": _q_multimodal_audio_features,
 }
 
 _HISTORY_ORACLES = {
@@ -5771,6 +5805,7 @@ _SHOWCASE_ORDER = [
     # representated in-head by counter_two_level's HLL merge topology.
     # Never-driver-recorded after this rotation: 36 of 160.
     # ROUND-7 ROTATION CANDIDATES (strongest first): corpus_curate_web,
+    # multimodal_audio_features,
     # web_url_canonical and web_domain_rank (added mid-round-6, after the
     # head was frozen),
     # corpus_decontaminate,

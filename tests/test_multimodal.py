@@ -389,3 +389,22 @@ def test_png_roundtrip_table_and_decode_media_dispatch(spark):
     (m,) = MM.decode_media_table(payloads).collect()
     assert (m.kind, m.width, m.height, m.n_units) == ("png", 2, 2, 4)
     assert m.roundtrip_ok and m.head_hex == "61"
+
+
+def test_audio_features_roundtrip_known_wave(spark):
+    # doc_id=3: period 5, amp 4000 — hand-checkable square wave. The
+    # features must come from DECODED bytes (the operator asserts the
+    # header round-trips), and RMS of a square wave IS its amplitude.
+    from kinesis_data_counter_spark.operators.multimodal import (
+        audio_features_roundtrip,
+    )
+
+    df = spark.createDataFrame([(3,), (10,), (None,)], "doc_id long")
+    rows = {r.doc_id: r for r in audio_features_roundtrip(df).collect()}
+    assert set(rows) == {3, 10}  # NULL id: no identity -> no waveform
+    r3 = rows[3]
+    assert (r3.n_samples, r3.peak, r3.rms) == (64, 4000, 4000.0)
+    # zcr: sign flips every `period` samples across 64 samples
+    assert r3.zcr == sum(
+        1 for i in range(1, 64) if (i // 5) % 2 != ((i - 1) // 5) % 2
+    )
