@@ -119,3 +119,57 @@ def test_partition_invariance(spark, tiny):
     s1 = sorted(CL.nb_score(probe.repartition(5), m1).collect())
     s2 = sorted(CL.nb_score(probe.coalesce(1), m2).collect())
     assert s1 == s2
+
+
+def test_nb_random_differential_vs_sql_twin(spark):
+    # seeded random corpora through BOTH engines: Spark nb_train/nb_score
+    # vs the nb_sql_ctes chain on the identical rows. Exercises vocab-
+    # cutoff count ties, classes absent from the vocabulary, NULL texts,
+    # and skewed priors — the edges a fixed fixture can't cover.
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from kinesis_data_counter_spark.operators.classify import (
+        nb_score,
+        nb_sql_ctes,
+        nb_train,
+    )
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]  # small vocab -> many ties
+        labels = ["x", "y", "z"]
+        rows = []
+        for i in range(120):
+            lab = labels[i % 3] if rng.random() > 0.1 else None
+            text = (
+                None
+                if rng.random() < 0.05
+                else " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 8)))
+            )
+            rows.append((i, lab, text))
+        train_rows = [r for r in rows if r[0] % 2 == 0 and r[1] is not None]
+        score_rows = [(r[0], r[2]) for r in rows if r[0] % 2 == 1]
+
+        tdf = spark.createDataFrame(train_rows, "doc_id long, label string, text string")
+        sdf = spark.createDataFrame(score_rows, "doc_id long, text string")
+        model = nb_train(tdf, label_col="label", vocab_size=8)  # cutoff bites
+        got = sorted(
+            (r.doc_id, r.predicted, r.score) for r in nb_score(sdf, model).collect()
+        )
+
+        con = duckdb.connect()
+        con.register("train_pd", pd.DataFrame(
+            [(r[1], r[2]) for r in train_rows], columns=["label", "text"]
+        ))
+        con.register("score_pd", pd.DataFrame(score_rows, columns=["doc_id", "text"]))
+        sql = (
+            "WITH train AS (SELECT label, text FROM train_pd), "
+            "score_in AS (SELECT doc_id, text FROM score_pd), "
+            + nb_sql_ctes("train", "score_in", vocab_size=8)
+            + " SELECT doc_id, predicted, score FROM nb_pred"
+        )
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want, f"seed {seed} diverged"
