@@ -310,6 +310,21 @@ SHOWCASE: dict[str, str] = {
         "truncated per round by localCheckpoint, so the shown plan is "
         "the LAST iteration's — constant-depth regardless of iters."
     ),
+    "corpus_curate_web": (
+        "Web curation capstone (round 6): URL-canonical dedup is a "
+        "min-struct aggregation on the canonical key (no join-back), the "
+        "domain cap routes only over-cap domains through a window, NB "
+        "scoring is all BroadcastHashJoin, and the final funnel merge "
+        "joins two DOMAIN-keyed aggregates — zero corpus x corpus joins "
+        "in the deepest plan in the registry."
+    ),
+    "multimodal_audio_features": (
+        "Audio features through the real WAV codec (round 6): one "
+        "Arrow-batched mapInPandas pass (encode -> decode -> peak/ZCR/"
+        "RMS), output 5 scalars per doc regardless of payload size; the "
+        "only exchange is the initial fan-out of the single-file local "
+        "input."
+    ),
     "text_nb_classifier": (
         "Model-based curation gate (round 6): multinomial NB. Training "
         "is two map-side-combined aggregations plus a TakeOrdered top-V "
