@@ -748,3 +748,83 @@ def audio_features_roundtrip(
         F.col(id_col).cast("long").alias("doc_id")
     )
     return slim.mapInPandas(_gen, AUDIO_FEATURE_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("n_dark", T.LongType()),
+    ]
+)
+
+
+def image_stats_roundtrip(
+    df: DataFrame,
+    width: int = 12,
+    height: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Synthesize a per-doc grayscale gradient image, round-trip it
+    through the REAL BMP byte codec (``encode_bmp`` -> ``decode_bmp``),
+    and compute pixel statistics from the DECODED pixels — min / max /
+    total intensity and the dark-pixel count (the ingest-side screens a
+    multimodal corpus runs: black-frame and over/under-exposure
+    detection). The intensity total is an exact integer — deliberately
+    NOT a rounded mean: sum/96 lands on binary-exact values like .0625
+    where Python's banker's rounding and SQL's half-away-from-zero
+    disagree, so the mean stays a derived quantity.
+
+    Pixel (x, y) of doc d = ``(x * 7 + y * 13 + d) % 256`` — closed form,
+    so the DuckDB oracle recomputes every statistic with NO codec. BMP's
+    bottom-up row order and 24-bit padding make the byte path genuinely
+    nontrivial: a row-order or padding slip shifts pixels and breaks the
+    exact compare. Every output is integer-exact.
+
+    100 TB shape: one Arrow-batched mapInPandas pass, 7 scalars out per
+    doc; NULL ids filtered to match the oracle's WHERE.
+    """
+    import numpy as np
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "px_min",
+                                   "px_max", "px_sum", "n_dark")}
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                x = np.arange(width)[None, :]
+                y = np.arange(height)[:, None]
+                gray = ((x * 7 + y * 13 + did) % 256).astype(np.uint8)
+                payload = encode_bmp(gray.tobytes(), width, height)
+                w, h, px = decode_bmp(payload)
+                assert (w, h) == (width, height)
+                # decode_bmp yields BGR triples (v,v,v) — take one
+                # channel to recover the grayscale grid
+                p = np.frombuffer(px, dtype=np.uint8)[::3].astype(np.float64)
+                out["doc_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_min"].append(int(p.min()))
+                out["px_max"].append(int(p.max()))
+                out["px_sum"].append(int(p.sum()))
+                out["n_dark"].append(int((p < 32).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "px_min": pd.Series(out["px_min"], dtype="int32"),
+                    "px_max": pd.Series(out["px_max"], dtype="int32"),
+                    "px_sum": pd.Series(out["px_sum"], dtype="int64"),
+                    "n_dark": pd.Series(out["n_dark"], dtype="int64"),
+                }
+            )
+
+    slim = fan_out(df, id_col).filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("doc_id")
+    )
+    return slim.mapInPandas(_gen, IMAGE_STATS_SCHEMA)

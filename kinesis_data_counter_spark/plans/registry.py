@@ -4098,6 +4098,20 @@ SELECT doc_id,
             ELSE md5(concat('shuffle:r6:', CAST(doc_id AS VARCHAR))) END AS ticket
 FROM documents
 """,
+    # the pixel formula recomputed with no codec: 12x8 grid, all-integer
+    # aggregates
+    "multimodal_image_stats": """
+WITH g AS (
+  SELECT doc_id, (x * 7 + y * 13 + doc_id) % 256 AS v
+  FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+       generate_series(0, 11) AS gx(x), generate_series(0, 7) AS gy(y)
+)
+SELECT doc_id, CAST(12 AS INT) AS width, CAST(8 AS INT) AS height,
+       CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(sum(CASE WHEN v < 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_dark
+FROM g GROUP BY 1
+""",
     # the waveform's closed form recomputed with no codec: same square
     # wave, same 64 samples, lag-window sign changes, exact-integer mean
     # under the sqrt, one final round
@@ -5149,6 +5163,15 @@ def _q_text_wordlist_filter(spark, sf_dir):
     )
 
 
+def _q_multimodal_image_stats(spark, sf_dir):
+    # the image sibling of the audio roundtrip: per-doc gradient images
+    # through the real BMP writer/parser (bottom-up rows, 24-bit stride
+    # padding), stats from the DECODED pixels; the oracle recomputes them
+    # from the pixel formula with no codec. All-integer outputs.
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return MM.image_stats_roundtrip(docs)
+
+
 def _q_multimodal_audio_features(spark, sf_dir):
     # real WAV byte path, mathematical oracle: per-doc square waves are
     # encoded with the pure-struct WAV writer, decoded back, and the
@@ -5616,6 +5639,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_domain_rank": _q_web_domain_rank,
     "corpus_curate_web": _q_corpus_curate_web,
     "multimodal_audio_features": _q_multimodal_audio_features,
+    "multimodal_image_stats": _q_multimodal_image_stats,
 }
 
 _HISTORY_ORACLES = {
@@ -5805,7 +5829,7 @@ _SHOWCASE_ORDER = [
     # representated in-head by counter_two_level's HLL merge topology.
     # Never-driver-recorded after this rotation: 36 of 160.
     # ROUND-7 ROTATION CANDIDATES (strongest first): corpus_curate_web,
-    # multimodal_audio_features,
+    # multimodal_audio_features, multimodal_image_stats,
     # web_url_canonical and web_domain_rank (added mid-round-6, after the
     # head was frozen),
     # corpus_decontaminate,

@@ -408,3 +408,22 @@ def test_audio_features_roundtrip_known_wave(spark):
     assert r3.zcr == sum(
         1 for i in range(1, 64) if (i // 5) % 2 != ((i - 1) // 5) % 2
     )
+
+
+def test_image_stats_roundtrip_known_grid(spark):
+    # doc_id=0: pixel (x,y) = (7x + 13y) % 256 over a 12x8 grid — every
+    # stat hand-derivable; the BMP bottom-up/stride path must not shift
+    # a single pixel
+    from kinesis_data_counter_spark.operators.multimodal import (
+        image_stats_roundtrip,
+    )
+
+    df = spark.createDataFrame([(0,), (None,)], "doc_id long")
+    rows = image_stats_roundtrip(df).collect()
+    assert len(rows) == 1  # NULL id filtered
+    r = rows[0]
+    vals = [(x * 7 + y * 13) % 256 for y in range(8) for x in range(12)]
+    assert (r.width, r.height) == (12, 8)
+    assert r.px_min == min(vals) and r.px_max == max(vals)
+    assert r.px_sum == sum(vals)
+    assert r.n_dark == sum(1 for v in vals if v < 32)
