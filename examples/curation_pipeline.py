@@ -26,7 +26,12 @@ import os
 import shutil
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# executors spawn their OWN python workers: they see PYTHONPATH, not the
+# driver's sys.path (a real deployment ships the package via install or
+# --py-files; path-bootstrapped examples must export it explicitly)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from pyspark.sql import functions as F
 
