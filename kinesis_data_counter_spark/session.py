@@ -44,6 +44,19 @@ def get_spark(
     - AQE on: runtime partition coalescing + skew-join handling — this is the
       100TB insurance policy for skewed group keys.
     """
+    # executors spawn their own Python workers, which resolve imports via
+    # PYTHONPATH — not the driver's sys.path. Exporting the package's
+    # parent dir makes every Pandas-UDF/mapInPandas operator importable
+    # no matter where the driver script was launched from (a cluster
+    # deployment ships the package via pip/--py-files instead; this is a
+    # no-op there since the prepended dir simply isn't on executors).
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     if master is None:
         master = f"local[{cpus}]"
