@@ -278,7 +278,9 @@ def pagerank(
     with map-side combine. The rank table is |domains|-sized — tiny
     next to the corpus — so iterations broadcast. For billion-node
     graphs the same plan holds with hash joins; ``iters`` bounds the
-    stage count (a driver loop, each round materialized with persist).
+    stage count (a driver loop; each round is materialized and its
+    lineage truncated with localCheckpoint, the dedup_clusters discipline;
+    the edge and node tables are persisted across iterations).
 
     Returns (node, rank, out_deg, in_deg).
     """
