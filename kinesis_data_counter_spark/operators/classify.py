@@ -90,6 +90,8 @@ def nb_train(
     TakeOrdered over the term-count aggregate, not a global sort.
     Rows with a NULL label carry no class evidence and are excluded.
     """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
     labeled = train.filter(F.col(label_col).isNotNull())
     toks = _doc_terms(labeled, [label_col], text_col)
 

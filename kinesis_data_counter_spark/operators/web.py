@@ -284,6 +284,10 @@ def pagerank(
 
     Returns (node, rank, out_deg, in_deg).
     """
+    if not 0.0 < damping <= 1.0:
+        raise ValueError(f"damping must be in (0, 1], got {damping}")
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
     e = edges.select(
         F.col(src_col).cast("string").alias("src"),
         F.col(dst_col).cast("string").alias("dst"),

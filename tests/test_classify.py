@@ -173,3 +173,8 @@ def test_nb_random_differential_vs_sql_twin(spark):
         )
         want = sorted(tuple(r) for r in con.execute(sql).fetchall())
         assert got == want, f"seed {seed} diverged"
+
+
+def test_bad_args_raise_clearly(spark, tiny):
+    with pytest.raises(ValueError, match="vocab_size"):
+        CL.nb_train(tiny, label_col="label", vocab_size=0)

@@ -269,3 +269,13 @@ class TestPagerank:
             for r in con.execute(pagerank_sql("g", damping=0.85, iters=3)).fetchall()
         )
         assert got == want
+
+
+def test_pagerank_bad_args_raise_clearly(spark):
+    from kinesis_data_counter_spark.operators.web import pagerank
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(e, damping=0.0)
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(e, iters=-1)
