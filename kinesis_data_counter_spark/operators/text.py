@@ -734,3 +734,65 @@ def bm25_scores(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "score"
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information —
+    the phrase-detection pass (word2vec-style "new_york" merging) a
+    tokenizer-training pipeline runs before building its vocabulary.
+
+    pmi(a,b) = ln( p(ab) / (p(a) p(b)) ) with p() from corpus unigram /
+    bigram totals; pairs below ``min_count`` are dropped first (PMI's
+    classic rare-pair instability). The score is rounded to 6 and ranked
+    (pmi desc, bigram asc) so the DuckDB twin replays the ranking
+    exactly; both engines compute the identical expression shape, so
+    IEEE division/log agree bit-for-bit before the round.
+
+    Scale shape: one token explode + one bigram explode, each feeding a
+    map-side-combined count agg; the unigram table is vocab-sized and
+    BROADCASTS into the (already min_count-pruned) bigram table; totals
+    ride in as one-row broadcasts; the final top-k is TakeOrdered, never
+    a global sort. Tokens cannot contain spaces (whitespace split), so
+    splitting the bigram key back into (a, b) is unambiguous.
+    """
+    toks = clean_tokens(F.col(text_col))
+    uni = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t1 = uni.agg(F.sum("c").alias("t1"))
+    bg = df.select(F.explode(bigrams(toks)).alias("bigram"))
+    t2 = bg.agg(F.count(F.lit(1)).alias("t2"))
+    bi = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
+    j = (
+        bi.withColumn("a", F.substring_index("bigram", " ", 1))
+        .withColumn("b", F.substring_index("bigram", " ", -1))
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") / F.col("t2"))
+            / ((F.col("ca") / F.col("t1")) * (F.col("cb") / F.col("t1")))
+        ),
+        6,
+    )
+    return (
+        j.select("bigram", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(k)
+    )

@@ -4098,6 +4098,32 @@ SELECT doc_id,
             ELSE md5(concat('shuffle:r6:', CAST(doc_id AS VARCHAR))) END AS ticket
 FROM documents
 """,
+    # identical expression shape -> identical IEEE doubles before the
+    # round; same min-count gate and (pmi desc, bigram asc) ranking
+    "text_pmi_collocations": r"""
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), uni AS (
+  SELECT tok, count(*) AS c FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1
+), t1 AS (SELECT sum(c) AS n FROM uni),
+bg AS (
+  SELECT unnest([toks[i] || ' ' || toks[i+1]
+                 for i in range(1, greatest(len(toks), 1))]) AS bigram
+  FROM t
+), t2 AS (SELECT count(*) AS n FROM bg),
+bi AS (
+  SELECT bigram, count(*) AS c_ab FROM bg GROUP BY 1 HAVING count(*) >= 5
+)
+SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab,
+       round(ln((c_ab / t2.n) / ((ua.c / t1.n) * (ub.c / t1.n))), 6) AS pmi
+FROM bi
+JOIN uni ua ON split_part(bi.bigram, ' ', 1) = ua.tok
+JOIN uni ub ON split_part(bi.bigram, ' ', 2) = ub.tok
+CROSS JOIN t1 CROSS JOIN t2
+ORDER BY pmi DESC, bigram ASC
+LIMIT 20
+""",
     # the pixel formula recomputed with no codec: 12x8 grid, all-integer
     # aggregates
     "multimodal_image_stats": """
@@ -5163,6 +5189,13 @@ def _q_text_wordlist_filter(spark, sf_dir):
     )
 
 
+def _q_text_pmi_collocations(spark, sf_dir):
+    # phrase detection: top bigram collocations by rounded PMI with a
+    # min-count gate — the tokenizer-prep pass; ranking replayed exactly
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return TX.pmi_collocations(docs, min_count=5, k=20)
+
+
 def _q_multimodal_image_stats(spark, sf_dir):
     # the image sibling of the audio roundtrip: per-doc gradient images
     # through the real BMP writer/parser (bottom-up rows, 24-bit stride
@@ -5640,6 +5673,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curate_web": _q_corpus_curate_web,
     "multimodal_audio_features": _q_multimodal_audio_features,
     "multimodal_image_stats": _q_multimodal_image_stats,
+    "text_pmi_collocations": _q_text_pmi_collocations,
 }
 
 _HISTORY_ORACLES = {
@@ -5829,7 +5863,7 @@ _SHOWCASE_ORDER = [
     # representated in-head by counter_two_level's HLL merge topology.
     # Never-driver-recorded after this rotation: 36 of 160.
     # ROUND-7 ROTATION CANDIDATES (strongest first): corpus_curate_web,
-    # multimodal_audio_features, multimodal_image_stats,
+    # multimodal_audio_features, multimodal_image_stats, text_pmi_collocations,
     # web_url_canonical and web_domain_rank (added mid-round-6, after the
     # head was frozen),
     # corpus_decontaminate,

@@ -312,3 +312,27 @@ def test_wordlist_score_threshold_is_strict(spark):
     docs = spark.createDataFrame([(1, "bad ok ok ok")], "doc_id long, text string")
     row = wordlist_score(docs, words=("bad",), threshold=0.25).collect()[0]
     assert row["flag_ratio"] == 0.25 and row["flagged"] is False  # > not >=
+
+
+def test_pmi_collocations_hand_corpus(spark):
+    # 'new york' always adjacent -> maximal PMI; 'the' pairs with
+    # everything -> low PMI; min_count prunes the singleton pair
+    import math
+
+    from kinesis_data_counter_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(i, "the cat new york the dog new york") for i in range(5)]
+        + [(50 + i, "the fish") for i in range(5)]  # dilutes 'the'
+        + [(99, "rare pair")],
+        "doc_id long, text string",
+    )
+    rows = {r.bigram: r for r in pmi_collocations(docs, min_count=2, k=50).collect()}
+    assert "rare pair" not in rows  # below min_count
+    assert "new york" in rows and rows["new york"].c_ab == 10
+    # hand-compute: 52 unigrams total (incl. 'the fish' x5 and the
+    # rare-pair doc), 41 bigrams total; p(new)=p(york)=10/52,
+    # p(new york)=10/41
+    want = round(math.log((10 / 41) / ((10 / 52) * (10 / 52))), 6)
+    assert rows["new york"].pmi == want
+    assert rows["new york"].pmi > rows["the cat"].pmi
