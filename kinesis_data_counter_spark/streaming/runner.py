@@ -893,6 +893,14 @@ def _load_or_train_nb_model(
         text_col=text_col,
         vocab_size=vocab_size,
     )
+    # an unlabeled seed batch would freeze an EMPTY model whose scoring
+    # emits no rows — silent data loss. Fail loudly instead: the gate
+    # needs a labeled first batch (or a pre-trained model directory).
+    if model.priors.limit(1).count() == 0:
+        raise ValueError(
+            "stream_classifier_gate: the seed batch carried no labeled "
+            f"rows ({label_col} all NULL) — cannot train the frozen model"
+        )
     tmp = model_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     model.table.write.parquet(os.path.join(tmp, "table"))

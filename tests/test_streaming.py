@@ -1242,3 +1242,16 @@ def test_stream_classifier_gate_replay_is_idempotent(spark, tmp_path):
     assert sorted(models[0].table.collect()) == sorted(models[1].table.collect())
     out = spark.read.parquet(f"{work}/accepted")
     assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_stream_classifier_gate_unlabeled_seed_fails_loudly(spark, tmp_path):
+    # an unlabeled first batch must raise, not freeze an empty model that
+    # silently routes every future document nowhere
+    from kinesis_data_counter_spark.streaming.runner import _load_or_train_nb_model
+
+    b0 = spark.createDataFrame(
+        [(1, "some text", None), (2, "more text", None)],
+        "doc_id long, text string, label string",
+    )
+    with pytest.raises(ValueError, match="no labeled"):
+        _load_or_train_nb_model(spark, str(tmp_path / "w"), b0, "label", "text", 64)
