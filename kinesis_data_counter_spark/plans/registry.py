@@ -4182,7 +4182,7 @@ WITH base AS (
   SELECT url_key, min(doc_id) AS doc_id FROM keyed_ok GROUP BY 1
 ), surv AS (
   SELECT k.*, regexp_replace(regexp_extract(lower(k.url_key),
-           '://(?:[^/@]*@)?([^/:?#]+)', 1), '^www\.', '') AS host
+           '://(?:[^/?#@]*@)?([^/:?#]+)', 1), '^www\.', '') AS host
   FROM keyed_ok k JOIN winners w USING (url_key, doc_id)
 ), dom AS (
   SELECT *, CASE WHEN host IS NULL THEN NULL
@@ -5861,7 +5861,11 @@ _SHOWCASE_ORDER = [
     # (the model-based curation gate) swaps in for cms_heavy_hitters —
     # ceded with r1-r4 green rows and the sketch family still
     # representated in-head by counter_two_level's HLL merge topology.
-    # Never-driver-recorded after this rotation: 36 of 160.
+    # Never-driver-recorded after this rotation: 36 of 160 at rotation
+    # time; the 6 post-rotation round-6 additions (web_url_canonical,
+    # web_domain_rank, corpus_curate_web, multimodal_audio_features,
+    # multimodal_image_stats, text_pmi_collocations) bring it to 42 of 166
+    # by round-6 close — all six lead the round-7 candidate list below.
     # ROUND-7 ROTATION CANDIDATES (strongest first): corpus_curate_web,
     # multimodal_audio_features, multimodal_image_stats, text_pmi_collocations,
     # web_url_canonical and web_domain_rank (added mid-round-6, after the

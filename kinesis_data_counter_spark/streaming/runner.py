@@ -837,14 +837,27 @@ def stream_classifier_gate(
         model = _load_or_train_nb_model(
             spark, work_dir, batch_df, label_col, text_col, vocab_size
         )
+        # NULL-id docs have no identity to join predictions back onto —
+        # they go straight to rejected/ (predicted NULL) instead of
+        # silently falling out of BOTH audit tables at the inner join
+        with_id = batch_df.filter(F.col(id_col).isNotNull())
+        no_id = (
+            batch_df.filter(F.col(id_col).isNull())
+            .withColumn("predicted", F.lit(None).cast("string"))
+            .withColumn("score", F.lit(None).cast("double"))
+        )
         scored = CL.nb_score(
-            batch_df.select(id_col, text_col), model, text_col=text_col,
+            with_id.select(id_col, text_col), model, text_col=text_col,
             id_col=id_col,
         )
-        routed = batch_df.join(scored, id_col).persist()
+        routed = with_id.join(scored, id_col).persist()
         admit = F.col("predicted").isin(*admit_labels)
         _write_batch_keyed(routed.filter(admit), accepted_dir, epoch)
-        _write_batch_keyed(routed.filter(~admit), rejected_dir, epoch)
+        _write_batch_keyed(
+            routed.filter(~admit).unionByName(no_id.select(*routed.columns)),
+            rejected_dir,
+            epoch,
+        )
         routed.unpersist()
         batch_df.unpersist()
 

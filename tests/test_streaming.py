@@ -1255,3 +1255,23 @@ def test_stream_classifier_gate_unlabeled_seed_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no labeled"):
         _load_or_train_nb_model(spark, str(tmp_path / "w"), b0, "label", "text", 64)
+
+
+def test_stream_classifier_gate_null_id_routes_to_rejected(spark, tmp_path):
+    # a NULL-id doc has no identity to join predictions back onto — the
+    # audit contract still holds: it lands in rejected/, never vanishes
+    from kinesis_data_counter_spark.streaming.runner import stream_classifier_gate
+
+    b0 = [
+        (1, "good clean essay prose", "keep"),
+        (2, "spam junk casino offer", "drop"),
+        (None, "good clean prose", None),
+    ]
+    src = tmp_path / "src"
+    _write_doc_batches(spark, src, [b0])
+    work = str(tmp_path / "work")
+    accepted = stream_classifier_gate(spark, str(src), work)
+    rejected = spark.read.parquet(f"{work}/rejected").drop("batch")
+    assert accepted.count() + rejected.count() == 3
+    nulls = rejected.filter(F.col("doc_id").isNull()).collect()
+    assert len(nulls) == 1 and nulls[0].predicted is None

@@ -120,6 +120,10 @@ class TestCanonicalUrl:
         ("http://example.com/?ref=tw&fbclid=1", "http://example.com"),
         # 'reference' is NOT the tracker 'ref' — anchored key match
         ("http://example.com/?reference=1", "http://example.com?reference=1"),
+        # '@' after the query start is data, not userinfo — the host
+        # must not jump past it (two distinct hosts must NOT collapse)
+        ("http://example.com?x=a@b", "http://example.com?x=a@b"),
+        ("http://other.org?x=a@b", "http://other.org?x=a@b"),
         ("not a url", None),
         (None, None),
     ]
@@ -279,3 +283,17 @@ def test_pagerank_bad_args_raise_clearly(spark):
         pagerank(e, damping=0.0)
     with pytest.raises(ValueError, match="iters"):
         pagerank(e, iters=-1)
+
+
+def test_host_of_does_not_treat_query_at_sign_as_userinfo(spark):
+    got = _parse(spark, ["http://example.com?x=a@b", "http://e.org/p#f@x"])
+    assert got == [("example.com", "example.com"), ("e.org", "e.org")]
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    from kinesis_data_counter_spark.operators.web import pagerank
+
+    e = spark.createDataFrame([(None, None)], "src string, dst string")
+    out = pagerank(e, iters=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "rank", "out_deg", "in_deg"]
