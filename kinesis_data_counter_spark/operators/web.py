@@ -34,7 +34,7 @@ DEFAULT_MULTI_SUFFIXES: tuple[str, ...] = (
     "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.nz",
 )
 
-_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)"
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)"
 
 
 def host_of(url: Column) -> Column:
@@ -181,7 +181,7 @@ def canonical_url(url: Column) -> Column:
     """
     scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     hostport = F.lower(
-        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)", 1)
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)", 1)
     )
     host = F.regexp_replace(
         F.regexp_extract(hostport, r"^([^:]+)", 1), r"^www\.", ""
@@ -221,7 +221,7 @@ def canonical_url_sql(url_expr: str) -> str:
     scheme = f"lower(regexp_extract({url_expr}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
     hostport = (
         f"lower(regexp_extract({url_expr},"
-        " '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1))"
+        " '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)', 1))"
     )
     host = (
         f"regexp_replace(regexp_extract({hostport}, '^([^:]+)', 1),"

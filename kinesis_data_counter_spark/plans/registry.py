@@ -4182,7 +4182,7 @@ WITH base AS (
   SELECT url_key, min(doc_id) AS doc_id FROM keyed_ok GROUP BY 1
 ), surv AS (
   SELECT k.*, regexp_replace(regexp_extract(lower(k.url_key),
-           '://(?:[^/?#@]*@)?([^/:?#]+)', 1), '^www\.', '') AS host
+           '://(?:[^/?#]*@)?([^/:?#]+)', 1), '^www\.', '') AS host
   FROM keyed_ok k JOIN winners w USING (url_key, doc_id)
 ), dom AS (
   SELECT *, CASE WHEN host IS NULL THEN NULL

@@ -297,3 +297,34 @@ def test_pagerank_empty_graph_returns_empty(spark):
     out = pagerank(e, iters=3)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["node", "rank", "out_deg", "in_deg"]
+
+
+def test_host_of_differential_vs_urllib(spark):
+    # third-implementation check: the Spark regex and the DuckDB twin
+    # share their blind spots by construction (the query-'@' bug proved
+    # it), so pin host extraction against stdlib urllib.parse, which
+    # shares no code with either
+    import random
+    from urllib.parse import urlparse
+
+    rng = random.Random(909)
+    urls = []
+    for _ in range(300):
+        scheme = rng.choice(["http", "https", "ftp"])
+        user = rng.choice(["", "u@", "u:p@", "a@b@"])  # multi-@ userinfo
+        host = rng.choice(["Ex.COM", "a.b.example.org", "x.net", "localhost"])
+        port = rng.choice(["", ":80", ":8080"])
+        path = rng.choice(["", "/p", "/p/q/"])
+        q = rng.choice(["", "?x=1", "?x=a@b", "?u=m@example.com&y=2"])
+        frag = rng.choice(["", "#f", "#f@g", "#s?t@u"])
+        urls.append(f"{scheme}://{user}{host}{port}{path}{q}{frag}")
+
+    from kinesis_data_counter_spark.operators.web import host_of
+
+    df = spark.createDataFrame([(u,) for u in urls], "raw string")
+    got = [r.h for r in df.select(host_of(F.col("raw")).alias("h")).collect()]
+    want = [urlparse(u).hostname for u in urls]
+    mismatches = [
+        (u, g, w) for u, g, w in zip(urls, got, want) if g != w
+    ]
+    assert not mismatches, mismatches[:5]
