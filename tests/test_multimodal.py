@@ -427,3 +427,24 @@ def test_image_stats_roundtrip_known_grid(spark):
     assert r.px_min == min(vals) and r.px_max == max(vals)
     assert r.px_sum == sum(vals)
     assert r.n_dark == sum(1 for v in vals if v < 32)
+
+
+def test_encode_wav_parses_with_stdlib_wave_module():
+    # third-implementation container check: stdlib `wave` shares no code
+    # with the pure-struct codec — header arithmetic, framing, and PCM
+    # payload must all agree
+    import io
+    import struct
+    import wave
+
+    from kinesis_data_counter_spark.operators.multimodal import encode_wav
+
+    for sr, samples in ((8000, range(-5, 6)), (44100, [0, 32767, -32768])):
+        raw = b"".join(struct.pack("<h", s) for s in samples)
+        payload = encode_wav(raw, sample_rate=sr)
+        with wave.open(io.BytesIO(payload)) as w:
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 2
+            assert w.getframerate() == sr
+            assert w.getnframes() == len(list(samples))
+            assert w.readframes(w.getnframes()) == raw
