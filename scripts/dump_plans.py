@@ -310,6 +310,13 @@ SHOWCASE: dict[str, str] = {
         "truncated per round by localCheckpoint, so the shown plan is "
         "the LAST iteration's — constant-depth regardless of iters."
     ),
+    "text_pmi_collocations": (
+        "PMI phrase detection (round 6): two explode->count aggregations "
+        "(map-side combined), the vocab-sized unigram table BROADCASTS "
+        "onto the min_count-pruned bigram table, totals ride as one-row "
+        "broadcasts, and the ranking is TakeOrderedAndProject — no "
+        "global sort anywhere."
+    ),
     "corpus_curate_web": (
         "Web curation capstone (round 6): URL-canonical dedup is a "
         "min-struct aggregation on the canonical key (no join-back), the "
