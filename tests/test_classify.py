@@ -178,3 +178,37 @@ def test_nb_random_differential_vs_sql_twin(spark):
 def test_bad_args_raise_clearly(spark, tiny):
     with pytest.raises(ValueError, match="vocab_size"):
         CL.nb_train(tiny, label_col="label", vocab_size=0)
+
+
+def test_nb_is_bag_of_words_order_invariant(spark):
+    # multinomial NB sees counts, not order: shuffling every document's
+    # tokens (train AND score side) must leave the model and every
+    # prediction bit-identical — pins that no order-sensitive construct
+    # (first/collect_list/positional feature) sneaks into the pipeline
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(15)]
+
+    def corpus(shuffled: bool):
+        rows = []
+        for i in range(80):
+            r = random.Random(1000 + i)  # same tokens per doc either way
+            toks = [r.choice(vocab) for _ in range(r.randint(1, 12))]
+            if shuffled:
+                rng.shuffle(toks)
+            rows.append((i, "x" if i % 3 else "y", " ".join(toks)))
+        return spark.createDataFrame(rows, "doc_id long, label string, text string")
+
+    outs = []
+    for shuffled in (False, True):
+        df = corpus(shuffled)
+        m = CL.nb_train(df, label_col="label", vocab_size=10)
+        scored = CL.nb_score(df.select("doc_id", "text"), m)
+        outs.append(
+            (
+                sorted(map(tuple, m.table.collect())),
+                sorted((r.doc_id, r.predicted, r.score) for r in scored.collect()),
+            )
+        )
+    assert outs[0] == outs[1]
