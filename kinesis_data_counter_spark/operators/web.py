@@ -405,3 +405,47 @@ def pagerank_sql(
         " CAST(coalesce(idg.in_deg, 0) AS BIGINT) AS in_deg"
         f" FROM r{iters} LEFT JOIN idg USING (node)"
     )
+
+
+def rank_weighted_mix(
+    ranks: DataFrame,
+    doc_counts: DataFrame,
+    alpha: float = 0.5,
+    budget: int = 150,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Authority-weighted domain sampling rates — PageRank composed into
+    the mixing stage: target share of domain d ∝ rank_d^alpha, keep rate
+    ``min(1, budget·share/n_docs)`` (the temperature_mix_rates rule with
+    authority replacing raw size, so high-centrality domains are
+    oversampled relative to their volume).
+
+    ``ranks``: (node, rank) from :func:`pagerank`; ``doc_counts``:
+    (domain, n_docs). Domains are matched by INNER join — a ranked node
+    with no documents (a pure link sink) has nothing to sample and drops
+    out, and the weight normalizer is computed over the matched set
+    only. Both tables are domain-sized: every join/broadcast is tiny
+    regardless of corpus size.
+
+    Returns (domain, n_docs, rank, share, keep_rate, expected_kept),
+    rounded like the sampling-family operators so the SQL twin replays
+    it exactly.
+    """
+    j = doc_counts.join(
+        F.broadcast(ranks.select(F.col("node").alias("domain"), "rank")), "domain"
+    )
+    w = F.pow(F.col("rank"), F.lit(float(alpha)))
+    z = j.agg(F.sum(F.pow(F.col("rank"), F.lit(float(alpha)))).alias("__z"))
+    j = j.crossJoin(F.broadcast(z))
+    share = w / F.col("__z")
+    rate = F.least(
+        F.lit(1.0), F.lit(float(budget)) * share / F.col("n_docs")
+    )
+    return j.select(
+        "domain",
+        "n_docs",
+        "rank",
+        F.round(share, round_digits).alias("share"),
+        F.round(rate, round_digits).alias("keep_rate"),
+        F.round(rate * F.col("n_docs"), 2).alias("expected_kept"),
+    )

@@ -4160,6 +4160,30 @@ SELECT doc_id,
        round(sqrt(avg(CAST(v AS DOUBLE) * v)), 3) AS rms
 FROM d GROUP BY 1
 """,
+    # the pagerank chain nested as a CTE (DuckDB scopes outer CTEs into
+    # nested WITHs), then the identical share/rate arithmetic
+    "web_rank_weighted_mix": f"""
+WITH edges AS (
+  SELECT source || '.example.com' AS src,
+         CASE WHEN doc_id % 7 = 0 THEN 'sink.example.net'
+              ELSE 'src' || CAST((doc_id // 20 * 7 + doc_id) % 20 AS VARCHAR)
+                   || '.example.com'
+         END AS dst
+  FROM documents
+), pr AS ({WB.pagerank_sql('edges', damping=0.85, iters=3)}),
+counts AS (
+  SELECT source || '.example.com' AS domain, count(*) AS n_docs
+  FROM documents WHERE source IS NOT NULL GROUP BY 1
+), j AS (
+  SELECT c.domain, c.n_docs, pr.rank FROM counts c JOIN pr ON pr.node = c.domain
+), z AS (SELECT sum(pow(rank, 0.5)) AS z FROM j)
+SELECT domain, n_docs, rank,
+       round(pow(rank, 0.5) / z.z, 6) AS share,
+       round(least(1.0, 150 * (pow(rank, 0.5) / z.z) / n_docs), 6) AS keep_rate,
+       round(least(1.0, 150 * (pow(rank, 0.5) / z.z) / n_docs) * n_docs, 2)
+         AS expected_kept
+FROM j CROSS JOIN z
+""",
     # stage-for-stage replay of the web curation funnel: the same
     # canonical_url_sql key, the same min-doc_id URL dedup, the same
     # md5-ticket cap rule (web_domain_curation's twin), and the NB gate
@@ -5352,6 +5376,24 @@ def _q_corpus_curate_web(spark, sf_dir):
     )
 
 
+def _q_web_rank_weighted_mix(spark, sf_dir):
+    # PageRank composed into the sampling tier: the web_domain_rank graph
+    # feeds authority-weighted keep rates (share ∝ rank^0.5 under a
+    # 150-doc budget) — the domain-weighting stage an authority-aware
+    # curation pipeline runs; the sink node (ranked, zero docs) drops at
+    # the inner join by design
+    ranks = _q_web_domain_rank(spark, sf_dir)
+    (docs,) = _tables(spark, sf_dir, "documents")
+    counts = (
+        docs.filter(F.col("source").isNotNull())
+        .groupBy(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("domain")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return WB.rank_weighted_mix(ranks, counts, alpha=0.5, budget=150)
+
+
 def _q_text_nb_classifier(spark, sf_dir):
     # the model-based curation gate (operators/classify.py): closed-form
     # multinomial NB trained on the md5-hash train slice (labels = lang),
@@ -5674,6 +5716,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_audio_features": _q_multimodal_audio_features,
     "multimodal_image_stats": _q_multimodal_image_stats,
     "text_pmi_collocations": _q_text_pmi_collocations,
+    "web_rank_weighted_mix": _q_web_rank_weighted_mix,
 }
 
 _HISTORY_ORACLES = {
@@ -5868,6 +5911,7 @@ _SHOWCASE_ORDER = [
     # by round-6 close — all six lead the round-7 candidate list below.
     # ROUND-7 ROTATION CANDIDATES (strongest first): corpus_curate_web,
     # multimodal_audio_features, multimodal_image_stats, text_pmi_collocations,
+    # web_rank_weighted_mix,
     # web_url_canonical and web_domain_rank (added mid-round-6, after the
     # head was frozen),
     # corpus_decontaminate,

@@ -328,3 +328,24 @@ def test_host_of_differential_vs_urllib(spark):
         (u, g, w) for u, g, w in zip(urls, got, want) if g != w
     ]
     assert not mismatches, mismatches[:5]
+
+
+def test_rank_weighted_mix_math_and_sink_exclusion(spark):
+    from kinesis_data_counter_spark.operators.web import rank_weighted_mix
+
+    ranks = spark.createDataFrame(
+        [("a.com", 0.64), ("b.com", 0.16), ("sink.net", 0.2)],
+        "node string, rank double",
+    )
+    counts = spark.createDataFrame(
+        [("a.com", 100), ("b.com", 10)], "domain string, n_docs long"
+    )
+    rows = {r.domain: r for r in rank_weighted_mix(ranks, counts, budget=44).collect()}
+    assert "sink.net" not in rows  # ranked but docless -> excluded
+    # weights sqrt(0.64)=0.8, sqrt(0.16)=0.4 over the MATCHED set only
+    assert rows["a.com"].share == round(0.8 / 1.2, 6)
+    assert rows["b.com"].share == round(0.4 / 1.2, 6)
+    # b.com: 44 * (1/3) / 10 > 1 -> clamped; authority oversamples it
+    assert rows["b.com"].keep_rate == 1.0
+    assert rows["a.com"].keep_rate == round(44 * (0.8 / 1.2) / 100, 6)
+    assert rows["b.com"].expected_kept == 10.0
