@@ -5905,10 +5905,11 @@ _SHOWCASE_ORDER = [
     # ceded with r1-r4 green rows and the sketch family still
     # representated in-head by counter_two_level's HLL merge topology.
     # Never-driver-recorded after this rotation: 36 of 160 at rotation
-    # time; the 6 post-rotation round-6 additions (web_url_canonical,
+    # time; the 7 post-rotation round-6 additions (web_url_canonical,
     # web_domain_rank, corpus_curate_web, multimodal_audio_features,
-    # multimodal_image_stats, text_pmi_collocations) bring it to 42 of 166
-    # by round-6 close — all six lead the round-7 candidate list below.
+    # multimodal_image_stats, text_pmi_collocations, and later
+    # web_rank_weighted_mix) bring it to 43 of 167 by round-6 close — all
+    # seven lead the round-7 candidate list below.
     # ROUND-7 ROTATION CANDIDATES (strongest first): corpus_curate_web,
     # multimodal_audio_features, multimodal_image_stats, text_pmi_collocations,
     # web_rank_weighted_mix,
