@@ -139,6 +139,40 @@ def nb_train(
     return NBModel(table=table, priors=priors)
 
 
+def _nb_scored(
+    df: DataFrame,
+    model: NBModel,
+    text_col: str,
+    id_col: str,
+    keep_cols: tuple[str, ...],
+) -> DataFrame:
+    """The per-(doc, label) score grid every consumer argmaxes over:
+    exactly one row per input document per class, ``score =
+    round(logprior + sum(logp), 4)`` (prior-only when no in-vocab
+    token — see nb_score's sentinel formulation)."""
+    toks_arr = F.when(
+        F.col(text_col).isNotNull(), clean_tokens(F.col(text_col))
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    toks = df.select(
+        id_col,
+        *keep_cols,
+        F.explode(F.concat(toks_arr, F.array(F.lit("")))).alias("term"),
+    )
+    contrib = toks.crossJoin(F.broadcast(model.priors)).join(
+        F.broadcast(model.table), ["label", "term"], "left"
+    )
+    return (
+        contrib.groupBy(id_col, *keep_cols, "label", "logprior")
+        .agg(F.sum(F.coalesce(F.col("logp"), F.lit(0.0))).alias("s"))
+        .select(
+            id_col,
+            *keep_cols,
+            "label",
+            F.round(F.col("logprior") + F.col("s"), 4).alias("score"),
+        )
+    )
+
+
 def nb_score(
     df: DataFrame,
     model: NBModel,
@@ -164,27 +198,7 @@ def nb_score(
     (map-side-combined), never a shuffle join of two corpus-sized
     sides just to re-attach zero-token documents.
     """
-    toks_arr = F.when(
-        F.col(text_col).isNotNull(), clean_tokens(F.col(text_col))
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    toks = df.select(
-        id_col,
-        *keep_cols,
-        F.explode(F.concat(toks_arr, F.array(F.lit("")))).alias("term"),
-    )
-    contrib = toks.crossJoin(F.broadcast(model.priors)).join(
-        F.broadcast(model.table), ["label", "term"], "left"
-    )
-    scored = (
-        contrib.groupBy(id_col, *keep_cols, "label", "logprior")
-        .agg(F.sum(F.coalesce(F.col("logp"), F.lit(0.0))).alias("s"))
-        .select(
-            id_col,
-            *keep_cols,
-            "label",
-            F.round(F.col("logprior") + F.col("s"), 4).alias("score"),
-        )
-    )
+    scored = _nb_scored(df, model, text_col, id_col, keep_cols)
     # argmax with label-asc tie-break, shuffle-agg not window-sort:
     # min over (-score, label) picks the highest score, then the
     # lexicographically first label
@@ -198,6 +212,43 @@ def nb_score(
         *keep_cols,
         F.col("b.l").alias("predicted"),
         F.round(-F.col("b.ns"), 4).alias("score"),
+    )
+
+
+def nb_score_margins(
+    df: DataFrame,
+    model: NBModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Like :func:`nb_score` but also returns the decision margin —
+    ``round(top score - runner-up score, 4)`` — the model's confidence
+    proxy that calibration analysis and selective-prediction gates
+    (route low-margin docs to a stronger model / human review) consume.
+
+    One aggregation: per doc, the |classes|-bounded score list collects
+    and sorts in the agg buffer (classes are bounded, so the buffer is —
+    this is NOT a collect over unbounded data). Single-class models
+    yield a NULL margin.
+    """
+    scored = _nb_scored(df, model, text_col, id_col, keep_cols)
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct((-F.col("score")).alias("ns"), F.col("label").alias("l"))
+        )
+    )
+    agg = scored.groupBy(id_col, *keep_cols).agg(arr.alias("a"))
+    top = F.col("a")[0]
+    second = F.col("a")[1]
+    return agg.select(
+        id_col,
+        *keep_cols,
+        top["l"].alias("predicted"),
+        F.round(-top["ns"], 4).alias("score"),
+        F.when(
+            F.size("a") > 1, F.round(second["ns"] - top["ns"], 4)
+        ).alias("margin"),
     )
 
 

@@ -4160,6 +4160,45 @@ SELECT doc_id,
        round(sqrt(avg(CAST(v AS DOUBLE) * v)), 3) AS rms
 FROM d GROUP BY 1
 """,
+    # the shared NB chain extended by a two-row window pivot: margin =
+    # top score minus runner-up, unit-width buckets, exact counts
+    "text_nb_margin_calibration": rf"""
+WITH marked AS (
+  SELECT doc_id, lang,
+         text || CASE WHEN doc_id % 5 <> 0 AND lang IS NOT NULL
+                      THEN ' marker' || lang ELSE '' END AS text
+  FROM documents
+), split AS (
+  SELECT doc_id, lang, text,
+         {SP.split_sql_case('doc_id', (('train', 0.7), ('test', 0.3)), salt='nb')} AS split
+  FROM marked
+), train AS (
+  SELECT lang AS label, text FROM split
+  WHERE split = 'train' AND lang IS NOT NULL
+), score_in AS (
+  SELECT doc_id, text FROM split WHERE split = 'test'
+), {CL.nb_sql_ctes('train', 'score_in')}, m AS (
+  SELECT doc_id,
+         max(CASE WHEN rn = 1 THEN score END) AS s1,
+         max(CASE WHEN rn = 1 THEN label END) AS predicted,
+         max(CASE WHEN rn = 2 THEN score END) AS s2
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, label ASC) AS rn
+        FROM nb_scored)
+  WHERE rn <= 2 GROUP BY 1
+), g AS (
+  SELECT t.lang, m.predicted, round(m.s1 - m.s2, 4) AS margin
+  FROM (SELECT doc_id, lang FROM split WHERE split = 'test') t
+  JOIN m USING (doc_id)
+)
+SELECT CAST(least(9, CAST(floor(margin) AS INT)) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS accuracy
+FROM g GROUP BY 1
+""",
     # the pagerank chain nested as a CTE (DuckDB scopes outer CTEs into
     # nested WITHs), then the identical share/rate arithmetic
     "web_rank_weighted_mix": f"""
@@ -5376,6 +5415,38 @@ def _q_corpus_curate_web(spark, sf_dir):
     )
 
 
+def _q_text_nb_margin_calibration(spark, sf_dir):
+    # calibration / selective prediction: the same marker-planted NB
+    # setup as text_nb_classifier, but scored WITH decision margins
+    # (top minus runner-up), bucketed into unit-width confidence bins —
+    # the reliability table that decides where a low-confidence router
+    # should hand off. Unmarked docs (doc_id % 5 == 0) land in the
+    # low-margin bins and drag their accuracy down, so the table shows
+    # real calibration structure, not a constant.
+    (docs,) = _tables(spark, sf_dir, "documents")
+    marker = F.when(
+        (F.col("doc_id") % 5 != 0) & F.col("lang").isNotNull(),
+        F.concat(F.lit(" marker"), F.col("lang")),
+    ).otherwise(F.lit(""))
+    docs = docs.withColumn("text", F.concat(F.col("text"), marker))
+    split = SP.hash_split(
+        docs, id_col="doc_id", splits=(("train", 0.7), ("test", 0.3)), salt="nb"
+    )
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    model = CL.nb_train(train, label_col="lang", text_col="text", vocab_size=2048)
+    m = CL.nb_score_margins(test, model, keep_cols=("lang",))
+    correct = (F.col("predicted") == F.col("lang")).cast("bigint")
+    bucket = F.least(F.lit(9), F.floor("margin").cast("int")).cast("int")
+    return m.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(correct, F.lit(0))).alias("n_correct"),
+        F.round(
+            F.sum(F.coalesce(correct, F.lit(0))) * F.lit(1.0) / F.count(F.lit(1)), 4
+        ).alias("accuracy"),
+    )
+
+
 def _q_web_rank_weighted_mix(spark, sf_dir):
     # PageRank composed into the sampling tier: the web_domain_rank graph
     # feeds authority-weighted keep rates (share ∝ rank^0.5 under a
@@ -5717,6 +5788,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_stats": _q_multimodal_image_stats,
     "text_pmi_collocations": _q_text_pmi_collocations,
     "web_rank_weighted_mix": _q_web_rank_weighted_mix,
+    "text_nb_margin_calibration": _q_text_nb_margin_calibration,
 }
 
 _HISTORY_ORACLES = {
@@ -5905,14 +5977,14 @@ _SHOWCASE_ORDER = [
     # ceded with r1-r4 green rows and the sketch family still
     # representated in-head by counter_two_level's HLL merge topology.
     # Never-driver-recorded after this rotation: 36 of 160 at rotation
-    # time; the 7 post-rotation round-6 additions (web_url_canonical,
+    # time; the 8 post-rotation round-6 additions (web_url_canonical,
     # web_domain_rank, corpus_curate_web, multimodal_audio_features,
     # multimodal_image_stats, text_pmi_collocations, and later
-    # web_rank_weighted_mix) bring it to 43 of 167 by round-6 close — all
-    # seven lead the round-7 candidate list below.
+    # web_rank_weighted_mix + text_nb_margin_calibration) bring it to
+    # 44 of 168 by round-6 close — all lead the round-7 candidates below.
     # ROUND-7 ROTATION CANDIDATES (strongest first): corpus_curate_web,
     # multimodal_audio_features, multimodal_image_stats, text_pmi_collocations,
-    # web_rank_weighted_mix,
+    # web_rank_weighted_mix, text_nb_margin_calibration,
     # web_url_canonical and web_domain_rank (added mid-round-6, after the
     # head was frozen),
     # corpus_decontaminate,

@@ -212,3 +212,21 @@ def test_nb_is_bag_of_words_order_invariant(spark):
             )
         )
     assert outs[0] == outs[1]
+
+
+def test_score_margins_separable_vs_ambiguous(spark, tiny):
+    m = CL.nb_train(tiny, label_col="label", vocab_size=100)
+    probe = spark.createDataFrame(
+        [(10, "cat purr cat"), (11, "cat dog")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in CL.nb_score_margins(probe, m).collect()}
+    # strong evidence -> wide margin; balanced evidence -> narrow margin
+    # (not exactly 0: the class token totals differ slightly, so the
+    # smoothed logps are not perfectly mirrored)
+    assert rows[10].predicted == "a" and rows[10].margin > 1.0
+    assert rows[11].margin < 0.2
+    # margin path and plain argmax path must agree on the decision
+    plain = {r.doc_id: (r.predicted, r.score)
+             for r in CL.nb_score(probe, m).collect()}
+    for d, r in rows.items():
+        assert plain[d] == (r.predicted, r.score)
