@@ -802,6 +802,7 @@ def stream_classifier_gate(
     id_col: str = "doc_id",
     admit_labels: tuple[str, ...] = ("keep",),
     vocab_size: int = 2048,
+    min_margin: float | None = None,
     max_files_per_trigger: int | None = 1,
     timeout_sec: int = 300,
 ) -> DataFrame:
@@ -818,6 +819,12 @@ def stream_classifier_gate(
     both rows carrying (predicted, score) as the audit trail. All writes
     are batch-keyed, so a crash-replayed batch re-scores under the SAME
     frozen model and overwrites its own routing — idempotent.
+
+    ``min_margin`` turns on selective prediction: a document is admitted
+    only if its decision margin (top minus runner-up score) clears the
+    threshold — low-confidence docs land in rejected/ carrying their
+    margin, the review queue a production gate routes to a stronger
+    model or a human.
 
     Per-batch work is proportional to the increment: the model is a
     bounded class x vocab table (broadcast), scoring is two
@@ -846,12 +853,22 @@ def stream_classifier_gate(
             .withColumn("predicted", F.lit(None).cast("string"))
             .withColumn("score", F.lit(None).cast("double"))
         )
-        scored = CL.nb_score(
-            with_id.select(id_col, text_col), model, text_col=text_col,
-            id_col=id_col,
-        )
+        if min_margin is not None:
+            no_id = no_id.withColumn("margin", F.lit(None).cast("double"))
+        if min_margin is None:
+            scored = CL.nb_score(
+                with_id.select(id_col, text_col), model, text_col=text_col,
+                id_col=id_col,
+            )
+        else:
+            scored = CL.nb_score_margins(
+                with_id.select(id_col, text_col), model, text_col=text_col,
+                id_col=id_col,
+            )
         routed = with_id.join(scored, id_col).persist()
         admit = F.col("predicted").isin(*admit_labels)
+        if min_margin is not None:
+            admit = admit & (F.col("margin") >= min_margin)
         _write_batch_keyed(routed.filter(admit), accepted_dir, epoch)
         _write_batch_keyed(
             routed.filter(~admit).unionByName(no_id.select(*routed.columns)),

@@ -1275,3 +1275,30 @@ def test_stream_classifier_gate_null_id_routes_to_rejected(spark, tmp_path):
     assert accepted.count() + rejected.count() == 3
     nulls = rejected.filter(F.col("doc_id").isNull()).collect()
     assert len(nulls) == 1 and nulls[0].predicted is None
+
+
+def test_stream_classifier_gate_margin_threshold(spark, tmp_path):
+    # selective prediction: a correctly-labeled but LOW-margin doc must
+    # be routed to rejected/ (the review queue), not admitted
+    from kinesis_data_counter_spark.streaming.runner import stream_classifier_gate
+
+    b0 = [
+        (1, "good clean essay prose", "keep"),
+        (2, "clean prose good essay", "keep"),
+        (3, "spam junk casino offer", "drop"),
+        (4, "junk offer spam casino", "drop"),
+    ]
+    b1 = [
+        (10, "good clean prose essay essay", None),  # confident keep
+        (11, "good junk", None),                     # ambiguous -> review
+    ]
+    src = tmp_path / "src"
+    _write_doc_batches(spark, src, [b0, b1])
+    work = str(tmp_path / "work")
+    accepted = stream_classifier_gate(spark, str(src), work, min_margin=1.0)
+    rejected = spark.read.parquet(f"{work}/rejected").drop("batch")
+    acc_ids = {r.doc_id for r in accepted.collect()}
+    rej = {r.doc_id: r for r in rejected.collect()}
+    assert 10 in acc_ids
+    assert 11 in rej and rej[11].margin is not None and rej[11].margin < 1.0
+    assert accepted.count() + rejected.count() == 6
