@@ -420,3 +420,27 @@ def test_canonical_url_invariant_under_partitioning(spark):
         out = layout.select("doc_id", canonical_url(F.col("raw")).alias("c"))
         results.append(sorted((r.doc_id, r.c) for r in out.collect()))
     assert all(r == results[0] for r in results[1:])
+
+
+def test_nb_margins_invariant_under_partitioning(spark):
+    # the margin path collects per-doc score lists (collect_list is the
+    # canonical order-sensitive trap) — sort_array must make the result
+    # layout-independent
+    from kinesis_data_counter_spark.operators.classify import (
+        nb_score_margins,
+        nb_train,
+    )
+
+    docs = _docs(spark).withColumn(
+        "label", F.when(F.col("doc_id") % 3 == 0, "a").otherwise("b")
+    )
+    model = nb_train(docs, label_col="label", vocab_size=50)
+    probe = docs.select("doc_id", "text", "__part_key")
+    results = []
+    for layout in _layouts(probe):
+        out = nb_score_margins(layout.drop("__part_key"), model)
+        results.append(
+            sorted((r.doc_id, r.predicted, r.score, r.margin) for r in out.collect())
+        )
+    assert results[0]
+    assert all(r == results[0] for r in results[1:])
