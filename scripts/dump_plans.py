@@ -310,6 +310,18 @@ SHOWCASE: dict[str, str] = {
         "truncated per round by localCheckpoint, so the shown plan is "
         "the LAST iteration's — constant-depth regardless of iters."
     ),
+    "web_rank_weighted_mix": (
+        "Authority-weighted sampling rates (round 6): the pagerank rank "
+        "table (|domains|-sized) broadcast-joins the per-domain counts; "
+        "the weight normalizer is one single-row broadcast — every "
+        "post-rank operation is domain-sized regardless of corpus scale."
+    ),
+    "text_nb_margin_calibration": (
+        "Decision-margin reliability table (round 6): the NB score grid "
+        "aggregates per-doc into a classes-bounded sorted list (NOT an "
+        "unbounded collect), margins bucket row-locally, and the final "
+        "table is one 10-row aggregate."
+    ),
     "text_pmi_collocations": (
         "PMI phrase detection (round 6): two explode->count aggregations "
         "(map-side combined), the vocab-sized unigram table BROADCASTS "
