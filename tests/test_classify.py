@@ -159,6 +159,10 @@ def test_nb_random_differential_vs_sql_twin(spark):
         got = sorted(
             (r.doc_id, r.predicted, r.score) for r in nb_score(sdf, model).collect()
         )
+        got_m = sorted(
+            (r.doc_id, r.predicted, r.score, r.margin)
+            for r in CL.nb_score_margins(sdf, model).collect()
+        )
 
         con = duckdb.connect()
         con.register("train_pd", pd.DataFrame(
@@ -173,6 +177,28 @@ def test_nb_random_differential_vs_sql_twin(spark):
         )
         want = sorted(tuple(r) for r in con.execute(sql).fetchall())
         assert got == want, f"seed {seed} diverged"
+
+        # margin path: the sort_array argmax and the SQL window pivot
+        # must agree even on exact score TIES between labels (small
+        # vocab + short docs make ties common here)
+        sql_m = (
+            "WITH train AS (SELECT label, text FROM train_pd), "
+            "score_in AS (SELECT doc_id, text FROM score_pd), "
+            + nb_sql_ctes("train", "score_in", vocab_size=8)
+            + """ , mm AS (
+                 SELECT doc_id,
+                        max(CASE WHEN rn = 1 THEN score END) AS s1,
+                        max(CASE WHEN rn = 1 THEN label END) AS predicted,
+                        max(CASE WHEN rn = 2 THEN score END) AS s2
+                 FROM (SELECT *, row_number() OVER (
+                          PARTITION BY doc_id
+                          ORDER BY score DESC, label ASC) AS rn
+                       FROM nb_scored)
+                 WHERE rn <= 2 GROUP BY 1)
+               SELECT doc_id, predicted, s1, round(s1 - s2, 4) FROM mm"""
+        )
+        want_m = sorted(tuple(r) for r in con.execute(sql_m).fetchall())
+        assert got_m == want_m, f"seed {seed} margin path diverged"
 
 
 def test_bad_args_raise_clearly(spark, tiny):
