@@ -233,11 +233,17 @@ def drift_report(
 
     def side(df: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
         b = buckets(df)
+        # null census: numeric NULLs surface as a NULL bucket (excluded
+        # from PSI), categorical NULLs as the '∅NULL' sentinel bucket
+        # (included in PSI) — null_delta must count BOTH, else a
+        # categorical null-rate shift reports 0.0
         tot = b.groupBy("col_name").agg(
             F.sum(F.when(F.col("bucket").isNotNull(), F.col("n"))).alias(f"t_{tag}"),
-            F.sum(F.when(F.col("bucket").isNull(), F.col("n_all")).otherwise(0)).alias(
-                f"nn_{tag}"
-            ),
+            F.sum(
+                F.when(F.col("bucket").isNull(), F.col("n_all"))
+                .when(F.col("bucket") == "∅NULL", F.col("n"))
+                .otherwise(0)
+            ).alias(f"nn_{tag}"),
             F.sum("n_all").alias(f"all_{tag}"),
         )
         return (

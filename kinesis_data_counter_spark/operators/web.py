@@ -131,6 +131,12 @@ def domain_cap(
 
     Returns the input plus (domain string, kept boolean) — callers filter
     on ``kept`` or keep the flag for accounting.
+
+    Malformed URLs (``registered_domain`` → NULL) are NOT one domain — they
+    are unrelated unparseable strings, so the cap does not apply to them as
+    a group. They bypass the count join (which, being an inner equi-join,
+    would silently drop NULL keys) and are retained with ``kept=True`` and
+    ``domain`` NULL; compose with a quality gate to reject them explicitly.
     """
     d = df.withColumn(
         "__dom", registered_domain(F.col(url_col), extra_suffixes)
@@ -138,12 +144,22 @@ def domain_cap(
         "__ticket",
         F.md5(F.concat(F.lit("cap:"), F.col(id_col).cast("string"))),
     )
-    counts = d.groupBy("__dom").agg(F.count(F.lit(1)).alias("__n"))
-    d = d.join(counts, "__dom")
-    small = d.filter(F.col("__n") <= cap).withColumn("kept", F.lit(True))
+    malformed = (
+        d.filter(F.col("__dom").isNull()).withColumn("kept", F.lit(True))
+        # schema parity with the joined branches below
+        .withColumn("__n", F.lit(None).cast("long"))
+    )
+    parsed = d.filter(F.col("__dom").isNotNull())
+    counts = parsed.groupBy("__dom").agg(F.count(F.lit(1)).alias("__n"))
+    joined = parsed.join(counts, "__dom")
+    small = (
+        joined.filter(F.col("__n") <= cap)
+        .withColumn("kept", F.lit(True))
+        .unionByName(malformed)
+    )
     w = Window.partitionBy("__dom").orderBy("__ticket", id_col)
     big = (
-        d.filter(F.col("__n") > cap)
+        joined.filter(F.col("__n") > cap)
         .withColumn("__rk", F.row_number().over(w))
         .withColumn("kept", F.col("__rk") <= cap)
         .drop("__rk")

@@ -4474,8 +4474,10 @@ SELECT coalesce(old.k, new.k) AS o_orderkey,
 FROM old FULL OUTER JOIN new ON old.k = new.k
 """,
     # replays drift_report exactly: reference-derived fixed-width bins
-    # (edge-clamped), eps-floored shares over the bucket union, PSI summed
-    # then rounded to 6dp, null-rate delta per side
+    # (edge-clamped, hi==lo degenerate range -> single bucket 'b0' like
+    # the Spark side), eps-floored shares over the bucket union, PSI
+    # summed then rounded to 6dp, null-rate delta per side (categorical
+    # nulls counted via their '∅NULL' sentinel bucket)
     "profile_drift": """
 WITH ref AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-16'),
 cur AS (SELECT * FROM events
@@ -4486,26 +4488,30 @@ b AS (SELECT CAST(min(value) AS DOUBLE) AS lo_v, CAST(max(value) AS DOUBLE) AS h
       FROM ref),
 rl AS (
   SELECT 'value' AS col_name,
+         CASE WHEN hi_v = lo_v THEN 'b0' ELSE
          'b' || lpad(CAST(least(9, greatest(0,
-             CAST(floor((CAST(value AS DOUBLE) - lo_v)/((hi_v-lo_v)/10.0)) AS INT))) AS VARCHAR), 4, '0') AS bucket
+             CAST(floor((CAST(value AS DOUBLE) - lo_v)/((hi_v-lo_v)/10.0)) AS INT))) AS VARCHAR), 4, '0') END AS bucket
   FROM ref, b WHERE value IS NOT NULL
   UNION ALL
   SELECT 'user_id',
+         CASE WHEN hi_u = lo_u THEN 'b0' ELSE
          'b' || lpad(CAST(least(9, greatest(0,
-             CAST(floor((CAST(user_id AS DOUBLE) - lo_u)/((hi_u-lo_u)/10.0)) AS INT))) AS VARCHAR), 4, '0')
+             CAST(floor((CAST(user_id AS DOUBLE) - lo_u)/((hi_u-lo_u)/10.0)) AS INT))) AS VARCHAR), 4, '0') END
   FROM ref, b WHERE user_id IS NOT NULL
   UNION ALL
   SELECT 'event_type', coalesce(event_type, '∅NULL') FROM ref
 ),
 cl AS (
   SELECT 'value' AS col_name,
+         CASE WHEN hi_v = lo_v THEN 'b0' ELSE
          'b' || lpad(CAST(least(9, greatest(0,
-             CAST(floor((CAST(value AS DOUBLE) - lo_v)/((hi_v-lo_v)/10.0)) AS INT))) AS VARCHAR), 4, '0') AS bucket
+             CAST(floor((CAST(value AS DOUBLE) - lo_v)/((hi_v-lo_v)/10.0)) AS INT))) AS VARCHAR), 4, '0') END AS bucket
   FROM cur, b WHERE value IS NOT NULL
   UNION ALL
   SELECT 'user_id',
+         CASE WHEN hi_u = lo_u THEN 'b0' ELSE
          'b' || lpad(CAST(least(9, greatest(0,
-             CAST(floor((CAST(user_id AS DOUBLE) - lo_u)/((hi_u-lo_u)/10.0)) AS INT))) AS VARCHAR), 4, '0')
+             CAST(floor((CAST(user_id AS DOUBLE) - lo_u)/((hi_u-lo_u)/10.0)) AS INT))) AS VARCHAR), 4, '0') END
   FROM cur, b WHERE user_id IS NOT NULL
   UNION ALL
   SELECT 'event_type', coalesce(event_type, '∅NULL') FROM cur
@@ -4523,7 +4529,9 @@ nulls AS (
          (SELECT count(*) FILTER (user_id IS NULL) * 1.0 / count(*) FROM cur)
        - (SELECT count(*) FILTER (user_id IS NULL) * 1.0 / count(*) FROM ref)
   UNION ALL
-  SELECT 'event_type', 0.0
+  SELECT 'event_type',
+         (SELECT count(*) FILTER (event_type IS NULL) * 1.0 / count(*) FROM cur)
+       - (SELECT count(*) FILTER (event_type IS NULL) * 1.0 / count(*) FROM ref)
 ),
 j AS (
   SELECT col_name, bucket,

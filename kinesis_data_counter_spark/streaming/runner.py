@@ -868,7 +868,13 @@ def stream_classifier_gate(
         routed = with_id.join(scored, id_col).persist()
         admit = F.col("predicted").isin(*admit_labels)
         if min_margin is not None:
-            admit = admit & (F.col("margin") >= min_margin)
+            # margin is NULL for a single-class frozen model (no runner-up)
+            # — a bare `margin >= min_margin` is NULL then, and the doc
+            # would vanish from BOTH filter(admit) and filter(~admit).
+            # NULL margin = no evidence of confidence → route to rejected/.
+            admit = admit & F.coalesce(
+                F.col("margin") >= min_margin, F.lit(False)
+            )
         _write_batch_keyed(routed.filter(admit), accepted_dir, epoch)
         _write_batch_keyed(
             routed.filter(~admit).unionByName(no_id.select(*routed.columns)),

@@ -177,8 +177,9 @@ def test_drift_report_null_delta_and_categorical_null_bucket(spark):
     from kinesis_data_counter_spark.metrics import drift_report
 
     # numeric: cur introduces 50% NULLs → null_delta 0.5, NULLs excluded
-    # from binning; categorical: NULL becomes its own bucket so nullness
-    # shows up as PSI drift instead
+    # from binning; categorical: NULL becomes its own sentinel bucket
+    # (PSI drift) AND its count feeds null_delta, so a categorical
+    # null-rate shift reports on both channels
     ref = spark.createDataFrame(
         [(float(i % 10), "a") for i in range(100)], "v double, c string"
     )
@@ -194,7 +195,7 @@ def test_drift_report_null_delta_and_categorical_null_bucket(spark):
     ).collect()}
     assert rows["v"]["null_delta"] == 0.5
     assert rows["v"]["psi"] == 0.0  # surviving values keep the ref shape
-    assert rows["c"]["null_delta"] == 0.0
+    assert rows["c"]["null_delta"] == 0.5
     assert rows["c"]["drifted"] is True  # the new NULL bucket is drift
 
 

@@ -1302,3 +1302,25 @@ def test_stream_classifier_gate_margin_threshold(spark, tmp_path):
     assert 10 in acc_ids
     assert 11 in rej and rej[11].margin is not None and rej[11].margin < 1.0
     assert accepted.count() + rejected.count() == 6
+
+
+def test_stream_classifier_gate_null_margin_routes_to_rejected(spark, tmp_path):
+    # single-class frozen model → nb_score_margins yields margin NULL (no
+    # runner-up). With min_margin set, a bare `margin >= t` filter is NULL
+    # and the doc would vanish from BOTH accepted/ and rejected/ — the gate
+    # must null-safe the comparison and route such docs to rejected/
+    from kinesis_data_counter_spark.streaming.runner import stream_classifier_gate
+
+    b0 = [
+        (1, "good clean essay prose", "keep"),
+        (2, "clean prose good essay", "keep"),
+    ]
+    b1 = [(10, "good clean prose essay", None)]
+    src = tmp_path / "src"
+    _write_doc_batches(spark, src, [b0, b1])
+    work = str(tmp_path / "work")
+    accepted = stream_classifier_gate(spark, str(src), work, min_margin=0.5)
+    rejected = spark.read.parquet(f"{work}/rejected").drop("batch")
+    assert accepted.count() + rejected.count() == 3, "no doc may vanish"
+    rej = {r.doc_id: r for r in rejected.collect()}
+    assert 10 in rej and rej[10].margin is None

@@ -104,6 +104,27 @@ def test_domain_cap_exact_md5_selection_and_bypass(spark):
     assert got[11] == ("cold.org", True)
 
 
+def test_domain_cap_retains_malformed_urls(spark):
+    # malformed URLs (no scheme://) have NULL registered_domain; they are
+    # NOT one domain, so the cap doesn't group them — every row must come
+    # back kept=True with domain NULL, even when their count exceeds cap
+    rows = [(i, f"not a url {i}") for i in range(5)] + [
+        (10, "https://hot.com/a"),
+        (11, "https://hot.com/b"),
+        (12, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["doc_id"]: (r["domain"], r["kept"])
+        for r in domain_cap(df, cap=2).collect()
+    }
+    assert len(got) == 8, "no row may vanish"
+    for i in list(range(5)) + [12]:
+        assert got[i] == (None, True)
+    assert got[10] == ("hot.com", True)
+    assert got[11] == ("hot.com", True)
+
+
 class TestCanonicalUrl:
     CASES = [
         # messy -> canonical: case, www, default port, tracking params,
