@@ -527,6 +527,38 @@ def _q_streaming_counter(spark, sf_dir):
     return run_counter_stream_once(spark, f"{sf_dir}/events.parquet", spec)
 
 
+def _q_streaming_two_level_replay(spark, sf_dir):
+    # a FULL streaming deployment driven batch-replayably (VERDICT r6 task
+    # 8): the fixture is split into 4 parquet files so availableNow +
+    # maxFilesPerTrigger=1 drains as 4 real micro-batches; each batch
+    # appends partial_counter rows to a parquet exchange (the reference's
+    # putIntermediateRecord hop, counter.go:493-512) under a genuine
+    # streaming checkpoint, and the level-2 merge_partials consumer reads
+    # the drained exchange. Count path → the oracle is the plain batch
+    # GROUP BY twin; the answer is invariant to how rows landed in
+    # micro-batches because the partial state is mergeable by construction.
+    import os
+    import tempfile
+
+    from kinesis_data_counter_spark.streaming.runner import stream_two_level
+
+    (ev,) = _tables(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="kdc_stream2l_")
+    src = os.path.join(base, "src")
+    # 4 round-robin files -> 4 micro-batches; batch membership is
+    # arbitrary, which is the point: the merged result must not depend
+    # on it. The exchange/checkpoint stay alive until the caller collects
+    # (merge_partials reads the exchange lazily).
+    ev.repartition(4).write.parquet(src)
+    spec = CounterSpec(id="req_count", counter_type="count", target_column="*",
+                       window="1 hour", input_stream_arn=EVENTS_ARN).validate()
+    return stream_two_level(
+        spark, src, spec,
+        exchange_dir=os.path.join(base, "exchange"),
+        max_files_per_trigger=1,
+    )
+
+
 _COUNTER_ORACLES = {
     "counter_count_all": _counter_oracle("count(*)", "req_count", "count"),
     "counter_count_column": _counter_oracle("count(user_id)", "user_events", "count"),
@@ -713,6 +745,15 @@ SELECT '{EVENTS_ARN}', epoch_ms(date_trunc('day', ts)),
 FROM events GROUP BY 1, 2, 3, 4, 5
 """,
     "counter_partial_merge": """
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start,
+       epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end,
+       'req_count' AS counter_id, 'count' AS counter_type,
+       count(*) AS value
+FROM events GROUP BY 1, 2, 3, 4
+""",
+    # the streamed two-level exchange drains to exactly the batch answer:
+    # micro-batch membership is arbitrary, partial counts merge by sum
+    "streaming_two_level_replay": """
 SELECT epoch_ms(date_trunc('hour', ts)) AS window_start,
        epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end,
        'req_count' AS counter_id, 'count' AS counter_type,
@@ -5651,6 +5692,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theta_set_ops_users": _q_theta_set_ops_users,
     "counter_multi_fanout": _q_counter_multi_fanout,
     "streaming_counter": _q_streaming_counter,
+    "streaming_two_level_replay": _q_streaming_two_level_replay,
     "window_sliding": _q_window_sliding,
     "window_session": _q_window_session,
     "counter_salted_skew": _q_counter_salted_skew,
@@ -5990,54 +6032,87 @@ _SHOWCASE_ORDER = [
     # multimodal_image_stats, text_pmi_collocations, and later
     # web_rank_weighted_mix + text_nb_margin_calibration) bring it to
     # 44 of 168 by round-6 close — all lead the round-7 candidates below.
-    # ROUND-7 ROTATION CANDIDATES (strongest first): corpus_curate_web,
-    # multimodal_audio_features, multimodal_image_stats, text_pmi_collocations,
-    # web_rank_weighted_mix, text_nb_margin_calibration,
-    # web_url_canonical and web_domain_rank (added mid-round-6, after the
-    # head was frozen),
-    # corpus_decontaminate,
-    # sessionize_users, range_join_session_events, events_transitions,
-    # sample_hash_split, sample_class_balance, text_fingerprint,
-    # text_winnow, ann_lsh_recall, dedup_method_agreement, profile_events,
-    # join_cardinality_sketch, stats_percentiles, pivot_event_counts,
-    # window_rolling_7d, asof_forward_order, multimodal_media,
-    # udtf_token_positions.
+    # Round-7 rotation: the 16 strongest never-driver-recorded entries
+    # (the round-6 candidate list: corpus_curate_web,
+    # multimodal_audio_features, multimodal_image_stats,
+    # text_pmi_collocations, web_rank_weighted_mix,
+    # text_nb_margin_calibration, web_url_canonical, web_domain_rank,
+    # corpus_decontaminate, sessionize_users, range_join_session_events,
+    # events_transitions, sample_hash_split, sample_class_balance,
+    # text_fingerprint, text_winnow) rotate in, plus the new
+    # streaming_two_level_replay (VERDICT r6 task 8: a full streaming
+    # deployment drained in the driver snapshot) — 17 slots. The 17 ceded
+    # entries ALL carry >= 2 driver-recorded green rounds
+    # (counter_count_all r1-r4+r6, counter_jq_generic r4+r6,
+    # grouping_sets_orders, retention_cohorts, funnel_signup_purchase,
+    # udaf_weighted_median, profile_key_skew, layout_zorder_prune,
+    # dedup_clusters, ann_ivf_pq_recall, knn_label_propagation,
+    # knn_label_propagation_bucketed, text_lm_score, corpus_quality_tiers,
+    # sample_stratified, sample_token_budget, multimodal_decode — each
+    # r4+r6) and keep running in local verification + tests; every ceded
+    # family keeps at least one head representative (counter core ->
+    # counter_two_level; relational -> fuzzy_match_part_names + the three
+    # rotated-in session/event entries; diagnostics -> quality_expectations
+    # / profile_drift / dataset_snapshot_diff; layout -> layout_compaction;
+    # dedup -> dedup_exact_docs / dedup_semdedup + corpus_decontaminate;
+    # ANN -> ann_pq_recall / embedding_pca_check / mine_hard_negatives;
+    # text -> text_bpe_roundtrip / text_bm25 + the four rotated-in text
+    # entries; corpus -> corpus_curate_full et al.; sampling ->
+    # sample_leakage_safe_split + sample_hash_split + sample_class_balance;
+    # multimodal -> multimodal_png_roundtrip + the two rotated-in stats
+    # entries). Never-driver-recorded after this rotation: 28 of 169
+    # (44 of 168 at round-6 close, minus the 16 rotated in; the new
+    # streaming entry records in its first round in-head). ROUND-8
+    # ROTATION CANDIDATES (strongest first): ann_lsh_recall,
+    # dedup_method_agreement, profile_events, join_cardinality_sketch,
+    # stats_percentiles, pivot_event_counts, window_rolling_7d,
+    # asof_forward_order, multimodal_media, udtf_token_positions,
+    # text_redact_pii, text_repetition, text_vocab, text_bigrams,
+    # sample_mix_rates, sample_weighted_topk, stats_histogram,
+    # rollup_time_hierarchy, recursive_session_chains, set_ops_customers,
+    # sql_surface_daily_top_types, tpch_q14_promo,
+    # unpivot_lineitem_metrics, anti_join_idle_customers,
+    # counter_jq_select, dedup_embedding_clusters, embedding_centroids,
+    # multimodal_frame_sample.
     #
-    # reference-parity counter core (A1-A8, F1-F8)
-    "counter_count_all", "counter_jq_generic", "counter_two_level",
+    # reference-parity counter core (A1-A8, F1-F8) + the two-level
+    # exchange driven both as a batch plan and as a drained stream
+    "counter_two_level", "streaming_two_level_replay",
     # jq full-surface extension points (interpreter, SQL table function,
     # @format export, input-stream fold)
     "udtf_jq_lateral", "text_jq_normalize", "text_jq_export",
     "counter_jq_stream_fold",
-    # model-based curation gate (classifier tier)
-    "text_nb_classifier",
+    # model-based curation gate (classifier tier) + margin calibration
+    "text_nb_classifier", "text_nb_margin_calibration",
     # routing / config
     "config_pipeline",
     # sources & wire formats
     "counter_replay_source",
     # relational representatives (rest of TPC-H follows after the head)
-    "grouping_sets_orders", "retention_cohorts", "funnel_signup_purchase",
-    "udaf_weighted_median", "fuzzy_match_part_names",
+    "fuzzy_match_part_names", "sessionize_users",
+    "range_join_session_events", "events_transitions",
     # data-shape diagnostics / quality gate / drift / versioning / layout
-    "profile_key_skew", "quality_expectations", "profile_drift",
-    "dataset_snapshot_diff", "layout_zorder_prune", "layout_compaction",
+    "quality_expectations", "profile_drift", "dataset_snapshot_diff",
+    "layout_compaction",
     # interval joins
     "overlap_join_sessions",
-    # dedup family
-    "dedup_exact_docs", "dedup_clusters", "dedup_semdedup",
+    # dedup family + decontamination
+    "dedup_exact_docs", "dedup_semdedup", "corpus_decontaminate",
     # similarity search / auto-labeling / mining / embedding compression
-    "ann_ivf_pq_recall", "ann_pq_recall", "knn_label_propagation",
-    "knn_label_propagation_bucketed", "embedding_pca_check",
+    "ann_pq_recall", "embedding_pca_check",
     "mine_hard_negatives", "ann_hard_negative_agreement",
-    # text analysis + web provenance
-    "text_lm_score", "text_bpe_roundtrip", "text_bm25",
-    "text_wordlist_filter", "web_domain_curation",
+    # text analysis + fingerprinting + web provenance
+    "text_bpe_roundtrip", "text_bm25", "text_wordlist_filter",
+    "text_pmi_collocations", "text_fingerprint", "text_winnow",
+    "web_domain_curation", "web_url_canonical", "web_domain_rank",
+    "web_rank_weighted_mix", "corpus_curate_web",
     # corpus curation + sampling + governance + multimodal
-    "corpus_quality_tiers", "corpus_curate_full", "corpus_curate_semantic",
+    "corpus_curate_full", "corpus_curate_semantic",
     "corpus_boilerplate", "corpus_chunk_overlap", "corpus_shuffle_shards",
-    "sample_stratified", "sample_token_budget", "sample_leakage_safe_split",
-    "rfm_segments_sketch", "gdpr_erasure_audit", "multimodal_decode",
-    "multimodal_png_roundtrip",
+    "sample_leakage_safe_split", "sample_hash_split", "sample_class_balance",
+    "rfm_segments_sketch", "gdpr_erasure_audit",
+    "multimodal_png_roundtrip", "multimodal_audio_features",
+    "multimodal_image_stats",
 ]
 
 
