@@ -122,6 +122,19 @@ BENCH_QUERIES = [
     # domain cap -> NB gate) and the iterative rank table
     "corpus_curate_web",
     "web_domain_rank",
+    # round-7 additions: the drained two-level streaming deployment, the
+    # n-gram-containment decontamination pass, rank-weighted sampling mix,
+    # PMI collocations, winnowing fingerprints, sessionization + Markov
+    # transitions, and the two multimodal stats extractors
+    "streaming_two_level_replay",
+    "corpus_decontaminate",
+    "web_rank_weighted_mix",
+    "text_pmi_collocations",
+    "text_winnow",
+    "sessionize_users",
+    "events_transitions",
+    "multimodal_audio_features",
+    "multimodal_image_stats",
 ]
 
 
@@ -226,27 +239,38 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs": max(1, runs),
-                # ambient-load stamps (1/5/15-min loadavg before and after):
-                # cross-round timing drift is only adjudicable when both
-                # rounds ran on a comparably quiet machine (VERDICT r3 §perf);
-                # the quiet-wait gate (r4 item 8) blocks until loadavg <
-                # SPARK_BENCH_MAX_LOAD or SPARK_BENCH_LOAD_WAIT runs out
-                "loadavg_before": [round(x, 2) for x in load_before],
-                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
-                "quiet_wait_s": waited_s,
-                "sf1_spot": sf1_spot,
-            }
-        )
-    )
+    result = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs": max(1, runs),
+        # ambient-load stamps (1/5/15-min loadavg before and after):
+        # cross-round timing drift is only adjudicable when both
+        # rounds ran on a comparably quiet machine (VERDICT r3 §perf);
+        # the quiet-wait gate (r4 item 8) blocks until loadavg <
+        # SPARK_BENCH_MAX_LOAD or SPARK_BENCH_LOAD_WAIT runs out
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "quiet_wait_s": waited_s,
+        "sf1_spot": sf1_spot,
+    }
+    print(json.dumps(result))
+    # the driver's BENCH_r{N}.json keeps only a 2,000-char stdout TAIL,
+    # which truncates total_bench_seconds and most per-query timings
+    # (VERDICT r6 item 1) — persist the FULL result to a tracked history
+    # file so round-over-round regressions stay provable. Append-per-run:
+    # each line is one complete result object, newest last.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"),
+            "a",
+        ) as fh:
+            fh.write(json.dumps({"ts": round(time.time(), 1), **result}) + "\n")
+    except OSError:  # history must never sink the metric line
+        pass
     spark.stop()
 
 
