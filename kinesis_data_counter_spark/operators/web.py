@@ -274,6 +274,8 @@ def pagerank(
     iters: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_max_nodes: int = 1_000_000,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Domain-authority PageRank over a (src, dst) edge table — the
     centrality signal web-scale curation stacks (Common-Crawl-derived
@@ -289,14 +291,20 @@ def pagerank(
 
     Scale shape: the node and degree tables derive from one
     edge-distinct aggregation; each iteration is ONE shuffle — an
-    equi-join of edges with the current (node-keyed, usually
-    broadcast-small for domain graphs) rank table, then a groupBy(dst)
-    with map-side combine. The rank table is |domains|-sized — tiny
-    next to the corpus — so iterations broadcast. For billion-node
-    graphs the same plan holds with hash joins; ``iters`` bounds the
-    stage count (a driver loop; each round is materialized and its
-    lineage truncated with localCheckpoint, the dedup_clusters discipline;
-    the edge and node tables are persisted across iterations).
+    equi-join of edges with the current node-keyed rank table, then a
+    groupBy(dst) with map-side combine. The broadcast hint on the rank
+    table is SIZE-GATED on the already-computed node count
+    (``broadcast_max_nodes``, default 1M ≈ tens of MB per executor —
+    domain graphs sit far under it): below the gate every node-keyed
+    join broadcasts; above it the hint is dropped and Catalyst plans
+    shuffled hash / sort-merge equi-joins, so a billion-node graph runs
+    the same logical plan without OOMing the executors on a forced
+    broadcast. ``iters`` bounds the stage count (a driver loop; each
+    round is materialized and its lineage truncated with
+    localCheckpoint, the dedup_clusters discipline; the edge and node
+    tables are persisted across iterations). ``checkpoint=False`` keeps
+    the full lazy lineage instead — only for plan inspection / tiny
+    graphs; production runs truncate.
 
     Returns (node, rank, out_deg, in_deg).
     """
@@ -331,7 +339,10 @@ def pagerank(
         F.count(F.lit(1)).alias("in_deg")
     )
     base = (1.0 - damping) / n_nodes
-    ranks = nodes.join(F.broadcast(out_deg), "node", "left").select(
+    # node-count-gated broadcast: identity above the gate so Catalyst
+    # plans a plain (shuffled) equi-join for huge graphs
+    _bc = F.broadcast if n_nodes <= broadcast_max_nodes else (lambda df: df)
+    ranks = nodes.join(_bc(out_deg), "node", "left").select(
         "node",
         F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),
         F.round(F.lit(1.0 / n_nodes), 6).alias("rank"),
@@ -339,19 +350,20 @@ def pagerank(
     for _ in range(iters):
         # materialize + truncate lineage each round (the dedup_clusters
         # iteration discipline) — the rank table is |domains|-sized
-        ranks = ranks.localCheckpoint()
+        if checkpoint:
+            ranks = ranks.localCheckpoint()
         dangling = (
             ranks.where(F.col("out_deg") == 0).agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
             )
         ).collect()[0]["dm"]
         contrib = (
-            e.join(F.broadcast(ranks), e.src == ranks.node)
+            e.join(_bc(ranks), e.src == ranks.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("inflow"))
         )
         ranks = ranks.select("node", "out_deg").join(
-            F.broadcast(contrib), "node", "left"
+            _bc(contrib), "node", "left"
         ).select(
             "node",
             "out_deg",
@@ -362,15 +374,16 @@ def pagerank(
                 6,
             ).alias("rank"),
         )
-    out = ranks.join(F.broadcast(in_deg), "node", "left").select(
+    out = ranks.join(_bc(in_deg), "node", "left").select(
         "node",
         "rank",
         F.col("out_deg").cast("bigint").alias("out_deg"),
         F.coalesce(F.col("in_deg"), F.lit(0)).cast("bigint").alias("in_deg"),
     )
-    out = out.localCheckpoint()
-    e.unpersist()
-    nodes.unpersist()
+    if checkpoint:
+        out = out.localCheckpoint()
+        e.unpersist()
+        nodes.unpersist()
     return out
 
 

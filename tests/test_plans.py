@@ -414,3 +414,39 @@ def test_curate_web_capstone_has_no_corpus_joins(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pagerank_broadcast_is_size_gated(spark):
+    # VERDICT r6 item 3: below the node-count gate the rank-table joins
+    # carry the broadcast hint; above it the hint is dropped and Catalyst
+    # plans shuffled equi-joins — a billion-node graph must not OOM on a
+    # forced broadcast. One iteration is enough to expose the join shape.
+    from kinesis_data_counter_spark.operators.web import pagerank
+
+    e = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 1) % 50}") for i in range(200)],
+        "src string, dst string",
+    )
+    # checkpoint=False keeps the lazy lineage so the join shape is visible
+    small = pagerank(e, iters=1, checkpoint=False)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small
+    assert "SortMergeJoin" not in plan_small
+
+    # same graph, gate forced to 0 -> every node-keyed join plans as a
+    # shuffle join (disable AQE's small-table rewrite for the assertion)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = pagerank(e, iters=1, broadcast_max_nodes=0, checkpoint=False)
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_big
+        assert "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big
+        # both shapes compute the same ranks
+        assert sorted(map(tuple, small.collect())) == sorted(
+            map(tuple, big.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
