@@ -194,3 +194,163 @@ def test_quantized_recall_check_can_fail(spark):
     queries = df.filter(F.col("vec_id") < 10)
     (r,) = SIM.quantized_recall_check(df, queries, k=5, min_recall=0.9).collect()
     assert r["ok"] is False and r["recall"] < 0.9, r
+
+
+# ---------------------------------------------------------------------------
+# round-7 falsifiers (VERDICT r6 task 7): the three property booleans the
+# census below found uncovered
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_narrow_banding_misses_pairs(spark):
+    # dedup_simhash's ok compares banded pairs against the brute hamming
+    # scan. Banding for radius 1 while the truth needs radius 3 must MISS
+    # pairs — the count comparison does real work. Signatures injected
+    # directly: 0b000↔0b001 is hamming 1 (found), 0b001↔0b111 is hamming 2
+    # and 0b000↔0b111 hamming 3 (both beyond the radius-1 banding).
+    import kinesis_data_counter_spark.operators.dedup as DD
+
+    sig = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 7)], "doc_id long, simhash long"
+    )
+    docs = sig.select("doc_id")  # signatures short-circuit the text pass
+    banded = {
+        (r.a_id, r.b_id)
+        for r in DD.simhash_pairs(docs, max_hamming=1, signatures=sig).collect()
+    }
+    a = sig.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"))
+    brute = {
+        (r.a_id, r.b_id)
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+        .select("a_id", "b_id")
+        .collect()
+    }
+    assert banded == {(0, 1)}
+    assert brute == {(0, 1), (0, 2), (1, 2)}
+    assert banded != brute  # the ok comparison would report False
+
+
+def test_compaction_files_reduced_can_be_false(spark, tmp_path):
+    # layout_compaction's files_reduced: compacting an already-compact
+    # single-file dataset cannot reduce the file count, and the boolean
+    # must say so instead of being constant-True
+    from kinesis_data_counter_spark.io import compact_dataset
+
+    path = str(tmp_path / "t")
+    spark.range(100).coalesce(1).write.parquet(path)
+    stats = compact_dataset(spark, path, target_file_mb=64)
+    assert stats["files_before"] == 1
+    assert not (stats["files_after"] < stats["files_before"])
+
+
+def test_decode_roundtrip_ok_rejects_non_grayscale_bmp(spark):
+    # multimodal_decode's roundtrip_ok (BMP branch) asserts grayscale
+    # faithfulness — all three channels of every pixel agree. Tampering
+    # one channel byte of a valid container must flip it to False.
+    from kinesis_data_counter_spark.operators import multimodal as MM
+
+    good = MM.encode_bmp(b"ab", 2, 1)
+    bad = bytearray(good)
+    bad[54] ^= 0xFF  # first content byte = blue channel of pixel (0,0)
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bad)], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in MM.decode_media_table(df).collect()}
+    assert rows[0].roundtrip_ok is True
+    assert rows[1].roundtrip_ok is False
+
+
+# ---------------------------------------------------------------------------
+# falsifier census (VERDICT r6 task 7): every registry entry whose output
+# carries a PROPERTY boolean — a tolerance/invariant verdict about the
+# computation itself (ok / recall / roundtrip / no_undercount / size_ok /
+# files_reduced), as opposed to a DATA LABEL the DuckDB twin recomputes
+# exactly — must have a registered negative control proving the boolean
+# can come out False. New boolean-emitting entries fail this test until
+# they either register a falsifier or declare the column a data label.
+# ---------------------------------------------------------------------------
+
+# entry -> list of (test_file, test_name) negative controls
+FALSIFIER_REGISTRY: dict[str, list[tuple[str, str]]] = {
+    "ann_lsh_recall": [("tests/test_similarity.py", "test_property_harnesses_are_not_tautologies")],
+    "ann_pq_recall": [("tests/test_similarity.py", "test_property_harnesses_are_not_tautologies")],
+    "ann_ivf_pq_recall": [
+        ("tests/test_similarity.py", "test_property_harnesses_are_not_tautologies"),
+        ("tests/test_falsification.py", "test_ivf_recall_check_can_fail"),
+    ],
+    "ann_ivf_recall": [("tests/test_falsification.py", "test_ivf_recall_check_can_fail")],
+    "ann_quantized_recall": [("tests/test_falsification.py", "test_quantized_recall_check_can_fail")],
+    "ann_hard_negative_agreement": [("tests/test_similarity.py", "test_hard_negative_agreement_check_can_fail")],
+    "cms_heavy_hitters": [("tests/test_falsification.py", "test_cms_built_on_half_the_data_undercounts")],
+    "corpus_quality_tiers": [("tests/test_falsification.py", "test_tier_size_band_rejects_uneven_tiers")],
+    "counter_distinct_expr": [("tests/test_falsification.py", "test_hll_tolerance_band_rejects_far_estimates")],
+    "counter_distinct_user": [("tests/test_falsification.py", "test_hll_tolerance_band_rejects_far_estimates")],
+    "counter_two_level": [("tests/test_falsification.py", "test_hll_tolerance_band_rejects_far_estimates")],
+    "hll_rollup_hierarchy": [("tests/test_falsification.py", "test_hll_tolerance_band_rejects_far_estimates")],
+    "join_cardinality_sketch": [("tests/test_falsification.py", "test_hll_tolerance_band_rejects_far_estimates")],
+    "dedup_simhash": [("tests/test_falsification.py", "test_simhash_narrow_banding_misses_pairs")],
+    "embedding_pca_check": [("tests/test_similarity.py", "test_pca_check_property_and_negative_control")],
+    "knn_bucketed_recall": [("tests/test_similarity.py", "test_property_harnesses_are_not_tautologies")],
+    "knn_label_propagation_bucketed": [("tests/test_similarity.py", "test_property_harnesses_are_not_tautologies")],
+    "layout_compaction": [("tests/test_falsification.py", "test_compaction_files_reduced_can_be_false")],
+    "multimodal_decode": [("tests/test_falsification.py", "test_decode_roundtrip_ok_rejects_non_grayscale_bmp")],
+    "multimodal_png_roundtrip": [("tests/test_multimodal.py", "test_png_roundtrip_table_and_decode_media_dispatch")],
+    "quantile_rollup_value": [("tests/test_falsification.py", "test_kll_band_rejects_wrong_quantile")],
+    "quality_expectations": [("tests/test_metrics.py", "test_validate_expectations_counts_each_rule")],
+    "rfm_segments_sketch": [("tests/test_falsification.py", "test_quartile_bucket_props_reject_broken_bucketing")],
+    "stats_percentiles": [("tests/test_falsification.py", "test_percentile_range_band_rejects")],
+    "text_bpe_roundtrip": [("tests/test_text.py", "test_bpe_falsification_controls")],
+}
+
+# data-label booleans: the exact-value DuckDB oracle recomputes the same
+# label independently, so green cannot be a tautology of the harness (and
+# the vacuous-green sweep in test_oracle.py guards empty outputs)
+DATA_LABEL_BOOLEANS: dict[str, set[str]] = {
+    "dedup_semdedup": {"keep"},
+    "events_daily_anomaly": {"is_anomaly"},
+    "profile_drift": {"drifted"},
+    "scd2_user_state": {"is_current"},
+    "text_jq_normalize": {"has_url"},
+    "text_lm_score": {"low_quality"},
+    "text_quality": {"quality_ok"},
+    "text_wordlist_filter": {"flagged"},
+    "web_domain_curation": {"blocked", "kept"},
+}
+
+
+def test_falsifier_census(spark, sf_dir):
+    import os
+    import re
+
+    from pyspark.sql.types import BooleanType
+
+    from kinesis_data_counter_spark.plans.registry import QUERIES
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    missing: list[str] = []
+    for name, q in QUERIES.items():
+        df = q.builder(spark, sf_dir)
+        bools = {f.name for f in df.schema.fields
+                 if isinstance(f.dataType, BooleanType)}
+        if not bools:
+            continue
+        if name in FALSIFIER_REGISTRY:
+            continue
+        if bools <= DATA_LABEL_BOOLEANS.get(name, set()):
+            continue
+        missing.append(f"{name}: {sorted(bools)}")
+    assert not missing, (
+        "boolean-emitting registry entries without a registered falsifier "
+        f"or data-label declaration: {missing}"
+    )
+    # every registered falsifier must actually exist where it claims to
+    broken = []
+    for name, refs in FALSIFIER_REGISTRY.items():
+        assert name in QUERIES, f"stale census key {name}"
+        for path, test in refs:
+            src = open(os.path.join(here, path)).read()
+            if not re.search(rf"^def {re.escape(test)}\(", src, re.M):
+                broken.append(f"{name} -> {path}::{test}")
+    assert not broken, f"census points at missing tests: {broken}"
