@@ -163,6 +163,46 @@ SF1_SPOT_QUERIES = [
 ]
 SF1_LINEAR_BAND = 15.0  # 10× data + superlinear shuffle slack
 
+# Round-7 adjudication of the four r4->r6 "regressions" (VERDICT r6 task
+# 4): text_lm_score / corpus_segment_dedup / cms_heavy_hitters /
+# counter_jq_generic. A same-day A/B replay of the ROUND-4 CODE (git
+# worktree at 5259b9a) against HEAD, min-of-10 each on a quiet machine,
+# showed (r4-code vs HEAD): 0.523 vs 0.522, 1.033 vs 1.111, 0.696 vs
+# 0.741, 0.444 vs 0.458 s — parity within the run-to-run noise band (two
+# HEAD runs 5 minutes apart differed by up to 11% on these same queries).
+# The r4 ARTIFACT mins (0.479/0.974/0.610/0.413) are unreproducible even
+# by the r4 code itself today (9-14% above) — machine-state drift (page
+# cache / JIT / thermal), not a code regression. No fix needed; the
+# tracked BENCH_LOCAL.json history makes future deltas adjudicable
+# without this archaeology.
+
+# round-7 profiling attributions (VERDICT r6 task 5) for the steepest
+# curvatures — measured quiet-machine, stage-sliced (see commit):
+SF1_CAUSES = {
+    "corpus_boilerplate": (
+        "every stage grows exactly 10x in rows (chunks 36k->360k, distinct "
+        "segments 34k->337k); quiet-machine ratio 4.4x < 10x = fixed "
+        "scheduling overhead amortizing over a fully data-bound two-shuffle "
+        "plan; no super-linear stage"
+    ),
+    "web_domain_curation": (
+        "all 10 synthetic domains are over-cap at BOTH SFs, so every row "
+        "pays the rank window whose parallelism is bounded by the 10 domain "
+        "groups (fixture artifact); linear per-group work on fixed "
+        "parallelism — real corpora have 1e6+ domains, restoring partition "
+        "parallelism; quiet ratio 4.2x"
+    ),
+    "knn_label_propagation_bucketed": (
+        "corpus-sized LSH params step (6 bits,16 tables)->(7,24) at 10x to "
+        "pin bucket occupancy; cost = 10x corpus x 1.5x tables candidate "
+        "equi-join, measured 3.5x quiet — sub-linear by the occupancy rule"
+    ),
+    "text_nb_classifier": (
+        "two map-side-combined train passes + broadcast scoring are all "
+        "token-volume-bound: ~3x at 10x is overhead amortization"
+    ),
+}
+
 
 def _wait_for_quiet(max_load: float, max_wait_s: float) -> float:
     """Block until 1-min loadavg < max_load (bounded): min-of-3 under an
@@ -225,7 +265,7 @@ def main() -> None:
                     dt = time.time() - t0
                     best = dt if best is None else min(best, dt)
                 ratio = round(best / timings[name], 2) if timings.get(name) else None
-                sf1_spot[name] = {
+                entry = {
                     "sf0.1_s": timings.get(name),
                     "sf1_s": round(best, 3),
                     "ratio": ratio,
@@ -234,6 +274,9 @@ def main() -> None:
                         else "SUPERLINEAR: investigate"
                     ),
                 }
+                if name in SF1_CAUSES:
+                    entry["cause"] = SF1_CAUSES[name]
+                sf1_spot[name] = entry
         except Exception as e:  # spot-bench must never sink the main metric
             sf1_spot = {"error": f"{type(e).__name__}: {e}"}
 
