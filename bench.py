@@ -160,6 +160,12 @@ SF1_SPOT_QUERIES = [
     # NB gate); measured FLAT sf0.1->sf1 (7.9s -> 7.7s) — stage-count
     # overhead, not data cost
     "corpus_curate_web",
+    # round-7: the iterative rank table (pagerank loop + broadcast mix)
+    # and the drained two-level streaming deployment — sf1 events are 10x
+    # DENSER (same 720 windows, 10x rows/users), so the exchange row count
+    # must stay flat while input volume 10x's
+    "web_rank_weighted_mix",
+    "streaming_two_level_replay",
 ]
 SF1_LINEAR_BAND = 15.0  # 10× data + superlinear shuffle slack
 

@@ -11,6 +11,11 @@ the WORKLOAD character scales linearly instead of degenerating.
 - embeddings: replica 0 is the original; replicas k>0 draw fresh vectors
   from the same isotropic distribution (seeded per replica) with the
   original label multiset, so ANN bucket occupancy grows linearly.
+- events: 10 replicas with offset event_ids and user_ids, timestamps
+  UNCHANGED — the stream gets 10x denser (10x rows and 10x distinct
+  users per window) while the window count stays fixed, which is exactly
+  the claim the two-level exchange makes: the cross-job hand-off stays
+  (windows x shards)-sized no matter how much data flows through.
 
 Pure pyarrow/numpy — no Spark needed; regenerating is idempotent and
 seconds-fast, so the parquet outputs stay out of git.
@@ -23,6 +28,8 @@ import os
 REPLICAS = 10
 DOC_OFFSET = 1_000_000
 VEC_OFFSET = 100_000
+EVENT_OFFSET = 10_000_000
+USER_OFFSET = 1_000_000
 
 
 def ensure_sf1(
@@ -38,9 +45,34 @@ def ensure_sf1(
     out_dir = out_dir or os.path.join(repo, "fixtures", "sf1")
     docs_path = os.path.join(out_dir, "documents.parquet")
     emb_path = os.path.join(out_dir, "embeddings.parquet")
-    if os.path.exists(docs_path) and os.path.exists(emb_path):
+    ev_path = os.path.join(out_dir, "events.parquet")
+    if all(os.path.exists(p) for p in (docs_path, emb_path, ev_path)):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
+
+    if not os.path.exists(ev_path):
+        ev = pq.read_table(os.path.join(src_dir, "events.parquet"))
+        cols = {name: ev.column(name) for name in ev.schema.names}
+        import pyarrow.compute as pc
+
+        parts = []
+        for k in range(REPLICAS):
+            parts.append(
+                pa.table(
+                    {
+                        "event_id": pc.add(cols["event_id"], k * EVENT_OFFSET),
+                        "ts": cols["ts"],
+                        "user_id": pc.add(cols["user_id"], k * USER_OFFSET),
+                        "event_type": cols["event_type"],
+                        "value": cols["value"],
+                        "props": cols["props"],
+                    }
+                )
+            )
+        pq.write_table(pa.concat_tables(parts), ev_path)
+
+    if os.path.exists(docs_path) and os.path.exists(emb_path):
+        return out_dir
 
     docs = pq.read_table(os.path.join(src_dir, "documents.parquet"))
     d = docs.to_pydict()
