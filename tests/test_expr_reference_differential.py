@@ -166,10 +166,10 @@ class _MiniEval:
             self._ws()
             assert self._eat(")"), "unbalanced ("
             return v
-        if c == '"':
+        if c in "\"'":
             j = self.i + 1
             out = []
-            while self.s[j] != '"':
+            while self.s[j] != c:
                 if self.s[j] == "\\":
                     j += 1
                 out.append(self.s[j])
@@ -210,16 +210,16 @@ class _MiniEval:
         spans = []
         depth = 1
         start = self.i
-        in_str = False
+        in_str = None
         while depth > 0:
             ch = self.s[self.i]
             if in_str:
                 if ch == "\\":
                     self.i += 1
-                elif ch == '"':
-                    in_str = False
-            elif ch == '"':
-                in_str = True
+                elif ch == in_str:
+                    in_str = None
+            elif ch in "\"'":
+                in_str = ch
             elif ch == "(":
                 depth += 1
             elif ch == ")":
@@ -460,3 +460,98 @@ def test_table_discriminates_wrong_semantics():
             _norm(broken(e, r)) != _norm(exp) for e, r, exp in TABLE
         )
         assert diverged, f"{broken.__name__} survived the table"
+
+
+# ---------------------------------------------------------------------------
+# generated-tree three-engine differential: random well-typed expression
+# TREES (not just the fixed table) through mini-evaluator + Spark + DuckDB.
+# Numeric leaves are integer-only here — float-to-string formatting inside
+# as_string() is engine-repr territory the two-engine random differential
+# already pins; this test adds the translation-free third opinion on the
+# grammar's logic, 3VL, and laziness.
+# ---------------------------------------------------------------------------
+
+_3E_ROWS = [
+    {"user_id": 8, "event_type": "error"},
+    {"user_id": 46, "event_type": "click"},
+    {"user_id": 7, "event_type": "view"},
+    {"user_id": None, "event_type": "click"},
+    {"user_id": 0, "event_type": None},
+    {"user_id": -3, "event_type": "signup"},
+    {"user_id": None, "event_type": None},
+]
+
+
+def _gen_num(rng, d):
+    if d <= 0:
+        return rng.choice(["user_id", str(rng.randint(-5, 99)), "nil"])
+    c = rng.randint(0, 4)
+    if c <= 2:
+        op = "+-*"[c]
+        return f"({_gen_num(rng, d - 1)} {op} {_gen_num(rng, d - 1)})"
+    if c == 3:
+        return f"coalesce({_gen_num(rng, d - 1)}, {_gen_num(rng, d - 1)})"
+    return f"if({_gen_bool(rng, d - 1)}, {_gen_num(rng, d - 1)}, {_gen_num(rng, d - 1)})"
+
+
+def _gen_str(rng, d):
+    if d <= 0:
+        return rng.choice(["event_type", "'click'", '"er ror"', "'x'", "nil"])
+    c = rng.randint(0, 2)
+    if c == 0:
+        return f"coalesce({_gen_str(rng, d - 1)}, {_gen_str(rng, d - 1)})"
+    if c == 1:
+        return f"as_string({_gen_num(rng, d - 1)})"
+    return f"if({_gen_bool(rng, d - 1)}, {_gen_str(rng, d - 1)}, {_gen_str(rng, d - 1)})"
+
+
+def _gen_bool(rng, d):
+    if d <= 0:
+        op = rng.choice(["<", "<=", ">", ">=", "==", "!="])
+        if rng.random() < 0.5:
+            return f"({_gen_num(rng, 0)} {op} {_gen_num(rng, 0)})"
+        return f"({_gen_str(rng, 0)} {op} {_gen_str(rng, 0)})"
+    c = rng.randint(0, 4)
+    if c == 0:
+        return f"({_gen_bool(rng, d - 1)} && {_gen_bool(rng, d - 1)})"
+    if c == 1:
+        return f"({_gen_bool(rng, d - 1)} || {_gen_bool(rng, d - 1)})"
+    if c == 2:
+        return f"(!{_gen_bool(rng, d - 1)})"
+    if c == 3:
+        return f"string_contains({_gen_str(rng, d - 1)}, {_gen_str(rng, 0)})"
+    op = rng.choice(["<", ">", "==", "!="])
+    return f"({_gen_num(rng, d - 1)} {op} {_gen_num(rng, d - 1)})"
+
+
+@pytest.mark.parametrize("seed", [20260815, 31])
+def test_generated_trees_three_engine_agreement(spark, seed):
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    exprs = (
+        [_gen_bool(rng, rng.randint(1, 3)) for _ in range(15)]
+        + [_gen_num(rng, rng.randint(1, 3)) for _ in range(8)]
+        + [_gen_str(rng, rng.randint(1, 3)) for _ in range(8)]
+    )
+    rows = [(r["user_id"], r["event_type"]) for r in _3E_ROWS]
+    df = spark.createDataFrame(rows, "user_id long, event_type string").coalesce(1)
+    spark_cols = [
+        F.expr(translate_target_expr(e)).alias(f"e{i}") for i, e in enumerate(exprs)
+    ]
+    got = df.select(*spark_cols).collect()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (user_id BIGINT, event_type VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck_cols = ", ".join(
+        f"({translate_target_expr_duckdb(e)}) AS e{i}" for i, e in enumerate(exprs)
+    )
+    want = con.execute(f"SELECT {duck_cols} FROM t").fetchall()
+
+    for r, rec in enumerate(_3E_ROWS):
+        for i, e in enumerate(exprs):
+            m = _norm(mini_eval(e, rec))
+            s = _norm(got[r][f"e{i}"])
+            d = _norm(want[r][i])
+            assert m == s == d, (e, rec, m, s, d)
