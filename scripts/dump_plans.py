@@ -314,7 +314,23 @@ SHOWCASE: dict[str, str] = {
         "Authority-weighted sampling rates (round 6): the pagerank rank "
         "table (|domains|-sized) broadcast-joins the per-domain counts; "
         "the weight normalizer is one single-row broadcast — every "
-        "post-rank operation is domain-sized regardless of corpus scale."
+        "post-rank operation is domain-sized regardless of corpus scale. "
+        "Round 7: pagerank's rank-table broadcast is size-GATED on the "
+        "node count (broadcast_max_nodes, default 1M) — above the gate "
+        "the hint drops and Catalyst plans shuffled equi-joins, so a "
+        "billion-node graph runs the same logical plan without a forced "
+        "broadcast OOM (both shapes pinned in test_plans.py)."
+    ),
+    "streaming_two_level_replay": (
+        "The two-level exchange driven as a REAL drained stream (round "
+        "7): 4 micro-batches each append partial_counter rows to a "
+        "parquet exchange under a streaming checkpoint; the plan shown "
+        "is the level-2 consumer — a sum-merge over the exchange scan, "
+        "whose row count is (windows x batches)-bounded partials, never "
+        "raw events. The batch answer is invariant to micro-batch "
+        "membership because the partial state is mergeable; the driver "
+        "snapshot compares the drained result to the plain GROUP BY "
+        "oracle."
     ),
     "text_nb_margin_calibration": (
         "Decision-margin reliability table (round 6): the NB score grid "
