@@ -207,6 +207,17 @@ SF1_CAUSES = {
         "two map-side-combined train passes + broadcast scoring are all "
         "token-volume-bound: ~3x at 10x is overhead amortization"
     ),
+    "web_rank_weighted_mix": (
+        "FLAT at 10x docs (0.94x measured): the pagerank loop and mix "
+        "join run on the |domains|-sized rank table, which does not grow "
+        "with corpus size — cost is iteration/stage overhead, not data"
+    ),
+    "streaming_two_level_replay": (
+        "1.4x at 10x-denser events: the exchange row count is fixed at "
+        "(windows x 4 batches) regardless of input volume — the level-1 "
+        "partial agg absorbs the 10x inside the scan stage, which is the "
+        "two-level design's core claim"
+    ),
 }
 
 
