@@ -527,6 +527,48 @@ def _q_streaming_counter(spark, sf_dir):
     return run_counter_stream_once(spark, f"{sf_dir}/events.parquet", spec)
 
 
+def _q_streaming_curate(spark, sf_dir):
+    # the curation CAPSTONE deployed as one drained stream (runner.py::
+    # stream_curate): quality+language gate -> exact dedup vs the
+    # persisted content-hash index -> near-dup band-index probe per
+    # micro-batch, leakage-safe split + accounting at drain. Documents
+    # arrive as 3 ascending-doc_id files (mtime-ordered, so the file
+    # source drains them in id order — arrival order plays the batch
+    # path's min-id survivor tie-break), which makes the drained result
+    # EQUAL the batch corpus_curate_full entry; the oracle is that
+    # entry's DuckDB twin, so the driver checks a 3-micro-batch streaming
+    # deployment end-to-end against independent SQL.
+    import os
+    import tempfile
+    import time as _time
+
+    from kinesis_data_counter_spark.streaming.runner import stream_curate
+
+    (docs,) = _tables(spark, sf_dir, "documents")
+    docs = docs.select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="kdc_streamcurate_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    cuts = docs.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.001)
+    bounds = [None, *cuts, None]
+    for k in range(3):
+        part = docs
+        if bounds[k] is not None:
+            part = part.filter(F.col("doc_id") >= bounds[k])
+        if bounds[k + 1] is not None:
+            part = part.filter(F.col("doc_id") < bounds[k + 1])
+        pdir = os.path.join(src, f"slice{k}")
+        part.coalesce(1).write.parquet(pdir)
+        t = _time.time() + k  # strictly increasing mtimes = arrival order
+        for f in os.listdir(pdir):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(pdir, f), (t, t))
+                os.rename(
+                    os.path.join(pdir, f), os.path.join(src, f"part{k}.parquet")
+                )
+    return stream_curate(spark, src, os.path.join(base, "work"))
+
+
 def _q_streaming_two_level_replay(spark, sf_dir):
     # a FULL streaming deployment driven batch-replayably (VERDICT r6 task
     # 8): the fixture is split into 4 parquet files so availableNow +
@@ -3961,6 +4003,9 @@ FROM per_doc p JOIN r3 USING (source)
 GROUP BY 1
 """,
     "corpus_curate_full": _corpus_curate_full_oracle(),
+    # the drained capstone stream equals the batch capstone under
+    # ascending-id arrival — same DuckDB twin
+    "streaming_curate": _corpus_curate_full_oracle(),
     # the semantic capstone replayed end to end: quality gate + exact
     # dedup (the corpus_curate_full fragments) composed with the full
     # dedup_semdedup replay over the survivors' embeddings
@@ -5693,6 +5738,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_multi_fanout": _q_counter_multi_fanout,
     "streaming_counter": _q_streaming_counter,
     "streaming_two_level_replay": _q_streaming_two_level_replay,
+    "streaming_curate": _q_streaming_curate,
     "window_sliding": _q_window_sliding,
     "window_session": _q_window_session,
     "counter_salted_skew": _q_counter_salted_skew,
@@ -6062,8 +6108,11 @@ _SHOWCASE_ORDER = [
     # multimodal -> multimodal_png_roundtrip + the two rotated-in stats
     # entries). Never-driver-recorded after this rotation: 28 of 169
     # (44 of 168 at round-6 close, minus the 16 rotated in; the new
-    # streaming entry records in its first round in-head). ROUND-8
-    # ROTATION CANDIDATES (strongest first): ann_lsh_recall,
+    # streaming entry records in its first round in-head; the late
+    # round-7 addition streaming_curate — the capstone stream drained
+    # against the corpus_curate_full twin — lands outside the head and
+    # makes it 29). ROUND-8 ROTATION CANDIDATES (strongest first):
+    # streaming_curate, ann_lsh_recall,
     # dedup_method_agreement, profile_events, join_cardinality_sketch,
     # stats_percentiles, pivot_event_counts, window_rolling_7d,
     # asof_forward_order, multimodal_media, udtf_token_positions,
