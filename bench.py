@@ -192,16 +192,21 @@ SF1_CAUSES = {
         "plan; no super-linear stage"
     ),
     "web_domain_curation": (
-        "all 10 synthetic domains are over-cap at BOTH SFs, so every row "
-        "pays the rank window whose parallelism is bounded by the 10 domain "
-        "groups (fixture artifact); linear per-group work on fixed "
-        "parallelism — real corpora have 1e6+ domains, restoring partition "
-        "parallelism; quiet ratio 4.2x"
+        "round 8: domain now derives from source, and the sf1 fixture "
+        "scales sources 10x with the data (20->200; VERDICT r7 task 3) — "
+        "the cap's rank window parallelism grows with the corpus instead "
+        "of funnelling through a fixed 10-domain fixture; the one "
+        "deliberate mega-domain (hub.com, 20% of rows) stays bounded by "
+        "the cap itself"
     ),
     "knn_label_propagation_bucketed": (
         "corpus-sized LSH params step (6 bits,16 tables)->(7,24) at 10x to "
         "pin bucket occupancy; cost = 10x corpus x 1.5x tables candidate "
-        "equi-join, measured 3.5x quiet — sub-linear by the occupancy rule"
+        "equi-join — sub-linear by the occupancy rule. ratio_params_fixed "
+        "(VERDICT r7 task 6) re-times sf1 with params HELD at (6,16) so "
+        "the data-growth and param-growth components are separately "
+        "visible; fixed params at 10x overflow the target bucket occupancy "
+        "(8x the candidates per query), so fixed > stepped is expected"
     ),
     "text_nb_classifier": (
         "two map-side-combined train passes + broadcast scoring are all "
@@ -219,6 +224,54 @@ SF1_CAUSES = {
         "two-level design's core claim"
     ),
 }
+
+
+def _knn_bucketed_params_fixed(spark, sf_dir):
+    """The knn_label_propagation_bucketed plan with LSH params HELD at the
+    sf0.1 calibration (6 bits, 16 tables) instead of the occupancy-rule
+    step to (7, 24) at 10x data (VERDICT r7 task 6): timing both variants
+    at sf1 separates the data-growth component (fixed-params ratio) from
+    the param-growth component (stepped ratio) in sf1_spot."""
+    from pyspark.sql import functions as F
+
+    import kinesis_data_counter_spark.operators.similarity as SIM
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 5 == 0)
+    labeled = emb.filter(F.col("vec_id") % 5 != 0)
+    n_queries = labeled.count() // 4
+    return SIM.knn_agreement_check(
+        labeled, queries, dim=64, k=5, min_agreement=0.9,
+        method="lsh", num_bits=6, num_tables=16,
+        sample_mod=max(4, n_queries // 100),
+    ).select("ok")
+
+
+def _prev_tracked_total(history_path: str, sf: float = 0.1) -> float | None:
+    """Last tracked total_bench_seconds at the given SF from
+    BENCH_LOCAL.json (one JSON object per line, newest last). Only
+    full-query-set default runs are comparable: skip lines produced under a
+    non-default SPARK_BENCH_RUNS or a partial BENCH_QUERIES (detected by
+    query count)."""
+    try:
+        with open(history_path) as fh:
+            lines = [json.loads(ln) for ln in fh if ln.strip()]
+    except (OSError, ValueError):
+        return None
+    for obj in reversed(lines):
+        if (
+            obj.get("sf") == sf
+            and obj.get("runs", 0) >= 5
+            and len(obj.get("queries", {})) >= len(BENCH_QUERIES) - 5
+        ):
+            return float(obj["value"])
+    return None
+
+
+# total-time regression gate (VERDICT r7 task 7): the sf0.1 min-of-5 total
+# must not grow >1.3x vs the previous tracked sf0.1 line without a cause
+# annotation (SPARK_BENCH_GROWTH_CAUSE env -> recorded in the history line).
+REGRESSION_GATE_RATIO = 1.3
 
 
 def _wait_for_quiet(max_load: float, max_wait_s: float) -> float:
@@ -294,6 +347,22 @@ def main() -> None:
                 if name in SF1_CAUSES:
                     entry["cause"] = SF1_CAUSES[name]
                 sf1_spot[name] = entry
+            # VERDICT r7 task 6: record the params-held-fixed sf1 ratio
+            # alongside the occupancy-rule stepped one, so data growth and
+            # param growth are separately visible
+            knn = sf1_spot.get("knn_label_propagation_bucketed")
+            if knn and knn.get("sf0.1_s"):
+                best = None
+                for _ in range(2):
+                    t0 = time.time()
+                    _knn_bucketed_params_fixed(spark, sf1_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                knn["sf1_params_fixed_s"] = round(best, 3)
+                knn["ratio_params_fixed"] = round(best / knn["sf0.1_s"], 2)
+                knn["ratio_params_stepped"] = knn["ratio"]
         except Exception as e:  # spot-bench must never sink the main metric
             sf1_spot = {"error": f"{type(e).__name__}: {e}"}
 
@@ -316,6 +385,35 @@ def main() -> None:
         "quiet_wait_s": waited_s,
         "sf1_spot": sf1_spot,
     }
+    # total-time regression gate (VERDICT r7 task 7): compare against the
+    # last tracked full sf0.1 line; growth past 1.3x needs an explicit
+    # cause (SPARK_BENCH_GROWTH_CAUSE), otherwise the gate records ok=false
+    # for the next round's reviewer (bench still completes — a red gate is
+    # a finding to adjudicate, not a reason to lose the measurement).
+    history_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    if result["sf"] == 0.1 and runs >= 5:
+        prev = _prev_tracked_total(history_path, sf=0.1)
+        if prev:
+            ratio = round(total / prev, 3)
+            cause = os.environ.get("SPARK_BENCH_GROWTH_CAUSE")
+            gate = {
+                "prev_total_s": prev,
+                "ratio_vs_prev": ratio,
+                "threshold": REGRESSION_GATE_RATIO,
+                "ok": ratio <= REGRESSION_GATE_RATIO or bool(cause),
+            }
+            if cause:
+                gate["cause"] = cause
+            result["regression_gate"] = gate
+            if not gate["ok"]:
+                print(
+                    f"REGRESSION GATE: total {total}s is {ratio}x the last "
+                    f"tracked sf0.1 total {prev}s (> {REGRESSION_GATE_RATIO}x) "
+                    "with no SPARK_BENCH_GROWTH_CAUSE annotation",
+                    file=sys.stderr,
+                )
     print(json.dumps(result))
     # the driver's BENCH_r{N}.json keeps only a 2,000-char stdout TAIL,
     # which truncates total_bench_seconds and most per-query timings

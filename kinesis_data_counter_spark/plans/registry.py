@@ -4521,9 +4521,12 @@ FROM g GROUP BY 1
     "web_domain_curation": """
 WITH u AS (
   SELECT doc_id,
-         'example-' || CAST(least(doc_id % 10, 3) AS VARCHAR) || '.' ||
-         CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
-                         WHEN 2 THEN 'net' ELSE 'co.uk' END AS domain
+         CASE WHEN doc_id % 5 = 0 THEN 'hub.com'
+              ELSE source || '-' ||
+                   CAST(least(doc_id % 10, 3) AS VARCHAR) || '.' ||
+                   CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                                   WHEN 2 THEN 'net' ELSE 'co.uk' END
+         END AS domain
   FROM documents),
 c AS (SELECT domain, count(*) AS n FROM u GROUP BY 1),
 r AS (
@@ -4534,9 +4537,9 @@ r AS (
          ) AS rk
   FROM u JOIN c USING (domain))
 SELECT doc_id, domain,
-       domain IN ('example-1.org', 'example-2.net') AS blocked,
+       domain IN ('src1-1.org', 'src2-2.net') AS blocked,
        (CASE WHEN n <= 30 THEN TRUE ELSE rk <= 30 END)
-         AND domain NOT IN ('example-1.org', 'example-2.net') AS kept
+         AND domain NOT IN ('src1-1.org', 'src2-2.net') AS kept
 FROM r
 """,
     # one full outer join on the key + null-safe per-column compare — the
@@ -5616,31 +5619,45 @@ def _q_web_domain_curation(spark, sf_dir):
     # domain is parsed back OUT of the full URL (regexp host extraction +
     # public-suffix-aware eTLD+1 — the oracle derives the domain directly,
     # so any parse defect hash-mismatches), a skew-aware md5-ticket cap
-    # keeps ≤30 docs per domain (the least(doc_id%10,3) skew makes some
-    # domains over-cap and some under, exercising both the window path and
-    # the agg-only bypass), and a blocklist marks two domains. kept =
-    # within-cap AND not blocked.
+    # keeps ≤30 docs per domain, and a blocklist marks two domains.
+    # kept = within-cap AND not blocked.
+    #
+    # Domain shape (round 8): the registrable label derives from `source`,
+    # so domain cardinality SCALES with the fixture's source cardinality —
+    # the sf1 spot fixture rewrites source per replica (10× domains at 10×
+    # rows), making the spot bench measure the cap's parallelism instead of
+    # funnelling 10× data through a fixed 10-domain window (VERDICT r7
+    # task 3). One deliberate mega-domain remains: every doc_id ≡ 0 (mod 5)
+    # lands on hub.com (20% of the corpus at every SF), so the over-cap
+    # rank-window path stays exercised at the driver's sf0.01 while the
+    # long tail of per-source domains takes the agg-only under-cap bypass.
     (docs,) = _tables(spark, sf_dir, "documents")
+    is_hub = F.col("doc_id") % 5 == 0
     tld = (
         F.when(F.col("doc_id") % 4 == 0, "com")
         .when(F.col("doc_id") % 4 == 1, "org")
         .when(F.col("doc_id") % 4 == 2, "net")
         .otherwise("co.uk")
     )
+    label = F.when(is_hub, F.lit("hub")).otherwise(
+        F.concat(
+            F.col("source"),
+            F.lit("-"),
+            F.least(F.col("doc_id") % 10, F.lit(3)).cast("string"),
+        )
+    )
     url = F.concat(
         F.lit("https://www."),
-        F.col("source"),
-        F.lit(".example-"),
-        F.least(F.col("doc_id") % 10, F.lit(3)).cast("string"),
+        label,
         F.lit("."),
-        tld,
+        F.when(is_hub, F.lit("com")).otherwise(tld),
         F.lit("/p/"),
         F.col("doc_id").cast("string"),
     )
     capped = WB.domain_cap(
         docs.withColumn("url", url), cap=30, url_col="url", id_col="doc_id"
     )
-    blocked = F.col("domain").isin("example-1.org", "example-2.net")
+    blocked = F.col("domain").isin("src1-1.org", "src2-2.net")
     return capped.select(
         "doc_id",
         "domain",

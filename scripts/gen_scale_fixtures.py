@@ -7,7 +7,13 @@ the WORKLOAD character scales linearly instead of degenerating.
   structure identical to sf0.1 while guaranteeing ZERO cross-replica
   shingle collisions — naive copies would make every doc a 10-way
   duplicate and quadratically explode the dedup pair tables, which is a
-  different (and unrealistic) workload, not a scale-up.
+  different (and unrealistic) workload, not a scale-up. Replicas k>0
+  also rewrite source -> "{source}x{k}", so source/domain cardinality
+  scales 10x WITH the data (20 -> 200 distinct sources): a real web
+  crawl grows by adding sites, not by making each site 10x bigger, and
+  a fixed-cardinality source column would cap the parallelism of every
+  per-domain window/agg at 10-20 groups no matter the data size —
+  measuring the fixture, not the operator (VERDICT r7 task 3).
 - embeddings: replica 0 is the original; replicas k>0 draw fresh vectors
   from the same isotropic distribution (seeded per replica) with the
   original label multiset, so ANN bucket occupancy grows linearly.
@@ -82,10 +88,13 @@ def ensure_sf1(
             text = d["text"][i]
             if k > 0 and text is not None:
                 text = " ".join(w + f"_{k}" for w in text.split(" "))
+            src = d["source"][i]
+            if k > 0 and src is not None:
+                src = f"{src}x{k}"
             out["doc_id"].append(d["doc_id"][i] + k * DOC_OFFSET)
             out["text"].append(text)
             out["lang"].append(d["lang"][i])
-            out["source"].append(d["source"][i])
+            out["source"].append(src)
             out["n_chars"].append(len(text) if text is not None else None)
     pq.write_table(
         pa.table(out, schema=pa.schema([
