@@ -305,9 +305,15 @@ def main() -> None:
     # swings on sub-second queries under min-of-3 — min-of-5 tightens the
     # per-query minima enough for round-over-round deltas to be signal
     runs = int(os.environ.get("SPARK_BENCH_RUNS", "5"))
+    # SPARK_BENCH_SUBSET=N (test hook): first N queries only. The bench
+    # CONTRACT (one JSON line, per-query seconds) is provable on a subset;
+    # subset lines are excluded from the regression-gate baseline by the
+    # query-count comparability check in _prev_tracked_total.
+    subset = int(os.environ.get("SPARK_BENCH_SUBSET", "0"))
+    bench_queries = BENCH_QUERIES[:subset] if subset > 0 else BENCH_QUERIES
     timings: dict[str, float] = {}
     for _ in range(max(1, runs)):
-        for name in BENCH_QUERIES:
+        for name in bench_queries:
             q = QUERIES[name]
             t0 = time.time()
             df = q.builder(spark, SF_DIR)
@@ -393,7 +399,7 @@ def main() -> None:
     history_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
-    if result["sf"] == 0.1 and runs >= 5:
+    if result["sf"] == 0.1 and runs >= 5 and subset == 0:
         prev = _prev_tracked_total(history_path, sf=0.1)
         if prev:
             ratio = round(total / prev, 3)
