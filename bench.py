@@ -192,12 +192,13 @@ SF1_CAUSES = {
         "plan; no super-linear stage"
     ),
     "web_domain_curation": (
-        "round 8: domain now derives from source, and the sf1 fixture "
-        "scales sources 10x with the data (20->200; VERDICT r7 task 3) — "
-        "the cap's rank window parallelism grows with the corpus instead "
-        "of funnelling through a fixed 10-domain fixture; the one "
-        "deliberate mega-domain (hub.com, 20% of rows) stays bounded by "
-        "the cap itself"
+        "round 8: domain derives from source + a mod-500 site suffix and "
+        "the sf1 fixture scales sources 10x with the data (VERDICT r7 "
+        "task 3); domain_cap itself was rebuilt as ONE scan + ONE window "
+        "shuffle (the old count-join/branch-union plan re-scanned the "
+        "table 5x) — the long tail (400 -> 4000 domains) ranks in tiny "
+        "parallel groups and only the planted hub.com mega-domain (20% of "
+        "rows) serializes, bounded by the concentration the cap removes"
     ),
     "knn_label_propagation_bucketed": (
         "corpus-sized LSH params step (6 bits,16 tables)->(7,24) at 10x to "

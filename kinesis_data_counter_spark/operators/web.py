@@ -13,10 +13,11 @@ Scale notes:
 - ``domain_rollup`` is one partial+final hash agg keyed by domain.
 - ``blocklist_filter`` broadcasts the block set (legal/opt-out lists are
   small) — no shuffle of the corpus.
-- ``domain_cap`` is skew-aware: domains are Zipfian, so it first computes
-  per-domain counts (one agg) and only routes docs of OVER-cap domains
-  through the rank window — the long tail (most of the corpus) bypasses
-  the sort entirely and keeps everything.
+- ``domain_cap`` is ONE scan + ONE shuffle: a single domain-partitioned
+  rank window (NULL domains salted to singleton partitions); under-cap
+  domains pass automatically because their ranks can never exceed the
+  cap, and over-cap mega-domains are bounded by the concentration the
+  cap removes.
 """
 
 from __future__ import annotations
@@ -121,22 +122,30 @@ def domain_cap(
     registered domain, selected deterministically by md5 ticket (a seeded
     shuffle, not "first N in scan order" — scan order is not stable).
 
-    Skew-aware two-phase plan: domains are Zipfian, and a rank window
-    partitioned by domain would funnel each mega-domain through one task.
-    Phase 1 aggregates per-domain counts (partial+final agg, broadcast
-    back); docs in under-cap domains — the long tail, most of the corpus —
-    keep unconditionally WITHOUT entering any window. Only over-cap
-    domains' docs (bounded by the concentration the cap exists to remove)
-    pay the per-domain rank sort.
+    ONE scan, ONE shuffle: rank-by-ticket in a single window partitioned
+    by domain; ``kept = rank <= cap`` is automatically true for every row
+    of an under-cap domain (its ranks never exceed its count), so no
+    count join or branch split is needed. An earlier two-phase variant
+    (per-domain count agg + under/over-cap branch union) routed under-cap
+    rows around the window sort, but its DAG forked above the scan and
+    re-executed the parse+scan FIVE times — at corpus scale, five scans
+    cost far more than within-partition sorts of long-tail domains whose
+    groups are tiny by definition. Over-cap mega-domains serialize into
+    one window task in BOTH designs (each domain's rank is inherently one
+    partition); the cap keeps that bounded to exactly the concentration
+    it exists to remove, and a domain too large even to sort should be
+    composed with a per-partition local-rank prefilter first.
 
     Returns the input plus (domain string, kept boolean) — callers filter
     on ``kept`` or keep the flag for accounting.
 
     Malformed URLs (``registered_domain`` → NULL) are NOT one domain — they
     are unrelated unparseable strings, so the cap does not apply to them as
-    a group. They bypass the count join (which, being an inner equi-join,
-    would silently drop NULL keys) and are retained with ``kept=True`` and
-    ``domain`` NULL; compose with a quality gate to reject them explicitly.
+    a group. A NULL window key would lump them into one skewed partition,
+    so the partition key salts NULL domains by their (unique) ticket —
+    singleton partitions, trivially rank 1 — and they are retained with
+    ``kept=True`` and ``domain`` NULL even when ``cap`` is 0; compose with
+    a quality gate to reject them explicitly.
     """
     d = df.withColumn(
         "__dom", registered_domain(F.col(url_col), extra_suffixes)
@@ -144,30 +153,20 @@ def domain_cap(
         "__ticket",
         F.md5(F.concat(F.lit("cap:"), F.col(id_col).cast("string"))),
     )
-    malformed = (
-        d.filter(F.col("__dom").isNull()).withColumn("kept", F.lit(True))
-        # schema parity with the joined branches below
-        .withColumn("__n", F.lit(None).cast("long"))
+    # 'd:'/'t:' prefixes keep a (pathological) 32-hex-char domain from
+    # colliding with a ticket-salted NULL key
+    part = F.coalesce(
+        F.concat(F.lit("d:"), F.col("__dom")),
+        F.concat(F.lit("t:"), F.col("__ticket")),
     )
-    parsed = d.filter(F.col("__dom").isNotNull())
-    counts = parsed.groupBy("__dom").agg(F.count(F.lit(1)).alias("__n"))
-    joined = parsed.join(counts, "__dom")
-    small = (
-        joined.filter(F.col("__n") <= cap)
-        .withColumn("kept", F.lit(True))
-        .unionByName(malformed)
-    )
-    w = Window.partitionBy("__dom").orderBy("__ticket", id_col)
-    big = (
-        joined.filter(F.col("__n") > cap)
-        .withColumn("__rk", F.row_number().over(w))
-        .withColumn("kept", F.col("__rk") <= cap)
-        .drop("__rk")
-    )
+    w = Window.partitionBy(part).orderBy("__ticket", id_col)
     return (
-        small.unionByName(big)
+        d.withColumn(
+            "kept",
+            F.col("__dom").isNull() | (F.row_number().over(w) <= cap),
+        )
         .withColumn("domain", F.col("__dom"))
-        .drop("__dom", "__n", "__ticket")
+        .drop("__dom", "__ticket")
     )
 
 

@@ -4523,7 +4523,7 @@ WITH u AS (
   SELECT doc_id,
          CASE WHEN doc_id % 5 = 0 THEN 'hub.com'
               ELSE source || '-' ||
-                   CAST(least(doc_id % 10, 3) AS VARCHAR) || '.' ||
+                   CAST(doc_id % 500 AS VARCHAR) || '.' ||
                    CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
                                    WHEN 2 THEN 'net' ELSE 'co.uk' END
          END AS domain
@@ -5618,19 +5618,21 @@ def _q_web_domain_curation(spark, sf_dir):
     # part of the query, replayed by the oracle), then the registered
     # domain is parsed back OUT of the full URL (regexp host extraction +
     # public-suffix-aware eTLD+1 — the oracle derives the domain directly,
-    # so any parse defect hash-mismatches), a skew-aware md5-ticket cap
-    # keeps ≤30 docs per domain, and a blocklist marks two domains.
-    # kept = within-cap AND not blocked.
+    # so any parse defect hash-mismatches), the single-scan single-shuffle
+    # md5-ticket cap keeps ≤30 docs per domain, and a blocklist marks two
+    # domains. kept = within-cap AND not blocked.
     #
-    # Domain shape (round 8): the registrable label derives from `source`,
-    # so domain cardinality SCALES with the fixture's source cardinality —
-    # the sf1 spot fixture rewrites source per replica (10× domains at 10×
-    # rows), making the spot bench measure the cap's parallelism instead of
-    # funnelling 10× data through a fixed 10-domain window (VERDICT r7
-    # task 3). One deliberate mega-domain remains: every doc_id ≡ 0 (mod 5)
-    # lands on hub.com (20% of the corpus at every SF), so the over-cap
-    # rank-window path stays exercised at the driver's sf0.01 while the
-    # long tail of per-source domains takes the agg-only under-cap bypass.
+    # Domain shape (round 8): the registrable label derives from `source`
+    # plus a mod-500 site suffix, so domain cardinality SCALES with the
+    # corpus the way a real crawl does — the long tail of per-site domains
+    # stays UNDER the cap at every SF (1 doc/domain at sf0.01, 10 at
+    # sf0.1: tiny window groups, full parallelism), while ONE deliberate
+    # mega-domain (every doc_id ≡ 0 mod 5 → hub.com, 20% of rows) is
+    # over-cap at every SF ≥ 0.01 and exercises the serialized-group rank
+    # path, bounded by exactly the concentration the cap exists to remove.
+    # The sf1 spot fixture rewrites source per replica, so the tail grows
+    # 10× in DOMAINS (400 → 4000) at 10× rows instead of funnelling 10×
+    # data through a fixed 10-domain window (VERDICT r7 task 3).
     (docs,) = _tables(spark, sf_dir, "documents")
     is_hub = F.col("doc_id") % 5 == 0
     tld = (
@@ -5643,7 +5645,7 @@ def _q_web_domain_curation(spark, sf_dir):
         F.concat(
             F.col("source"),
             F.lit("-"),
-            F.least(F.col("doc_id") % 10, F.lit(3)).cast("string"),
+            (F.col("doc_id") % 500).cast("string"),
         )
     )
     url = F.concat(
