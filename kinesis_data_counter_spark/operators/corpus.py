@@ -16,7 +16,7 @@ stage scans them twice.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kinesis_data_counter_spark.operators.dedup import (
@@ -220,33 +220,36 @@ def segment_dedup(
 
     Plan shape (no Python anywhere):
       split → chunk via ``transform(sequence(...))`` → posexplode
-      → groupBy(chunk).agg(min(struct(doc_id, pos)))  [one shuffle on chunk]
-      → equi-join back on (chunk, doc, pos) to mark survivors
+      → min(struct(doc_id, pos)) over a window partitioned by the chunk
+        hash  [one shuffle on the hash; the chunk rows stay in hand, so
+        no join-back and no second execution of the explode subtree]
       → groupBy(doc).collect_list → array_sort → array_join [one shuffle on doc]
 
-    First-occurrence selection is a map-side-combinable min-agg, NOT a
-    global window — no single-partition funnel; both shuffles are plain
-    hash exchanges that scale with the data.
+    First-occurrence selection partitions by the CHUNK HASH — no
+    single-partition funnel (per-key window state is the occurrence count
+    of one segment text, spilled by the window sorter if a segment is
+    pathologically universal); both shuffles scale with the data.
 
     Returns one row per input doc:
     (doc_id, text_out, n_kept int, n_dropped int); ``text_out`` is ''
     when every segment of the doc appeared earlier elsewhere.
     """
-    # first-occurrence selection groups and joins on the 64-bit chunk hash
-    # — an 8-byte shuffle key instead of the raw segment string (same
-    # trade as the shingle pipeline; collisions ~|chunks|²/2⁶⁴). The
-    # repartition materializes the split+explode ONCE for its two
-    # consumers (min-agg and join-back) — the boilerplate_removal lesson:
-    # without it the chunk subtree re-executes per consumer
-    chunks = (
-        doc_chunks(df, text_col, id_col, chunk_words)
-        .withColumn("__h", F.xxhash64("chunk"))
-        .repartition(F.col("__h"))
+    # first-occurrence selection on the 64-bit chunk hash — an 8-byte
+    # shuffle key instead of the raw segment string (same trade as the
+    # shingle pipeline; collisions ~|chunks|²/2⁶⁴). min(struct) as a
+    # WINDOW over the hash, not an agg + join-back: two consumers of the
+    # chunk table would re-execute the whole split+explode subtree per
+    # consumer (the boilerplate_removal lesson) — the window computes the
+    # first occurrence on ONE exchange with the chunk rows in hand
+    chunks = doc_chunks(df, text_col, id_col, chunk_words).withColumn(
+        "__h", F.xxhash64("chunk")
     )
-    first = chunks.groupBy("__h").agg(
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("f")
-    )
-    marked = chunks.join(first, "__h").withColumn(
+    marked = chunks.withColumn(
+        "f",
+        F.min(F.struct(F.col(id_col), F.col("pos"))).over(
+            Window.partitionBy("__h")
+        ),
+    ).withColumn(
         "__keep",
         (F.col("f")[id_col] == F.col(id_col)) & (F.col("f.pos") == F.col("pos")),
     )
@@ -367,34 +370,40 @@ def boilerplate_removal(
         aligns on the same key)
       → groupBy(doc).collect_list → array_sort → array_join [one shuffle]
 
-    The explicit repartition exists because the chunk table has TWO
-    consumers (the frequency agg and the join-back): without it the
-    split+explode subtree executes twice — two full scans and double the
-    chunking CPU (the round-7 corpus_curate_web lesson: count consumers
-    of an intermediate, not just shuffles). Sharing one exchange was
-    measured 1.5-1.7× faster end-to-end at sf0.1 and sf1.
+    The document frequency comes from WINDOW functions over one chunk-hash
+    exchange, not from an agg + join-back: a chunk table with two
+    consumers (a frequency agg and a join) re-executes the whole
+    split+explode subtree per consumer — two scans and double the chunking
+    CPU (the round-7 corpus_curate_web lesson: count consumers of an
+    intermediate, not just shuffles — and plain repartition does NOT fix
+    it, because per-branch column pruning makes the exchanges
+    non-identical so nothing is reused). ``row_number() == 1`` over
+    (hash, doc) marks one representative per (chunk, doc), and summing
+    those marks over (hash) is exactly count_distinct(doc) — both windows
+    cluster by the hash, so they share ONE exchange and one sort.
 
-    The doc-frequency table is chunk-keyed and shrinks with distinctness,
-    never with corpus size per key — no window, no global sort; all
-    exchanges are plain hash shuffles that scale with the data.
+    Per-key window state is bounded by the docs sharing one chunk text —
+    large only for the corpus-wide boilerplate the operator exists to
+    remove, and spilled by the window sorter, never collected.
 
     Returns one row per input doc (docs with NULL/empty text included):
     (doc_id, text_out, n_kept int, n_dropped int); ``text_out`` is ''
     when every segment of the doc is corpus-wide boilerplate.
     """
-    chunks = (
-        doc_chunks(df, text_col, id_col, chunk_words)
-        .withColumn("__h", F.xxhash64("chunk"))
-        .repartition(F.col("__h"))
+    chunks = doc_chunks(df, text_col, id_col, chunk_words).withColumn(
+        "__h", F.xxhash64("chunk")
     )
     # document frequency per distinct segment: the 64-bit hash is the
     # shuffle key (8 bytes instead of the raw string, same trade as
     # segment_dedup; collisions ~|chunks|²/2⁶⁴)
-    freq = chunks.groupBy("__h").agg(
-        F.count_distinct(F.col(id_col)).alias("__df")
-    )
-    marked = chunks.join(freq, "__h").withColumn(
-        "__keep", F.col("__df") <= F.lit(int(max_docs))
+    w_hd = Window.partitionBy("__h", id_col).orderBy("pos")
+    w_h = Window.partitionBy("__h")
+    marked = (
+        chunks.withColumn("__f", F.row_number().over(w_hd) == 1)
+        .withColumn(
+            "__df", F.sum(F.when(F.col("__f"), 1).otherwise(0)).over(w_h)
+        )
+        .withColumn("__keep", F.col("__df") <= F.lit(int(max_docs)))
     )
     out = marked.groupBy(id_col).agg(
         F.array_join(

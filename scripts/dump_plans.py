@@ -248,11 +248,12 @@ SHOWCASE: dict[str, str] = {
         "output-shaping register, never the bulk path."
     ),
     "corpus_boilerplate": (
-        "Frequency-thresholded boilerplate removal (round 6): chunk "
-        "fan-out is row-local codegen; document frequency is ONE "
-        "partial+final count-distinct agg keyed by the 8-byte chunk hash; "
-        "survivors equi-join back on the hash and reassemble with a "
-        "doc-keyed agg. Two plain hash exchanges, no window, no sort."
+        "Frequency-thresholded boilerplate removal (round 6; round 8 "
+        "single-materialization): chunk fan-out is row-local codegen, "
+        "materialized ONCE by an explicit repartition on the 8-byte chunk "
+        "hash that both consumers share — the count-distinct frequency "
+        "agg (already clustered, no further exchange) and the survivor "
+        "join-back. Plain hash exchanges only, no window, no sort."
     ),
     "corpus_chunk_overlap": (
         "Overlapping retrieval chunking (round 6): transform(sequence) + "
@@ -276,13 +277,16 @@ SHOWCASE: dict[str, str] = {
         "cost is two scans regardless of column count."
     ),
     "web_domain_curation": (
-        "Web-provenance gate (round 6): URL parse + eTLD+1 are pure "
-        "codegen; the anti-concentration cap is skew-aware — per-domain "
-        "counts from one hash agg, under-cap domains (the long tail) "
-        "bypass entirely, and only over-cap domains' rows reach the "
-        "rank window. No global sort; the window's partition count is "
-        "the number of over-cap domains, each already capped in size by "
-        "the join-back filter."
+        "Web-provenance gate (round 6; round 8 single-window rebuild): "
+        "URL parse + eTLD+1 are pure codegen computed once; the "
+        "anti-concentration cap is ONE scan + ONE hash exchange into a "
+        "domain-partitioned rank window (kept = rank <= cap, which "
+        "under-cap domains satisfy automatically); NULL domains are "
+        "salted to singleton partitions by their unique md5 ticket. The "
+        "earlier two-phase count-join/branch-union plan re-executed the "
+        "parse+scan five times. No global sort — the window partitions "
+        "by domain, and only an over-cap mega-domain serializes, bounded "
+        "by the concentration the cap removes."
     ),
     "corpus_shuffle_shards": (
         "Deterministic shuffle-to-shards (round 6): shard id and "

@@ -450,3 +450,30 @@ def test_pagerank_broadcast_is_size_gated(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_domain_cap_single_scan_single_shuffle(spark, sf_dir):
+    # round 8: the cap is ONE scan into ONE domain-partitioned rank window
+    # — the two-phase count-join/branch-union predecessor re-executed the
+    # URL-parse scan five times (the subtree-consumer lesson)
+    plan = _plan(spark, sf_dir, "web_domain_curation")
+    assert plan.count("FileScan") == 1, plan[:1500]
+    assert "Union" not in plan
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_boilerplate_chunk_explode_materialized_once(spark, sf_dir):
+    # round 8: the chunk explode (split + posexplode) feeds two consumers
+    # (freq agg, join-back) through ONE shared repartition exchange — the
+    # plan must carry at most 2 scans (chunk subtree + the doc_id-only
+    # scan that restores NULL/empty docs), not one per consumer
+    plan = _plan(spark, sf_dir, "corpus_boilerplate")
+    assert plan.count("FileScan") <= 2, plan[:1500]
+    assert plan.count("Generate posexplode") == 1
+
+
+def test_segment_dedup_chunk_explode_materialized_once(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "corpus_segment_dedup")
+    assert plan.count("FileScan") <= 2, plan[:1500]
+    assert plan.count("Generate posexplode") == 1
