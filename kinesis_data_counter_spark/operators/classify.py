@@ -6,15 +6,19 @@ target_expr); this is the beyond-reference fastText-style classifier
 every large-scale LLM data pipeline runs: train a cheap linear model on
 a labeled seed corpus, score the WHOLE corpus with one broadcast join,
 keep (or route) what clears the bar. Multinomial NB is chosen because
-training is closed-form — two aggregation passes, no iterative solver —
-so the 100 TB story is exactly two map-side-combined shuffles and the
+training is closed-form — one aggregation pass, no iterative solver —
+so the 100 TB story is exactly one map-side-combined shuffle and the
 model itself is a bounded table that broadcasts.
 
 Scale shape:
-- TRAIN: explode train-slice tokens (corpus-sized, one pass), aggregate
-  per-(label, term) with map-side combine, then top-V vocabulary via
-  TakeOrdered (O(n) keeping V — never a global sort). The dense
-  |classes|x|vocab| grid, totals, and priors are all vocab-sized.
+- TRAIN: explode train-slice tokens (corpus-sized, ONE pass), aggregate
+  per-(label, term) with map-side combine into a persisted cache, then
+  top-V vocabulary via TakeOrdered (O(n) keeping V — never a global
+  sort) and a ≤|classes|×V counts collect off the same cache. The dense
+  grid, totals, and priors are assembled driver-side as literal
+  DataFrames — bounded model artifacts whose lineage cannot re-execute
+  the corpus pass (the log/round math stays in Spark expressions for
+  float parity with the SQL twins).
 - SCORE: explode tokens once, broadcast-hash-join the model (OOV terms
   drop at the join — no shuffle), one groupBy(doc) aggregation. A
   zero-in-vocab-token document still scores: priors attach through a
@@ -89,50 +93,100 @@ def nb_train(
     occurrence count, ties broken by term ascending — a deterministic
     TakeOrdered over the term-count aggregate, not a global sort.
     Rows with a NULL label carry no class evidence and are excluded.
+
+    Execution: the corpus is tokenized EXACTLY ONCE — one explode into a
+    persisted (label, term) count aggregate; the vocabulary and the
+    in-vocab counts are two bounded collects off that cache, and the
+    dense class×vocab grid is assembled driver-side into literal
+    DataFrames (the bounded-model-artifact rule, the PQ-codebook
+    precedent). An earlier all-lazy formulation re-executed the tokenize
+    subtree per downstream consumer — the model table's lineage ran the
+    corpus explode SEVEN times once the grid/totals/vsize forks
+    multiplied. The log/round arithmetic stays in Spark expressions so
+    the floats match the lazy form (and the SQL twins) bit for bit.
     """
     if vocab_size < 1:
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    spark = train.sparkSession
+    label_type = train.schema[label_col].dataType
     labeled = train.filter(F.col(label_col).isNotNull())
     toks = _doc_terms(labeled, [label_col], text_col)
 
-    term_counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    vocab = (
-        term_counts.orderBy(F.col("c").desc(), F.col("term").asc())
-        .limit(vocab_size)
-        .select("term")
-    )
-
-    counts = (
-        toks.join(F.broadcast(vocab), "term")
-        .groupBy(F.col(label_col).alias("label"), "term")
+    counts_all = (
+        toks.groupBy(F.col(label_col).alias("label"), "term")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
-    classes = labeled.groupBy(F.col(label_col).alias("label")).agg(
-        F.count(F.lit(1)).alias("n_docs_label")
+    try:
+        # bounded collect #1: the top-V vocabulary (TakeOrdered, not a
+        # global sort); triggers the one corpus-sized job and fills the
+        # cache for the second collect
+        vocab_terms = [
+            r["term"]
+            for r in counts_all.groupBy("term")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("term").asc())
+            .limit(int(vocab_size))
+            .collect()
+        ]
+        # bounded collect #2: in-vocab per-class counts (≤ classes × V)
+        cnt_map = {
+            (r["label"], r["term"]): r["cnt"]
+            for r in counts_all.filter(
+                F.col("term").isin(vocab_terms) if vocab_terms else F.lit(False)
+            ).collect()
+        }
+    finally:
+        counts_all.unpersist()
+    # bounded collect #3: per-class doc counts (doc-level scan, no explode)
+    class_rows = sorted(
+        (r["label"], r["n"])
+        for r in labeled.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
+    n_total = sum(n for _, n in class_rows)
+    v = len(vocab_terms)
+
     # dense grid so absent (class, term) pairs smooth to cnt = 0, and so
-    # every (doc, label) score later has exactly one row to argmax over
-    grid = (
-        classes.select("label")
-        .crossJoin(F.broadcast(vocab))
-        .join(counts, ["label", "term"], "left")
-        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    # every (doc, label) score later has exactly one row to argmax over.
+    # Literal rows carry the integer counts; log/round run as the same
+    # Spark expressions the lazy form used (cross-engine float parity)
+    in_vocab_tot = {lab: 0 for lab, _ in class_rows}
+    for (lab, _), c in cnt_map.items():
+        in_vocab_tot[lab] += c
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    grid_schema = StructType(
+        [
+            StructField("label", label_type),
+            StructField("term", StringType()),
+            StructField("cnt", LongType()),
+            StructField("tot", LongType()),
+        ]
     )
-    totals = grid.groupBy("label").agg(F.sum("cnt").alias("tot"))
-    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
-    table = (
-        grid.join(F.broadcast(totals), "label")
-        .crossJoin(F.broadcast(vsize))
-        .select(
-            "label",
-            "term",
-            F.round(
-                F.log((F.col("cnt") + F.lit(1.0)) / (F.col("tot") + F.col("v"))), 6
-            ).alias("logp"),
-        )
+    grid_rows = [
+        (lab, t, cnt_map.get((lab, t), 0), in_vocab_tot[lab])
+        for lab, _ in class_rows
+        for t in vocab_terms
+    ]
+    table = spark.createDataFrame(grid_rows, grid_schema).select(
+        "label",
+        "term",
+        F.round(
+            F.log((F.col("cnt") + F.lit(1.0)) / (F.col("tot") + F.lit(v))), 6
+        ).alias("logp"),
     )
-    n_total = labeled.agg(F.count(F.lit(1)).alias("n"))
-    priors = classes.crossJoin(F.broadcast(n_total)).select(
+    priors_schema = StructType(
+        [
+            StructField("label", label_type),
+            StructField("n_docs_label", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    priors = spark.createDataFrame(
+        [(lab, n, n_total) for lab, n in class_rows], priors_schema
+    ).select(
         "label",
         F.round(F.log(F.col("n_docs_label") / F.col("n")), 6).alias("logprior"),
     )
