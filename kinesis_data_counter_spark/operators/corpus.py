@@ -377,10 +377,12 @@ def boilerplate_removal(
     CPU (the round-7 corpus_curate_web lesson: count consumers of an
     intermediate, not just shuffles — and plain repartition does NOT fix
     it, because per-branch column pruning makes the exchanges
-    non-identical so nothing is reused). ``row_number() == 1`` over
-    (hash, doc) marks one representative per (chunk, doc), and summing
-    those marks over (hash) is exactly count_distinct(doc) — both windows
-    cluster by the hash, so they share ONE exchange and one sort.
+    non-identical so nothing is reused). Sorted by (doc, pos) within the
+    hash, a null-safe ``lag(doc) != doc`` marks one representative per
+    (chunk, doc), and summing those marks over (hash) is exactly
+    count_distinct(doc) — NULL ids excluded like count_distinct — and
+    both windows partition by the hash alone, sharing ONE exchange and
+    one sort.
 
     Per-key window state is bounded by the docs sharing one chunk text —
     large only for the corpus-wide boilerplate the operator exists to
@@ -396,10 +398,22 @@ def boilerplate_removal(
     # document frequency per distinct segment: the 64-bit hash is the
     # shuffle key (8 bytes instead of the raw string, same trade as
     # segment_dedup; collisions ~|chunks|²/2⁶⁴)
-    w_hd = Window.partitionBy("__h", id_col).orderBy("pos")
+    # BOTH windows partition by the hash alone so they share ONE exchange
+    # and one sort (a (hash, doc) partition spec would force a second
+    # shuffle for the per-hash sum): sorted by (doc, pos) within the
+    # hash, a row opens a new document exactly when lag(doc) differs —
+    # summing those openers over the hash partition is count_distinct(doc)
+    w_sorted = Window.partitionBy("__h").orderBy(id_col, "pos")
     w_h = Window.partitionBy("__h")
+    prev_doc = F.lag(F.col(id_col)).over(w_sorted)
+    # null-safe boundary + NULL ids excluded: count_distinct skips NULLs,
+    # so a NULL-id chunk must contribute no document evidence here either
     marked = (
-        chunks.withColumn("__f", F.row_number().over(w_hd) == 1)
+        chunks.withColumn(
+            "__f",
+            ~prev_doc.eqNullSafe(F.col(id_col))
+            & F.col(id_col).isNotNull(),
+        )
         .withColumn(
             "__df", F.sum(F.when(F.col("__f"), 1).otherwise(0)).over(w_h)
         )

@@ -282,14 +282,16 @@ def test_bloom_prefilter_probes_are_broadcast_semi(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_segment_dedup_uses_min_agg_not_global_window(spark, sf_dir):
+def test_segment_dedup_window_partitions_by_chunk_hash(spark, sf_dir):
     plan = _plan(spark, sf_dir, "corpus_segment_dedup")
-    # first-occurrence selection is a combinable min-agg + equi-join; a
-    # Window over the full chunk set would serialize per-chunk partitions
-    # harmlessly here but break down when one chunk dominates
-    assert "Window" not in plan
-    # partial + final aggregates around the chunk exchange
-    assert plan.count("HashAggregate") >= 2
+    # round 8: first-occurrence selection is min(struct) over a window
+    # PARTITIONED BY THE CHUNK HASH — never an empty/global partition
+    # (which would funnel every chunk through one task), and never an
+    # agg + join-back (which re-executed the explode per consumer)
+    assert "windowspecdefinition(__h" in plan, plan[:1500]
+    assert "windowspecdefinition()" not in plan
+    # the only join left is the doc-id restore of NULL/empty-text docs
+    assert plan.count("Join") <= 1
 
 
 def test_cms_cells_aggregate_partially(spark, sf_dir):
@@ -374,22 +376,31 @@ def test_shuffle_shards_is_pure_projection(spark, sf_dir):
 
 
 def test_nb_classifier_scores_without_corpus_join(spark, sf_dir):
-    # the NB model is a bounded table: train-side joins broadcast, and
-    # the score side must NEVER shuffle-join two corpus-sized frames —
+    # the NB model is a bounded LITERAL table (round 8: assembled
+    # driver-side from one persisted train pass): the score plan joins it
+    # by broadcast and must NEVER shuffle-join two corpus-sized frames —
     # the sentinel-token formulation keeps zero-token docs alive through
-    # aggregation alone (classify.py::nb_score)
+    # aggregation alone (classify.py::nb_score). With the model literal,
+    # the scoring plan's ONLY corpus lineage is the single scan+explode
+    # of the documents being scored.
     plan = _plan(spark, sf_dir, "text_nb_classifier")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
-    assert "TakeOrderedAndProject" in plan  # top-V vocab, not a global sort
+    assert plan.count("FileScan") == 1, plan[:1500]
+    assert plan.count("Generate") == 1
 
 
-def test_boilerplate_removal_no_window(spark, sf_dir):
-    # document frequency is a combinable (count-distinct) agg + equi-join,
-    # never a Window over the chunk population
+def test_boilerplate_windows_partition_by_chunk_hash(spark, sf_dir):
+    # round 8: document frequency comes from window functions over the
+    # chunk hash (row_number==1 per (hash, doc) summed per hash == exact
+    # count_distinct) — both windows must partition by the hash (never a
+    # global partition) and share one exchange (never an agg + join-back,
+    # which re-executed the explode per consumer)
     plan = _plan(spark, sf_dir, "corpus_boilerplate")
-    assert "Window" not in plan
-    assert plan.count("HashAggregate") >= 2
+    assert "windowspecdefinition(__h" in plan, plan[:1500]
+    assert "windowspecdefinition()" not in plan
+    # one chunk-hash exchange feeds both windows
+    assert plan.count("Exchange hashpartitioning(__h") == 1
 
 
 def test_snapshot_diff_is_one_full_outer_join(spark, sf_dir):
