@@ -6180,10 +6180,16 @@ _SHOWCASE_ORDER = [
     # Never-driver-recorded after this rotation records green: exactly 2 of
     # 170 — embedding_centroids and multimodal_frame_sample (both sf0.01
     # oracle-verified this round; families already head-represented).
-    # THEY ROTATE IN IN ROUND 9, swapping for any two of this round's 27
-    # once those carry their first recorded row — that reaches 170/170
-    # driver-recorded. Any NEW entry added mid-round goes straight into
-    # the head.
+    #
+    # Round-9 rotation (executed, per VERDICT r8 task 1): those final two
+    # rotate in, ceding text_vocab and text_bigrams (both first recorded
+    # green in round 8; the text family keeps seven head seats —
+    # text_nb_margin_calibration, text_pmi_collocations, text_fingerprint,
+    # text_winnow, text_redact_pii, text_repetition, udtf_token_positions —
+    # and both ceded entries keep running in local verification + tests).
+    # Once CORRECTNESS_r09 records green for the two newcomers, every one
+    # of the 170 registry entries has at least one driver-recorded green
+    # row. Any NEW entry added mid-round goes straight into the head.
     #
     # reference-parity counter core (A1-A8, F1-F8) + the two-level
     # exchange driven as a batch plan, as a drained stream, and as the
@@ -6207,13 +6213,12 @@ _SHOWCASE_ORDER = [
     # dedup family + decontamination
     "dedup_method_agreement", "dedup_embedding_clusters",
     "corpus_decontaminate",
-    # similarity search
-    "ann_lsh_recall",
+    # similarity search / embedding aggregation
+    "ann_lsh_recall", "embedding_centroids",
     # text analysis + fingerprinting + classifier calibration
     "text_nb_margin_calibration", "text_pmi_collocations",
     "text_fingerprint", "text_winnow", "text_redact_pii",
-    "text_repetition", "text_vocab", "text_bigrams",
-    "udtf_token_positions",
+    "text_repetition", "udtf_token_positions",
     # web provenance
     "web_url_canonical", "web_domain_rank", "web_rank_weighted_mix",
     "corpus_curate_web",
@@ -6224,7 +6229,7 @@ _SHOWCASE_ORDER = [
     "sample_weighted_topk",
     # multimodal
     "multimodal_audio_features", "multimodal_image_stats",
-    "multimodal_media",
+    "multimodal_media", "multimodal_frame_sample",
     # layout + governance family seats
     "layout_compaction", "gdpr_erasure_audit",
 ]
