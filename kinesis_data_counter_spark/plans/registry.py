@@ -4855,6 +4855,11 @@ def _q_counter_replay_source(spark, sf_dir):
                 F.struct(F.unix_millis("ts").alias("__arrival_ms"))
             ).alias("data"),  # writer embeds __pk; arrival time is the payload
         )
+        # a PutRecords producer is a fleet, not one process: spread the
+        # per-record pk-routing work across tasks (the sf0.1 events table is
+        # ONE parquet file, so without this the produce runs as ONE task;
+        # staging is per (task, shard) so commit stays a pure concat)
+        .repartition(8)
         .write.format("kinesis_replay")
         .option("path", d)
         .option("numShards", "4")

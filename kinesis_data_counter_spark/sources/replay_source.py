@@ -35,6 +35,15 @@ Scale: each micro-batch plans one task per shard reading only
 (limit 1000/call, run.go:62-64). For real Kinesis, swap the file tail for
 boto3 get_records inside ``read``; the offset/partition algebra is
 identical, which is the point of isolating it here.
+
+Read-path transport: ``read`` yields ``pyarrow.RecordBatch`` chunks
+(columnar, ``_BATCH_ROWS`` records each) rather than per-record Python
+tuples. Spark's Python DataSource worker forwards RecordBatches straight
+onto the Arrow stream to the JVM; tuple yields instead pay a per-row
+converter + batch assembly in Python. The batch schema is pinned to the
+exact Arrow schema Spark derives from ``SCHEMA``
+(``to_arrow_schema``: timestamp[us, tz=UTC]) because the worker validates
+names only — a drifted type would surface as a JVM-side Arrow error.
 """
 
 from __future__ import annotations
@@ -43,16 +52,17 @@ import glob
 import json
 import os
 from collections.abc import Iterator, Sequence
-from datetime import datetime, timezone
 
 from dataclasses import dataclass
 
+import pyarrow as pa
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -79,8 +89,44 @@ def _count_lines(p: str) -> int:
     return n
 
 
-def _rows(shard: str, path: str, start: int, end: int | None) -> Iterator[tuple]:
-    """Yield records [start, end) of one shard file (end=None → EOF)."""
+# Arrow schema of the wire — MUST equal to_arrow_schema(SCHEMA): the worker
+# checks column names only, so a type drift here would fail JVM-side.
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("shard_id", pa.string()),
+        ("sequence_number", pa.int64()),
+        ("partition_key", pa.string()),
+        ("approximate_arrival", pa.timestamp("us", tz="UTC")),
+        ("data", pa.string()),
+    ]
+)
+_BATCH_ROWS = 4096  # records per Arrow batch (≈ 4 GetRecords calls)
+
+
+def _record_batches(
+    shard: str, path: str, start: int, end: int | None
+) -> Iterator[pa.RecordBatch]:
+    """Yield records [start, end) of one shard file (end=None → EOF) as
+    columnar Arrow batches of ``_BATCH_ROWS`` records."""
+    seqs: list[int] = []
+    pks: list[str | None] = []
+    arrivals: list[int] = []  # epoch micros
+    datas: list[str] = []
+
+    def _flush() -> pa.RecordBatch:
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array([shard] * len(seqs), pa.string()),
+                pa.array(seqs, pa.int64()),
+                pa.array(pks, pa.string()),
+                pa.array(arrivals, pa.timestamp("us", tz="UTC")),
+                pa.array(datas, pa.string()),
+            ],
+            schema=_ARROW_SCHEMA,
+        )
+        seqs.clear(); pks.clear(); arrivals.clear(); datas.clear()
+        return batch
+
     with open(path, "r", encoding="utf-8") as f:
         for seq, line in enumerate(f):
             if seq < start:
@@ -98,8 +144,14 @@ def _rows(shard: str, path: str, start: int, end: int | None) -> Iterator[tuple]
                     arrival_ms = int(obj.get("__arrival_ms", 0))
             except ValueError:
                 pass  # corrupt lines still flow to the S4 bad-record router
-            ts = datetime.fromtimestamp(arrival_ms / 1000.0, tz=timezone.utc)
-            yield (shard, seq, pk, ts, line)
+            seqs.append(seq)
+            pks.append(pk)
+            arrivals.append(arrival_ms * 1000)
+            datas.append(line)
+            if len(seqs) >= _BATCH_ROWS:
+                yield _flush()
+    if seqs:
+        yield _flush()
 
 
 class _ShardSlice(InputPartition):
@@ -117,8 +169,10 @@ class _ReplayBatchReader(DataSourceReader):
             for shard, p in _shard_files(self.path).items()
         ]
 
-    def read(self, partition: _ShardSlice) -> Iterator[tuple]:
-        return _rows(partition.shard, partition.path, partition.start, partition.end)
+    def read(self, partition: _ShardSlice) -> Iterator[pa.RecordBatch]:
+        return _record_batches(
+            partition.shard, partition.path, partition.start, partition.end
+        )
 
 
 class _ReplayStreamReader(DataSourceStreamReader):
@@ -144,8 +198,10 @@ class _ReplayStreamReader(DataSourceStreamReader):
                 out.append(_ShardSlice(shard, files[shard], lo, hi))
         return out
 
-    def read(self, partition: _ShardSlice) -> Iterator[tuple]:
-        return _rows(partition.shard, partition.path, partition.start, partition.end)
+    def read(self, partition: _ShardSlice) -> Iterator[pa.RecordBatch]:
+        return _record_batches(
+            partition.shard, partition.path, partition.start, partition.end
+        )
 
     def commit(self, end: dict) -> None:
         pass  # file replay needs no server-side trim
@@ -253,6 +309,12 @@ class _ReplayWriterBase:
     mode / NFS / fuse-mounted object store); a real Kinesis deployment
     replaces ``write`` with executor-side put_records and drops the staging
     entirely.
+
+    ``write`` consumes ``pyarrow.RecordBatch`` input (the Arrow writer API):
+    the ``partition_key``/``data`` columns come off each batch as plain
+    Python lists, so no Spark ``Row`` is ever materialized. Rows with a
+    missing/null ``data`` cell fall back to whole-row JSON bodies via
+    ``to_pylist`` on just those rows' slice of the batch.
     """
 
     def __init__(self, options):
@@ -262,30 +324,56 @@ class _ReplayWriterBase:
         self.stage_dir = os.path.join(self.path, "_staging")
         os.makedirs(self.stage_dir, exist_ok=True)
 
-    def write(self, iterator) -> WriterCommitMessage:
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> WriterCommitMessage:
         import tempfile
 
         handles: dict[int, tuple[str, object]] = {}
         n = 0
+        num_shards = self.num_shards
+
+        def _out(shard: int):
+            got = handles.get(shard)
+            if got is None:
+                fd, staged = tempfile.mkstemp(
+                    dir=self.stage_dir, suffix=f".s{shard:03d}.jsonl"
+                )
+                got = (staged, os.fdopen(fd, "w", encoding="utf-8"))
+                handles[shard] = got
+            return got[1]
+
         try:
-            for row in iterator:
-                d = row.asDict() if hasattr(row, "asDict") else dict(row)
-                pk = d.get("partition_key")
-                data = d.get("data")
-                if data is None:  # whole row becomes the record body
-                    data = json.dumps(
-                        {k: v for k, v in d.items() if k != "partition_key"},
-                        default=str,
+            for batch in iterator:
+                names = batch.schema.names
+                nrows = batch.num_rows
+                pks = (
+                    batch.column(names.index("partition_key")).to_pylist()
+                    if "partition_key" in names
+                    else [None] * nrows
+                )
+                datas = (
+                    batch.column(names.index("data")).to_pylist()
+                    if "data" in names
+                    else [None] * nrows
+                )
+                rows = None  # whole-row bodies built lazily, only if needed
+                for i in range(nrows):
+                    pk, data = pks[i], datas[i]
+                    if data is None:  # whole row becomes the record body
+                        if rows is None:
+                            rows = batch.to_pylist()
+                        data = json.dumps(
+                            {
+                                k: v
+                                for k, v in rows[i].items()
+                                if k != "partition_key"
+                            },
+                            default=str,
+                        )
+                    data = _embed_pk(pk, data)
+                    _out(_route_pk(pk, num_shards)).write(
+                        data.rstrip("\n") + "\n"
                     )
-                data = _embed_pk(pk, data)
-                shard = _route_pk(pk, self.num_shards)
-                if shard not in handles:
-                    fd, staged = tempfile.mkstemp(
-                        dir=self.stage_dir, suffix=f".s{shard:03d}.jsonl"
-                    )
-                    handles[shard] = (staged, os.fdopen(fd, "w", encoding="utf-8"))
-                handles[shard][1].write(data.rstrip("\n") + "\n")
-                n += 1
+                n += nrows
         finally:
             for _, f in handles.values():
                 f.close()
@@ -325,7 +413,7 @@ class _ReplayWriterBase:
                     os.remove(staged)
 
 
-class _ReplayBatchWriter(_ReplayWriterBase, DataSourceWriter):
+class _ReplayBatchWriter(_ReplayWriterBase, DataSourceArrowWriter):
     def commit(self, messages) -> None:
         self._apply(messages)
 
@@ -333,7 +421,7 @@ class _ReplayBatchWriter(_ReplayWriterBase, DataSourceWriter):
         self._cleanup(messages)
 
 
-class _ReplayStreamWriter(_ReplayWriterBase, DataSourceStreamWriter):
+class _ReplayStreamWriter(_ReplayWriterBase, DataSourceStreamArrowWriter):
     def commit(self, messages, batchId: int) -> None:
         self._apply(messages)
 

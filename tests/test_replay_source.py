@@ -281,3 +281,54 @@ def test_watermark_append_semantics_on_replay_stream(spark, tmp_path):
     h10 = int(dt.datetime(2024, 1, 1, 10, tzinfo=dt.timezone.utc).timestamp() * 1000)
     assert counts.get(h10) == 1  # closed once, late arrival NOT re-counted
     assert len(emitted) == len(set(r.ws for r in emitted))  # no re-emission
+
+
+def test_arrow_schema_matches_spark_derivation(spark):
+    """The hand-pinned _ARROW_SCHEMA must equal what Spark's worker derives
+    from SCHEMA — the worker validates column names only, so a type drift
+    would fail deep in the JVM Arrow reader instead of here."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import _parse_datatype_string
+
+    from kinesis_data_counter_spark.sources.replay_source import (
+        SCHEMA,
+        _ARROW_SCHEMA,
+    )
+
+    assert _ARROW_SCHEMA == to_arrow_schema(_parse_datatype_string(SCHEMA))
+
+
+def test_record_batches_slice_and_flush(tmp_path):
+    """[start, end) slicing, blank-line skip, corrupt-line pass-through, and
+    the _BATCH_ROWS flush boundary — all on the raw batch generator."""
+    import pyarrow as pa
+
+    from kinesis_data_counter_spark.sources import replay_source as rs
+
+    p = str(tmp_path / "shard-000.jsonl")
+    lines = [json.dumps({"__pk": f"u{i}", "__arrival_ms": 1000 * i, "v": i}) for i in range(10)]
+    lines[4] = "not json at all"  # corrupt record: flows through, null pk
+    lines[7] = ""  # blank: skipped entirely (no sequence emitted)
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    batches = list(rs._record_batches("shard-000", p, 2, 9))
+    assert all(isinstance(b, pa.RecordBatch) for b in batches)
+    assert all(b.schema == rs._ARROW_SCHEMA for b in batches)
+    tbl = pa.Table.from_batches(batches)
+    seqs = tbl.column("sequence_number").to_pylist()
+    assert seqs == [2, 3, 4, 5, 6, 8]  # [2,9) minus the blank line 7
+    pks = tbl.column("partition_key").to_pylist()
+    assert pks[2] is None and pks[0] == "u2"  # corrupt line keeps flowing
+    assert tbl.column("data").to_pylist()[2] == "not json at all"
+    arr = tbl.column("approximate_arrival").to_pylist()
+    assert arr[1].timestamp() == 3.0  # __arrival_ms=3000 -> epoch 3s
+
+    # flush boundary: >_BATCH_ROWS records split into multiple batches
+    old = rs._BATCH_ROWS
+    rs._BATCH_ROWS = 4
+    try:
+        sizes = [b.num_rows for b in rs._record_batches("shard-000", p, 0, None)]
+    finally:
+        rs._BATCH_ROWS = old
+    assert sizes == [4, 4, 1] and sum(sizes) == 9
