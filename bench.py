@@ -188,12 +188,13 @@ SF1_CAUSES = {
     "corpus_boilerplate": (
         "every stage grows exactly 10x in rows (chunks 36k->360k, distinct "
         "segments 34k->337k); round 8 rebuilt the plan to materialize the "
-        "chunk explode ONCE (repartition on the chunk hash shared by the "
-        "freq agg and the join-back — was 2 scans + 2 explodes), measured "
-        "1.7x faster at sf1; the residual ratio is the single-parquet-file "
-        "fixture's input-split bound (the sf1 scan+explode runs in 2 "
-        "tasks; a real corpus has thousands of splits), not a "
-        "super-linear stage"
+        "chunk explode ONCE — document frequency comes from two window "
+        "functions sharing ONE chunk-hash exchange (null-safe lag(doc) "
+        "marks + per-hash sum == count_distinct), no freq agg, no "
+        "join-back (was 2 scans + 2 explodes) — measured 1.7x faster at "
+        "sf1; the residual ratio is the single-parquet-file fixture's "
+        "input-split bound (the sf1 scan+explode runs in 2 tasks; a real "
+        "corpus has thousands of splits), not a super-linear stage"
     ),
     "web_domain_curation": (
         "round 8: domain derives from source + a mod-500 site suffix and "

@@ -129,12 +129,20 @@ def nb_train(
             .limit(int(vocab_size))
             .collect()
         ]
-        # bounded collect #2: in-vocab per-class counts (≤ classes × V)
+        # bounded collect #2: in-vocab per-class counts (≤ classes × V).
+        # The vocab filter is a broadcast semi-join against a small literal
+        # term table — an isin() literal list grows the plan tree (and its
+        # analysis cost) linearly with vocab_size, so at V=2048 the filter
+        # expression alone carried 2048 literals
+        if vocab_terms:
+            vocab_df = spark.createDataFrame(
+                [(t,) for t in vocab_terms], "term string"
+            )
+            in_vocab = counts_all.join(F.broadcast(vocab_df), "term", "semi")
+        else:
+            in_vocab = counts_all.filter(F.lit(False))
         cnt_map = {
-            (r["label"], r["term"]): r["cnt"]
-            for r in counts_all.filter(
-                F.col("term").isin(vocab_terms) if vocab_terms else F.lit(False)
-            ).collect()
+            (r["label"], r["term"]): r["cnt"] for r in in_vocab.collect()
         }
     finally:
         counts_all.unpersist()

@@ -362,12 +362,12 @@ def boilerplate_removal(
 
     Plan shape (no Python anywhere):
       split → chunk via ``transform(sequence(...))`` → posexplode
-      → repartition(chunk hash)  [ONE materialization of the explode]
-      → groupBy(chunk hash).agg(count_distinct(doc)) — already clustered
-        by the hash, so the distinct agg adds no further exchange
-      → equi-join back on the 8-byte hash to flag survivors (the chunk
-        side is already hash-partitioned; the freq side broadcasts or
-        aligns on the same key)
+      → ONE exchange on the 8-byte chunk hash, shared by both windows
+      → lag(doc) over (hash ORDER BY doc, pos) marks one representative
+        row per (chunk, doc); sum(marks) over (hash) IS
+        count_distinct(doc) — no frequency agg, no join-back, the
+        explode subtree runs exactly once
+      → row-local keep flag (document frequency ≤ max_docs)
       → groupBy(doc).collect_list → array_sort → array_join [one shuffle]
 
     The document frequency comes from WINDOW functions over one chunk-hash

@@ -249,11 +249,13 @@ SHOWCASE: dict[str, str] = {
     ),
     "corpus_boilerplate": (
         "Frequency-thresholded boilerplate removal (round 6; round 8 "
-        "single-materialization): chunk fan-out is row-local codegen, "
-        "materialized ONCE by an explicit repartition on the 8-byte chunk "
-        "hash that both consumers share — the count-distinct frequency "
-        "agg (already clustered, no further exchange) and the survivor "
-        "join-back. Plain hash exchanges only, no window, no sort."
+        "window rebuild): chunk fan-out is row-local codegen, then ONE "
+        "exchange on the 8-byte chunk hash feeds BOTH window functions — "
+        "a null-safe lag(doc)!=doc marks one row per (chunk, doc) and "
+        "sum(marks) over the hash partition IS count_distinct(doc) — so "
+        "there is no frequency agg, no join-back, and the explode "
+        "subtree materializes exactly once. One window sort, then the "
+        "per-doc reassembly shuffle."
     ),
     "corpus_chunk_overlap": (
         "Overlapping retrieval chunking (round 6): transform(sequence) + "
@@ -350,12 +352,14 @@ SHOWCASE: dict[str, str] = {
         "global sort anywhere."
     ),
     "corpus_curate_web": (
-        "Web curation capstone (round 6): URL-canonical dedup is a "
-        "min-struct aggregation on the canonical key (no join-back), the "
-        "domain cap routes only over-cap domains through a window, NB "
-        "scoring is all BroadcastHashJoin, and the final funnel merge "
-        "joins two DOMAIN-keyed aggregates — zero corpus x corpus joins "
-        "in the deepest plan in the registry."
+        "Web curation capstone (round 6; round 8 domain-cap rebuild): "
+        "URL-canonical dedup is a min-struct aggregation on the "
+        "canonical key (no join-back), the domain cap is ONE scan + ONE "
+        "domain-partitioned rank window for ALL rows (NULL domains "
+        "salted to singleton partitions by md5 ticket), NB scoring is "
+        "all BroadcastHashJoin, and the final funnel merge joins two "
+        "DOMAIN-keyed aggregates — zero corpus x corpus joins in the "
+        "deepest plan in the registry."
     ),
     "multimodal_audio_features": (
         "Audio features through the real WAV codec (round 6): one "
@@ -363,6 +367,29 @@ SHOWCASE: dict[str, str] = {
         "RMS), output 5 scalars per doc regardless of payload size; the "
         "only exchange is the initial fan-out of the single-file local "
         "input."
+    ),
+    "multimodal_frame_sample": (
+        "One-to-many frame sampling over binary payloads (round 9 head "
+        "entry): ONE Arrow-batched mapInPandas pass slices every k-th "
+        "fixed-size chunk out of each payload (the stubbed stand-in for "
+        "container-decode frame sampling — batch shape, binary frame "
+        "column, and fan-out factor are real); the head-byte/length "
+        "output projection is row-local above it. The only exchange is "
+        "the fan_out of the single-file local input — a multi-split "
+        "production source skips it. Output rows ~ bytes/(1KB x k), so "
+        "frame-level consumers should filter or aggregate before any "
+        "wide transformation."
+    ),
+    "embedding_centroids": (
+        "Per-label vector centroids (round 9 head entry): posexplode to "
+        "long (label, pos, val) form, then a (label, pos)-keyed "
+        "partial+final average — the map-side combine collapses each "
+        "split to labels x dim rows before the agg exchange, so shuffle "
+        "volume is the MODEL size (groups x dim), not the corpus; the "
+        "output stays long-format. The up-front exchange in this dump is "
+        "fan_out of the single-file local input (the 64x explode "
+        "otherwise serializes on one scan task); a multi-split source "
+        "skips it. No join, no window, no Python."
     ),
     "text_nb_classifier": (
         "Model-based curation gate (round 6): multinomial NB. Training "
