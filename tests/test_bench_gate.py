@@ -72,3 +72,62 @@ def test_tracked_history_has_a_comparable_line():
 
 def test_gate_threshold_is_pinned():
     assert bench.REGRESSION_GATE_RATIO == 1.3
+
+
+def _full_result(n_queries=75, with_gate=True, with_spots=True):
+    queries = {f"some_long_query_name_{i:02d}": 0.5 + i * 0.01 for i in range(n_queries)}
+    r = {
+        "metric": "total_bench_seconds",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "runs": 5,
+        "loadavg_before": [1.0, 1.0, 1.0],
+        "loadavg_after": [2.0, 2.0, 2.0],
+        "quiet_wait_s": 0.0,
+        "sf1_spot": (
+            {
+                "qa": {"sf0.1_s": 1.0, "sf1_s": 3.0, "ratio": 3.0,
+                       "verdict": "linear-ish", "cause": "x" * 300},
+                "qb": {"sf0.1_s": 1.0, "sf1_s": 4.9, "ratio": 4.9,
+                       "verdict": "SUPERLINEAR: investigate"},
+            }
+            if with_spots
+            else {}
+        ),
+    }
+    if with_gate:
+        r["regression_gate"] = {
+            "prev_total_s": 70.0, "ratio_vs_prev": 1.05,
+            "threshold": 1.3, "ok": True,
+        }
+    return r
+
+
+def test_compact_summary_fits_tail_window_and_keeps_contract_shape():
+    # the driver keeps only the last TAIL_WINDOW_CHARS of stdout — the
+    # compact trailing line must carry the headline metric, the gate
+    # verdict, and the worst sf1 spot inside that budget
+    r = _full_result()
+    assert len(json.dumps(r)) >= bench.TAIL_WINDOW_CHARS  # full line overflows
+    c = bench._compact_summary(r)
+    assert len(json.dumps(c)) < bench.TAIL_WINDOW_CHARS
+    assert c["metric"] == "total_bench_seconds" and c["unit"] == "sec"
+    assert c["value"] == r["value"] and c["sf"] == 0.1
+    assert c["n_queries"] == 75 and len(c["queries"]) == 5
+    # top-5 slowest, not first-5
+    assert "some_long_query_name_74" in c["queries"]
+    assert c["regression_gate"] == {"ratio_vs_prev": 1.05, "ok": True}
+    assert c["sf1_spot_worst"] == {"query": "qb", "ratio": 4.9}
+
+
+def test_compact_summary_without_gate_or_spots():
+    c = bench._compact_summary(_full_result(with_gate=False, with_spots=False))
+    assert "regression_gate" not in c and "sf1_spot_worst" not in c
+
+
+def test_compact_summary_skips_spot_error_entries():
+    r = _full_result(with_spots=False)
+    r["sf1_spot"] = {"error": "RuntimeError: boom"}
+    assert "sf1_spot_worst" not in bench._compact_summary(r)
