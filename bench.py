@@ -192,9 +192,10 @@ SF1_CAUSES = {
         "functions sharing ONE chunk-hash exchange (null-safe lag(doc) "
         "marks + per-hash sum == count_distinct), no freq agg, no "
         "join-back (was 2 scans + 2 explodes) — measured 1.7x faster at "
-        "sf1; the residual ratio is the single-parquet-file fixture's "
-        "input-split bound (the sf1 scan+explode runs in 2 tasks; a real "
-        "corpus has thousands of splits), not a super-linear stage"
+        "sf1. Round 9 rewrote the sf1 fixtures as 16-part directories "
+        "(the old single ~6 MB parquet file planned as 1-2 input splits, "
+        "so this spot measured scan/explode starvation, not the plan); "
+        "with real split parallelism the ratio fell 4.88 -> ~1.1-1.5"
     ),
     "web_domain_curation": (
         "round 8: domain derives from source + a mod-500 site suffix and "
