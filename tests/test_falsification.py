@@ -354,3 +354,75 @@ def test_falsifier_census(spark, sf_dir):
             if not re.search(rf"^def {re.escape(test)}\(", src, re.M):
                 broken.append(f"{name} -> {path}::{test}")
     assert not broken, f"census points at missing tests: {broken}"
+
+
+# ---------------------------------------------------------------------------
+# third-engine pin census (VERDICT r8 task 3): Spark-vs-DuckDB twins share
+# blind spots by construction — both sides are written from the same mental
+# model, so a defect in the model itself survives the differential (a host-
+# regex bug once survived a 250-case random differential because both
+# engines carried the identical flawed regex). Every family whose semantics
+# have a free choice (tie-breaks, smoothing, correction terms, filter
+# variants) must therefore be pinned against an INDEPENDENT third reference
+# — hand-derived vectors from a published worked example, a structurally
+# independent reimplementation, a stdlib module, or an external binary —
+# WITH a discriminating falsifier proving the pin can fail.
+# ---------------------------------------------------------------------------
+
+# family -> (test_file, falsifier/discriminator test name)
+THIRD_ENGINE_PINS: dict[str, tuple[str, str]] = {
+    "bpe_merge_trainer": (
+        "tests/test_bpe_reference_vectors.py",
+        "test_divergent_tiebreak_falsifier",
+    ),
+    "png_filters": (
+        "tests/test_png_spec_vectors.py",
+        "test_paeth_tie_vector_discriminates_strict_lt_variant",
+    ),
+    "expression_language": (
+        "tests/test_expr_reference_differential.py",
+        "test_table_discriminates_wrong_semantics",
+    ),
+    "pagerank": (
+        "tests/test_pagerank_reference_vectors.py",
+        "test_falsifier_no_dangling_redistribution_differs",
+    ),
+    "bm25": (
+        "tests/test_bm25_reference_vectors.py",
+        "test_falsifier_classic_idf_differs",
+    ),
+    "naive_bayes": (
+        "tests/test_nb_reference_vectors.py",
+        "test_falsifier_unsmoothed_flips_the_book_outcome",
+    ),
+    # external-third-implementation pins (stdlib / system binary)
+    "jq_programs": (
+        "tests/test_jq_random_differential.py",
+        "test_random_values_match_real_jq",
+    ),
+    "url_host_parsing": (
+        "tests/test_web.py",
+        "test_host_of_differential_vs_urllib",
+    ),
+    "wav_container": (
+        "tests/test_multimodal.py",
+        "test_encode_wav_parses_with_stdlib_wave_module",
+    ),
+}
+
+
+def test_third_engine_pin_census():
+    import os
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    broken = []
+    for family, (path, test) in THIRD_ENGINE_PINS.items():
+        full = os.path.join(here, path)
+        if not os.path.exists(full):
+            broken.append(f"{family}: missing file {path}")
+            continue
+        src = open(full).read()
+        if not re.search(rf"^def {re.escape(test)}\(", src, re.M):
+            broken.append(f"{family}: {path} lacks {test}")
+    assert not broken, f"third-engine pin census is stale: {broken}"
