@@ -195,7 +195,7 @@ SF1_CAUSES = {
         "sf1. Round 9 rewrote the sf1 fixtures as 16-part directories "
         "(the old single ~6 MB parquet file planned as 1-2 input splits, "
         "so this spot measured scan/explode starvation, not the plan); "
-        "with real split parallelism the ratio fell 4.88 -> ~1.1-1.5"
+        "with real split parallelism the ratio fell 4.88 -> 1.66"
     ),
     "web_domain_curation": (
         "round 8: domain derives from source + a mod-500 site suffix and "
@@ -204,7 +204,8 @@ SF1_CAUSES = {
         "shuffle (the old count-join/branch-union plan re-scanned the "
         "table 5x) — the long tail (400 -> 4000 domains) ranks in tiny "
         "parallel groups and only the planted hub.com mega-domain (20% of "
-        "rows) serializes, bounded by the concentration the cap removes"
+        "rows) serializes, bounded by the concentration the cap removes; "
+        "round 9's 16-part fixtures dropped the ratio further, 3.0 -> 1.6"
     ),
     "knn_label_propagation_bucketed": (
         "corpus-sized LSH params step (6 bits,16 tables)->(7,24) at 10x to "
@@ -217,12 +218,15 @@ SF1_CAUSES = {
     ),
     "text_nb_classifier": (
         "two map-side-combined train passes + broadcast scoring are all "
-        "token-volume-bound: ~3x at 10x is overhead amortization"
+        "token-volume-bound; with round 9's 16-part fixtures feeding the "
+        "tokenize stage real split parallelism the ratio is ~1.3 at 10x "
+        "(was ~3x against the single-file sf1 fixture)"
     ),
     "web_rank_weighted_mix": (
-        "FLAT at 10x docs (0.94x measured): the pagerank loop and mix "
-        "join run on the |domains|-sized rank table, which does not grow "
-        "with corpus size — cost is iteration/stage overhead, not data"
+        "near-FLAT at 10x docs (0.9-1.7x across rounds, run-to-run "
+        "noise-dominated): the pagerank loop and mix join run on the "
+        "|domains|-sized rank table, which does not grow with corpus "
+        "size — cost is iteration/stage overhead, not data"
     ),
     "streaming_two_level_replay": (
         "1.4x at 10x-denser events: the exchange row count is fixed at "

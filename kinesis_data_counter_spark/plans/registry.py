@@ -4862,7 +4862,12 @@ def _q_counter_replay_source(spark, sf_dir):
         .repartition(8)
         .write.format("kinesis_replay")
         .option("path", d)
-        .option("numShards", "4")
+        # the shard count is the stream's provisioning, and a shard is the
+        # read side's unit of parallelism (the S1 contract): 8 shards for
+        # 100k records is the realistic sizing and lets the read stage use
+        # 8 tasks instead of 4 — the two-level topology is shard-count-
+        # independent (the cross-job hand-off stays windows x shards)
+        .option("numShards", "8")
         .mode("append")
         .save()
     )
