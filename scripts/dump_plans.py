@@ -400,6 +400,41 @@ SHOWCASE: dict[str, str] = {
         "the same aggregation — NO SortMergeJoin of two corpus-sized "
         "frames anywhere in the plan."
     ),
+    "counter_replay_source": (
+        "S1 end-to-end through the custom Python data source (round 9 "
+        "Arrow rebuild): an 8-task produce stage routes records to shard "
+        "files through the DataSourceArrowWriter (columns come off each "
+        "Arrow batch as plain lists — no Spark Row materializes; driver "
+        "commit is a pure file concat), then the read plans ONE task per "
+        "shard — the Kinesis unit of parallelism — yielding columnar "
+        "pyarrow.RecordBatches pinned to Spark's derived Arrow schema, "
+        "and the two-level window count collapses each shard's records "
+        "map-side before the (windows x shards)-sized exchange. The "
+        "Python source boundary is the cost floor; Arrow batching removed "
+        "the per-row tuple conversion on both sides (3.4s -> ~2s sf0.1)."
+    ),
+    "corpus_curate_full": (
+        "The curation capstone (quality gate -> lang filter -> exact "
+        "dedup -> MinHash-LSH pairs -> leakage-safe split -> per-split "
+        "accounting), pinning the COMPOSITION of already-oracled "
+        "operators. The exact-dedup survivor table is persisted because "
+        "FOUR consumers read it (shingle pipeline, LSH verify re-shingle, "
+        "split join, token accounting) — the round-7 lesson: an unpersisted "
+        "fork re-executes the whole quality+language chain per consumer. "
+        "Near-dup candidates come from banded LSH equi-joins (never "
+        "all-pairs); the split is hash-routed with cluster "
+        "representatives, so nothing corpus-sized ever broadcasts."
+    ),
+    "ann_pq_recall": (
+        "Product-quantization recall check: 8x8-dim subspaces, 256 "
+        "centroids, md5-ticket-sampled driver-side codebook training "
+        "(bounded model artifact), then an ADC lookup-table scan over "
+        "8-byte code rows — a 32x scan-IO cut vs raw vectors — with an "
+        "exact-cosine refine of the k x refine candidate slice. The "
+        "brute-force side in this plan is the RECALL ORACLE on a sampled "
+        "query slice (the harness, not the production path); production "
+        "retrieval runs codes + refine only."
+    ),
 }
 
 
