@@ -2301,7 +2301,18 @@ def _q_corpus_curate_full(spark, sf_dir):
     (docs,) = _tables(spark, sf_dir, "documents")
     cols = ["doc_id", "text"]
     base = docs.select(*cols)
-    qual = TX.quality_features(base, "text").filter(F.col("quality_ok")).select(*cols)
+    # persisted: lang's explode/agg subtree CONTAINS qual, and the kept
+    # join reads qual again — unpersisted, the docs scan + quality chain
+    # executes twice inside one job (forked subtrees are never reused;
+    # per-branch pruning defeats ReusedExchange). At 100 TB an extra full
+    # corpus scan costs more than a spill-backed cache of the filtered
+    # slice (same trade as the ex persist below).
+    qual = (
+        TX.quality_features(base, "text")
+        .filter(F.col("quality_ok"))
+        .select(*cols)
+        .persist()
+    )
     lang = TX.detect_language_bulk(qual, "text", "doc_id").filter(
         F.col("detected").isin("en")
     )
