@@ -395,6 +395,14 @@ THIRD_ENGINE_PINS: dict[str, tuple[str, str]] = {
         "tests/test_nb_reference_vectors.py",
         "test_falsifier_unsmoothed_flips_the_book_outcome",
     ),
+    "pmi_collocations": (
+        "tests/test_pmi_reference_vectors.py",
+        "test_falsifier_unigram_denominator_differs",
+    ),
+    "tfidf": (
+        "tests/test_tfidf_reference_vectors.py",
+        "test_falsifier_unsmoothed_idf_flips_d1_top_keyword",
+    ),
     # external-third-implementation pins (stdlib / system binary)
     "jq_programs": (
         "tests/test_jq_random_differential.py",
