@@ -403,6 +403,10 @@ THIRD_ENGINE_PINS: dict[str, tuple[str, str]] = {
         "tests/test_tfidf_reference_vectors.py",
         "test_falsifier_unsmoothed_idf_flips_d1_top_keyword",
     ),
+    "repetition_features": (
+        "tests/test_repetition_reference_vectors.py",
+        "test_falsifiers_differ_on_worked_example",
+    ),
     # external-third-implementation pins (stdlib / system binary)
     "jq_programs": (
         "tests/test_jq_random_differential.py",
