@@ -332,3 +332,74 @@ def test_record_batches_slice_and_flush(tmp_path):
     finally:
         rs._BATCH_ROWS = old
     assert sizes == [4, 4, 1] and sum(sizes) == 9
+
+
+def test_writer_abort_removes_staging_keeps_shards(tmp_path):
+    """Crash path: abort() must delete staged temp files and leave the
+    committed shard files untouched — driving the Arrow writer class
+    directly with hand-built RecordBatches (no Spark session)."""
+    import pyarrow as pa
+
+    from kinesis_data_counter_spark.sources.replay_source import (
+        _ReplayBatchWriter,
+    )
+
+    out = str(tmp_path / "stream")
+    w = _ReplayBatchWriter({"path": out, "numShards": "2"})
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "partition_key": ["u1", "u2", None],
+            "data": ['{"v": 1}', '{"v": 2}', '{"v": 3}'],
+        }
+    )
+    # first epoch commits normally
+    msg = w.write(iter([batch]))
+    assert msg.n == 3
+    w.commit([msg])
+    committed = {
+        f: open(os.path.join(out, f)).read()
+        for f in sorted(os.listdir(out))
+        if f.endswith(".jsonl")
+    }
+    assert sum(v.count("\n") for v in committed.values()) == 3
+    # second epoch stages then ABORTS: staging emptied, shards unchanged
+    msg2 = w.write(iter([batch]))
+    staged = list(os.listdir(os.path.join(out, "_staging")))
+    assert staged, "write must stage before commit"
+    w.abort([msg2, None])  # None = a task that never produced a message
+    assert os.listdir(os.path.join(out, "_staging")) == []
+    after = {
+        f: open(os.path.join(out, f)).read()
+        for f in sorted(os.listdir(out))
+        if f.endswith(".jsonl")
+    }
+    assert after == committed
+
+
+def test_writer_whole_row_fallback_per_null_data_cell(tmp_path):
+    """A batch WITH a data column but a NULL cell falls back to the
+    whole-row JSON body for that row only (the asDict-era semantics)."""
+    import pyarrow as pa
+
+    from kinesis_data_counter_spark.sources.replay_source import (
+        _ReplayBatchWriter,
+    )
+
+    out = str(tmp_path / "stream")
+    w = _ReplayBatchWriter({"path": out, "numShards": "1"})
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "partition_key": ["u1", "u1"],
+            "data": ['{"v": 1}', None],
+            "extra": [10, 20],
+        }
+    )
+    w.commit([w.write(iter([batch]))])
+    lines = [
+        json.loads(l)
+        for l in open(os.path.join(out, "shard-000.jsonl"))
+        if l.strip()
+    ]
+    assert lines[0] == {"v": 1, "__pk": "u1"}
+    # NULL data cell: whole row minus partition_key becomes the body
+    assert lines[1] == {"data": None, "extra": 20, "__pk": "u1"}
