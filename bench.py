@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "web_rank_weighted_mix",
     "text_pmi_collocations",
     "text_winnow",
+    "text_winnow_robust",
     "sessionize_users",
     "events_transitions",
     "multimodal_audio_features",

@@ -229,6 +229,77 @@ def rolling_hash_fingerprints(
     ).select("doc_id", "g.pos", "g.fp")
 
 
+def winnow_select(grams: Column, window: int) -> Column:
+    """True winnowing selection (Schleimer/Wilkerson/Aiken, SIGMOD'03 §4)
+    over an array of ``(fp, negpos, pos)`` structs, already in position
+    order: every length-``window`` window of consecutive grams contributes
+    the struct-minimum element — the minimal ``fp``, ties broken to the
+    RIGHTMOST occurrence via the ``negpos`` field — and the distinct
+    selections are the document's fingerprint set.
+
+    This is the stateless rightmost-min rule. The paper's "robust" variant
+    additionally prefers re-selecting the previous window's pick on ties;
+    the two rules coincide whenever window minima are unique (always, for a
+    64-bit hash without adversarial input) and both guarantee ≥1 selection
+    per window at expected density 2/(window+1). Kept stateless because it
+    is a pure expression — one pass, no sequential state, identically
+    expressible in any engine with lexicographic struct comparison.
+
+    Factored to take the gram array as a column so tests can inject the
+    paper's worked-example hash sequence directly (the third-engine pin in
+    tests/test_winnow_reference_vectors.py).
+    """
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(grams) - (window - 1), F.lit(1))
+    )
+    return F.array_distinct(
+        F.transform(starts, lambda s: F.array_min(F.slice(grams, s, window)))
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints → (doc_id, pos, fp) rows.
+
+    Grams are whitespace ``gram``-grams hashed with an engine-portable
+    60-bit fingerprint — the first 15 hex chars of md5 parsed as a BIGINT
+    (``('0x' || substr(md5(g),1,15))::BIGINT`` in DuckDB) — so the oracle
+    replays the selection bit-for-bit, unlike xxhash64, which has no twin.
+    A numeric fp also keeps every aggregate buffer fixed-width downstream:
+    min/max over strings would demote the per-doc rollup to SortAggregate.
+    Selection is :func:`winnow_select`.
+
+    Scale: the whole computation is per-row array expressions (sequence →
+    transform → array_min over slices) — zero shuffle, zero Python,
+    codegen-eligible; output is ≈ 2/(window+1) of the gram count. Short
+    docs (< gram tokens) hash their full token run as a single gram, same
+    convention as :func:`rolling_hash_fingerprints`.
+    """
+    w = F.split(F.col(text_col), " ")
+    ng = F.greatest(F.size(w) - (gram - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), ng),
+        lambda i: F.struct(
+            F.conv(
+                F.substring(F.md5(F.array_join(F.slice(w, i, gram), " ")), 1, 15),
+                16, 10,
+            ).cast("long").alias("fp"),
+            (-i).alias("negpos"),
+            i.alias("pos"),
+        ),
+    )
+    staged = df.select(F.col(id_col).alias("doc_id"), grams.alias("grams"))
+    sel = staged.select(
+        "doc_id", F.explode(winnow_select(F.col("grams"), window)).alias("g")
+    )
+    return sel.select("doc_id", F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
+
+
 def clean_tokens(text: Column) -> Column:
     """``tokens_lower`` minus empty strings (leading/trailing whitespace
     produces '' elements in both Spark and DuckDB regex splits — drop them

@@ -391,6 +391,24 @@ SHOWCASE: dict[str, str] = {
         "otherwise serializes on one scan task); a multi-split source "
         "skips it. No join, no window, no Python."
     ),
+    "text_winnow_robust": (
+        "TRUE winnowing fingerprints (round 9 head entry): the whole "
+        "Schleimer/Wilkerson/Aiken selection — gram md5s, sliding-window "
+        "struct-min with rightmost tie-break, distinct — runs as per-row "
+        "array expressions (sequence -> transform -> array_min over "
+        "slices) inside one projection: ZERO shuffle and zero Python "
+        "below the per-doc rollup. The rollup itself is the standard "
+        "two-phase distinct-agg rewrite — partial HashAggregate on "
+        "(doc, fp), exchange, doc-level HashAggregate — all hash-based "
+        "because the fp is a fixed-width BIGINT (min/max over hex "
+        "STRINGS would demote every stage to SortAggregate; the 60-bit "
+        "numeric md5 prefix was chosen for exactly this). The hash is "
+        "engine-portable, so the DuckDB oracle checks the selected "
+        "fingerprint VALUES (min/max/xor), and the SIGMOD'03 worked "
+        "example replays through the same expression "
+        "(tests/test_winnow_reference_vectors.py). Selection density is "
+        "2/(w+1) of grams regardless of corpus size."
+    ),
     "text_nb_classifier": (
         "Model-based curation gate (round 6): multinomial NB. Training "
         "is two map-side-combined aggregations plus a TakeOrdered top-V "

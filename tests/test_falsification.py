@@ -407,6 +407,18 @@ THIRD_ENGINE_PINS: dict[str, tuple[str, str]] = {
         "tests/test_repetition_reference_vectors.py",
         "test_falsifiers_differ_on_worked_example",
     ),
+    "sessionization": (
+        "tests/test_sessionize_reference_vectors.py",
+        "test_falsifier_gte_boundary_differs",
+    ),
+    "asof_join": (
+        "tests/test_asof_reference_vectors.py",
+        "test_falsifier_strict_inequality_differs",
+    ),
+    "winnowing": (
+        "tests/test_winnow_reference_vectors.py",
+        "test_falsifier_leftmost_tiebreak_differs",
+    ),
     # external-third-implementation pins (stdlib / system binary)
     "jq_programs": (
         "tests/test_jq_random_differential.py",
