@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     # domain cap, the no-global-sort shuffle-to-shards layout, and the
     # wordlist gate
     "corpus_boilerplate",
+    "corpus_dup_spans",
     "corpus_chunk_overlap",
     "dataset_snapshot_diff",
     "profile_drift",

@@ -281,6 +281,91 @@ def segment_dedup(
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_doc_df: int = 2,
+) -> DataFrame:
+    """Cross-document exact substring spans at EVERY token offset — the
+    Spark-first formulation of suffix-array training-data dedup (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models Better"):
+    find every maximal token span whose ``k``-grams each occur in at least
+    ``min_doc_df`` distinct documents, i.e. text copied verbatim across
+    documents regardless of alignment.
+
+    Complements the aligned-chunk family: :func:`segment_dedup` and
+    :func:`boilerplate_removal` only see ``chunk_words``-ALIGNED segments,
+    so a copied paragraph starting mid-chunk slips both; here grams slide
+    one token at a time, so any shared run of ≥ ``k`` tokens is caught and
+    adjacent duplicated grams merge into one maximal span (the suffix
+    array's role, played by an island merge).
+
+    Plan shape (no Python anywhere, no joins):
+      split → every-offset grams via ``transform(sequence(...))`` →
+      posexplode → ONE exchange on the 8-byte gram hash shared by both
+      windows (lag(doc) marks one row per (gram, doc); sum(marks) over
+      the gram IS count_distinct(doc) — the boilerplate_removal idiom)
+      → row-local df filter → ONE exchange on doc_id: island key =
+      pos − row_number() merges consecutive duplicated positions →
+      per-(doc, island) aggregate = the maximal spans.
+
+    Scale: the gram exchange carries ≈ one (hash, doc, pos) row per corpus
+    TOKEN (~20 bytes/token) — linear, no quadratic pair term anywhere; the
+    suffix array this replaces is super-linear to build and single-machine.
+    Within-doc-only repeats (doc_df < min_doc_df) are excluded by
+    construction — repetition inside one document is
+    :func:`~..text.repetition_features`'s concern.
+
+    Returns one row per maximal span:
+    (doc_id, span_start, span_end, n_grams, span_tokens), positions
+    1-based token indices, ``span_end`` the last token COVERED (gram start
+    + k − 1).
+    """
+    w = F.split(F.col(text_col), " ")
+    ng = F.size(w) - (k - 1)  # docs shorter than k tokens have no k-gram
+    grams = F.transform(
+        F.sequence(F.lit(1), ng),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.array_join(F.slice(w, i, k), " ")).alias("__h"),
+        ),
+    )
+    g = (
+        df.filter(ng >= 1)
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+        .select("doc_id", "g.pos", "g.__h")
+    )
+    by_hash = Window.partitionBy("__h").orderBy("doc_id", "pos")
+    marked = g.withColumn(
+        "__first_in_doc",
+        F.when(
+            F.lag("doc_id").over(by_hash).isNull()
+            | (F.lag("doc_id").over(by_hash) != F.col("doc_id")),
+            1,
+        ).otherwise(0),
+    )
+    whole_hash = Window.partitionBy("__h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dup = marked.withColumn(
+        "__doc_df", F.sum("__first_in_doc").over(whole_hash)
+    ).filter(F.col("__doc_df") >= min_doc_df)
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup.select(
+        "doc_id",
+        "pos",
+        (F.col("pos") - F.row_number().over(by_doc)).alias("__isl"),
+    )
+    return islands.groupBy("doc_id", "__isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (k - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+        (F.max("pos") + (k - 1) - F.min("pos") + 1).alias("span_tokens"),
+    ).drop("__isl")
+
+
 def quality_tiers(
     df: DataFrame,
     text_col: str = "text",

@@ -2603,6 +2603,19 @@ def _q_text_winnow(spark, sf_dir):
     )
 
 
+def _q_corpus_dup_spans(spark, sf_dir):
+    # every-offset exact substring spans across documents (Lee et al. 2021
+    # suffix-array dedup, re-expressed as two window exchanges — see
+    # operators/corpus.py:duplicated_spans). Catches copied runs the
+    # ALIGNED chunk entries (corpus_segment_dedup / corpus_boilerplate)
+    # miss when the copy starts mid-chunk. Output = the maximal spans
+    # themselves, exact-value oracled (the DuckDB twin partitions by the
+    # gram TEXT where Spark uses its 64-bit hash — parity itself rules out
+    # collisions at this scale).
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return CP.duplicated_spans(docs, k=8, min_doc_df=2)
+
+
 def _q_text_winnow_robust(spark, sf_dir):
     # TRUE winnowing (Schleimer/Wilkerson/Aiken SIGMOD'03): min-hash per
     # sliding window of consecutive gram hashes, rightmost tie-break —
@@ -4545,6 +4558,33 @@ SELECT doc_id, count(*) AS n_grams, min(s.pos) AS first_pos,
        max(s.pos) AS last_pos, count(DISTINCT s.gram) AS n_unique_fp
 FROM g GROUP BY 1
 """,
+    # exact replay of the every-offset substring-span rule: the twin
+    # partitions by the gram TEXT where Spark shuffles its 64-bit hash —
+    # value parity over the maximal spans rules out hash collisions AND
+    # pins the lag-mark doc-frequency + island-merge composition
+    "corpus_dup_spans": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sized AS (SELECT doc_id, w, len(w) - 7 AS ng FROM toks WHERE len(w) >= 8),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS g
+  FROM sized, LATERAL (SELECT unnest(range(1, ng + 1)) AS i) t
+), marked AS (
+  SELECT doc_id, pos, g,
+         CASE WHEN lag(doc_id) OVER (PARTITION BY g ORDER BY doc_id, pos)
+                   IS DISTINCT FROM doc_id THEN 1 ELSE 0 END AS first_in_doc
+  FROM grams
+), dfq AS (
+  SELECT doc_id, pos, sum(first_in_doc) OVER (PARTITION BY g) AS doc_df
+  FROM marked
+), dup AS (SELECT doc_id, pos FROM dfq WHERE doc_df >= 2),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+  FROM dup)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+       count(*) AS n_grams, max(pos) + 7 - min(pos) + 1 AS span_tokens
+FROM isl GROUP BY doc_id, k
+""",
     # exact replay of the winnowing selection: same md5-prefix gram hashes,
     # same rightmost-min rule — min over the named struct (fp, -pos, pos)
     # in a 4-row frame is lexicographic in BOTH engines, so the selected
@@ -5914,6 +5954,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": _q_text_fingerprint,
     "text_winnow": _q_text_winnow,
     "text_winnow_robust": _q_text_winnow_robust,
+    "corpus_dup_spans": _q_corpus_dup_spans,
     "text_vocab": _q_text_vocab,
     "text_bigrams": _q_text_bigrams,
     "window_rolling_7d": _q_window_rolling_7d,
@@ -6261,11 +6302,13 @@ _SHOWCASE_ORDER = [
     # of the 170 registry entries has at least one driver-recorded green
     # row. Any NEW entry added mid-round goes straight into the head.
     #
-    # Mid-round-9 addition: text_winnow_robust (new entry — TRUE winnowing
-    # with an exact-value oracle) takes a head seat per the rule above,
-    # ceding text_fingerprint (first recorded green in round 8; the text
-    # family keeps seven seats and the ceded entry keeps running in local
-    # verification + tests).
+    # Mid-round-9 additions (per the rule above, each takes a head seat):
+    # text_winnow_robust (TRUE winnowing with an exact-value oracle) cedes
+    # text_fingerprint, and corpus_dup_spans (every-offset cross-document
+    # substring spans, Lee-et-al-style) cedes sample_weighted_topk — both
+    # ceded entries first recorded green in round 8, their families keep
+    # head representatives, and both keep running in local verification +
+    # tests.
     #
     # reference-parity counter core (A1-A8, F1-F8) + the two-level
     # exchange driven as a batch plan, as a drained stream, and as the
@@ -6302,7 +6345,7 @@ _SHOWCASE_ORDER = [
     "corpus_curate_full",
     # sampling
     "sample_hash_split", "sample_class_balance", "sample_mix_rates",
-    "sample_weighted_topk",
+    "corpus_dup_spans",
     # multimodal
     "multimodal_audio_features", "multimodal_image_stats",
     "multimodal_media", "multimodal_frame_sample",

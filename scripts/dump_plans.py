@@ -391,6 +391,22 @@ SHOWCASE: dict[str, str] = {
         "otherwise serializes on one scan task); a multi-split source "
         "skips it. No join, no window, no Python."
     ),
+    "corpus_dup_spans": (
+        "Every-offset cross-document substring spans (round 9 head "
+        "entry) — the Lee et al. 2021 suffix-array dedup re-expressed "
+        "Spark-first: grams slide one token at a time (catching copies "
+        "the ALIGNED chunk entries miss), ONE exchange on the 8-byte "
+        "gram hash feeds BOTH windows off one sort (lag-mark per "
+        "(gram, doc), full-frame sum = count_distinct(doc) — no "
+        "frequency agg, no join-back), then ONE exchange on doc_id "
+        "merges consecutive duplicated positions into maximal spans "
+        "(pos - row_number islands); the final per-island HashAggregate "
+        "reuses the doc partitioning, so the whole operator is two "
+        "linear shuffles (~20 bytes per corpus token) with no quadratic "
+        "pair term — the suffix array this replaces is super-linear and "
+        "single-machine. DuckDB twin partitions by the gram TEXT, so "
+        "exact span parity also rules out hash collisions."
+    ),
     "text_winnow_robust": (
         "TRUE winnowing fingerprints (round 9 head entry): the whole "
         "Schleimer/Wilkerson/Aiken selection — gram md5s, sliding-window "

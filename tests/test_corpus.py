@@ -323,3 +323,65 @@ def test_chunk_overlap_rejects_bad_stride_and_skips_empty(spark):
         chunk_overlap(docs, size=2, stride=0)
     got = chunk_overlap(docs, size=2, stride=1).collect()
     assert [(r["doc_id"], r["chunk_id"], r["chunk"]) for r in got] == [(3, 0, "solo")]
+
+
+# ---------------------------------------------------------------------------
+# duplicated_spans: every-offset cross-document substring spans
+# ---------------------------------------------------------------------------
+
+def _spans(spark, texts, k=3, min_doc_df=2):
+    from kinesis_data_counter_spark.operators.corpus import duplicated_spans
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = duplicated_spans(df, k=k, min_doc_df=min_doc_df).collect()
+    return sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"], r["span_tokens"])
+        for r in got
+    )
+
+
+def test_dup_spans_catches_misaligned_copy(spark):
+    # the copied run sits at offset 1 in doc 0 and offset 3 in doc 1 — an
+    # aligned chunker (segment_dedup) would never match these; every-offset
+    # grams do. Copied run: "x y z w" (4 tokens) -> with k=3 the duplicated
+    # gram starts are 2..3 in doc 0 and 4..5 in doc 1, islands of 2 grams,
+    # span_tokens = 4.
+    spans = _spans(spark, [
+        "a x y z w b c",
+        "p q r x y z w s",
+    ])
+    assert spans == [
+        (0, 2, 5, 2, 4),
+        (1, 4, 7, 2, 4),
+    ]
+
+
+def test_dup_spans_within_doc_repeat_excluded(spark):
+    # "m n o" repeats twice INSIDE doc 0 but nowhere else -> doc_df = 1 ->
+    # no span (within-doc repetition is repetition_features' concern)
+    assert _spans(spark, ["m n o u v m n o", "unrelated words here entirely"]) == []
+
+
+def test_dup_spans_merge_overlapping_grams_into_maximal_span(spark):
+    # identical docs: every gram duplicated, islands merge to ONE maximal
+    # span covering the whole text
+    t = "a b c d e f"
+    spans = _spans(spark, [t, t])
+    assert spans == [(0, 1, 6, 4, 6), (1, 1, 6, 4, 6)]
+
+
+def test_dup_spans_short_docs_and_nulls_skip(spark):
+    # docs shorter than k tokens contribute no grams and never crash
+    assert _spans(spark, ["a b", "a b", "xyz"], k=3) == []
+
+
+def test_dup_spans_min_doc_df_threshold(spark):
+    # the shared run appears in exactly 2 docs: present at min_doc_df=2,
+    # gone at 3 — and reappears when a third doc carries it
+    two = ["s t u v 1", "2 s t u v", "other text here now"]
+    assert _spans(spark, two, min_doc_df=3) == []
+    three = ["s t u v 1", "2 s t u v", "3 4 s t u v"]
+    got = _spans(spark, three, min_doc_df=3)
+    assert [(d, s, e) for d, s, e, _, _ in got] == [(0, 1, 4), (1, 2, 5), (2, 3, 6)]
