@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "text_pmi_collocations",
     "text_winnow",
     "text_winnow_robust",
+    "text_winnow_containment",
     "sessionize_users",
     "events_transitions",
     "multimodal_audio_features",

@@ -2603,6 +2603,18 @@ def _q_text_winnow(spark, sf_dir):
     )
 
 
+def _q_text_winnow_containment(spark, sf_dir):
+    # the SIGMOD'03 use case on top of the exact-value fingerprints:
+    # containment candidate pairs via an fp equi-join with the hot-fp cap
+    # (never all-pairs) — detects asymmetric copying MinHash Jaccard
+    # misses. Fully deterministic (md5 fps, rounded containment), so the
+    # twin replays pair-for-pair.
+    (docs,) = _tables(spark, sf_dir, "documents")
+    return TX.winnow_containment_pairs(
+        docs, gram=5, window=4, max_fp_df=20, min_containment=0.5
+    )
+
+
 def _q_corpus_dup_spans(spark, sf_dir):
     # every-offset exact substring spans across documents (Lee et al. 2021
     # suffix-array dedup, re-expressed as two window exchanges — see
@@ -4585,6 +4597,41 @@ SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
        count(*) AS n_grams, max(pos) + 7 - min(pos) + 1 AS span_tokens
 FROM isl GROUP BY doc_id, k
 """,
+    # containment pairs: the winnow CTE chain -> distinct (doc, fp) ->
+    # window counts (per-doc size BEFORE the cap, per-fp doc frequency) ->
+    # capped fp self-join, mirroring the Spark operator decision-for-
+    # decision under the rounded-containment discipline
+    "text_winnow_containment": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sized AS (SELECT doc_id, w, greatest(len(w) - 4, 1) AS ng FROM toks),
+grams AS (
+  SELECT doc_id, ng, i AS pos,
+         ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15))::BIGINT AS fp
+  FROM sized, LATERAL (SELECT unnest(range(1, ng + 1)) AS i) t
+), sel AS (
+  SELECT doc_id,
+         min({'fp': fp, 'negpos': -pos, 'pos': pos}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+  FROM grams
+  QUALIFY pos <= greatest(ng - 3, 1)
+), dsel AS (SELECT DISTINCT doc_id, m.fp AS fp FROM sel),
+counted AS (
+  SELECT doc_id, fp,
+         count(*) OVER (PARTITION BY doc_id) AS n_fp,
+         count(*) OVER (PARTITION BY fp) AS fp_df
+  FROM dsel
+), capped AS (SELECT * FROM counted WHERE fp_df <= 20)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fp,
+       any_value(a.n_fp) AS n_fp_a, any_value(b.n_fp) AS n_fp_b,
+       round(count(*)::DOUBLE / least(any_value(a.n_fp), any_value(b.n_fp)), 6)
+         AS containment
+FROM capped a JOIN capped b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING round(count(*)::DOUBLE / least(any_value(a.n_fp), any_value(b.n_fp)), 6)
+       >= 0.5
+""",
     # exact replay of the winnowing selection: same md5-prefix gram hashes,
     # same rightmost-min rule — min over the named struct (fp, -pos, pos)
     # in a 4-row frame is lexicographic in BOTH engines, so the selected
@@ -5955,6 +6002,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_winnow": _q_text_winnow,
     "text_winnow_robust": _q_text_winnow_robust,
     "corpus_dup_spans": _q_corpus_dup_spans,
+    "text_winnow_containment": _q_text_winnow_containment,
     "text_vocab": _q_text_vocab,
     "text_bigrams": _q_text_bigrams,
     "window_rolling_7d": _q_window_rolling_7d,
@@ -6304,11 +6352,12 @@ _SHOWCASE_ORDER = [
     #
     # Mid-round-9 additions (per the rule above, each takes a head seat):
     # text_winnow_robust (TRUE winnowing with an exact-value oracle) cedes
-    # text_fingerprint, and corpus_dup_spans (every-offset cross-document
-    # substring spans, Lee-et-al-style) cedes sample_weighted_topk — both
-    # ceded entries first recorded green in round 8, their families keep
-    # head representatives, and both keep running in local verification +
-    # tests.
+    # text_fingerprint, corpus_dup_spans (every-offset cross-document
+    # substring spans, Lee-et-al-style) cedes sample_weighted_topk, and
+    # text_winnow_containment (fp-equi-join containment pairs, the
+    # SIGMOD'03 use case) cedes text_repetition — all ceded entries first
+    # recorded green in round 8, their families keep head
+    # representatives, and all keep running in local verification + tests.
     #
     # reference-parity counter core (A1-A8, F1-F8) + the two-level
     # exchange driven as a batch plan, as a drained stream, and as the
@@ -6336,8 +6385,8 @@ _SHOWCASE_ORDER = [
     "ann_lsh_recall", "embedding_centroids",
     # text analysis + fingerprinting + classifier calibration
     "text_nb_margin_calibration", "text_pmi_collocations",
-    "text_winnow_robust", "text_winnow", "text_redact_pii",
-    "text_repetition", "udtf_token_positions",
+    "text_winnow_robust", "text_winnow", "text_winnow_containment",
+    "text_redact_pii", "udtf_token_positions",
     # web provenance
     "web_url_canonical", "web_domain_rank", "web_rank_weighted_mix",
     "corpus_curate_web",

@@ -425,6 +425,18 @@ SHOWCASE: dict[str, str] = {
         "(tests/test_winnow_reference_vectors.py). Selection density is "
         "2/(w+1) of grams regardless of corpus size."
     ),
+    "text_winnow_containment": (
+        "Containment candidate pairs from shared winnow fingerprints "
+        "(round 9 head entry) — the SIGMOD'03 plagiarism use case: "
+        "distinct (doc, fp) with per-doc size and per-fp document "
+        "frequency as two windows, the hot-fp cap (df <= 20) prunes "
+        "corpus-universal boilerplate fingerprints BEFORE the self-join "
+        "(each contributes O(df^2) candidate rows otherwise — the "
+        "MinHash-LSH hot-band guard), then an fp equi-join + pair "
+        "aggregate. Never all-pairs; detects asymmetric copying (a "
+        "paragraph lifted into a much larger doc) that Jaccard-threshold "
+        "near-dup pipelines miss by construction."
+    ),
     "text_nb_classifier": (
         "Model-based curation gate (round 6): multinomial NB. Training "
         "is two map-side-combined aggregations plus a TakeOrdered top-V "

@@ -336,3 +336,40 @@ def test_pmi_collocations_hand_corpus(spark):
     want = round(math.log((10 / 41) / ((10 / 52) * (10 / 52))), 6)
     assert rows["new york"].pmi == want
     assert rows["new york"].pmi > rows["the cat"].pmi
+
+
+def test_winnow_containment_catches_asymmetric_copy(spark):
+    # a 12-token paragraph lifted verbatim into a 60-token document: Jaccard
+    # over shingles is tiny (~0.2) but containment of the small doc is ~1.0
+    # — the case MinHash-based near-dup thresholds miss by construction
+    from kinesis_data_counter_spark.operators.text import winnow_containment_pairs
+
+    para = " ".join(f"p{i}" for i in range(12))
+    big = " ".join(f"a{i}" for i in range(24)) + " " + para + " " + " ".join(
+        f"z{i}" for i in range(24)
+    )
+    other = " ".join(f"q{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, para), (2, big), (3, other)], "doc_id long, text string"
+    )
+    got = winnow_containment_pairs(df, min_containment=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)]
+    (r,) = got
+    # every fingerprint of the small doc appears in the big one
+    assert r["shared_fp"] == r["n_fp_a"]
+    assert r["containment"] == 1.0
+
+
+def test_winnow_containment_hot_fp_cap_prunes_boilerplate(spark):
+    # a fingerprint shared by MANY docs (boilerplate) is dropped before the
+    # join: 30 docs sharing one sentence produce no pairs at max_fp_df=20,
+    # but do at a higher cap — the O(df^2) candidate guard is observable
+    from kinesis_data_counter_spark.operators.text import winnow_containment_pairs
+
+    boiler = "all rights reserved contact us for terms"
+    rows = [(i, boiler + f" unique tail {i} x{i} y{i} z{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = winnow_containment_pairs(df, max_fp_df=20, min_containment=0.3)
+    uncapped = winnow_containment_pairs(df, max_fp_df=1000, min_containment=0.3)
+    assert capped.count() == 0
+    assert uncapped.count() > 0
