@@ -340,6 +340,14 @@ def winnow_containment_pairs(
         F.count(F.lit(1)).over(SW.partitionBy("doc_id")).alias("n_fp"),
         F.count(F.lit(1)).over(SW.partitionBy("fp")).alias("fp_df"),
     ).filter(F.col("fp_df") <= max_fp_df)
+    # both join sides read this table: persist, or the whole gram-hash +
+    # selection + two-window subtree executes twice (the curate-full
+    # lesson). The join must NOT broadcast — the capped (doc, fp) set is
+    # CORPUS-sized (fingerprints ∝ tokens), and Catalyst's post-window
+    # size estimate is unreliable enough to pick broadcast at small SF;
+    # the shuffle_hash hint keeps the plan the fp-keyed shuffle join that
+    # survives a 100× corpus.
+    dfp = dfp.persist()
     a = dfp.select(
         F.col("doc_id").alias("doc_a"), "fp", F.col("n_fp").alias("n_fp_a")
     )
@@ -347,7 +355,7 @@ def winnow_containment_pairs(
         F.col("doc_id").alias("doc_b"), "fp", F.col("n_fp").alias("n_fp_b")
     )
     pairs = (
-        a.join(b, "fp")
+        a.join(b.hint("shuffle_hash"), "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(

@@ -433,9 +433,14 @@ SHOWCASE: dict[str, str] = {
         "corpus-universal boilerplate fingerprints BEFORE the self-join "
         "(each contributes O(df^2) candidate rows otherwise — the "
         "MinHash-LSH hot-band guard), then an fp equi-join + pair "
-        "aggregate. Never all-pairs; detects asymmetric copying (a "
-        "paragraph lifted into a much larger doc) that Jaccard-threshold "
-        "near-dup pipelines miss by construction."
+        "aggregate. The capped table is PERSISTED (both join sides read "
+        "one InMemoryRelation — without it the gram+selection+window "
+        "subtree executes twice) and the join is HINTED shuffle_hash: "
+        "the (doc, fp) set is corpus-sized, so the broadcast Catalyst "
+        "picks from its post-window estimate at small SF would OOM at "
+        "100x. Never all-pairs; detects asymmetric copying (a paragraph "
+        "lifted into a much larger doc) that Jaccard-threshold near-dup "
+        "pipelines miss by construction."
     ),
     "text_nb_classifier": (
         "Model-based curation gate (round 6): multinomial NB. Training "

@@ -407,6 +407,14 @@ THIRD_ENGINE_PINS: dict[str, tuple[str, str]] = {
         "tests/test_repetition_reference_vectors.py",
         "test_falsifiers_differ_on_worked_example",
     ),
+    "sequence_packing": (
+        "tests/test_packing_reference_vectors.py",
+        "test_falsifier_no_straddle_variant_differs",
+    ),
+    "markov_transitions": (
+        "tests/test_transitions_reference_vectors.py",
+        "test_falsifier_dropping_tiebreak_differs",
+    ),
     "sessionization": (
         "tests/test_sessionize_reference_vectors.py",
         "test_falsifier_gte_boundary_differs",
