@@ -169,6 +169,10 @@ SF1_SPOT_QUERIES = [
     # must stay flat while input volume 10x's
     "web_rank_weighted_mix",
     "streaming_two_level_replay",
+    # round-9: the every-offset gram explode (heaviest shuffle bytes per
+    # token in the registry) and the persisted fp self-join
+    "corpus_dup_spans",
+    "text_winnow_containment",
 ]
 SF1_LINEAR_BAND = 15.0  # 10× data + superlinear shuffle slack
 
@@ -230,6 +234,23 @@ SF1_CAUSES = {
         "noise-dominated): the pagerank loop and mix join run on the "
         "|domains|-sized rank table, which does not grow with corpus "
         "size — cost is iteration/stage overhead, not data"
+    ),
+    "corpus_dup_spans": (
+        "~flat at 10x docs (0.9-1.1x, round-9 quiet-machine): every stage "
+        "grows exactly 10x in rows (one gram row per corpus token through "
+        "both shuffles) but the sf0.1 single-file documents fixture runs "
+        "the explode on 1-2 input splits while the 16-part sf1 fixture "
+        "engages all 32 cores — wall time is parallelism-bound at these "
+        "sizes, and the plan has no pair term to curve: two linear "
+        "exchanges (gram hash, then doc), both windows off one sort"
+    ),
+    "text_winnow_containment": (
+        "~flat at 10x docs (1.0x, round-9 quiet-machine): the persisted "
+        "capped (doc, fp) table grows 10x but winnow selection keeps it "
+        "at ~2/(w+1) of gram count, and the hot-fp df cap bounds each "
+        "fingerprint's join fan-out, so candidate pairs grow with genuine "
+        "copy incidence, not quadratically; same split-parallelism "
+        "masking as corpus_dup_spans at these sizes"
     ),
     "streaming_two_level_replay": (
         "1.4x at 10x-denser events: the exchange row count is fixed at "
