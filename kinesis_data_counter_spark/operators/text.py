@@ -294,7 +294,12 @@ def winnow_fingerprints(
             i.alias("pos"),
         ),
     )
-    staged = df.select(F.col(id_col).alias("doc_id"), grams.alias("grams"))
+    # NULL text → NULL gram array → the selection would explode a [NULL]
+    # singleton into a (doc_id, NULL, NULL) row; the SQL twin's unnest
+    # drops NULL docs instead — filter once here so both engines agree
+    staged = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), grams.alias("grams")
+    )
     sel = staged.select(
         "doc_id", F.explode(winnow_select(F.col("grams"), window)).alias("g")
     )

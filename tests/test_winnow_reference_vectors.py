@@ -223,3 +223,19 @@ def test_end_to_end_matches_hashlib(spark, gram, window):
         by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["fp"]))
     for i, t in enumerate(texts):
         assert by_doc.get(i, []) == _expected_fingerprints(t, gram, window), t
+
+
+def test_null_and_empty_text_contract(spark):
+    # NULL text contributes NO rows (the SQL twin's unnest drops it);
+    # empty text hashes its single '' token run as one gram — identical in
+    # both engines' split semantics — so the doc is never silently lost
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c d e f")], "doc_id int, text string"
+    )
+    got = winnow_fingerprints(df, gram=3, window=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["fp"]))
+    assert 1 not in by_doc
+    assert by_doc[2] == _expected_fingerprints("", 3, 2)
+    assert by_doc[3] == _expected_fingerprints("a b c d e f", 3, 2)
