@@ -407,6 +407,10 @@ THIRD_ENGINE_PINS: dict[str, tuple[str, str]] = {
         "tests/test_repetition_reference_vectors.py",
         "test_falsifiers_differ_on_worked_example",
     ),
+    "lm_quality_score": (
+        "tests/test_lm_score_reference_vectors.py",
+        "test_falsifier_per_type_average_differs",
+    ),
     "sequence_packing": (
         "tests/test_packing_reference_vectors.py",
         "test_falsifier_no_straddle_variant_differs",
