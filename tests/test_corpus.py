@@ -385,3 +385,58 @@ def test_dup_spans_min_doc_df_threshold(spark):
     three = ["s t u v 1", "2 s t u v", "3 4 s t u v"]
     got = _spans(spark, three, min_doc_df=3)
     assert [(d, s, e) for d, s, e, _, _ in got] == [(0, 1, 4), (1, 2, 5), (2, 3, 6)]
+
+
+def test_dup_spans_match_bruteforce_on_random_corpora(spark):
+    # structurally independent reference: a plain dict-of-grams loop over
+    # small random corpora with planted copies — positions, merging, and
+    # doc-frequency thresholding all re-derived without Spark
+    import collections
+    import random
+
+    from kinesis_data_counter_spark.operators.corpus import duplicated_spans
+
+    rng = random.Random(472)
+    vocab = ["w%d" % i for i in range(25)]
+    texts = {}
+    for i in range(40):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(3, 25))]
+        texts[i] = toks
+        if rng.random() < 0.4:  # plant a copied run at a random offset
+            donor = texts[rng.randrange(0, i + 1)]
+            if len(donor) >= 5:
+                s = rng.randrange(0, len(donor) - 4)
+                run = donor[s:s + 5]
+                at = rng.randrange(0, len(toks) + 1)
+                texts[1000 + i] = toks[:at] + run + toks[at:]
+
+    k, min_df = 4, 2
+    gram_docs = collections.defaultdict(set)
+    gram_pos = collections.defaultdict(list)
+    for d, toks in texts.items():
+        for p in range(len(toks) - k + 1):
+            g = " ".join(toks[p:p + k])
+            gram_docs[g].add(d)
+            gram_pos[d].append((p + 1, g))
+    expected = set()
+    for d, plist in gram_pos.items():
+        dup_pos = sorted(p for p, g in plist if len(gram_docs[g]) >= min_df)
+        runs, prev = [], None
+        for p in dup_pos:
+            if prev is not None and p == prev + 1:
+                runs[-1].append(p)
+            else:
+                runs.append([p])
+            prev = p
+        for r in runs:
+            expected.add((d, r[0], r[-1] + k - 1, len(r), r[-1] + k - 1 - r[0] + 1))
+
+    df = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"], r["span_tokens"])
+        for r in duplicated_spans(df, k=k, min_doc_df=min_df).collect()
+    }
+    assert got == expected
+    assert expected  # the planted copies guarantee a non-vacuous check
