@@ -407,6 +407,10 @@ THIRD_ENGINE_PINS: dict[str, tuple[str, str]] = {
         "tests/test_repetition_reference_vectors.py",
         "test_falsifiers_differ_on_worked_example",
     ),
+    "interval_joins": (
+        "tests/test_interval_join_reference_vectors.py",
+        "test_falsifier_exclusive_end_differs",
+    ),
     "lm_quality_score": (
         "tests/test_lm_score_reference_vectors.py",
         "test_falsifier_per_type_average_differs",
