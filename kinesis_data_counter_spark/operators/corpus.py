@@ -24,6 +24,7 @@ from kinesis_data_counter_spark.operators.dedup import (
     deduplicate_exact,
     minhash_lsh_pairs,
 )
+from kinesis_data_counter_spark.session import fan_out
 from kinesis_data_counter_spark.operators.text import (
     detect_language_bulk,
     quality_features,
@@ -332,8 +333,11 @@ def duplicated_spans(
             F.xxhash64(F.array_join(F.slice(w, i, k), " ")).alias("__h"),
         ),
     )
+    # fan_out: one xxhash64 per token offset is per-row-expensive compute
+    # that would serialize on a single-file input's lone scan task; no-op
+    # on any multi-split source (the 100 TB layout)
     g = (
-        df.filter(ng >= 1)
+        fan_out(df.filter(ng >= 1), id_col)
         .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
         .select("doc_id", "g.pos", "g.__h")
     )

@@ -296,8 +296,11 @@ def winnow_fingerprints(
     )
     # NULL text → NULL gram array → the selection would explode a [NULL]
     # singleton into a (doc_id, NULL, NULL) row; the SQL twin's unnest
-    # drops NULL docs instead — filter once here so both engines agree
-    staged = df.filter(F.col(text_col).isNotNull()).select(
+    # drops NULL docs instead — filter once here so both engines agree.
+    # fan_out: one md5 PER GRAM is per-row-expensive compute that would
+    # otherwise serialize on a single-file local input's lone scan task;
+    # no-op on any multi-split source (the 100 TB layout).
+    staged = fan_out(df.filter(F.col(text_col).isNotNull()), id_col).select(
         F.col(id_col).alias("doc_id"), grams.alias("grams")
     )
     sel = staged.select(
