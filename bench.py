@@ -236,21 +236,20 @@ SF1_CAUSES = {
         "size — cost is iteration/stage overhead, not data"
     ),
     "corpus_dup_spans": (
-        "~flat at 10x docs (0.9-1.1x, round-9 quiet-machine): every stage "
-        "grows exactly 10x in rows (one gram row per corpus token through "
-        "both shuffles) but the sf0.1 single-file documents fixture runs "
-        "the explode on 1-2 input splits while the 16-part sf1 fixture "
-        "engages all 32 cores — wall time is parallelism-bound at these "
-        "sizes, and the plan has no pair term to curve: two linear "
-        "exchanges (gram hash, then doc), both windows off one sort"
+        "~2.4x at 10x docs (round-9, after fan_out gave the sf0.1 side "
+        "real parallelism — pre-fan_out both sides were scan-starved and "
+        "the ratio read a misleading ~1.0): every stage grows exactly 10x "
+        "in rows (one gram row per corpus token through both shuffles) "
+        "and the plan has no pair term to curve — two linear exchanges "
+        "(gram hash, then doc), both windows off one sort; sub-linear "
+        "wall growth because 32 cores absorb the row growth"
     ),
     "text_winnow_containment": (
-        "~flat at 10x docs (1.0x, round-9 quiet-machine): the persisted "
-        "capped (doc, fp) table grows 10x but winnow selection keeps it "
-        "at ~2/(w+1) of gram count, and the hot-fp df cap bounds each "
-        "fingerprint's join fan-out, so candidate pairs grow with genuine "
-        "copy incidence, not quadratically; same split-parallelism "
-        "masking as corpus_dup_spans at these sizes"
+        "~1.2x at 10x docs (round-9): the persisted capped (doc, fp) "
+        "table grows 10x but winnow selection keeps it at ~2/(w+1) of "
+        "gram count, and the hot-fp df cap bounds each fingerprint's "
+        "join fan-out, so candidate pairs grow with genuine copy "
+        "incidence, not quadratically"
     ),
     "streaming_two_level_replay": (
         "1.4x at 10x-denser events: the exchange row count is fixed at "
