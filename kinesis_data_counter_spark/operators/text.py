@@ -225,7 +225,10 @@ def rolling_hash_fingerprints(
     grams = F.transform(idx, lambda i: F.struct(
         i.alias("pos"), F.xxhash64(F.array_join(F.slice(w, i, window), " ")).alias("fp")
     ))
-    return df.select(
+    # NULL text emits nothing — same contract as winnow_fingerprints
+    # (without the filter, greatest(NULL, 1) = 1 would emit one
+    # xxhash64-of-NULL row here while the SQL twin emits a NULL-gram row)
+    return df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), F.explode(grams).alias("g")
     ).select("doc_id", "g.pos", "g.fp")
 
@@ -295,8 +298,12 @@ def winnow_fingerprints(
         ),
     )
     # NULL text → NULL gram array → the selection would explode a [NULL]
-    # singleton into a (doc_id, NULL, NULL) row; the SQL twin's unnest
-    # drops NULL docs instead — filter once here so both engines agree.
+    # singleton into a (doc_id, NULL, NULL) row. The SQL twins do NOT
+    # drop NULL docs on their own (DuckDB's greatest() ignores NULLs, so
+    # greatest(len(w)-k, 1) = 1 and the lateral range() still yields one
+    # NULL-fp row) — the contract is "NULL text emits nothing", enforced
+    # here by the isNotNull filter and in every twin by an explicit
+    # WHERE text IS NOT NULL in the toks CTE (registry.py).
     # fan_out: one md5 PER GRAM is per-row-expensive compute that would
     # otherwise serialize on a single-file local input's lone scan task;
     # no-op on any multi-split source (the 100 TB layout).
@@ -348,14 +355,22 @@ def winnow_containment_pairs(
         F.count(F.lit(1)).over(SW.partitionBy("doc_id")).alias("n_fp"),
         F.count(F.lit(1)).over(SW.partitionBy("fp")).alias("fp_df"),
     ).filter(F.col("fp_df") <= max_fp_df)
-    # both join sides read this table: persist, or the whole gram-hash +
-    # selection + two-window subtree executes twice (the curate-full
-    # lesson). The join must NOT broadcast — the capped (doc, fp) set is
-    # CORPUS-sized (fingerprints ∝ tokens), and Catalyst's post-window
-    # size estimate is unreliable enough to pick broadcast at small SF;
-    # the shuffle_hash hint keeps the plan the fp-keyed shuffle join that
-    # survives a 100× corpus.
-    dfp = dfp.persist()
+    # both join sides read this table: materialize once, or the whole
+    # gram-hash + selection + two-window subtree executes twice (the
+    # curate-full lesson). localCheckpoint, not persist: the operator
+    # returns a lazy DataFrame, so there is no point it could unpersist
+    # itself, and a bare persist() would leave a corpus-sized
+    # InMemoryRelation pinned in the long-lived session per invocation;
+    # checkpoint blocks are reclaimed by the ContextCleaner once the
+    # result is GC'd (the pagerank discipline, web.py). eager=False so
+    # plan-only paths (dump_plans, the no-cartesian gate) don't execute
+    # the subtree; the first action materializes it once and both join
+    # sides then read the blocks. The join must NOT
+    # broadcast — the capped (doc, fp) set is CORPUS-sized (fingerprints
+    # ∝ tokens), and with the checkpointed size known Catalyst would pick
+    # broadcast at small SF; the shuffle_hash hint keeps the plan the
+    # fp-keyed shuffle join that survives a 100× corpus.
+    dfp = dfp.localCheckpoint(eager=False)
     a = dfp.select(
         F.col("doc_id").alias("doc_a"), "fp", F.col("n_fp").alias("n_fp_a")
     )

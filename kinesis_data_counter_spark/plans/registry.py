@@ -4561,7 +4561,8 @@ SELECT count(*) AS n_records,
 FROM events
 """,
     "text_winnow": """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE text IS NOT NULL),
 g AS (SELECT doc_id,
         unnest(list_transform(generate_series(1, greatest(len(w) - 7, 1), 4),
                i -> struct_pack(pos := i, gram := array_to_string(w[i:i+7], ' ')))) AS s
@@ -4602,7 +4603,8 @@ FROM isl GROUP BY doc_id, k
     # capped fp self-join, mirroring the Spark operator decision-for-
     # decision under the rounded-containment discipline
     "text_winnow_containment": """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE text IS NOT NULL),
 sized AS (SELECT doc_id, w, greatest(len(w) - 4, 1) AS ng FROM toks),
 grams AS (
   SELECT doc_id, ng, i AS pos,
@@ -4637,7 +4639,8 @@ HAVING round(count(*)::DOUBLE / least(any_value(a.n_fp), any_value(b.n_fp)), 6)
     # in a 4-row frame is lexicographic in BOTH engines, so the selected
     # fingerprint VALUES must agree bit-for-bit
     "text_winnow_robust": """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE text IS NOT NULL),
 sized AS (SELECT doc_id, w, greatest(len(w) - 4, 1) AS ng FROM toks),
 grams AS (
   SELECT doc_id, ng, i AS pos,

@@ -226,7 +226,10 @@ def test_end_to_end_matches_hashlib(spark, gram, window):
 
 
 def test_null_and_empty_text_contract(spark):
-    # NULL text contributes NO rows (the SQL twin's unnest drops it);
+    # NULL text contributes NO rows — enforced by the operator's
+    # isNotNull filter AND the twins' WHERE text IS NOT NULL (DuckDB's
+    # greatest() ignores NULLs, so without the WHERE the twin would emit
+    # one NULL-fp row per NULL doc — advisor finding, round 9);
     # empty text hashes its single '' token run as one gram — identical in
     # both engines' split semantics — so the doc is never silently lost
     df = spark.createDataFrame(
@@ -239,3 +242,46 @@ def test_null_and_empty_text_contract(spark):
     assert 1 not in by_doc
     assert by_doc[2] == _expected_fingerprints("", 3, 2)
     assert by_doc[3] == _expected_fingerprints("a b c d e f", 3, 2)
+
+
+def test_null_text_twin_parity_duckdb(spark, tmp_path):
+    """Run the SHIPPED DuckDB twins of all three winnow entries over a
+    fixture that CONTAINS a NULL-text doc and compare them row-for-row
+    with the shipped Spark builders — the advisor's round-9 finding was
+    exactly this gap (current sf fixtures have zero NULL texts, so the
+    sf0.01 gate could never catch a NULL-handling divergence)."""
+    import duckdb
+    import pandas as pd
+
+    from kinesis_data_counter_spark.plans.registry import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "the quick brown fox jumps over the lazy dog again and again"),
+            (4, "the quick brown fox jumps over the lazy dog again and again"),
+            (5, "completely different content with no shared runs at all here"),
+        ],
+        "doc_id int, text string",
+    )
+    sf = str(tmp_path / "sfnull")
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    for name in ("text_winnow", "text_winnow_robust", "text_winnow_containment"):
+        qd = QUERIES[name]
+        sdf = qd.builder(spark, sf).toPandas()
+        odf = con.execute(qd.oracle).df()
+        assert sorted(sdf.columns) == sorted(odf.columns), name
+        assert len(sdf) == len(odf), (name, len(sdf), len(odf))
+        # the NULL doc must be absent from BOTH engines
+        if "doc_id" in sdf.columns:
+            assert 1 not in set(sdf["doc_id"]), name
+            assert 1 not in set(odf["doc_id"]), name
+        cols = sorted(sdf.columns)
+        s = sdf[cols].sort_values(by=cols).reset_index(drop=True)
+        o = odf[cols].sort_values(by=cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
