@@ -138,6 +138,10 @@ BENCH_QUERIES = [
     "events_transitions",
     "multimodal_audio_features",
     "multimodal_image_stats",
+    # round-10 addition: the incremental-index segment-dedup stream,
+    # drained as 3 ascending-doc_id micro-batches (per-batch cost ∝
+    # batch, never the accumulated index history)
+    "streaming_segment_dedup",
 ]
 
 

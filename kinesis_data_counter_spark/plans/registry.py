@@ -527,31 +527,25 @@ def _q_streaming_counter(spark, sf_dir):
     return run_counter_stream_once(spark, f"{sf_dir}/events.parquet", spec)
 
 
-def _q_streaming_curate(spark, sf_dir):
-    # the curation CAPSTONE deployed as one drained stream (runner.py::
-    # stream_curate): quality+language gate -> exact dedup vs the
-    # persisted content-hash index -> near-dup band-index probe per
-    # micro-batch, leakage-safe split + accounting at drain. Documents
-    # arrive as 3 ascending-doc_id files (mtime-ordered, so the file
-    # source drains them in id order — arrival order plays the batch
-    # path's min-id survivor tie-break), which makes the drained result
-    # EQUAL the batch corpus_curate_full entry; the oracle is that
-    # entry's DuckDB twin, so the driver checks a 3-micro-batch streaming
-    # deployment end-to-end against independent SQL.
+def _ordered_doc_slices(spark, sf_dir, prefix, n=3):
+    """Write ``documents(doc_id, text)`` as ``n`` ascending-doc_id parquet
+    files with strictly increasing mtimes, so a file-source stream drains
+    them as ``n`` micro-batches in doc_id order — arrival order then plays
+    the batch operators' global min-(doc_id, pos) survivor tie-break,
+    making the drained streaming result EQUAL its batch twin. Returns
+    (src_dir, work_dir)."""
     import os
     import tempfile
     import time as _time
 
-    from kinesis_data_counter_spark.streaming.runner import stream_curate
-
     (docs,) = _tables(spark, sf_dir, "documents")
     docs = docs.select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="kdc_streamcurate_")
+    base = tempfile.mkdtemp(prefix=prefix)
     src = os.path.join(base, "src")
     os.makedirs(src)
-    cuts = docs.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.001)
+    cuts = docs.approxQuantile("doc_id", [k / n for k in range(1, n)], 0.001)
     bounds = [None, *cuts, None]
-    for k in range(3):
+    for k in range(n):
         part = docs
         if bounds[k] is not None:
             part = part.filter(F.col("doc_id") >= bounds[k])
@@ -566,7 +560,44 @@ def _q_streaming_curate(spark, sf_dir):
                 os.rename(
                     os.path.join(pdir, f), os.path.join(src, f"part{k}.parquet")
                 )
-    return stream_curate(spark, src, os.path.join(base, "work"))
+    return src, os.path.join(base, "work")
+
+
+def _q_streaming_curate(spark, sf_dir):
+    # the curation CAPSTONE deployed as one drained stream (runner.py::
+    # stream_curate): quality+language gate -> exact dedup vs the
+    # persisted content-hash index -> near-dup band-index probe per
+    # micro-batch, leakage-safe split + accounting at drain. Documents
+    # arrive as 3 ascending-doc_id files (mtime-ordered, so the file
+    # source drains them in id order — arrival order plays the batch
+    # path's min-id survivor tie-break), which makes the drained result
+    # EQUAL the batch corpus_curate_full entry; the oracle is that
+    # entry's DuckDB twin, so the driver checks a 3-micro-batch streaming
+    # deployment end-to-end against independent SQL.
+    from kinesis_data_counter_spark.streaming.runner import stream_curate
+
+    src, work = _ordered_doc_slices(spark, sf_dir, "kdc_streamcurate_")
+    return stream_curate(spark, src, work)
+
+
+def _q_streaming_segment_dedup(spark, sf_dir):
+    # segment-level dedup deployed as one drained stream (runner.py::
+    # stream_segment_dedup, VERDICT r9 task 5): per micro-batch, resolve
+    # within-batch first chunk occurrences, anti-join the persisted chunk
+    # index (excluding the replaying batch's own partition — the
+    # idempotent-replay contract), reassemble docs, append new hashes.
+    # Documents arrive as 3 ascending-doc_id files, so arrival-order
+    # first-SEEN == the batch operator's global (doc_id, pos) first
+    # occurrence, and the drained result EQUALS corpus_segment_dedup —
+    # whose DuckDB twin (window rank over the chunk text) is the oracle.
+    # The driver thus checks a genuine 3-micro-batch incremental-index
+    # streaming deployment end-to-end against independent SQL.
+    from kinesis_data_counter_spark.streaming.runner import stream_segment_dedup
+
+    src, work = _ordered_doc_slices(spark, sf_dir, "kdc_streamsegdd_")
+    return stream_segment_dedup(spark, src, work, chunk_words=8).select(
+        "doc_id", "text_out", "n_kept", "n_dropped"
+    )
 
 
 def _q_streaming_two_level_replay(spark, sf_dir):
@@ -3385,6 +3416,27 @@ FROM i JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
 WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_T}
 """
 
+# shared by corpus_segment_dedup (batch) and streaming_segment_dedup (the
+# same semantics drained as ascending-doc_id micro-batches): same 8-word
+# chunking, global first occurrence by (doc_id, pos) survives
+_SEGMENT_DEDUP_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (
+  SELECT doc_id, i AS pos, array_to_string(ws[(i-1)*8+1:i*8], ' ') AS chunk
+  FROM w, unnest(generate_series(1, CAST(ceil(len(ws)/8.0) AS INT))) t(i)
+),
+m AS (
+  SELECT doc_id, pos, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+  FROM c
+)
+SELECT doc_id,
+       coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS text_out,
+       CAST(count(*) FILTER (WHERE rn = 1) AS INT) AS n_kept,
+       CAST(count(*) FILTER (WHERE rn > 1) AS INT) AS n_dropped
+FROM m GROUP BY doc_id
+"""
+
 _PIPELINE_ORACLES = {
     "text_jq_normalize": r"""
 SELECT doc_id AS id,
@@ -4821,23 +4873,10 @@ SELECT doc_id, CAST(k AS INT) AS chunk_id,
        CAST(len(ws[k*24+1:k*24+32]) AS INT) AS n_words
 FROM w, unnest(generate_series(0, CAST(floor((len(ws)-1)/24.0) AS INT))) t(k)
 """,
-    "corpus_segment_dedup": """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-c AS (
-  SELECT doc_id, i AS pos, array_to_string(ws[(i-1)*8+1:i*8], ' ') AS chunk
-  FROM w, unnest(generate_series(1, CAST(ceil(len(ws)/8.0) AS INT))) t(i)
-),
-m AS (
-  SELECT doc_id, pos, chunk,
-         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
-  FROM c
-)
-SELECT doc_id,
-       coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS text_out,
-       CAST(count(*) FILTER (WHERE rn = 1) AS INT) AS n_kept,
-       CAST(count(*) FILTER (WHERE rn > 1) AS INT) AS n_dropped
-FROM m GROUP BY doc_id
-""",
+    "corpus_segment_dedup": _SEGMENT_DEDUP_ORACLE,
+    # the drained stream over ascending-doc_id micro-batches must equal
+    # the batch operator, so it shares the same twin
+    "streaming_segment_dedup": _SEGMENT_DEDUP_ORACLE,
     # identical unigram LM: same tokenizer as text_tfidf, score rounded to
     # 6 dp on both sides before the threshold comparison
     "text_lm_score": r"""
@@ -5921,6 +5960,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_counter": _q_streaming_counter,
     "streaming_two_level_replay": _q_streaming_two_level_replay,
     "streaming_curate": _q_streaming_curate,
+    "streaming_segment_dedup": _q_streaming_segment_dedup,
     "window_sliding": _q_window_sliding,
     "window_session": _q_window_session,
     "counter_salted_skew": _q_counter_salted_skew,
@@ -6362,47 +6402,61 @@ _SHOWCASE_ORDER = [
     # recorded green in round 8, their families keep head
     # representatives, and all keep running in local verification + tests.
     #
-    # reference-parity counter core (A1-A8, F1-F8) + the two-level
-    # exchange driven as a batch plan, as a drained stream, and as the
-    # streamed curation capstone (vs the corpus_curate_full twin)
-    "counter_two_level", "streaming_two_level_replay", "streaming_curate",
-    # routing / config
-    "config_pipeline",
-    # sources & wire formats
-    "counter_replay_source",
-    # jq family representative (F8; interpreter + compiled subset)
-    "counter_jq_select",
-    # relational / sessions / events / time hierarchies
-    "sessionize_users", "range_join_session_events", "events_transitions",
-    "recursive_session_chains", "set_ops_customers",
-    "anti_join_idle_customers", "pivot_event_counts",
-    "unpivot_lineitem_metrics", "tpch_q14_promo",
-    "sql_surface_daily_top_types", "asof_forward_order",
-    "window_rolling_7d", "rollup_time_hierarchy", "profile_events",
-    # stats / sketches
-    "stats_percentiles", "stats_histogram", "join_cardinality_sketch",
-    # dedup family + decontamination
-    "dedup_method_agreement", "dedup_embedding_clusters",
-    "corpus_decontaminate",
-    # similarity search / embedding aggregation
-    "ann_lsh_recall", "embedding_centroids",
-    # text analysis + fingerprinting + classifier calibration
-    "text_nb_margin_calibration", "text_pmi_collocations",
+    # Round-10 rotation (executed, per VERDICT r9 task 1 — FRESHNESS):
+    # the 45 entries with no driver-recorded row since round 3 (21 last
+    # in r1, 7 in r2, 17 in r3 — the whole TPC-H block, the counter
+    # long-tail, json_bad_records, streaming_counter, text_tfidf,
+    # dedup_ngram_jaccard, …) rotate in, all re-verified at the driver's
+    # sf0.01 via scripts/oracle_check.py before the swap. The 5 kept
+    # seats are NOT family representatives this time but mandatory
+    # re-witnesses: text_winnow / text_winnow_robust /
+    # text_winnow_containment (their twins and the containment
+    # materialization changed this round — NULL-text parity fix +
+    # localCheckpoint), counter_replay_source (the r9 task-4 ≤2 s A/B
+    # target, re-recorded after whatever lands), and the new
+    # streaming_segment_dedup (mid-round addition: the incremental-index
+    # segment-dedup stream drained as 3 ascending-doc_id micro-batches
+    # against the corpus_segment_dedup twin). All 45 ceded entries were
+    # recorded green in round 9 and keep running in local verification +
+    # tests.
+    #
+    # STANDING ROTATION POLICY (from round 10 on): oldest-first by last
+    # driver-recorded round. Each round the head takes (a) every entry
+    # changed that round, (b) every new entry, (c) the stalest remaining
+    # entries up to 50. With 173 entries and a 50-slot head the full
+    # cycle is ceil(173/50) ≈ 4 rounds, so in steady state NO entry's
+    # last driver row is older than 4 rounds. (Transitional note: after
+    # r10 the stalest non-head entries are the 29 last recorded in r4 —
+    # they and the r6 block lead the round-11 head; the r7/r8/r9 blocks
+    # follow in round 12, at which point the ≤4-round invariant holds
+    # permanently.)
+    #
+    # counters: core count/column/expr dispatch, distinct projection,
+    # theta-sketch distinct, top-k (global + windowed), salted skew,
+    # variant property counting, jq reshape
+    "counter_count_column", "counter_count_expr", "counter_distinct_expr",
+    "counter_distinct_theta", "counter_topk_users", "counter_topk_windowed",
+    "counter_salted_skew", "counter_variant_props", "counter_jq_reshape",
+    # sources & wire formats + bad-record routing + streaming counter
+    "counter_replay_source", "json_bad_records", "streaming_counter",
+    "streaming_segment_dedup",
+    # TPC-H relational block
+    "tpch_q2", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "tpch_q4_semi",
+    # events / windows / sessions / as-of
+    "events_daily_anomaly", "events_interarrival", "window_session",
+    "window_sliding", "asof_user_order",
+    # rollups / cubes / segmentation
+    "orders_rollup", "parts_cube", "rfm_segments",
+    # similarity search
+    "ann_ivf_recall", "ann_quantized_recall",
+    # text analysis + winnowing re-witnesses
+    "text_tfidf", "text_token_stats",
     "text_winnow_robust", "text_winnow", "text_winnow_containment",
-    "text_redact_pii", "udtf_token_positions",
-    # web provenance
-    "web_url_canonical", "web_domain_rank", "web_rank_weighted_mix",
-    "corpus_curate_web",
-    # corpus curation capstone (batch twin of streaming_curate)
-    "corpus_curate_full",
-    # sampling
-    "sample_hash_split", "sample_class_balance", "sample_mix_rates",
-    "corpus_dup_spans",
-    # multimodal
-    "multimodal_audio_features", "multimodal_image_stats",
-    "multimodal_media", "multimodal_frame_sample",
-    # layout + governance family seats
-    "layout_compaction", "gdpr_erasure_audit",
+    # dedup / corpus / multimodal
+    "dedup_ngram_jaccard", "corpus_pack_sequences", "multimodal_resize",
 ]
 
 

@@ -486,6 +486,284 @@ SHOWCASE: dict[str, str] = {
         "query slice (the harness, not the production path); production "
         "retrieval runs codes + refine only."
     ),
+    # ------------------------------------------------------------------
+    # round-10 freshness rotation: sections for every rotated-in head
+    # entry (the r9 precedent — rotated entries get dumped plans too)
+    # ------------------------------------------------------------------
+    "counter_count_column": (
+        "F2: non-null count of the target column per tumbling window — "
+        "the null skip rides inside count(col), so the plan is the "
+        "flagship single-exchange windowed aggregate with ReadSchema "
+        "pruned to (ts, user_id)."
+    ),
+    "counter_count_expr": (
+        "F3 boolean target_expr: the expression language compiles to a "
+        "JVM predicate under count_if (nil/false excluded, §2.6.1); same "
+        "partial+final HashAggregate around one window-keyed exchange, "
+        "zero Python."
+    ),
+    "counter_distinct_expr": (
+        "F4 distinct-mode expr projection (falsy values count, only nil "
+        "skipped): hll_sketch_agg partials over the compiled projection "
+        "plus an exact count_distinct rail for the ε-boolean — "
+        "ObjectHashAggregate partial+final, sketches on the wire."
+    ),
+    "counter_distinct_theta": (
+        "A3/A4 with theta sketches: per-(window, shard) theta partials → "
+        "theta_union_agg → estimate. Exchange carries bounded sketch "
+        "buffers, never raw user ids; exact below 4096 per-window "
+        "cardinality so the oracle compares exact values."
+    ),
+    "counter_topk_users": (
+        "Two-level approx_top_k: accumulate per shard → combine → "
+        "estimate. The exchange carries one bounded sketch per shard "
+        "(maxItemsTracked=4096), not per-user rows — the same partial/"
+        "merge topology as the HLL counter, heavy-hitter flavored."
+    ),
+    "counter_topk_windowed": (
+        "Trending per hour: one top-k sketch per window rides the "
+        "exchange; per-window final rank emits k rows. No global sort, "
+        "no per-user shuffle — shuffle volume is windows × sketch size."
+    ),
+    "counter_salted_skew": (
+        "Skew-safe hot-key counting: counts salt into 16 subkeys keyed "
+        "by (group, window, salt), partial-aggregated map-side, then the "
+        "salt collapse is a second tiny exchange over groups × salts "
+        "rows — the hot key never lands on one reducer."
+    ),
+    "counter_variant_props": (
+        "Spark 4 VariantType over the JSON props column: parse_json once, "
+        "try_variant_get typed extraction, then a plain hash aggregate — "
+        "parsing stays JVM-side in whole-stage codegen, no UDF, no "
+        "second scan."
+    ),
+    "counter_jq_reshape": (
+        "F8: the jq object-construction transform compiled to JVM "
+        "projection Columns (jq.py compiled subset) applied OVER the "
+        "windowed counter aggregate — a Project above the flagship "
+        "single-exchange shape; the interpreter never runs on data rows."
+    ),
+    "counter_replay_source": (
+        "S1 wire replay: the kinesis_replay Python DataSource yields "
+        "Arrow RecordBatches per shard partition (seq-offset resume, "
+        "reshard-aware); downstream is the flagship windowed count — the "
+        "scan is the only Python, batched at 4096 records."
+    ),
+    "json_bad_records": (
+        "S4 decode + bad-record routing: from_json with a corrupt-record "
+        "side channel — one scan, one filter fork; both rails aggregate "
+        "map-side before their exchanges. Corruption is injected "
+        "deterministically so the corrupt rail has real traffic."
+    ),
+    "streaming_counter": (
+        "The windowed counter as a drained availableNow stream (complete "
+        "mode, memory sink): the dumped plan is the final in-memory "
+        "result read; the per-batch plan is the same single-exchange "
+        "windowed aggregate with watermark state."
+    ),
+    "streaming_segment_dedup": (
+        "Incremental-index segment dedup drained as 3 ascending-doc_id "
+        "micro-batches: per batch, within-batch first occurrence via one "
+        "chunk-hash window, anti-join against the persisted hash index "
+        "(excluding the replaying batch's own partition — idempotent "
+        "replay), batch-keyed parquet appends. Per-batch work ∝ batch, "
+        "never history; the dumped plan is the drained-docs read."
+    ),
+    "tpch_q2": (
+        "Min-cost supplier correlated subquery: rewritten as a join "
+        "against the per-part min aggregate; region/nation/supplier "
+        "dimensions broadcast, partsupp shuffles once on partkey."
+    ),
+    "tpch_q3": (
+        "Shipping priority: customer broadcast into orders, one shuffle "
+        "joining lineitem on orderkey, revenue partial-aggregated before "
+        "the final top-10 ordering."
+    ),
+    "tpch_q6": (
+        "Pure scan query: every predicate (shipdate range, discount "
+        "band, quantity) in PushedFilters; one partial+final agg pair, "
+        "no join, no wide exchange — the pushdown litmus test."
+    ),
+    "tpch_q7": (
+        "Volume shipping between two nations: nation dims broadcast "
+        "twice (supplier and customer sides), the big join shuffles "
+        "lineitem↔orders on orderkey once; the cross-nation filter "
+        "applies before the year aggregate."
+    ),
+    "tpch_q8": (
+        "Market share: an 8-table join where every dimension side "
+        "(part, nation×2, region, customer, supplier) broadcasts; only "
+        "lineitem↔orders shuffles. The year/nation share is a "
+        "conditional-sum aggregate."
+    ),
+    "tpch_q9": (
+        "Product-type profit: part filter pushes into the scan and "
+        "prunes the lineitem join via the broadcast part side; "
+        "partsupp joins on the composite (suppkey, partkey) key; "
+        "profit aggregates per (nation, year)."
+    ),
+    "tpch_q10": (
+        "Returned-item revenue: the RETURNFLAG filter is pushed to the "
+        "lineitem scan; customer↔orders shuffles on custkey, nation "
+        "broadcasts, top-20 by revenue at the end."
+    ),
+    "tpch_q11": (
+        "Important stock: the global-total scalar subquery computes "
+        "once (one tiny aggregate) and broadcasts into the HAVING "
+        "filter over the per-part aggregate — no second partsupp scan "
+        "in the value-fraction test."
+    ),
+    "tpch_q12": (
+        "Shipmode priority: all date-arithmetic predicates pushed to "
+        "the lineitem scan; orders broadcast-joined on orderkey after "
+        "selective filtering; conditional counts aggregate per mode."
+    ),
+    "tpch_q13": (
+        "Customer order distribution: LEFT join customer→orders (with "
+        "the comment anti-filter applied scan-side), per-customer count "
+        "then count-of-counts — two exchanges, both key-balanced."
+    ),
+    "tpch_q15": (
+        "Top supplier: the revenue view aggregates lineitem once; the "
+        "max-revenue scalar joins back against the same aggregate "
+        "(reused subtree), supplier broadcast for the final projection."
+    ),
+    "tpch_q16": (
+        "Part/supplier counts: anti-join against complaint suppliers "
+        "(broadcast), distinct suppkey count per (brand, type, size) "
+        "bucket over the partsupp↔part broadcast join."
+    ),
+    "tpch_q17": (
+        "Small-quantity-order revenue: the per-part 0.2×avg(quantity) "
+        "aggregate joins back to lineitem on partkey — expressed as a "
+        "single shuffle join against the broadcast-filtered part side, "
+        "never a correlated re-scan per row."
+    ),
+    "tpch_q19": (
+        "Disjunctive brand/container/quantity predicate: the OR-of-ANDs "
+        "evaluates after a broadcast part join; the shared shipmode/"
+        "instruct conjuncts are pushed to the lineitem scan."
+    ),
+    "tpch_q20": (
+        "Excess-stock suppliers: the half-of-shipped threshold joins "
+        "partsupp to the per-(part, supp) lineitem aggregate; part "
+        "name-prefix filter broadcasts; the supplier list arrives via "
+        "LEFT SEMI join — no distinct-then-join detour."
+    ),
+    "tpch_q21": (
+        "Multi-supplier wait: the exists/not-exists pair over other "
+        "suppliers' lineitems becomes one aggregate over orderkey "
+        "(count distinct suppliers vs late suppliers) — one lineitem "
+        "self-alignment by orderkey instead of two correlated scans."
+    ),
+    "tpch_q22": (
+        "Global acctbal average via a tiny scalar aggregate broadcast "
+        "into the customer filter; anti-join against orders removes "
+        "active customers; per-country-code aggregate finishes — no "
+        "correlated subquery execution per row."
+    ),
+    "tpch_q4_semi": (
+        "Order priority: EXISTS rewritten as LEFT SEMI join "
+        "orders↔lineitem on orderkey (the commit-date filter pushed to "
+        "the lineitem scan) — the semi join never multiplies rows, so "
+        "the count per priority needs no distinct."
+    ),
+    "events_daily_anomaly": (
+        "Daily volume z-scores: day-grain counts (one exchange), then "
+        "the per-type mean/stddev table — bounded by |event types| — "
+        "broadcasts back onto the daily rows. No second scan of events, "
+        "no per-row window over the full table."
+    ),
+    "events_interarrival": (
+        "Per-user inter-arrival gaps: lag over a window partitioned by "
+        "user_id (embarrassingly parallel, one exchange on user), "
+        "aggregated to per-type percentiles — the gap computation never "
+        "funnels through a global sort."
+    ),
+    "window_session": (
+        "Session windows (session_window built-in): gap-based merge "
+        "keyed by user — one exchange on the session key, state bounded "
+        "per user; the plan shows the SessionWindow aggregate, not a "
+        "self-join."
+    ),
+    "window_sliding": (
+        "Sliding windows: F.window with slide < size explodes each row "
+        "into size/slide windows BEFORE the partial aggregate, so the "
+        "exchange still carries only per-window partials."
+    ),
+    "asof_user_order": (
+        "As-of join via union-sort (joins.py): both sides tagged and "
+        "union-sorted per key, last_value(ignorenulls) carries the most "
+        "recent right row forward — ONE exchange on the join key, no "
+        "range cross-join, no per-row subquery. DuckDB's native ASOF "
+        "JOIN is the oracle."
+    ),
+    "orders_rollup": (
+        "ROLLUP over (status, priority): Expand feeds one partial+final "
+        "aggregate pair — grouping-set rows multiply map-side where "
+        "combiners absorb them, not on the wire."
+    ),
+    "parts_cube": (
+        "CUBE over (brand, size): same Expand-then-aggregate shape; "
+        "decimal sums stay exact until the final round/cast so the "
+        "oracle hash-matches."
+    ),
+    "rfm_segments": (
+        "Exact RFM quartiles WITHOUT a single-task ntile: global_ntile "
+        "range-repartitions each metric, ranks within ranges in "
+        "parallel, and adds an O(numPartitions) offset table — "
+        "bit-identical to ntile, pinned by the no-SinglePartition-sort "
+        "plan gate."
+    ),
+    "ann_ivf_recall": (
+        "IVF ANN: bounded centroid table (16 lists, 2 Lloyd passes, "
+        "deterministic seeds) broadcasts; list assignment and the "
+        "nprobe=6 probe are equi-joins on list_id. The brute-force side "
+        "is the sampled recall oracle, not the production path."
+    ),
+    "ann_quantized_recall": (
+        "Int8-quantized cosine: symmetric per-vector scales cancel in "
+        "cosine, so the scan reads 64 bytes/vector instead of 256+; "
+        "recall ≥0.9 asserted against the float brute-force oracle on "
+        "the worst-case isotropic fixture."
+    ),
+    "text_tfidf": (
+        "Top-3 TF-IDF terms per doc: token explode → per-(doc, term) "
+        "counts → DF join via a bounded term-dimension aggregate → "
+        "per-doc rank by the ROUNDED score (cross-engine sort "
+        "stability). Two data-sized exchanges: term counts and the "
+        "final per-doc rank."
+    ),
+    "text_token_stats": (
+        "Whitespace + BPE-ish regex token counts per language: pure "
+        "per-row expressions (no explode — counts come from "
+        "regexp_count) into one tiny per-lang aggregate; the scan stage "
+        "does all the work map-side."
+    ),
+    "text_winnow": (
+        "Strided winnowing sampler: every-4th 8-gram xxhash64 via "
+        "sequence→transform→explode, per-doc structure aggregate — one "
+        "exchange on doc_id, fps stay numeric so the rollup is "
+        "HashAggregate."
+    ),
+    "dedup_ngram_jaccard": (
+        "Exact n-gram Jaccard pairs: shingle postings → shared-shingle "
+        "equi-join (never all-pairs) → intersection counts; union sizes "
+        "arrive from the bounded per-doc size table. Same candidate "
+        "algebra the LSH path approximates."
+    ),
+    "corpus_pack_sequences": (
+        "Concat-then-chunk packing into 2048-token sequences: the "
+        "running sum is group-local (doc_id % 32), so the cumulative "
+        "window never funnels through one partition; output chunk rows "
+        "are integer arithmetic over the running offsets."
+    ),
+    "multimodal_resize": (
+        "Resize stub over opaque binary payloads: dimension arithmetic "
+        "is pure JVM expressions; the nearest-neighbor byte sampling "
+        "runs in bounded-output mapInPandas (Arrow batches) — the "
+        "pattern real image decoders drop into."
+    ),
 }
 
 
