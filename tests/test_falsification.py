@@ -435,6 +435,24 @@ THIRD_ENGINE_PINS: dict[str, tuple[str, str]] = {
         "tests/test_winnow_reference_vectors.py",
         "test_falsifier_leftmost_tiebreak_differs",
     ),
+    # round-10 additions (VERDICT r9 task 3): the four remaining
+    # two-engine families
+    "semdedup_kmeans": (
+        "tests/test_semdedup_reference_vectors.py",
+        "test_falsifier_high_tiebreak_differs",
+    ),
+    "psi_drift": (
+        "tests/test_psi_reference_vectors.py",
+        "test_falsifier_unfloored_variant_differs",
+    ),
+    "scd2_run_collapse": (
+        "tests/test_scd2_reference_vectors.py",
+        "test_falsifier_desc_tiebreak_differs",
+    ),
+    "morton_zorder": (
+        "tests/test_zorder_reference_vectors.py",
+        "test_falsifier_transposed_convention_differs",
+    ),
     # external-third-implementation pins (stdlib / system binary)
     "jq_programs": (
         "tests/test_jq_random_differential.py",
