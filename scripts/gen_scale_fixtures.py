@@ -174,5 +174,78 @@ def ensure_sf1(
     return out_dir
 
 
+# key offsets for the relational replicas — all comfortably above the
+# sf0.1 key ranges (orderkey max 150k, custkey 15k, partkey 20k,
+# suppkey 1k), asserted at build time
+ORDER_OFFSET = 10_000_000
+CUST_OFFSET = 1_000_000
+PART_OFFSET = 1_000_000
+SUPP_OFFSET = 1_000_000
+
+
+def ensure_sf1_relational(
+    src_dir: str = "/root/testdata/sf0.1",
+    out_dir: str | None = None,
+) -> str:
+    """Extend the sf1 fixture directory with 10x relational tables
+    (VERDICT r9 task 2: the FULL bench sweep at sf1 needs every table the
+    79 bench queries touch, not just documents/embeddings/events).
+
+    Replication scheme: each replica k offsets its keys consistently
+    (o_custkey moves with c_custkey, l_orderkey with o_orderkey, …), so
+    referential structure, join selectivity, and per-group distributions
+    are preserved — each replica joins within itself, per-group row
+    counts grow 10x, and group cardinality (brands, statuses, dates)
+    stays fixed, which is how a real fact-table decade grows. region and
+    nation are copied unchanged: dimensions don't scale with facts, and
+    the n_nationkey references stay valid in every replica.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = out_dir or os.path.join(repo, "fixtures", "sf1")
+    os.makedirs(out_dir, exist_ok=True)
+
+    # tiny dimensions: straight copies (single file is fine — 5/25 rows)
+    for t in ("region", "nation"):
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            pq.write_table(pq.read_table(os.path.join(src_dir, f"{t}.parquet")), dst)
+
+    plans = {
+        "customer": {"c_custkey": CUST_OFFSET},
+        "supplier": {"s_suppkey": SUPP_OFFSET},
+        "part": {"p_partkey": PART_OFFSET},
+        "orders": {"o_orderkey": ORDER_OFFSET, "o_custkey": CUST_OFFSET},
+        "lineitem": {
+            "l_orderkey": ORDER_OFFSET,
+            "l_partkey": PART_OFFSET,
+            "l_suppkey": SUPP_OFFSET,
+        },
+    }
+    for t, offsets in plans.items():
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if _is_current(dst):
+            continue
+        src = pq.read_table(os.path.join(src_dir, f"{t}.parquet"))
+        for col, off in offsets.items():
+            mx = pc.max(src.column(col)).as_py()
+            assert mx < off, f"{t}.{col} max {mx} >= offset {off}"
+        parts = []
+        for k in range(REPLICAS):
+            cols = {}
+            for name in src.schema.names:
+                c = src.column(name)
+                if name in offsets and k > 0:
+                    c = pc.add(c, k * offsets[name])
+                cols[name] = c
+            parts.append(pa.table(cols, schema=src.schema))
+        _write_parts(pa.concat_tables(parts), dst)
+    return out_dir
+
+
 if __name__ == "__main__":
-    print(ensure_sf1())
+    d = ensure_sf1()
+    print(ensure_sf1_relational(out_dir=d))
