@@ -306,12 +306,13 @@ def _knn_bucketed_params_fixed(spark, sf_dir):
     ).select("ok")
 
 
-def _prev_tracked_total(history_path: str, sf: float = 0.1) -> float | None:
-    """Last tracked total_bench_seconds at the given SF from
-    BENCH_LOCAL.json (one JSON object per line, newest last). Only
-    full-query-set default runs are comparable: skip lines produced under a
-    non-default SPARK_BENCH_RUNS or a partial BENCH_QUERIES (detected by
-    query count)."""
+def _prev_tracked_line(
+    history_path: str, sf: float = 0.1, min_runs: int = 5
+) -> dict | None:
+    """Last tracked full-query-set result object at the given SF from
+    BENCH_LOCAL.json (one JSON object per line, newest last). Skips lines
+    produced under a non-default SPARK_BENCH_RUNS or a partial
+    BENCH_QUERIES (detected by query count)."""
     try:
         with open(history_path) as fh:
             lines = [json.loads(ln) for ln in fh if ln.strip()]
@@ -320,11 +321,16 @@ def _prev_tracked_total(history_path: str, sf: float = 0.1) -> float | None:
     for obj in reversed(lines):
         if (
             obj.get("sf") == sf
-            and obj.get("runs", 0) >= 5
+            and obj.get("runs", 0) >= min_runs
             and len(obj.get("queries", {})) >= len(BENCH_QUERIES) - 5
         ):
-            return float(obj["value"])
+            return obj
     return None
+
+
+def _prev_tracked_total(history_path: str, sf: float = 0.1) -> float | None:
+    obj = _prev_tracked_line(history_path, sf)
+    return float(obj["value"]) if obj else None
 
 
 # total-time regression gate (VERDICT r7 task 7): the sf0.1 min-of-5 total
@@ -490,6 +496,30 @@ def main() -> None:
         "sf1_spot": sf1_spot,
         "notes": {k: v for k, v in BENCH_NOTES.items() if k in timings},
     }
+    # full sf1 sweep support (VERDICT r9 task 2): when benching the sf1
+    # fixture directory, embed per-query ratios vs the last tracked FULL
+    # sf0.1 line so the tracked sf1 line is self-contained — the sweep
+    # exists to catch superlinear growth OUTSIDE the hand-picked spot
+    # list, so the ratio table is the deliverable, not the total.
+    if SF_DIR.rstrip("/").endswith("sf1"):
+        hist = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )
+        base = _prev_tracked_line(hist, sf=0.1)
+        if base:
+            ratios = {
+                n: round(t / base["queries"][n], 2)
+                for n, t in timings.items()
+                if base["queries"].get(n)
+            }
+            result["sf"] = 1.0
+            result["sf01_base_ts"] = base.get("ts")
+            result["sf01_ratio"] = dict(
+                sorted(ratios.items(), key=lambda kv: -kv[1])
+            )
+            result["sf01_ratio_over_band"] = {
+                n: r for n, r in ratios.items() if r > SF1_LINEAR_BAND
+            }
     # total-time regression gate (VERDICT r7 task 7): compare against the
     # last tracked full sf0.1 line; growth past 1.3x needs an explicit
     # cause (SPARK_BENCH_GROWTH_CAUSE), otherwise the gate records ok=false
