@@ -379,11 +379,18 @@ def _compact_summary(result: dict) -> dict:
 
 
 def _wait_for_quiet(max_load: float, max_wait_s: float) -> float:
-    """Block until 1-min loadavg < max_load (bounded): min-of-3 under an
-    11+ loadavg is ±40% noise (VERDICT r4 item 8), making round-over-round
-    deltas unadjudicable. Returns seconds waited."""
+    """Block until the machine is genuinely quiet (bounded): 1-min loadavg
+    < max_load AND 5-min loadavg < 2*max_load. The 1-min check alone let a
+    round-10 run start 90s after a 42-min pytest suite (load1 2.1 but
+    load5 10.3, machine still settling) and inflate the tracked total
+    1.37x; min-of-5 under residual churn is ±40% noise (VERDICT r4 item
+    8), making round-over-round deltas unadjudicable. Returns seconds
+    waited."""
     waited = 0.0
-    while os.getloadavg()[0] >= max_load and waited < max_wait_s:
+    while waited < max_wait_s:
+        l1, l5, _ = os.getloadavg()
+        if l1 < max_load and l5 < 2 * max_load:
+            break
         time.sleep(10)
         waited += 10
     return waited
