@@ -267,6 +267,20 @@ SF1_CAUSES = {
 # the result line): measured floors and adjudications that would otherwise
 # read as unmet targets or regressions.
 BENCH_NOTES = {
+    "__methodology_r10": (
+        "round 10 added spark.catalog.clearCache() between bench "
+        "iterations, which REMOVED an accidental flattering: Spark's "
+        "CacheManager matches cached plans by canonicalized-plan "
+        "equality, so although every iteration builds fresh DataFrames, "
+        "runs 2-5 of any persist()-using query silently reused run 1's "
+        "materialized InMemoryRelations and min-of-5 recorded a "
+        "warm-cache cost no single production invocation ever pays. "
+        "Effect measured on the r10 gate-fix run vs the r9 line "
+        "(common-78): the 18 persist-using queries moved 1.34x (35.3s "
+        "-> 47.4s — their true per-invocation cost), every other query "
+        "1.07x (ambient). Round-over-round totals are comparable again "
+        "FROM r10 ON; r1-r9 lines flatter persist-using queries."
+    ),
     "counter_replay_source": (
         "r10 A/B settled the open r8 '<=2s' target: the floor is NOT the "
         "per-line Python file scan (measured 28ms per 12.5k-line shard, 8 "
@@ -323,6 +337,7 @@ def _prev_tracked_line(
             obj.get("sf") == sf
             and obj.get("runs", 0) >= min_runs
             and len(obj.get("queries", {})) >= len(BENCH_QUERIES) - 5
+            and not obj.get("voided")
         ):
             return obj
     return None
@@ -512,7 +527,11 @@ def main() -> None:
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "quiet_wait_s": waited_s,
         "sf1_spot": sf1_spot,
-        "notes": {k: v for k, v in BENCH_NOTES.items() if k in timings},
+        "notes": {
+            k: v
+            for k, v in BENCH_NOTES.items()
+            if k in timings or k.startswith("__")
+        },
     }
     # full sf1 sweep support (VERDICT r9 task 2): when benching the sf1
     # fixture directory, embed per-query ratios vs the last tracked FULL
