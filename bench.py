@@ -177,6 +177,12 @@ SF1_SPOT_QUERIES = [
     # token in the registry) and the persisted fp self-join
     "corpus_dup_spans",
     "text_winnow_containment",
+    # round-10: the 3 steepest ratios from the FULL 79-query sf1 sweep
+    # (VERDICT r9 task 2) — all comfortably inside the linear band (max
+    # 5.5x at 10x data), promoted so their curvature stays watched
+    "text_winnow_robust",
+    "rfm_segments_sketch",
+    "retention_cohorts",
 ]
 SF1_LINEAR_BAND = 15.0  # 10× data + superlinear shuffle slack
 
@@ -260,6 +266,27 @@ SF1_CAUSES = {
         "(windows x 4 batches) regardless of input volume — the level-1 "
         "partial agg absorbs the 10x inside the scan stage, which is the "
         "two-level design's core claim"
+    ),
+    "text_winnow_robust": (
+        "steepest ratio of the r10 full sf1 sweep (5.5x at 10x docs, "
+        "2.9s): every stage is exactly 10x rows — one md5 gram struct "
+        "per corpus token through the row-local winnow selection, then "
+        "the per-doc rollup exchange — no pair term, no window over "
+        "anything bigger than a doc; the sf0.1 time (0.5s) is stage-"
+        "overhead-dominated, so wall growth approaches the honest 10x "
+        "compute growth as overheads amortize. Sub-linear, watched."
+    ),
+    "rfm_segments_sketch": (
+        "4.5x at 10x orders (r10 sweep): the KLL quartile sketches "
+        "absorb 10x per-customer partials map-side; cutoff tables stay "
+        "bounded and broadcast — growth is the sketch-update compute, "
+        "not the exchange"
+    ),
+    "retention_cohorts": (
+        "4.5x at 10x-denser events (r10 sweep): 10x users x fixed "
+        "day-offsets through two count_distinct aggregates; output "
+        "cardinality (cohort x offset) is fixed, the exchange carries "
+        "per-(cohort, offset) partial distinct state scaling with users"
     ),
 }
 
