@@ -32,6 +32,20 @@ def test_no_cartesian_product(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
 
+def test_winnow_containment_join_strategy(spark, sf_dir):
+    # the fp self-join must stay a SHUFFLE join: the capped (doc, fp)
+    # table is corpus-sized (fingerprints ∝ tokens), and with the
+    # checkpointed input's size known at small SF Catalyst would happily
+    # broadcast it — a 100x-corpus OOM. The shuffle_hash hint in
+    # winnow_containment_pairs pins the strategy; this gate pins the hint.
+    # Both join sides must also read the SAME checkpointed relation
+    # (ExistingRDD), not re-execute the gram-hash subtree per side.
+    plan = _plan(spark, sf_dir, "text_winnow_containment")
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("Scan ExistingRDD") == 2
+
+
 def test_q1_pushdown_and_partial_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpch_q1")
     assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
