@@ -440,7 +440,9 @@ def _wait_for_quiet(max_load: float, max_wait_s: float) -> float:
 
 def main() -> None:
     max_load = float(os.environ.get("SPARK_BENCH_MAX_LOAD", "4.0"))
-    max_wait = float(os.environ.get("SPARK_BENCH_LOAD_WAIT", "600"))
+    # default wait sized for the 5-min loadavg to decay below 2*max_load
+    # after a long correctness/test run (600s was not always enough)
+    max_wait = float(os.environ.get("SPARK_BENCH_LOAD_WAIT", "1200"))
     waited_s = _wait_for_quiet(max_load, max_wait)
     load_before = os.getloadavg()
     spark = get_spark(app_name="kdc-bench")
