@@ -308,6 +308,17 @@ BENCH_NOTES = {
         "1.07x (ambient). Round-over-round totals are comparable again "
         "FROM r10 ON; r1-r9 lines flatter persist-using queries."
     ),
+    "streaming_segment_dedup": (
+        "the entry times a REAL streaming deployment end-to-end, not one "
+        "batch plan: ~1s ascending-slice fixture prep (approxQuantile + 3 "
+        "single-file writes — the producer stand-in) + the availableNow "
+        "drain of 3 micro-batches, each paying foreachBatch scheduling, a "
+        "checkpoint commit, and 2 batch-keyed parquet writes (docs + new "
+        "chunk hashes), plus the final drained-table read. Per-batch "
+        "compute is batch-proportional (within-batch window + anti-join "
+        "against the index); the fixed streaming machinery is the floor, "
+        "and it amortizes at production batch sizes."
+    ),
     "counter_replay_source": (
         "r10 A/B settled the open r8 '<=2s' target: the floor is NOT the "
         "per-line Python file scan (measured 28ms per 12.5k-line shard, 8 "
