@@ -329,12 +329,15 @@ def minhash_lsh_pairs(
     bands_df = sig.select(
         "doc_id", F.explode(band_structs).alias("bs")
     ).select("doc_id", "bs.band", "bs.bh")
-    # the band table feeds BOTH sides of the self-join below; without a
-    # persist the full shingle→signature pipeline executes twice. The
-    # table is |docs| × bands fixed-width rows — the same bounded artifact
-    # the incremental path stores between runs — so caching it is cheap at
-    # any scale (measured ~2× on the sf0.1 corpus).
-    bands_df = bands_df.persist()
+    # NO persist on the band table: both self-join sides require the SAME
+    # distribution on (band, bh), so their subplans canonicalize
+    # identically and Catalyst's ReusedExchange materializes the shuffle
+    # ONCE — the shingle→signature pipeline already executes once without
+    # any cache. A persist here only ADDS a materialization barrier:
+    # post-r10-methodology A/B at sf0.1 (interleaved min-of-3, cold per
+    # invocation) measured persist-free 3.26s vs persisted 3.96s for this
+    # whole function, and the pair sets are identical (VERDICT r10 task 3;
+    # the pre-r10 '~2x' note predated exchange-reuse-aware measurement).
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     cand = (
@@ -348,10 +351,12 @@ def minhash_lsh_pairs(
     # Verify ONLY the candidate pairs. At scale candidates ≪ corpus, so the
     # exact-Jaccard work is proportional to the near-dup population, not
     # the corpus — verifying against the full pair join would redo the
-    # O(corpus²-ish) work LSH exists to avoid. The candidate set is
-    # referenced twice below; persist it so the signature/banding pipeline
-    # above it executes once, not per reference.
-    cand = cand.persist()
+    # O(corpus²-ish) work LSH exists to avoid. The candidate set IS
+    # referenced twice below, but no persist: its distinct's exchange
+    # (keyed a_id,b_id) is canonically shared, so ReusedExchange serves
+    # both consumers from one shuffle write and only the candidate-sized
+    # final aggregation re-executes — part of the same measured A/B as
+    # the band-table note above.
     cand_docs = cand.select(
         F.explode(F.array("a_id", "b_id")).alias("doc_id")
     ).distinct()

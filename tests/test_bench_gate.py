@@ -131,3 +131,29 @@ def test_compact_summary_skips_spot_error_entries():
     r = _full_result(with_spots=False)
     r["sf1_spot"] = {"error": "RuntimeError: boom"}
     assert "sf1_spot_worst" not in bench._compact_summary(r)
+
+
+def test_quiet_gate_strict_default_and_failloud_contract(monkeypatch):
+    # VERDICT r10 task 2: the quiet criterion is strict (1-min < 1.5,
+    # 5-min < 3.0, no foreign pytest/Spark pids) and an expired budget
+    # returns quiet_ok=False so main() fails loud instead of recording a
+    # noise-corrupted line
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.2, 0.4, 0.5))
+    monkeypatch.setattr(bench, "_foreign_work_pids", lambda: [])
+    waited, ok = bench._wait_for_quiet(1.5, 0.0)
+    assert ok and waited == 0.0
+
+    # load over the gate with a zero budget -> expired, not proceeded
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (3.7, 1.0, 1.0))
+    waited, ok = bench._wait_for_quiet(1.5, 0.0)
+    assert not ok
+
+    # quiet load but a straggler pytest/Spark process -> still not quiet
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.2, 0.4, 0.5))
+    monkeypatch.setattr(bench, "_foreign_work_pids", lambda: ["12345"])
+    waited, ok = bench._wait_for_quiet(1.5, 0.0)
+    assert not ok
+
+
+def test_foreign_work_pids_excludes_self():
+    assert str(os.getpid()) not in bench._foreign_work_pids()

@@ -453,6 +453,20 @@ THIRD_ENGINE_PINS: dict[str, tuple[str, str]] = {
         "tests/test_zorder_reference_vectors.py",
         "test_falsifier_transposed_convention_differs",
     ),
+    # round-11 additions (VERDICT r10 task 5): the remaining unpinned
+    # numeric families
+    "pq_adc": (
+        "tests/test_pq_reference_vectors.py",
+        "test_falsifier_swapped_subspace_order_differs",
+    ),
+    "pca_moments": (
+        "tests/test_pca_reference_vectors.py",
+        "test_falsifier_uncentered_moment_differs",
+    ),
+    "kll_rank_tolerance": (
+        "tests/test_kll_reference_vectors.py",
+        "test_falsifier_value_space_tolerance_differs",
+    ),
     # external-third-implementation pins (stdlib / system binary)
     "jq_programs": (
         "tests/test_jq_random_differential.py",
