@@ -190,6 +190,36 @@ SF1_SPOT_QUERIES = [
 ]
 SF1_LINEAR_BAND = 15.0  # 10× data + superlinear shuffle slack
 
+# round-11 (VERDICT r10 task 4): a SECOND measured decade for the 3
+# steepest sf1 ratios — sf1 -> sf10 (100x sf0.1) on purpose-built spot
+# fixtures (documents/events/orders only; ~0.5 GB). The strongest
+# 100x-design evidence available locally: two decades bracket the cost
+# curve, so a plan whose sf0.1->sf1 ratio hid under fixed overheads
+# cannot also hide its curvature at sf1->sf10.
+SF10_SPOT_QUERIES = [
+    "text_winnow_robust",
+    "rfm_segments_sketch",
+    "retention_cohorts",
+]
+SF10_CAUSES = {
+    "text_winnow_robust": (
+        "every stage is row/token-proportional: gram explode -> window "
+        "min -> per-doc fp agg, one exchange each, no pairwise term; the "
+        "sf0.1->sf1 5.46 was fixed costs amortizing and the second "
+        "decade must land nearer the data ratio"
+    ),
+    "rfm_segments_sketch": (
+        "one percentile_approx aggregate (bounded sketch state) + a "
+        "row-local bucket compare — both scans linear, threshold table "
+        "broadcast; no global sort at any scale"
+    ),
+    "retention_cohorts": (
+        "two hash aggs + one user_id join; sf10 events are 100x DENSER "
+        "over the same 720 windows, so group count is flat and the "
+        "growth is pure row volume through partial+final aggs"
+    ),
+}
+
 # Round-7 adjudication of the four r4->r6 "regressions" (VERDICT r6 task
 # 4): text_lm_score / corpus_segment_dedup / cms_heavy_hitters /
 # counter_jq_generic. A same-day A/B replay of the ROUND-4 CODE (git
@@ -603,6 +633,33 @@ def main() -> None:
                 knn["sf1_params_fixed_s"] = round(best, 3)
                 knn["ratio_params_fixed"] = round(best / knn["sf0.1_s"], 2)
                 knn["ratio_params_stepped"] = knn["ratio"]
+            # second decade (VERDICT r10 task 4): sf1 -> sf10 for the 3
+            # steepest sf1 ratios; ratio_vs_sf1 reads against the sf1
+            # spot numbers this same run just recorded
+            if os.environ.get("SPARK_BENCH_SF10", "1") == "1":
+                from scripts.gen_scale_fixtures import ensure_sf10_spots
+
+                sf10_dir = ensure_sf10_spots(sf1_dir)
+                for name in SF10_SPOT_QUERIES:
+                    best = None
+                    for _ in range(2):
+                        t0 = time.time()
+                        QUERIES[name].builder(spark, sf10_dir).write.format(
+                            "noop"
+                        ).mode("overwrite").save()
+                        dt = time.time() - t0
+                        best = dt if best is None else min(best, dt)
+                        spark.catalog.clearCache()  # see main loop
+                    base = sf1_spot.get(name, {}).get("sf1_s")
+                    ratio = round(best / base, 2) if base else None
+                    sf1_spot[name]["sf10_s"] = round(best, 3)
+                    sf1_spot[name]["ratio_sf1_to_sf10"] = ratio
+                    sf1_spot[name]["sf10_verdict"] = (
+                        "linear-ish"
+                        if ratio is not None and ratio <= SF1_LINEAR_BAND
+                        else "SUPERLINEAR: investigate"
+                    )
+                    sf1_spot[name]["sf10_cause"] = SF10_CAUSES[name]
         except Exception as e:  # spot-bench must never sink the main metric
             sf1_spot = {"error": f"{type(e).__name__}: {e}"}
 

@@ -579,6 +579,173 @@ SHOWCASE: dict[str, str] = {
         "pairs/bands/docs batch-keyed (idempotent crash replay). The "
         "dumped plan is the drained-pairs read."
     ),
+    # round-11 rotation: notes for the rotated-in head entries that had
+    # none yet (every head entry gets a PLANS.md section)
+    "counter_count_expr_nonbool": (
+        "Non-boolean target_expr (§2.6.1): only nil is excluded, 0/'' "
+        "still count — the predicate compiles to a count over an "
+        "is-not-null CASE inside the same single-exchange windowed "
+        "partial+final aggregate as every counter."
+    ),
+    "counter_distinct_user": (
+        "A3/A4 on a concrete column: hll_sketch_agg partials per window "
+        "collapse map-side (ObjectHashAggregate partial+final around one "
+        "exchange); ReadSchema carries only ts + user_id."
+    ),
+    "counter_partial_merge": (
+        "A6 via the explicit cross-job API: partial_counter rows are the "
+        "IntermediateRecord analog; merge_partials is the level-2 "
+        "consumer. The exchange carries (window, shard) sketch/count "
+        "state rows, never raw events."
+    ),
+    "counter_multi_fanout": (
+        "A7: several counters over ONE shared scan, results unioned — "
+        "the plan shows a single parquet scan fanned into per-counter "
+        "aggregates, not one scan per counter."
+    ),
+    "counter_json_props": (
+        "Schemaless property counting (S4 analog): get_json_object "
+        "projection stays in the scan stage; the windowed aggregate is "
+        "the standard single-exchange partial+final pair."
+    ),
+    "counter_jq_iterate": (
+        "F8 multi-output '.path[]' iteration compiled to explode: the "
+        "hourly per-type array is built by one windowed agg, then the jq "
+        "pipeline un-nests row-locally — no second wide exchange after "
+        "the explode."
+    ),
+    "kpl_roundtrip": (
+        "S3 wire-format round trip: applyInPandas packs KPL protobuf "
+        "aggregates per group, mapInPandas deaggregates — both "
+        "Arrow-batched Python stages; reconciliation is a hash join on "
+        "event_id with integer-exact aggregates."
+    ),
+    "streaming_stateful_counts": (
+        "applyInPandasWithState running totals: the dumped plan is the "
+        "drained result read; per batch the state operator keys by "
+        "event_type so state rows are group-count-bounded."
+    ),
+    "streaming_curate": (
+        "The curation capstone as one drained stream: per micro-batch, "
+        "quality+language gate, exact dedup vs the persisted "
+        "content-hash index, near-dup band-index probe (batch×history "
+        "equi-join, never history×history), leakage-safe split at drain. "
+        "Dumped plan is the drained accounting read."
+    ),
+    "theta_set_ops_users": (
+        "Sketch set algebra (|A∩B|, |A\\B|, |A∪B|) over two cohorts in "
+        "ONE scan: theta_sketch_agg partials under a conditional "
+        "projection, merged driver-side from bounded sketch state — no "
+        "join between the cohorts anywhere."
+    ),
+    "udaf_weighted_median": (
+        "The custom-aggregate extension tier: GROUPED_AGG pandas UDF "
+        "(non-algebraic — exact weighted median has no bounded mergeable "
+        "state). The plan shows ONE exchange on event_type feeding the "
+        "Arrow-batched aggregate; group count bounds the Python cost."
+    ),
+    "grouping_sets_orders": (
+        "Explicit GROUPING SETS: totals by status alone and priority "
+        "alone in one pass — Expand multiplies rows by the set count "
+        "BEFORE one shared partial+final aggregate, one exchange total."
+    ),
+    "retention_cohorts": (
+        "Two hash aggs + one join, all keyed on user_id: the cohort agg "
+        "and the activity join co-partition, so AQE reuses the exchange "
+        "layout; the distinct-count rollup is partial+final as usual."
+    ),
+    "funnel_signup_purchase": (
+        "Ordered-event funnel with NO self-join and NO window: the "
+        "stages compile to min(CASE WHEN …) inside a single partial+"
+        "final hash agg per user, then a one-row count rollup."
+    ),
+    "profile_key_skew": (
+        "Shuffle-skew precheck: the count pays the exact exchange the "
+        "real operation would; top-N hot keys via TakeOrderedAndProject "
+        "— never a global sort of the key domain."
+    ),
+    "layout_zorder_prune": (
+        "Curated-layout round trip: events written clustered on a "
+        "Morton curve over (user_id, event_id), read back through a "
+        "selective user_id filter — PushedFilters on the re-read scan is "
+        "the evidence; file/rowgroup skipping does the pruning."
+    ),
+    "window_rank_orders": (
+        "Per-customer order ranking: one window exchange keyed by "
+        "o_custkey (15k+ partitions of small groups — no single-task "
+        "sort), rank filter applied before any further projection."
+    ),
+    "tpch_q1": (
+        "Pure scan-side aggregate: shipdate filter in PushedFilters, "
+        "every sum/avg partial-aggregated map-side, one exchange on "
+        "(returnflag, linestatus) — 6 groups, trivially balanced."
+    ),
+    "tpch_q18": (
+        "Large-customer having-clause: the per-order quantity agg "
+        "shuffles lineitem once on orderkey; the >300 filter collapses "
+        "the probe side before the customer/orders broadcast joins."
+    ),
+    "ann_ivf_pq_recall": (
+        "Composed IVF-PQ: ONE corpus pass projects (list_id, codes); "
+        "probes equi-join on list_id (partition pruning analog), ADC "
+        "scores 8-byte codes, exact refine joins only k×refine "
+        "candidate ids back to float vectors."
+    ),
+    "knn_bucketed_recall": (
+        "Large-query-set kNN: multi-table hyperplane-LSH candidates via "
+        "equi-joins (never broadcast-nested-loop, never all-pairs), "
+        "ranked by the quantized-dot metric; per-query top-k survives "
+        "one ranking exchange."
+    ),
+    "dedup_embedding_cosine": (
+        "Embedding near-dup: hyperplane-LSH candidate equi-join + exact "
+        "cosine verify on candidates only — precision exact by "
+        "construction, candidate volume ∝ near-dup population."
+    ),
+    "text_lang_id": (
+        "Row-local n-gram language ID: one narrow projection stage (the "
+        "scorer is a codegen'd expression, no Python), one exchange only "
+        "if the consumer aggregates — ReadSchema is doc_id + text."
+    ),
+    "text_lm_score": (
+        "In-corpus unigram LM: one token-count pass builds the model "
+        "(bounded vocab agg), docs re-score against it via broadcast; "
+        "mean log-prob is a per-doc row-local aggregate."
+    ),
+    "dedup_exact_props": (
+        "Exact dedup on a normalized JSON projection: md5 groupBy with "
+        "HAVING count>1 — one exchange keyed by content hash, min(id) "
+        "canonical pick inside the same aggregate."
+    ),
+    "dedup_simhash": (
+        "Manku pigeonhole banding: block keys computed row-locally from "
+        "the 64-bit signature, candidates from per-table equi-joins, "
+        "full-signature hamming check row-local on the joined pair — no "
+        "distinct shuffle, no all-pairs term."
+    ),
+    "dedup_clusters": (
+        "Connected components over the verified pair graph: iterative "
+        "min-id propagation with localCheckpoint lineage truncation; "
+        "per-iteration work ∝ pair population, convergence checked by a "
+        "bounded scalar collect."
+    ),
+    "corpus_clean": (
+        "The composed cleaning funnel (quality → language → exact dedup "
+        "→ near-dup cluster dedup) returning per-stage survivor counts: "
+        "language survivors persisted once (two consumers), every other "
+        "stage a pure transformation on the shrinking survivor set."
+    ),
+    "sample_stratified": (
+        "Per-language keep rates via the portable md5 ticket: the "
+        "filter is a row-local threshold compare (rates broadcast), "
+        "then one count/checksum aggregate per surviving language."
+    ),
+    "sample_leakage_safe_split": (
+        "Near-dup-aware split: LSH pairs → connected components (∝ pair "
+        "population) → ONE left join attaches cluster reps → the md5 "
+        "split rule is row-local on coalesce(rep, id). No corpus×corpus "
+        "term anywhere."
+    ),
     "tpch_q2": (
         "Min-cost supplier correlated subquery: rewritten as a join "
         "against the per-part min aggregate; region/nation/supplier "

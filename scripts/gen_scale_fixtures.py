@@ -246,6 +246,132 @@ def ensure_sf1_relational(
     return out_dir
 
 
+# second-decade offsets: applied ON TOP of the sf1 fixture (whose ids
+# already carry the first-decade offsets), asserted at build time
+DOC_OFFSET10 = 100_000_000
+EVENT_OFFSET10 = 1_000_000_000
+USER_OFFSET10 = 100_000_000
+ORDER_OFFSET10 = 1_000_000_000
+CUST_OFFSET10 = 100_000_000
+SF10_PARTS = 64
+
+
+def ensure_sf10_spots(
+    sf1_dir: str | None = None,
+    out_dir: str | None = None,
+) -> str:
+    """Create (once) the sf10 SPOT fixture directory: documents, events
+    and orders at 100x sf0.1 (10x the sf1 fixture), the only tables the
+    three standing sf10 spot queries touch (text_winnow_robust /
+    retention_cohorts / rfm_segments_sketch — VERDICT r10 task 4: a
+    SECOND measured decade for the steepest sf1 ratios).
+
+    Same replication philosophy as ensure_sf1, applied on top of sf1:
+    - documents: replica j>0 suffixes every word with ``_s{j}`` (distinct
+      from sf1's ``_{k}`` namespace, so cross-replica shingle collisions
+      stay ZERO and the dup/near-dup structure per replica matches
+      sf0.1's) and rewrites source -> "{source}y{j}" (2,000 distinct
+      sources — cardinality keeps scaling WITH the data).
+    - events: ids/users offset per replica, timestamps UNCHANGED — the
+      stream gets 100x denser over the same 720 windows, the exact
+      two-level claim at another decade.
+    - orders: keys offset consistently so each replica joins within
+      itself; group cardinality (status, dates) stays fixed.
+    64 part files per table (10x the rows of sf1's 16-part layout keeps
+    bytes-per-split comparable, so spots measure plans, not splits).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf1_dir = sf1_dir or ensure_sf1()
+    ensure_sf1_relational(out_dir=sf1_dir)
+    out_dir = out_dir or os.path.join(repo, "fixtures", "sf10")
+    paths = {t: os.path.join(out_dir, f"{t}.parquet") for t in
+             ("documents", "events", "orders")}
+
+    def _is_current10(path: str) -> bool:
+        if not os.path.isdir(path):
+            return False
+        return sum(f.endswith(".parquet") for f in os.listdir(path)) == SF10_PARTS
+
+    if all(_is_current10(p) for p in paths.values()):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write10(table, path):
+        import shutil
+
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        tmp = path + ".__building"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        n = table.num_rows
+        for p in range(SF10_PARTS):
+            pq.write_table(
+                table.take(list(range(p, n, SF10_PARTS))),
+                os.path.join(tmp, f"part-{p:05d}.parquet"),
+            )
+        os.rename(tmp, path)
+
+    if not _is_current10(paths["documents"]):
+        docs = pq.read_table(os.path.join(sf1_dir, "documents.parquet"))
+        d = docs.to_pydict()
+        assert max(d["doc_id"]) < DOC_OFFSET10
+        out = {k: [] for k in ("doc_id", "text", "lang", "source", "n_chars")}
+        for j in range(REPLICAS):
+            for i in range(len(d["doc_id"])):
+                text = d["text"][i]
+                if j > 0 and text is not None:
+                    text = " ".join(w + f"_s{j}" for w in text.split(" "))
+                src = d["source"][i]
+                if j > 0 and src is not None:
+                    src = f"{src}y{j}"
+                out["doc_id"].append(d["doc_id"][i] + j * DOC_OFFSET10)
+                out["text"].append(text)
+                out["lang"].append(d["lang"][i])
+                out["source"].append(src)
+                out["n_chars"].append(len(text) if text is not None else None)
+        _write10(
+            pa.table(out, schema=pa.schema([
+                ("doc_id", pa.int64()), ("text", pa.string()),
+                ("lang", pa.string()), ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ])),
+            paths["documents"],
+        )
+
+    if not _is_current10(paths["events"]):
+        ev = pq.read_table(os.path.join(sf1_dir, "events.parquet"))
+        assert pc.max(ev.column("event_id")).as_py() < EVENT_OFFSET10
+        assert pc.max(ev.column("user_id")).as_py() < USER_OFFSET10
+        parts = []
+        for j in range(REPLICAS):
+            cols = {name: ev.column(name) for name in ev.schema.names}
+            if j > 0:
+                cols["event_id"] = pc.add(cols["event_id"], j * EVENT_OFFSET10)
+                cols["user_id"] = pc.add(cols["user_id"], j * USER_OFFSET10)
+            parts.append(pa.table(cols, schema=ev.schema))
+        _write10(pa.concat_tables(parts), paths["events"])
+
+    if not _is_current10(paths["orders"]):
+        od = pq.read_table(os.path.join(sf1_dir, "orders.parquet"))
+        assert pc.max(od.column("o_orderkey")).as_py() < ORDER_OFFSET10
+        assert pc.max(od.column("o_custkey")).as_py() < CUST_OFFSET10
+        parts = []
+        for j in range(REPLICAS):
+            cols = {name: od.column(name) for name in od.schema.names}
+            if j > 0:
+                cols["o_orderkey"] = pc.add(cols["o_orderkey"], j * ORDER_OFFSET10)
+                cols["o_custkey"] = pc.add(cols["o_custkey"], j * CUST_OFFSET10)
+            parts.append(pa.table(cols, schema=od.schema))
+        _write10(pa.concat_tables(parts), paths["orders"])
+    return out_dir
+
+
 if __name__ == "__main__":
     d = ensure_sf1()
     print(ensure_sf1_relational(out_dir=d))
