@@ -73,6 +73,13 @@ def test_bench_emits_one_json_line_at_tiny_sf():
         # per-query seconds) — provable on a 24-query subset in ~1/4 the
         # wall time; the full query set runs in the real per-round bench
         SPARK_BENCH_SUBSET="24",
+        # the strict quiet gate (r11) correctly refuses to run while a
+        # pytest process is alive — which is exactly the situation this
+        # subprocess is in. Opt out explicitly: the shape contract is the
+        # thing under test, not the timing quality (the forced line is
+        # stamped quiet_gate=forced and never tracked round-over-round).
+        SPARK_BENCH_LOAD_WAIT="0",
+        SPARK_BENCH_FORCE="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

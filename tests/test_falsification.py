@@ -328,10 +328,14 @@ def test_falsifier_census(spark, sf_dir):
 
     from kinesis_data_counter_spark.plans.registry import QUERIES
 
+    from _build_cache import built
+
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     missing: list[str] = []
     for name, q in QUERIES.items():
-        df = q.builder(spark, sf_dir)
+        # shared session build cache: the streaming builders drain a real
+        # stream at build time, and this census only needs the schema
+        df = built(spark, sf_dir, name)
         bools = {f.name for f in df.schema.fields
                  if isinstance(f.dataType, BooleanType)}
         if not bools:

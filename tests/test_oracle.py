@@ -52,9 +52,14 @@ EMPTY_AT_SF0001 = {"counter_jq_iterate", "tpch_q7", "tpch_q11", "tpch_q20", "tpc
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
 def test_query_matches_oracle(spark, sf_dir, duck, name):
-    fn = entry_mod.queries()[name]
+    # shared session build cache (tests/_build_cache.py): identical to
+    # calling the builder here — toPandas() below still executes the lazy
+    # plan — but the streaming entries' drain (paid at BUILD time) is
+    # shared with the census/plan gates instead of re-run
+    from _build_cache import built
+
     oracles = entry_mod.oracle_sql()
-    sdf = fn(spark, sf_dir).toPandas()
+    sdf = built(spark, sf_dir, name).toPandas()
     if name not in EMPTY_AT_SF0001:
         assert len(sdf) > 0, f"{name} is vacuously green: 0 rows at {sf_dir}"
     if name not in oracles:

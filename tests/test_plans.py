@@ -10,7 +10,12 @@ from kinesis_data_counter_spark.session import load_tables
 
 
 def _plan(spark, sf_dir, name: str) -> str:
-    df = QUERIES[name].builder(spark, sf_dir)
+    # shared session build cache (tests/_build_cache.py): the streaming
+    # entries execute their drain at build time, so sharing the build with
+    # the census/oracle files avoids re-draining per plan gate
+    from _build_cache import built
+
+    df = built(spark, sf_dir, name)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
