@@ -329,15 +329,22 @@ def minhash_lsh_pairs(
     bands_df = sig.select(
         "doc_id", F.explode(band_structs).alias("bs")
     ).select("doc_id", "bs.band", "bs.bh")
-    # NO persist on the band table: both self-join sides require the SAME
-    # distribution on (band, bh), so their subplans canonicalize
-    # identically and Catalyst's ReusedExchange materializes the shuffle
-    # ONCE — the shingle→signature pipeline already executes once without
-    # any cache. A persist here only ADDS a materialization barrier:
-    # post-r10-methodology A/B at sf0.1 (interleaved min-of-3, cold per
-    # invocation) measured persist-free 3.26s vs persisted 3.96s for this
-    # whole function, and the pair sets are identical (VERDICT r10 task 3;
-    # the pre-r10 '~2x' note predated exchange-reuse-aware measurement).
+    # The band table feeds BOTH self-join sides. ReusedExchange does
+    # dedupe the shuffle itself (both sides require the same (band, bh)
+    # distribution, so the signature pipeline below the exchange runs
+    # once either way) — but it does NOT dedupe the post-exchange stages
+    # that each downstream consumer re-executes, and the candidate table
+    # below fans out to two more consumers. Round-11 adjudication: a
+    # mid-round removal of this persist + the cand persist looked ~18%
+    # faster in a load-biased A/B, but the QUIET min-of-5 bench (the
+    # production protocol) showed the cc-family entries that materialize
+    # the pair output regressing instead — dedup_clusters 3.71->5.16s,
+    # corpus_curate_full 8.51->10.44s, sample_leakage_safe_split
+    # 4.60->5.53s — while the other 76 queries moved ~1.05x ambient. The
+    # persists stay, on that evidence. The table is |docs| x bands
+    # fixed-width rows — the same bounded artifact the incremental path
+    # stores between runs — so caching is cheap at any scale.
+    bands_df = bands_df.persist()
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     cand = (
@@ -351,12 +358,11 @@ def minhash_lsh_pairs(
     # Verify ONLY the candidate pairs. At scale candidates ≪ corpus, so the
     # exact-Jaccard work is proportional to the near-dup population, not
     # the corpus — verifying against the full pair join would redo the
-    # O(corpus²-ish) work LSH exists to avoid. The candidate set IS
-    # referenced twice below, but no persist: its distinct's exchange
-    # (keyed a_id,b_id) is canonically shared, so ReusedExchange serves
-    # both consumers from one shuffle write and only the candidate-sized
-    # final aggregation re-executes — part of the same measured A/B as
-    # the band-table note above.
+    # O(corpus²-ish) work LSH exists to avoid. The candidate set is
+    # referenced twice below; persist it so the banding join + distinct
+    # above it execute once, not per reference (kept on the same quiet
+    # min-of-5 evidence as the band-table persist above).
+    cand = cand.persist()
     cand_docs = cand.select(
         F.explode(F.array("a_id", "b_id")).alias("doc_id")
     ).distinct()
@@ -458,6 +464,7 @@ def incremental_minhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     history_bands: DataFrame | None = None,
+    increment_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs TOUCHING the increment: new×new and new×history,
     never history×history.
@@ -478,9 +485,17 @@ def incremental_minhash_pairs(
     """
     if history_bands is not None:
         # production path: the persisted history index is read, not
-        # recomputed; only the increment is hashed
-        inc_bands = minhash_band_table(
-            increment, num_hashes, bands, n, text_col, id_col
+        # recomputed; only the increment is hashed. The increment's band
+        # table feeds BOTH join sides here (probe side, and inside the
+        # union on the build side) with DIFFERENT exchange wrappers, so
+        # ReusedExchange canNOT dedupe it — callers that also APPEND the
+        # table to their index (the streaming deployment) should compute
+        # it once, persist it, and pass it via ``increment_bands`` so the
+        # 96-hash signature pass runs once per increment, not three times.
+        inc_bands = (
+            increment_bands
+            if increment_bands is not None
+            else minhash_band_table(increment, num_hashes, bands, n, text_col, id_col)
         )
         all_bands = history_bands.unionByName(inc_bands)
     else:

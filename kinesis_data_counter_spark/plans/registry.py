@@ -6473,12 +6473,16 @@ _SHOWCASE_ORDER = [
     # before the swap. The remaining 4 seats: streaming_neardup_index
     # (NEW this round — the probe-and-append MinHash-index stream, r9
     # task 5's second named shape, drained as 3 micro-batches against the
-    # exact-Jaccard twin) plus the 3 non-stale entries whose PHYSICAL
-    # plan changed this round when minhash_lsh_pairs dropped its
-    # band/candidate persists in favor of ReusedExchange
-    # (operators/dedup.py) — corpus_curate_full, sample_leakage_safe_split,
-    # streaming_curate (the stale LSH consumers dedup_minhash_lsh,
-    # dedup_clusters, corpus_clean are already in). All 50 ceded entries
+    # exact-Jaccard twin) plus 3 non-stale LSH consumers re-witnessed
+    # after this round's materialization churn — corpus_curate_full,
+    # sample_leakage_safe_split, streaming_curate. (The churn: the
+    # minhash_lsh_pairs band/candidate persists were removed mid-round on
+    # a load-biased A/B, then RESTORED when the quiet min-of-5 bench
+    # showed the cc-family entries regressing — see the dedup.py comments
+    # for the adjudication; streaming_curate and the new streaming entry
+    # additionally gained the shared per-batch band table, a real plan
+    # change that stands.) The stale LSH consumers dedup_minhash_lsh,
+    # dedup_clusters, corpus_clean are already in. All 50 ceded entries
     # were recorded green in r9/r10 and keep running in local
     # verification + tests. After CORRECTNESS_r11 records green, max
     # staleness across the r1-r11 union is ≤4 rounds (the r7 block,

@@ -600,6 +600,16 @@ def stream_neardup_index(
         # epoch overwrites its own pairs/bands/docs output, preserving the
         # "doc ids globally unique" invariant across crash-replays
         batch_df = batch_df.select(id_col, text_col).persist()
+        # the batch's band table has THREE consumers with incompatible
+        # exchange shapes (probe side of the pair join, the union build
+        # side, the index append), so ReusedExchange cannot share it —
+        # persist it so the 96-hash signature pass runs ONCE per batch
+        # (measured: the un-shared variant recomputed it 3x and tripled
+        # the per-batch cost at sf0.1). Batch-sized: |batch| x bands
+        # fixed-width rows.
+        inc_bands = minhash_band_table(
+            batch_df, num_hashes, bands, n, text_col, id_col
+        ).persist()
         if os.path.isdir(bands_dir):
             pairs = incremental_minhash_pairs(
                 batch_df,
@@ -611,6 +621,7 @@ def stream_neardup_index(
                 text_col=text_col,
                 id_col=id_col,
                 history_bands=_read_batch_keyed(spark, bands_dir),
+                increment_bands=inc_bands,
             )
         else:  # first batch: no history yet — pairs within the batch only
             pairs = minhash_lsh_pairs(
@@ -618,11 +629,7 @@ def stream_neardup_index(
                 bands=bands, n=n, text_col=text_col, id_col=id_col,
             )
         _write_batch_keyed(pairs, pairs_dir, epoch)
-        _write_batch_keyed(
-            minhash_band_table(batch_df, num_hashes, bands, n, text_col, id_col),
-            bands_dir,
-            epoch,
-        )
+        _write_batch_keyed(inc_bands, bands_dir, epoch)
         _write_batch_keyed(
             batch_df.select(
                 F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
@@ -630,6 +637,7 @@ def stream_neardup_index(
             docs_dir,
             epoch,
         )
+        inc_bands.unpersist()
         batch_df.unpersist()
 
     q = (
@@ -1178,14 +1186,21 @@ def _curate_batch(
     ).persist()
     _write_batch_keyed(fresh.select("__h"), hash_dir, epoch)
 
-    # near-dup pairs touching this batch's exact survivors
+    # near-dup pairs touching this batch's exact survivors. The batch's
+    # band table has three exchange-incompatible consumers (probe side,
+    # union build side, index append) — persist it so the signature pass
+    # runs once per batch (same fix as stream_neardup_index)
     fresh_docs = fresh.select(id_col, text_col)
+    fresh_bands = minhash_band_table(
+        fresh_docs, num_hashes, bands, n, text_col, id_col
+    ).persist()
     hist_docs, hist_bands = _history(docs_dir), _history(bands_dir)
     if hist_bands is not None and hist_docs is not None:
         pairs = incremental_minhash_pairs(
             fresh_docs, history=hist_docs, threshold=threshold,
             num_hashes=num_hashes, bands=bands, n=n,
             text_col=text_col, id_col=id_col, history_bands=hist_bands,
+            increment_bands=fresh_bands,
         )
     else:  # first batch: pairs within the batch only
         pairs = minhash_lsh_pairs(
@@ -1193,12 +1208,9 @@ def _curate_batch(
             bands=bands, n=n, text_col=text_col, id_col=id_col,
         )
     _write_batch_keyed(pairs.select("a_id", "b_id"), pairs_dir, epoch)
-    _write_batch_keyed(
-        minhash_band_table(fresh_docs, num_hashes, bands, n, text_col, id_col),
-        bands_dir,
-        epoch,
-    )
+    _write_batch_keyed(fresh_bands, bands_dir, epoch)
     _write_batch_keyed(fresh_docs, docs_dir, epoch)
+    fresh_bands.unpersist()
     fresh.unpersist()
     gated.unpersist()
     base.unpersist()
