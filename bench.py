@@ -328,6 +328,17 @@ SF1_CAUSES = {
 # the result line): measured floors and adjudications that would otherwise
 # read as unmet targets or regressions.
 BENCH_NOTES = {
+    "__noise_band_r11": (
+        "VERDICT r10 task 2 certification: after the strict quiet gate "
+        "(load1<1.5, load5<3, no foreign pytest/Spark pids, fail-loud on "
+        "budget expiry) two back-to-back tracked full sf0.1 runs on "
+        "UNCHANGED code landed 118.9s and 115.8s — a 2.6% band (was "
+        "14% in r10), so the 1.3 regression gate reads ~1.27 of real "
+        "signal again. Worst single-query disagreement among >0.5s "
+        "queries in the pair: 23% (web_domain_rank) — per-query deltas "
+        "under ~25% remain inside run-to-run noise; judge totals, not "
+        "tails."
+    ),
     "__methodology_r10": (
         "round 10 added spark.catalog.clearCache() between bench "
         "iterations, which REMOVED an accidental flattering: Spark's "
@@ -358,12 +369,17 @@ BENCH_NOTES = {
         "deployment end-to-end: ~1s ascending-slice fixture prep + the "
         "availableNow drain of 3 micro-batches, each paying foreachBatch "
         "scheduling, a checkpoint commit, the batch's MinHash band "
-        "computation, ONE band-index probe join (batch bands vs persisted "
-        "∪ batch bands — candidate generation ∝ |batch|×bands), exact "
-        "Jaccard verification over candidate docs read from the corpus "
-        "store, and 3 batch-keyed parquet appends (pairs/bands/docs), "
-        "plus the final drained-pairs read. The fixed streaming machinery "
-        "is the floor and amortizes at production batch sizes."
+        "computation (persisted and SHARED across its three exchange-"
+        "incompatible consumers: probe side, union build side, index "
+        "append — the unshared variant re-ran the 96-hash pass 3x and "
+        "recorded 20.7s), ONE band-index probe join (candidate "
+        "generation ∝ |batch|×bands), exact Jaccard verification over "
+        "candidate docs read from the corpus store, and 3 batch-keyed "
+        "parquet appends, plus the final drained-pairs read. Measured "
+        "warm decomposition at sf0.1: drain ~14s = ~2s/batch "
+        "compute+writes (pairs ~1.5s, bands ~0.3s, docs ~0.1s) + ~8s "
+        "availableNow/checkpoint machinery — the fixed floor that "
+        "amortizes at production batch sizes."
     ),
     "counter_replay_source": (
         "r10 A/B settled the open r8 '<=2s' target: the floor is NOT the "
