@@ -95,13 +95,26 @@ def test_bench_emits_one_json_line_at_tiny_sf():
         if ln.startswith("{")
     ]
     assert len(json_lines) >= 1, out.stdout[-2000:]
+    # the LAST line is what the driver's 2,000-char stdout tail parses: it
+    # must be a self-contained contract-shaped summary AND fit the window.
+    # When the full result line overflows the window (the standing __ notes
+    # grew it past 2,000 chars even for this 24-query subset in r11),
+    # bench.py prints the compact top-5 summary last — both shapes satisfy
+    # the driver contract
     d = json.loads(json_lines[-1])
+    assert len(json_lines[-1]) < 2000, "last line must fit the driver tail"
     assert d["metric"] == "total_bench_seconds"
     assert d["unit"] == "sec"
     assert isinstance(d["value"], (int, float)) and d["value"] > 0
     assert d["sf"] == 0.001
-    assert len(d["queries"]) >= 20
+    assert len(d["queries"]) >= 5
     assert all(isinstance(v, (int, float)) for v in d["queries"].values())
+    # the FULL per-query map must still be emitted on some line (the
+    # tracked-history twin of what BENCH_LOCAL.json records)
+    full = [json.loads(ln) for ln in json_lines]
+    assert any(len(f.get("queries", {})) >= 20 for f in full), [
+        len(f.get("queries", {})) for f in full
+    ]
 
 
 def test_queries_survive_a_bare_driver_session():
