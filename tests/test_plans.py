@@ -10,12 +10,14 @@ from kinesis_data_counter_spark.session import load_tables
 
 
 def _plan(spark, sf_dir, name: str) -> str:
-    # shared session build cache (tests/_build_cache.py): the streaming
-    # entries execute their drain at build time, so sharing the build with
-    # the census/oracle files avoids re-draining per plan gate
-    from _build_cache import built
-
-    df = built(spark, sf_dir, name)
+    # ALWAYS build fresh here — never reuse the session build cache
+    # (tests/_build_cache.py): these gates assert PRE-EXECUTION plan
+    # shapes, and a DataFrame the oracle replay already executed shows
+    # its AQE-finalized plan with persisted subtrees collapsed to
+    # InMemoryTableScan (11 gates false-failed in r11 when _plan briefly
+    # shared the cache). The census/oracle files keep sharing builds —
+    # they only read schemas and results, not plans.
+    df = QUERIES[name].builder(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
