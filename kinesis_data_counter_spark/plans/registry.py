@@ -6488,36 +6488,60 @@ _SHOWCASE_ORDER = [
     # staleness across the r1-r11 union is ≤4 rounds (the r7 block,
     # next-stalest, rotates in at r12 — the steady-state invariant).
     #
-    # counters: core dispatch long-tail, distinct/user, partial merge,
-    # multi fan-out, json/variant props, jq iterate/generic
-    "counter_count_all", "counter_count_expr_nonbool", "counter_distinct_user",
-    "counter_partial_merge", "counter_multi_fanout", "counter_json_props",
-    "counter_jq_iterate", "counter_jq_generic",
-    # sources & wire formats + streaming
-    "kpl_roundtrip", "streaming_stateful_counts",
-    "streaming_neardup_index", "streaming_curate",
-    # sketches / rollups / history
-    "cms_heavy_hitters", "theta_set_ops_users", "hll_rollup_hierarchy",
-    "quantile_rollup_value", "udaf_weighted_median", "scd2_user_state",
-    "grouping_sets_orders", "retention_cohorts", "funnel_signup_purchase",
-    "profile_key_skew", "layout_zorder_prune", "bloom_prune_join",
-    "window_rank_orders", "asof_split_skew",
-    # TPC-H stale pair
-    "tpch_q1", "tpch_q18",
-    # similarity search / ANN / kNN
-    "ann_cosine_topk", "ann_ivf_pq_recall", "knn_bucketed_recall",
-    "knn_label_propagation", "knn_label_propagation_bucketed",
-    "dedup_embedding_cosine",
-    # text analysis
-    "text_lang_id", "text_quality", "text_lm_score",
-    # dedup / corpus / sampling / multimodal
-    "dedup_exact_props", "dedup_incremental", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_clusters", "corpus_clean",
-    "corpus_segment_dedup", "corpus_quality_tiers", "sample_stratified",
-    "sample_token_budget", "multimodal_decode",
-    # changed-this-round LSH consumers (streaming_curate sits above with
-    # the streaming block)
-    "corpus_curate_full", "sample_leakage_safe_split",
+    # Round-12 rotation (executed, per VERDICT r11 task 2 — the first
+    # full steady-state cycle of the standing policy): the 31 stalest
+    # entries rotate in (the 26-entry r7 block: the jq consumers,
+    # NB gate, fuzzy join, diagnostics trio, overlap join, exact/semantic
+    # dedup, PQ/PCA/hard-negatives ANN tier, BPE/BM25/wordlist text tier,
+    # web curation, the corpus boilerplate/chunk/shards tier, RFM sketch,
+    # PNG roundtrip; plus the 5-entry r8 block: text_fingerprint,
+    # text_repetition, text_vocab, text_bigrams, sample_weighted_topk),
+    # all re-verified at the driver's sf0.01 via scripts/oracle_check.py
+    # before the swap. The remaining 19 seats go to the stalest half of
+    # the 44-entry r9 block IN REGISTRY ORDER (counter_jq_select ..
+    # corpus_dup_spans below); the other 25 r9 entries (window_rolling_7d,
+    # sessionize_users, range_join_session_events,
+    # recursive_session_chains, pivot_event_counts,
+    # unpivot_lineitem_metrics, sql_surface_daily_top_types,
+    # udtf_token_positions, multimodal_frame_sample, multimodal_media,
+    # events_transitions, gdpr_erasure_audit, join_cardinality_sketch,
+    # profile_events, sample_class_balance, asof_forward_order,
+    # layout_compaction, web_url_canonical, web_domain_rank,
+    # corpus_curate_web, multimodal_audio_features,
+    # multimodal_image_stats, text_pmi_collocations,
+    # web_rank_weighted_mix, text_nb_margin_calibration) lead the
+    # round-13 head together with half the r10 block. All 50 ceded
+    # entries were recorded green in r10/r11 and keep running in local
+    # verification + tests. After CORRECTNESS_r12 records green, max
+    # staleness across the union is 3 rounds (the 25 remaining r9
+    # entries) — the ≤4-round invariant holds.
+    #
+    # jq surface + text jq consumers
+    "udtf_jq_lateral", "text_jq_normalize", "text_jq_export",
+    "counter_jq_stream_fold", "counter_jq_select",
+    # model-gate + relational fuzzy join + diagnostics
+    "text_nb_classifier", "fuzzy_match_part_names", "quality_expectations",
+    "profile_drift", "dataset_snapshot_diff", "overlap_join_sessions",
+    # dedup tier
+    "dedup_exact_docs", "dedup_semdedup", "dedup_embedding_clusters",
+    "dedup_method_agreement",
+    # ANN / embeddings tier
+    "ann_pq_recall", "embedding_pca_check", "mine_hard_negatives",
+    "ann_hard_negative_agreement", "embedding_centroids", "ann_lsh_recall",
+    # text tier
+    "text_bpe_roundtrip", "text_bm25", "text_wordlist_filter",
+    "text_fingerprint", "text_repetition", "text_vocab", "text_bigrams",
+    "text_redact_pii",
+    # web + corpus tier
+    "web_domain_curation", "corpus_curate_semantic", "corpus_boilerplate",
+    "corpus_chunk_overlap", "corpus_shuffle_shards", "corpus_decontaminate",
+    "corpus_dup_spans",
+    # sketches / sampling / multimodal / counter core re-witnesses
+    "rfm_segments_sketch", "multimodal_png_roundtrip",
+    "sample_weighted_topk", "sample_hash_split", "sample_mix_rates",
+    "counter_two_level", "streaming_two_level_replay", "config_pipeline",
+    "tpch_q14_promo", "stats_histogram", "stats_percentiles",
+    "set_ops_customers", "anti_join_idle_customers", "rollup_time_hierarchy",
 ]
 
 

@@ -249,6 +249,7 @@ def ensure_sf1_relational(
 # second-decade offsets: applied ON TOP of the sf1 fixture (whose ids
 # already carry the first-decade offsets), asserted at build time
 DOC_OFFSET10 = 100_000_000
+VEC_OFFSET10 = 10_000_000
 EVENT_OFFSET10 = 1_000_000_000
 USER_OFFSET10 = 100_000_000
 ORDER_OFFSET10 = 1_000_000_000
@@ -260,11 +261,12 @@ def ensure_sf10_spots(
     sf1_dir: str | None = None,
     out_dir: str | None = None,
 ) -> str:
-    """Create (once) the sf10 SPOT fixture directory: documents, events
-    and orders at 100x sf0.1 (10x the sf1 fixture), the only tables the
-    three standing sf10 spot queries touch (text_winnow_robust /
-    retention_cohorts / rfm_segments_sketch — VERDICT r10 task 4: a
-    SECOND measured decade for the steepest sf1 ratios).
+    """Create (once) the sf10 SPOT fixture directory: documents, events,
+    orders and embeddings at 100x sf0.1 (10x the sf1 fixture), the only
+    tables the sf10 spot queries touch (text_winnow_robust /
+    retention_cohorts / rfm_segments_sketch — VERDICT r10 task 4 — plus,
+    round 12 per VERDICT r11 task 5, the 3 steepest sf1 ratios:
+    knn_label_propagation_bucketed / dedup_minhash_lsh / dedup_clusters).
 
     Same replication philosophy as ensure_sf1, applied on top of sf1:
     - documents: replica j>0 suffixes every word with ``_s{j}`` (distinct
@@ -277,9 +279,15 @@ def ensure_sf10_spots(
       two-level claim at another decade.
     - orders: keys offset consistently so each replica joins within
       itself; group cardinality (status, dates) stays fixed.
+    - embeddings: replica 0 is the sf1 table; replicas j>0 draw fresh
+      vectors from the same isotropic distribution (seeded per replica,
+      a namespace disjoint from sf1's seeds) with the original label
+      multiset, so LSH bucket occupancy keeps growing linearly and the
+      occupancy rule's parameter step at 100x is exercised for real.
     64 part files per table (10x the rows of sf1's 16-part layout keeps
     bytes-per-split comparable, so spots measure plans, not splits).
     """
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -289,7 +297,7 @@ def ensure_sf10_spots(
     ensure_sf1_relational(out_dir=sf1_dir)
     out_dir = out_dir or os.path.join(repo, "fixtures", "sf10")
     paths = {t: os.path.join(out_dir, f"{t}.parquet") for t in
-             ("documents", "events", "orders")}
+             ("documents", "events", "orders", "embeddings")}
 
     def _is_current10(path: str) -> bool:
         if not os.path.isdir(path):
@@ -356,6 +364,34 @@ def ensure_sf10_spots(
                 cols["user_id"] = pc.add(cols["user_id"], j * USER_OFFSET10)
             parts.append(pa.table(cols, schema=ev.schema))
         _write10(pa.concat_tables(parts), paths["events"])
+
+    if not _is_current10(paths["embeddings"]):
+        emb = pq.read_table(os.path.join(sf1_dir, "embeddings.parquet"))
+        e = emb.to_pydict()
+        assert max(e["vec_id"]) < VEC_OFFSET10
+        n, dim = len(e["vec_id"]), len(e["embedding"][0])
+        ids, vecs, labels = [], [], []
+        for j in range(REPLICAS):
+            ids.extend(v + j * VEC_OFFSET10 for v in e["vec_id"])
+            labels.extend(e["label"])
+            if j == 0:
+                vecs.extend(e["embedding"])
+            else:
+                # seed namespace disjoint from ensure_sf1's 1000+k
+                rng = np.random.default_rng(20_000 + j)
+                fresh = rng.uniform(-0.5, 0.5, (n, dim)).astype(np.float32)
+                vecs.extend(fresh.tolist())
+        _write10(
+            pa.table(
+                {"vec_id": ids, "embedding": vecs, "label": labels},
+                schema=pa.schema([
+                    ("vec_id", pa.int64()),
+                    ("embedding", pa.list_(pa.float32())),
+                    ("label", pa.int32()),
+                ]),
+            ),
+            paths["embeddings"],
+        )
 
     if not _is_current10(paths["orders"]):
         od = pq.read_table(os.path.join(sf1_dir, "orders.parquet"))
