@@ -944,10 +944,50 @@ SHOWCASE: dict[str, str] = {
 }
 
 
+def _measured_costs() -> tuple[dict, dict, dict]:
+    """Per-query measured numbers from the tracked bench history (VERDICT
+    r11 task 7: plan claims and measured costs live together). Returns
+    (sf0.1 seconds, sf1 ratio vs that line, sf1-spot entries). Empty dicts
+    when no tracked history exists — PLANS.md stays generatable anywhere."""
+    import bench
+
+    hist = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_LOCAL.json",
+    )
+    line01 = bench._prev_tracked_line(hist, sf=0.1) or {}
+    line1 = bench._prev_tracked_line(hist, sf=1.0, min_runs=2) or {}
+    return (
+        line01.get("queries", {}),
+        line1.get("sf01_ratio", {}),
+        line01.get("sf1_spot", {}),
+    )
+
+
+def _cost_line(name: str, t01: dict, r1: dict, spots: dict) -> str | None:
+    if name not in t01:
+        return None
+    parts = [f"sf0.1 {t01[name]:.2f} s (tracked min-of-5, quiet gate)"]
+    spot = spots.get(name)
+    if isinstance(spot, dict) and spot.get("ratio") is not None:
+        parts.append(f"sf1 spot ratio {spot['ratio']}x at 10x data")
+        if spot.get("ratio_sf1_to_sf10") is not None:
+            parts.append(f"sf10 ratio {spot['ratio_sf1_to_sf10']}x per further 10x")
+        if spot.get("floor_est_s") is not None:
+            parts.append(
+                f"fixed streaming floor ~{spot['floor_est_s']}s "
+                f"({spot['floor_share_sf1']:.0%} of sf1 wall)"
+            )
+    elif name in r1:
+        parts.append(f"sf1 sweep ratio {r1[name]}x at 10x data")
+    return "**Measured**: " + "; ".join(parts) + "."
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
+    t01, r1, spots = _measured_costs()
     spark = get_spark(app_name="dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -978,7 +1018,11 @@ def main() -> None:
             or "PushedFilters" in blk
             or "ReadSchema" in blk
         )
-        out += [f"## {name}", "", note, "", "```"]
+        out += [f"## {name}", "", note, ""]
+        cost = _cost_line(name, t01, r1, spots)
+        if cost:
+            out += [cost, ""]
+        out += ["```"]
         out.append(tree.rstrip())
         if scan_details:
             out += ["", scan_details.rstrip()]

@@ -471,6 +471,21 @@ THIRD_ENGINE_PINS: dict[str, tuple[str, str]] = {
         "tests/test_kll_reference_vectors.py",
         "test_falsifier_value_space_tolerance_differs",
     ),
+    # round-12 additions (VERDICT r11 task 6): the free-choice families
+    # previously pinned only by a DuckDB twin that shares the choice by
+    # construction (the twin replays the same md5/banding expressions)
+    "simhash_banding": (
+        "tests/test_simhash_reference_vectors.py",
+        "test_falsifier_larger_subset_variant_misses_pigeonhole_pair",
+    ),
+    "cms_cell_hashing": (
+        "tests/test_cms_reference_vectors.py",
+        "test_falsifier_unsalted_rows_differ",
+    ),
+    "shuffle_shards_bucketing": (
+        "tests/test_shuffle_shards_reference_vectors.py",
+        "test_falsifier_modulus_variant_differs",
+    ),
     # external-third-implementation pins (stdlib / system binary)
     "jq_programs": (
         "tests/test_jq_random_differential.py",
