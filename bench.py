@@ -450,6 +450,28 @@ BENCH_NOTES = {
         "coverage, not a regression, and remains auditable from the "
         "recorded common_cur_s/common_prev_s pair."
     ),
+    "__noise_band_r12": (
+        "VERDICT r11 task 3 re-anchor on current HEAD (the r11 "
+        "certification predated the persist adjudication): THREE tracked "
+        "full-registry (175-query) quiet sf0.1 runs on UNCHANGED code "
+        "landed 219.1 s / 235.4 s / 229.4 s. The truly back-to-back pair "
+        "(runs 2-3, started minutes apart, both quiet-gate passed) "
+        "agrees to 2.6% with median per-query ratio 1.001 — the same "
+        "band r11 certified. Run 1, from a different machine epoch ~1 h "
+        "earlier, sits 4.7-7.5% below with the offset UNIFORM across "
+        "queries (median per-query ratio 1.03-1.06, concentrated in the "
+        "streaming/ANN tier) — epoch-to-epoch ambient drift, the same "
+        "phenomenon r11 recorded as 115.8 vs 90.75 on identical code. "
+        "So: adjacent-run noise ~2.6%, cross-epoch drift up to ~8%; the "
+        "1.3 regression gate reads ≥1.2 of real signal even across "
+        "epochs. Worst single-query disagreement within the back-to-back "
+        "pair: text_tfidf 0.61x / knn_label_propagation 1.24x — "
+        "per-query tails remain ~25% noise; judge totals, not tails. "
+        "The two-point streaming floor fits inherit the tail noise "
+        "(neardup floor_share_sf1 read 0.57 in run 1 but 0.96 in run "
+        "2): trust the CROSS-RUN MINIMUM of floor_share, not any single "
+        "line's fit."
+    ),
     "__noise_band_r11": (
         "VERDICT r10 task 2 certification: after the strict quiet gate "
         "(load1<1.5, load5<3, no foreign pytest/Spark pids, fail-loud on "
