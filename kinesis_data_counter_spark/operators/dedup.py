@@ -292,6 +292,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     verify: bool = True,
     max_shingle_freq: int | None = None,
+    bands_table: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding (+ optional exact verify).
 
@@ -301,34 +302,51 @@ def minhash_lsh_pairs(
     equi-joins on (band_id, xxhash64(band slice)); with verify=True each
     candidate's true Jaccard is recomputed from postings so the output has
     no false positives (recall is the only probabilistic part).
+
+    ``bands_table``: a precomputed ``minhash_band_table(df, num_hashes,
+    bands, n, ...)`` result — (doc_id, band, bh) rows for the SAME df and
+    parameters. Callers that already hold (and persist) that table — the
+    streaming first-batch paths, which compute it anyway to append to the
+    band index — pass it here so the 96-hash signature pass is not run a
+    second time; persistence stays caller-managed. Incompatible with
+    ``max_shingle_freq`` (the band table must be built from the same
+    pruned shingle universe that verify sees).
     """
     r = num_hashes // bands
+    if bands_table is not None and max_shingle_freq is not None:
+        raise ValueError(
+            "bands_table cannot be combined with max_shingle_freq: the "
+            "precomputed band table was built from unpruned shingles"
+        )
     # the signature aggregation consumes the posting list ONCE — no persist
     # needed: the verify stage below re-shingles only the CANDIDATE docs,
     # which at scale is the near-dup population, not the corpus. (With
     # stop-shingle pruning the pruned universe must also be what verify
     # sees, so the pruned postings are kept and persisted instead.)
     pruning = max_shingle_freq is not None
-    post = _prune_frequent(shingles(df, text_col, n, id_col), max_shingle_freq)
-    if pruning and verify:
-        post = post.persist()
-    sig = minhash_signatures(
-        df, num_hashes, n, text_col, id_col, max_shingle_freq, postings=post
-    )
-    # band structs built with a plan-time Python loop (bands is a small
-    # constant): slice positions must be literals for codegen anyway
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(F.slice("sig", bi * r + 1, r)).alias("bh"),
-            )
-            for bi in range(bands)
-        ]
-    )
-    bands_df = sig.select(
-        "doc_id", F.explode(band_structs).alias("bs")
-    ).select("doc_id", "bs.band", "bs.bh")
+    if bands_table is not None:
+        bands_df = bands_table
+    else:
+        post = _prune_frequent(shingles(df, text_col, n, id_col), max_shingle_freq)
+        if pruning and verify:
+            post = post.persist()
+        sig = minhash_signatures(
+            df, num_hashes, n, text_col, id_col, max_shingle_freq, postings=post
+        )
+        # band structs built with a plan-time Python loop (bands is a small
+        # constant): slice positions must be literals for codegen anyway
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(F.slice("sig", bi * r + 1, r)).alias("bh"),
+                )
+                for bi in range(bands)
+            ]
+        )
+        bands_df = sig.select(
+            "doc_id", F.explode(band_structs).alias("bs")
+        ).select("doc_id", "bs.band", "bs.bh")
     # The band table feeds BOTH self-join sides. ReusedExchange does
     # dedupe the shuffle itself (both sides require the same (band, bh)
     # distribution, so the signature pipeline below the exchange runs
@@ -343,8 +361,10 @@ def minhash_lsh_pairs(
     # 4.60->5.53s — while the other 76 queries moved ~1.05x ambient. The
     # persists stay, on that evidence. The table is |docs| x bands
     # fixed-width rows — the same bounded artifact the incremental path
-    # stores between runs — so caching is cheap at any scale.
-    bands_df = bands_df.persist()
+    # stores between runs — so caching is cheap at any scale. (A
+    # caller-provided bands_table keeps its caller's persistence.)
+    if bands_table is None:
+        bands_df = bands_df.persist()
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     cand = (

@@ -6516,6 +6516,19 @@ _SHOWCASE_ORDER = [
     # staleness across the union is 3 rounds (the 25 remaining r9
     # entries) — the ≤4-round invariant holds.
     #
+    # Mid-round-12 amendment (policy clause (a) — changed entries): the
+    # streaming first-batch band-table reuse (minhash_lsh_pairs gained
+    # bands_table=; stream_curate and stream_neardup_index pass their
+    # already-persisted per-batch band table so batch 1's 96-hash
+    # signature pass runs once, not twice — results identical, pinned by
+    # tests/test_dedup.py::test_minhash_lsh_precomputed_bands_table_identical)
+    # changes the executed path of streaming_curate and
+    # streaming_neardup_index, so both re-enter the head. The two ceded
+    # seats are the last two r9 re-witnesses in registry order
+    # (anti_join_idle_customers, rollup_time_hierarchy — both green in
+    # r9 and unchanged); they join the 25 remaining r9 entries at the
+    # FRONT of the round-13 head.
+    #
     # jq surface + text jq consumers
     "udtf_jq_lateral", "text_jq_normalize", "text_jq_export",
     "counter_jq_stream_fold", "counter_jq_select",
@@ -6541,7 +6554,9 @@ _SHOWCASE_ORDER = [
     "sample_weighted_topk", "sample_hash_split", "sample_mix_rates",
     "counter_two_level", "streaming_two_level_replay", "config_pipeline",
     "tpch_q14_promo", "stats_histogram", "stats_percentiles",
-    "set_ops_customers", "anti_join_idle_customers", "rollup_time_hierarchy",
+    "set_ops_customers",
+    # changed this round (first-batch band-table reuse) — clause (a)
+    "streaming_curate", "streaming_neardup_index",
 ]
 
 

@@ -624,9 +624,12 @@ def stream_neardup_index(
                 increment_bands=inc_bands,
             )
         else:  # first batch: no history yet — pairs within the batch only
+            # (the persisted inc_bands doubles as the self-join band table,
+            # so the 96-hash signature pass still runs once per batch)
             pairs = minhash_lsh_pairs(
                 batch_df, threshold=threshold, num_hashes=num_hashes,
                 bands=bands, n=n, text_col=text_col, id_col=id_col,
+                bands_table=inc_bands,
             )
         _write_batch_keyed(pairs, pairs_dir, epoch)
         _write_batch_keyed(inc_bands, bands_dir, epoch)
@@ -1202,10 +1205,13 @@ def _curate_batch(
             text_col=text_col, id_col=id_col, history_bands=hist_bands,
             increment_bands=fresh_bands,
         )
-    else:  # first batch: pairs within the batch only
+    else:  # first batch: pairs within the batch only — the persisted
+        # fresh_bands doubles as the self-join band table (the signature
+        # pass runs once per batch, as in stream_neardup_index)
         pairs = minhash_lsh_pairs(
             fresh_docs, threshold=threshold, num_hashes=num_hashes,
             bands=bands, n=n, text_col=text_col, id_col=id_col,
+            bands_table=fresh_bands,
         )
     _write_batch_keyed(pairs.select("a_id", "b_id"), pairs_dir, epoch)
     _write_batch_keyed(fresh_bands, bands_dir, epoch)

@@ -56,6 +56,33 @@ def test_minhash_lsh_finds_exact_pairs(docs):
     assert got == expect
 
 
+def test_minhash_lsh_precomputed_bands_table_identical(docs):
+    # the streaming first-batch path passes its persisted
+    # minhash_band_table result into minhash_lsh_pairs so the signature
+    # pass is not recomputed — results must be IDENTICAL to the inline
+    # path (same hash family, same band slicing, same verify stage)
+    kw = dict(threshold=0.5, num_hashes=64, bands=32, n=3)
+    inline = {
+        (r.a_id, r.b_id, round(r.jaccard, 9))
+        for r in DD.minhash_lsh_pairs(docs, **kw).collect()
+    }
+    bt = DD.minhash_band_table(docs, num_hashes=64, bands=32, n=3)
+    via_table = {
+        (r.a_id, r.b_id, round(r.jaccard, 9))
+        for r in DD.minhash_lsh_pairs(docs, bands_table=bt, **kw).collect()
+    }
+    assert via_table == inline and len(inline) > 0
+
+
+def test_minhash_lsh_bands_table_rejects_pruning(docs):
+    bt = DD.minhash_band_table(docs, num_hashes=64, bands=32, n=3)
+    with pytest.raises(ValueError, match="bands_table"):
+        DD.minhash_lsh_pairs(
+            docs, num_hashes=64, bands=32, n=3,
+            bands_table=bt, max_shingle_freq=3,
+        )
+
+
 def test_minhash_signature_shape(docs):
     sig = DD.minhash_signatures(docs, num_hashes=16, n=3).collect()
     assert len(sig) == len(DOCS)
