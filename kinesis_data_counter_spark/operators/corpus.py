@@ -48,6 +48,16 @@ def clean_corpus(
     per-stage survivor counts a pipeline run reports.
     """
     cols = df.columns
+    # deliberately NOT persisted (unlike the corpus_curate_full builder's
+    # qual stage): round-12 quiet interleaved A/Bs (stash alternation,
+    # min-of-2 per process × 3 rounds, sf0.1) measured qual.persist() at
+    # 14.2/14.8/12.6 s vs 12.5/15.0/11.2 s unpersisted, and
+    # qual+exact.persist() at 14.4/14.6/16.7 s vs 12.8/13.8/13.2 s — the
+    # funnel's count branches need only the filter bit while a persist
+    # materializes the full text column, and the expensive LSH/window
+    # subtrees already read the persisted `kept` below. The regex-chain
+    # recompute is the cheaper side here; curate_full's trade goes the
+    # other way because its downstream consumers re-read the text.
     qual = quality_features(df, text_col).filter(F.col("quality_ok")).select(*cols)
     lang = detect_language_bulk(qual, text_col, id_col).filter(
         F.col("detected").isin(*languages)
