@@ -151,6 +151,54 @@ def load_tables(
 _NANO_TS_COLUMNS = {"events": ("ts",)}
 
 
+def _exchange_free_partitions(df: DataFrame) -> int | None:
+    """Partition count of ``df``'s physical plan when it can be read off
+    WITHOUT executing anything; None when it cannot.
+
+    ``df.rdd.getNumPartitions()`` under AQE *finalizes the adaptive plan*,
+    which eagerly EXECUTES every shuffle stage below it and then throws
+    the result away (the caller's real action replans and re-runs them) —
+    measured 3.3 s of discarded work for one composed quality→lang→dedup
+    plan at sf0.1, paid once per ``fan_out`` call site; at cluster scale
+    the same probe would pre-run the entire upstream pipeline. So the
+    probe here never finalizes: the non-adaptive physical plan is built
+    (planning only, no job), and its partition count is trusted only when
+    the plan contains NO Exchange — i.e. it is scans/caches plus narrow
+    ops, whose static count IS the runtime count (a 100 TB scan reports
+    its real thousands of splits, which is exactly the
+    no-op-at-cluster-scale case fan_out must detect). A plan WITH an
+    exchange reports only the static ``spark.sql.shuffle.partitions``,
+    which says nothing about the AQE-coalesced runtime count, so None is
+    returned and the caller re-spreads unconditionally (measured: losing
+    the re-spread serializes the downstream per-row-heavy stage locally
+    and costs far more than the extra tiny exchange; at scale the input
+    to a compute-bound stage is a gated subset and one exchange of it is
+    the documented price of engaging every core).
+    """
+    plan = df._jdf.queryExecution().sparkPlan()
+    plan_str = plan.toString()
+    if "Exchange" in plan_str:
+        # the OUTERMOST exchange (first in the top-down plan string) set
+        # the plan's partitioning. A user-specified repartition
+        # (REPARTITION_BY_COL/_NUM) is not AQE-coalescible, so its static
+        # count is the runtime count and can be trusted; any other origin
+        # (ENSURE_REQUIREMENTS) may be coalesced arbitrarily low.
+        first_ex = next(
+            ln for ln in plan_str.splitlines() if "Exchange" in ln
+        )
+        if "REPARTITION_BY" in first_ex:
+            return plan.outputPartitioning().numPartitions()
+        return None
+    spark = df.sparkSession
+    conf_key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(conf_key)
+    try:
+        spark.conf.set(conf_key, "false")
+        return df.rdd.getNumPartitions()
+    finally:
+        spark.conf.set(conf_key, prev)
+
+
 def fan_out(df: DataFrame, key=None, min_parts: int | None = None) -> DataFrame:
     """Give a compute-heavy stage at least session-level parallelism.
 
@@ -186,7 +234,8 @@ def fan_out(df: DataFrame, key=None, min_parts: int | None = None) -> DataFrame:
             int(spark.conf.get("spark.sql.shuffle.partitions")),
             spark.sparkContext.defaultParallelism,
         )
-    if df.rdd.getNumPartitions() >= n:
+    static_parts = _exchange_free_partitions(df)
+    if static_parts is not None and static_parts >= n:
         return df
     if key is None:
         return df.repartition(n)
