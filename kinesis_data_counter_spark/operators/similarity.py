@@ -529,18 +529,16 @@ def ivf_centroids(
         .collect()
     )
     cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
+    # per-dim means as F.expr SQL strings: dim Column objects cost one
+    # py4j round-trip per operator (see dedup.minhash_signatures); the
+    # parsed tree (`embedding[i]` = 0-based subscript = getItem) is
+    # identical
+    mean_exprs = [
+        F.expr(f"avg(CAST(embedding[{i}] AS DOUBLE)) AS m{i}") for i in range(dim)
+    ]
     for _ in range(refine_iters):
         assigned = ivf_assign(df, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
-        means = (
-            assigned.groupBy("list_id")
-            .agg(
-                *[
-                    F.avg(F.col("embedding").getItem(i).cast("double")).alias(f"m{i}")
-                    for i in range(dim)
-                ]
-            )
-            .collect()
-        )
+        means = assigned.groupBy("list_id").agg(*mean_exprs).collect()
         cents = [
             (int(r["list_id"]), [float(r[f"m{i}"]) for i in range(dim)]) for r in means
         ]
@@ -596,6 +594,22 @@ def ann_ivf_topk(
     )
 
 
+def _hit_ratio(
+    exact: DataFrame, approx: DataFrame, keys: list[str]
+) -> tuple[int, int]:
+    """(total, hits) of ``exact`` rows that appear in ``approx`` — in ONE
+    job. The naive ``exact.join(approx).count()`` + ``exact.count()`` pair
+    executes the brute-force ``exact`` subtree twice (it is never
+    persisted); a left join preserves exact's rows 1:1 (top-k lists are
+    key-distinct by construction), so one aggregate reads both numbers
+    off a single pass."""
+    j = exact.join(approx.withColumn("__hit", F.lit(1)), keys, "left")
+    row = j.agg(
+        F.count(F.lit(1)).alias("total"), F.count("__hit").alias("hits")
+    ).first()
+    return int(row["total"]), int(row["hits"])
+
+
 def ann_recall_check(
     corpus: DataFrame,
     queries: DataFrame,
@@ -618,8 +632,7 @@ def ann_recall_check(
     approx = ann(corpus, queries, dim, k, **ann_kwargs).select(
         "query_id", "neighbor_id"
     )
-    hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
-    total = exact.count()
+    total, hits = _hit_ratio(exact, approx, ["query_id", "neighbor_id"])
     recall = hits / total if total else 1.0
     spark = corpus.sparkSession
     return spark.createDataFrame(
@@ -726,8 +739,7 @@ def quantized_recall_check(
     quant = quantized_cosine_topk(corpus, queries, k, id_col, vec_col).select(
         "query_id", "neighbor_id"
     )
-    hits = exact.join(quant, ["query_id", "neighbor_id"]).count()
-    total = exact.count()
+    total, hits = _hit_ratio(exact, quant, ["query_id", "neighbor_id"])
     recall = hits / total if total else 1.0
     spark = corpus.sparkSession
     return spark.createDataFrame(
@@ -1093,8 +1105,7 @@ def ivf_pq_recall_check(
     approx = ivf_pq_topk(
         corpus, queries, dim, k, id_col=id_col, vec_col=vec_col, **kwargs
     ).select("query_id", "neighbor_id")
-    hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
-    total = exact.count()
+    total, hits = _hit_ratio(exact, approx, ["query_id", "neighbor_id"])
     recall = hits / total if total else 1.0
     spark = corpus.sparkSession
     return spark.createDataFrame(
@@ -1120,8 +1131,7 @@ def pq_recall_check(
     )
     approx = pq_topk(corpus, queries, dim, k, id_col=id_col, vec_col=vec_col,
                      **pq_kwargs).select("query_id", "neighbor_id")
-    hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
-    total = exact.count()
+    total, hits = _hit_ratio(exact, approx, ["query_id", "neighbor_id"])
     recall = hits / total if total else 1.0
     spark = corpus.sparkSession
     return spark.createDataFrame(
@@ -1596,8 +1606,14 @@ def knn_agreement_check(
     fast = knn_classify_bucketed(
         labeled, queries, dim, k, method, id_col, vec_col, label_col, **ann_kwargs
     ).select(F.col(id_col).alias("qid"), F.col("predicted_label").alias("l_fast"))
-    total = brute.count()
-    agree = brute.join(fast, "qid").filter(F.col("l_exact") == F.col("l_fast")).count()
+    # one pass over the brute subtree: a left join preserves brute's rows
+    # 1:1 (fast has at most one row per qid), so total and the agreeing
+    # subset come from a single aggregate instead of two full jobs
+    row = brute.join(fast, "qid", "left").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col("l_exact") == F.col("l_fast"), 1)).alias("agree"),
+    ).first()
+    total, agree = int(row["total"]), int(row["agree"])
     agreement = agree / total if total else 1.0
     spark = labeled.sparkSession
     return spark.createDataFrame(
@@ -1652,8 +1668,7 @@ def knn_bucketed_recall_check(
     fast = _bucketed_topk(
         labeled, queries, dim, k, method, id_col, vec_col, **ann_kwargs
     ).select("qid", "rid")
-    total = brute.count()
-    hits = brute.join(fast, ["qid", "rid"]).count()
+    total, hits = _hit_ratio(brute, fast, ["qid", "rid"])
     recall = hits / total if total else 1.0
     spark = labeled.sparkSession
     return spark.createDataFrame(
