@@ -58,7 +58,14 @@ def clean_corpus(
     # subtrees already read the persisted `kept` below. The regex-chain
     # recompute is the cheaper side here; curate_full's trade goes the
     # other way because its downstream consumers re-read the text.
-    qual = quality_features(df, text_col).filter(F.col("quality_ok")).select(*cols)
+    # fan_out_key=id_col: the language aggregate and the kept join below
+    # are keyed on the id, so the quality fan-out exchange is the ONLY
+    # shuffle the quality→language→join chain pays (guide §2.4)
+    qual = (
+        quality_features(df, text_col, fan_out_key=id_col)
+        .filter(F.col("quality_ok"))
+        .select(*cols)
+    )
     lang = detect_language_bulk(qual, text_col, id_col).filter(
         F.col("detected").isin(*languages)
     )

@@ -128,7 +128,9 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(chunks)
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str = "text", fan_out_key: str | None = None
+) -> DataFrame:
     """Append quality-signal columns used for corpus filtering.
 
     - n_tokens: whitespace tokens
@@ -136,16 +138,39 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     - punct_ratio: punctuation chars / chars
     - stopword_ratio: English stopword tokens / tokens
     - quality_ok: the composite keep/drop gate
+
+    ``fan_out_key``: column to hash-partition on for the fan-out. Callers
+    whose downstream work is keyed on a row id (the curation funnels:
+    quality gate → per-id language aggregate → gate join on the id)
+    should pass that id so ONE exchange serves the whole chain — the
+    language groupBy and the gate join then consume this partitioning
+    instead of re-shuffling (guide §2.4: two operations keyed the same
+    way share one exchange). Default hashes the text itself (no id
+    required by this signature).
     """
-    # regex feature extraction dominates the exchange cost; hash on the
-    # text itself (no id column in this signature): one cheap xxhash64
+    # regex feature extraction dominates the exchange cost
     from pyspark.sql import functions as _F
-    df = fan_out(df, _F.xxhash64(_F.col(text_col)))
+    df = fan_out(
+        df,
+        _F.col(fan_out_key)
+        if fan_out_key is not None
+        else _F.xxhash64(_F.col(text_col)),
+    )
     t = F.col(text_col)
-    n_tok = token_count(t)
+    # ONE tokenization shared by n_tokens and stopword_ratio (lowering
+    # changes no whitespace, so the split is identical either way) and
+    # regexp_count instead of build-the-replaced-string + length: the
+    # original token_count + _word_hits + regexp_replace formulation ran
+    # two full splits and materialized a punctuation-stripped copy of
+    # every document per row — same outputs, ~one regex pass less
+    # (guide §1.2 "per-task work"; outputs are bit-identical, see the
+    # equivalence notes in OPTIMIZATION_r12.md)
+    t_trim = F.trim(t)
+    toks = F.split(F.lower(t_trim), r"\s+")
+    n_tok = F.when(t_trim == "", F.lit(0)).otherwise(F.size(toks))
     n_chars_c = F.length(t)
-    punct = n_chars_c - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
-    stop_hits = _word_hits(t, STOPWORDS)
+    punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    stop_hits = _token_hits(toks, STOPWORDS)
     mean_tok = F.when(n_tok > 0, n_chars_c.cast("double") / n_tok).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars_c > 0, punct.cast("double") / n_chars_c).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(F.lit(0.0))

@@ -2365,7 +2365,7 @@ def _q_corpus_curate_full(spark, sf_dir):
     # consumers × the quality-regex chain recompute > one bounded-slice
     # materialization) — it stays.
     qual = (
-        TX.quality_features(base, "text")
+        TX.quality_features(base, "text", fan_out_key="doc_id")
         .filter(F.col("quality_ok"))
         .select(*cols)
         .persist()
@@ -2407,7 +2407,7 @@ def _q_corpus_curate_semantic(spark, sf_dir):
     docs, emb = _tables(spark, sf_dir, "documents", "embeddings")
     base = docs.select("doc_id", "text")
     qual = (
-        TX.quality_features(base, "text")
+        TX.quality_features(base, "text", fan_out_key="doc_id")
         .filter(F.col("quality_ok"))
         .select("doc_id", "text")
     )
@@ -2580,7 +2580,9 @@ def _q_text_lang_id(spark, sf_dir):
 
 def _q_text_quality(spark, sf_dir):
     (docs,) = _tables(spark, sf_dir, "documents")
-    return TX.quality_features(docs).select(
+    # fan_out_key=doc_id: hashing the 8-byte id for the fan-out exchange
+    # beats hashing every document's full text (same spread, ids unique)
+    return TX.quality_features(docs, fan_out_key="doc_id").select(
         "doc_id", "n_tokens", "mean_token_len", "punct_ratio", "stopword_ratio", "quality_ok"
     )
 

@@ -1161,7 +1161,9 @@ def _curate_batch(
             return None
 
     base = batch_df.select(id_col, text_col).persist()
-    qual = TX.quality_features(base, text_col)
+    # fan_out_key=id_col: the lang aggregate + gate join downstream are
+    # id-keyed — one exchange serves the whole per-batch gate chain
+    qual = TX.quality_features(base, text_col, fan_out_key=id_col)
     lang = TX.detect_language_bulk(
         qual.filter(F.col("quality_ok")).select(id_col, text_col),
         text_col, id_col,

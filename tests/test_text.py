@@ -57,6 +57,35 @@ def test_quality_features(spark):
     assert got[2].punct_ratio > 0.5
 
 
+def test_quality_features_shared_split_edges(spark):
+    # pins the round-12 single-tokenization + regexp_count rewrite against
+    # the original token_count/_word_hits/regexp_replace semantics on the
+    # edge rows where they could plausibly diverge: NULL, empty,
+    # whitespace-only (trim-before-split), leading/trailing whitespace
+    # (the old stopword split was untrimmed), mixed \t\n whitespace, and
+    # non-ASCII punctuation counting
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "  the  quick fox is here  "),
+        (5, "a\t b\nc"),
+        (6, "汉字 的 是 test!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in TX.quality_features(df).collect()}
+    assert got[1].n_tokens is None and got[1].quality_ok is False
+    assert got[2].n_tokens == 0 and got[2].mean_token_len == 0.0
+    assert got[3].n_tokens == 0  # trim-first: whitespace-only is empty
+    # leading/trailing whitespace adds no tokens and no stopword hits
+    assert got[4].n_tokens == 5
+    assert got[4].stopword_ratio == round(2 / 5, 4)
+    assert got[5].n_tokens == 3  # \t and \n are token separators
+    # Java \w is ASCII-only: the 4 CJK chars + '!' all count as
+    # punctuation (same under the old regexp_replace formulation)
+    assert got[6].punct_ratio == round(5 / 12, 4)
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "hello world"), (3, "different")],
