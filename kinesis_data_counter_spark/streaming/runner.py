@@ -485,7 +485,7 @@ def _segment_dedup_batch(
     )
     try:
         seen = (
-            spark.read.parquet(idx_dir)
+            _batch_keyed_reader(spark, idx_dir).parquet(idx_dir)
             .where(F.col("batch") != epoch)  # replay safety
             .select("__h")
         )
@@ -553,12 +553,37 @@ def _write_batch_keyed(df: DataFrame, root: str, epoch: int) -> None:
     lands as one right-sized file while a production-sized batch still
     fans out across the cluster — the same code path at both scales."""
     df.hint("rebalance").write.mode("overwrite").parquet(f"{root}/batch={epoch}")
+    # record the written schema so same-process readers skip parquet
+    # schema inference (footer sampling): measured ~0.1 s per inferred
+    # read vs ~0.03 s with an explicit schema, and a streaming drain does
+    # ~3 history reads per batch plus the final drained-table reads. At
+    # production scale footer-sampling a many-file table is strictly
+    # worse. Schema only — never results; a fresh process (crash replay,
+    # external reader) simply falls back to inference.
+    _WRITTEN_SCHEMAS[root] = df.schema
+
+
+# process-local registry of batch-keyed table schemas, keyed by table root
+_WRITTEN_SCHEMAS: dict[str, "T.StructType"] = {}
+
+
+def _batch_keyed_reader(spark: SparkSession, root: str):
+    """A parquet reader for a ``_write_batch_keyed`` table, with the
+    explicit written schema (+ the ``batch`` partition column) when this
+    process wrote the table."""
+    sch = _WRITTEN_SCHEMAS.get(root)
+    if sch is None:
+        return spark.read
+    full = T.StructType(
+        list(sch.fields) + [T.StructField("batch", T.IntegerType())]
+    )
+    return spark.read.schema(full)
 
 
 def _read_batch_keyed(spark: SparkSession, root: str) -> DataFrame:
     """Read a ``_write_batch_keyed`` table; the lifted ``batch`` partition
     column is an implementation detail and is dropped."""
-    return spark.read.parquet(root).drop("batch")
+    return _batch_keyed_reader(spark, root).parquet(root).drop("batch")
 
 
 def stream_neardup_index(
@@ -1151,7 +1176,7 @@ def _curate_batch(
         # exclude this epoch's own (possibly crashed, partial) write
         try:
             return (
-                spark.read.parquet(root)
+                _batch_keyed_reader(spark, root).parquet(root)
                 .where(F.col("batch") != epoch)
                 .drop("batch")
             )
