@@ -1143,14 +1143,27 @@ def _q_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("spend"),
     ).persist()
-    seg = per_cust.select("o_custkey")
-    for col, out in (("last_order", "r_q"), ("n_orders", "f_q"), ("spend", "m_q")):
-        tiles = global_ntile(
+    # the three dimension ntiles are INDEPENDENT range-partition + offset
+    # computations, each with driver-side collects (partition counts) that
+    # otherwise serialize three small job waves; build them concurrently
+    # so each wave back-fills the others' stragglers (guide §2.6 overlap
+    # of independent jobs). Result DataFrames are deterministic, so the
+    # lazy join below is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _tiles(col: str, out: str):
+        return global_ntile(
             per_cust.select("o_custkey", col),
             [F.col(col).asc(), F.col("o_custkey").asc()],
             n_tiles=4,
             out_col=out,
         ).select("o_custkey", out)
+
+    dims = (("last_order", "r_q"), ("n_orders", "f_q"), ("spend", "m_q"))
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        tile_dfs = list(pool.map(lambda d: _tiles(*d), dims))
+    seg = per_cust.select("o_custkey")
+    for tiles in tile_dfs:
         seg = seg.join(tiles, "o_custkey")
     return seg.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_customers"),
