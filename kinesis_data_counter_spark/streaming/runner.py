@@ -530,8 +530,11 @@ def _segment_dedup_batch(
             ),
         )
     )
-    _write_batch_keyed(out, out_dir, epoch)
-    _write_batch_keyed(fresh.select("__h"), idx_dir, epoch)
+    # both tables consume the persisted fresh/chunks cutpoints and are
+    # otherwise independent — concurrent jobs (guide §2.6)
+    _write_batch_keyed_many(
+        [(out, out_dir), (fresh.select("__h"), idx_dir)], epoch
+    )
     fresh.unpersist()
     chunks.unpersist()
 
@@ -565,6 +568,33 @@ def _write_batch_keyed(df: DataFrame, root: str, epoch: int) -> None:
 
 # process-local registry of batch-keyed table schemas, keyed by table root
 _WRITTEN_SCHEMAS: dict[str, "T.StructType"] = {}
+
+
+def _write_batch_keyed_many(items, epoch: int) -> None:
+    """Run several independent batch-keyed writes as CONCURRENT jobs
+    (guide §2.6: actions are only sequential because driver code calls
+    them sequentially; submitting independent jobs from a small thread
+    pool lets each job's tasks back-fill executors idled by the others'
+    stragglers). Safe here because the writes target disjoint table
+    roots and every shared upstream is persisted — concurrent
+    materialization of a cached parent is serialized per block by the
+    block manager's write locks, so the parent still computes once.
+
+    ``items``: sequence of (df, root) pairs.
+    """
+    if len(items) == 1:
+        df, root = items[0]
+        _write_batch_keyed(df, root, epoch)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(items)) as pool:
+        futures = [
+            pool.submit(_write_batch_keyed, df, root, epoch)
+            for df, root in items
+        ]
+        for f in futures:
+            f.result()
 
 
 def _batch_keyed_reader(spark: SparkSession, root: str):
@@ -666,13 +696,20 @@ def stream_neardup_index(
                 bands=bands, n=n, text_col=text_col, id_col=id_col,
                 bands_table=inc_bands,
             )
-        _write_batch_keyed(pairs, pairs_dir, epoch)
-        _write_batch_keyed(inc_bands, bands_dir, epoch)
-        _write_batch_keyed(
-            batch_df.select(
-                F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
-            ),
-            docs_dir,
+        # independent consumers of the persisted batch_df/inc_bands
+        # cutpoints — write them as concurrent jobs (guide §2.6)
+        _write_batch_keyed_many(
+            [
+                (pairs, pairs_dir),
+                (inc_bands, bands_dir),
+                (
+                    batch_df.select(
+                        F.col(id_col).alias(id_col),
+                        F.col(text_col).alias(text_col),
+                    ),
+                    docs_dir,
+                ),
+            ],
             epoch,
         )
         inc_bands.unpersist()
@@ -741,8 +778,10 @@ def stream_ann_index(
         )
         inv = ivf_assign(batch_df, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
         codes = pq_encode(inv, books, "vec_id", "embedding", keep=("list_id",))
-        _write_batch_keyed(codes, index_dir, epoch)
-        _write_batch_keyed(batch_df.select(id_col, vec_col), vecs_dir, epoch)
+        _write_batch_keyed_many(
+            [(codes, index_dir), (batch_df.select(id_col, vec_col), vecs_dir)],
+            epoch,
+        )
         batch_df.unpersist()
 
     q = (
@@ -921,10 +960,16 @@ def stream_classifier_gate(
             admit = admit & F.coalesce(
                 F.col("margin") >= min_margin, F.lit(False)
             )
-        _write_batch_keyed(routed.filter(admit), accepted_dir, epoch)
-        _write_batch_keyed(
-            routed.filter(~admit).unionByName(no_id.select(*routed.columns)),
-            rejected_dir,
+        _write_batch_keyed_many(
+            [
+                (routed.filter(admit), accepted_dir),
+                (
+                    routed.filter(~admit).unionByName(
+                        no_id.select(*routed.columns)
+                    ),
+                    rejected_dir,
+                ),
+            ],
             epoch,
         )
         routed.unpersist()
@@ -1250,9 +1295,16 @@ def _curate_batch(
             bands=bands, n=n, text_col=text_col, id_col=id_col,
             bands_table=fresh_bands,
         )
-    _write_batch_keyed(pairs.select("a_id", "b_id"), pairs_dir, epoch)
-    _write_batch_keyed(fresh_bands, bands_dir, epoch)
-    _write_batch_keyed(fresh_docs, docs_dir, epoch)
+    # the three tail tables are independent consumers of the persisted
+    # fresh/fresh_bands cutpoints — write them as concurrent jobs
+    _write_batch_keyed_many(
+        [
+            (pairs.select("a_id", "b_id"), pairs_dir),
+            (fresh_bands, bands_dir),
+            (fresh_docs, docs_dir),
+        ],
+        epoch,
+    )
     fresh_bands.unpersist()
     fresh.unpersist()
     gated.unpersist()
