@@ -594,6 +594,24 @@ def ann_ivf_topk(
     )
 
 
+def _materialize_async(df: DataFrame):
+    """Kick off a noop-sink materialization of a PERSISTED DataFrame in a
+    background thread and return the future. The recall checks use this
+    to overlap the exact brute-force job with the driver-side model
+    training of the approximate side (guide §2.6: the trainings are
+    sequential collect jobs that would otherwise leave the exact subtree
+    waiting); the final hit-ratio job then reads the exact side from
+    cache. Persistence (and unpersist) stay caller-managed."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(
+        lambda: df.write.format("noop").mode("overwrite").save()
+    )
+    pool.shutdown(wait=False)
+    return fut
+
+
 def _hit_ratio(
     exact: DataFrame, approx: DataFrame, keys: list[str]
 ) -> tuple[int, int]:
@@ -628,11 +646,23 @@ def ann_recall_check(
     ``method``: 'lsh' (hyperplane multi-table) or 'ivf' (inverted lists).
     """
     exact = cosine_topk(corpus, queries, k).select("query_id", "neighbor_id")
+    fut = None
+    if method == "ivf":
+        # IVF trains its coarse quantizer with sequential driver-side
+        # collect jobs — overlap the exact brute-force with them. LSH has
+        # no training jobs, so there the single fused hit-ratio job
+        # already runs both subtrees and a split would only serialize it.
+        exact = exact.persist()
+        fut = _materialize_async(exact)
     ann = ann_ivf_topk if method == "ivf" else ann_lsh_topk
     approx = ann(corpus, queries, dim, k, **ann_kwargs).select(
         "query_id", "neighbor_id"
     )
+    if fut is not None:
+        fut.result()
     total, hits = _hit_ratio(exact, approx, ["query_id", "neighbor_id"])
+    if fut is not None:
+        exact.unpersist()
     recall = hits / total if total else 1.0
     spark = corpus.sparkSession
     return spark.createDataFrame(
@@ -793,10 +823,18 @@ def pq_train_codebooks(
     books = np.empty((m, ksub, dsub), dtype=np.float64)
     for j in range(m):
         sub = x[:, j * dsub : (j + 1) * dsub]
-        # deterministic init: first ksub distinct subvectors in ticket order
+        # deterministic init: first ksub distinct subvectors in ticket
+        # order. Membership via a bytes set — the previous
+        # any(np.array_equal(...)) scan was O(rows × ksub) pure-Python
+        # (~0.8 s of driver time at ksub=256 per training). `+ 0.0`
+        # canonicalizes -0.0 so bytes equality matches the numeric
+        # equality the array_equal scan used.
         seen: list[np.ndarray] = []
+        seen_keys: set[bytes] = set()
         for row in sub:
-            if not any(np.array_equal(row, s) for s in seen):
+            key = (row + 0.0).tobytes()
+            if key not in seen_keys:
+                seen_keys.add(key)
                 seen.append(row)
             if len(seen) == ksub:
                 break
@@ -985,12 +1023,29 @@ def ivf_pq_topk(
 
     Output: (query_id, rank, neighbor_id, sim) — sim is EXACT cosine.
     """
-    cents = centroids or ivf_centroids(corpus, num_lists, dim, id_col, vec_col)
-    books = (
-        codebooks
-        if codebooks is not None
-        else pq_train_codebooks(corpus, dim, m, ksub, id_col=id_col, vec_col=vec_col)
-    )
+    if centroids is None and codebooks is None:
+        # the two model trainings are independent (each reads the corpus;
+        # IVF runs 3 small collect jobs, PQ one collect + driver numpy) —
+        # train them concurrently so the PQ sample job back-fills the IVF
+        # refinement waves (guide §2.6: overlap independent jobs)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_c = pool.submit(
+                ivf_centroids, corpus, num_lists, dim, id_col, vec_col
+            )
+            fut_b = pool.submit(
+                pq_train_codebooks, corpus, dim, m, ksub,
+                id_col=id_col, vec_col=vec_col,
+            )
+            cents, books = fut_c.result(), fut_b.result()
+    else:
+        cents = centroids or ivf_centroids(corpus, num_lists, dim, id_col, vec_col)
+        books = (
+            codebooks
+            if codebooks is not None
+            else pq_train_codebooks(corpus, dim, m, ksub, id_col=id_col, vec_col=vec_col)
+        )
     # ONE corpus pass projects both the coarse list and the code row —
     # list assignment and encoding are map-only, so no join is needed
     inv = ivf_assign(corpus, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
@@ -1101,11 +1156,16 @@ def ivf_pq_recall_check(
     floor sits below the single-technique checks by design."""
     exact = cosine_topk(corpus, queries, k, id_col, vec_col).select(
         "query_id", "neighbor_id"
-    )
+    ).persist()
+    # overlap the exact brute-force with the (already-concurrent) IVF +
+    # PQ model trainings (guide §2.6)
+    fut = _materialize_async(exact)
     approx = ivf_pq_topk(
         corpus, queries, dim, k, id_col=id_col, vec_col=vec_col, **kwargs
     ).select("query_id", "neighbor_id")
+    fut.result()
     total, hits = _hit_ratio(exact, approx, ["query_id", "neighbor_id"])
+    exact.unpersist()
     recall = hits / total if total else 1.0
     spark = corpus.sparkSession
     return spark.createDataFrame(
@@ -1128,10 +1188,15 @@ def pq_recall_check(
     force — the property-check oracle pattern for the quantizer."""
     exact = cosine_topk(corpus, queries, k, id_col, vec_col).select(
         "query_id", "neighbor_id"
-    )
+    ).persist()
+    # overlap the exact brute-force with PQ's codebook-training collect +
+    # driver-side k-means (guide §2.6)
+    fut = _materialize_async(exact)
     approx = pq_topk(corpus, queries, dim, k, id_col=id_col, vec_col=vec_col,
                      **pq_kwargs).select("query_id", "neighbor_id")
+    fut.result()
     total, hits = _hit_ratio(exact, approx, ["query_id", "neighbor_id"])
+    exact.unpersist()
     recall = hits / total if total else 1.0
     spark = corpus.sparkSession
     return spark.createDataFrame(
