@@ -211,6 +211,43 @@ def test_connected_components_chain_and_triangle(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_fast_path_matches_loop(spark):
+    # the bounded union-find fast path (pairs ≤ _CC_COLLECT_MAX) must be
+    # bit-identical to the distributed label-propagation loop — rows,
+    # values AND schema — on chains, stars, dupes/self-loops and a
+    # random graph; the empty graph must come back empty on both paths
+    import random
+
+    import kinesis_data_counter_spark.operators.dedup as DD
+
+    random.seed(7)
+    cases = {
+        "chain": [(i, i + 1) for i in range(40)],
+        "star": [(0, i) for i in range(1, 25)],
+        "dupes+selfloops": [(1, 2), (2, 1), (3, 3), (1, 2)],
+        "random": [
+            (random.randrange(200), random.randrange(200)) for _ in range(300)
+        ],
+        "empty": [],
+    }
+    for name, edges in cases.items():
+        df = spark.createDataFrame(
+            edges or [(None, None)], "a_id long, b_id long"
+        )
+        if not edges:
+            df = df.filter(F.lit(False))
+        fast = DD.connected_components(df)
+        saved = DD._CC_COLLECT_MAX
+        DD._CC_COLLECT_MAX = -1  # force the distributed loop
+        try:
+            slow = DD.connected_components(df)
+            diff = fast.exceptAll(slow).count() + slow.exceptAll(fast).count()
+        finally:
+            DD._CC_COLLECT_MAX = saved
+        assert diff == 0, name
+        assert fast.schema == slow.schema, name
+
+
 def test_shingle_word_hash_projection_stays_separate(spark):
     # the word-hash array must survive as its own projection: if a
     # refactor collapses it into the shingle-combiner lambda, the word
