@@ -347,10 +347,14 @@ def pagerank(
         F.round(F.lit(1.0 / n_nodes), 6).alias("rank"),
     )
     for _ in range(iters):
-        # materialize + truncate lineage each round (the dedup_clusters
-        # iteration discipline) — the rank table is |domains|-sized
+        # truncate lineage each round (the dedup_clusters iteration
+        # discipline) — the rank table is |domains|-sized. LAZY checkpoint:
+        # the dangling-mass collect below is this round's first action and
+        # materializes it, so each iteration costs ONE job instead of two
+        # (eager checkpoint + collect) — the connected_components
+        # convergence-agg pattern.
         if checkpoint:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
         dangling = (
             ranks.where(F.col("out_deg") == 0).agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")

@@ -244,6 +244,7 @@ def _q_text_jq_normalize(spark, sf_dir):
     # squeeze + one-space trim is chosen so jq's ltrimstr/rtrimstr equals
     # SQL trim exactly.
     from kinesis_data_counter_spark.jq import apply_jq_generic
+    from kinesis_data_counter_spark.session import fan_out
 
     (docs,) = _tables(spark, sf_dir, "documents")
     program = r"""
@@ -254,7 +255,12 @@ def ndigits: [match("[0-9]"; "g")] | length;
  nd: (if .text == null then null else (.text | ndigits) end),
  has_url: (if .text == null then null else (.text | test("https?://")) end)}
 """
-    out = apply_jq_generic(docs.select("doc_id", "text"), program)
+    # fan_out: the single-file local fixture plans as ONE scan task, so
+    # the per-record interpreter (regex-heavy) serializes on one core;
+    # apply_jq_generic is per-record, so partitioning cannot change the
+    # (order-insensitively compared) result set. Guide §2: a real
+    # deployment's input arrives in many splits — fan_out is a no-op there.
+    out = apply_jq_generic(fan_out(docs.select("doc_id", "text"), "doc_id"), program)
     return out.select(
         F.from_json("value", "id long, clean string, nd long, has_url boolean").alias("r")
     ).select("r.*")
@@ -268,6 +274,7 @@ def _q_text_jq_export(spark, sf_dir):
     # machinery. NULL text follows jq: a null @csv cell is empty, @sh /
     # @html / @base64 stringify null to "null".
     from kinesis_data_counter_spark.jq import apply_jq_generic
+    from kinesis_data_counter_spark.session import fan_out
 
     (docs,) = _tables(spark, sf_dir, "documents")
     program = r"""
@@ -280,7 +287,11 @@ def _q_text_jq_export(spark, sf_dir):
       else [foreach (.text | splits(" "; null)) as $w (0; . + 1)] | last
       end)}
 """
-    out = apply_jq_generic(docs.select("doc_id", "lang", "text"), program)
+    # fan_out: same single-scan-task serialization as text_jq_normalize —
+    # per-record program, partitioning-invariant result set
+    out = apply_jq_generic(
+        fan_out(docs.select("doc_id", "lang", "text"), "doc_id"), program
+    )
     return out.select(
         F.from_json(
             "value",
@@ -305,12 +316,24 @@ def _q_counter_jq_stream_fold(spark, sf_dir):
     # object keys must be strings) and is restored to NULL on output —
     # differential-pinned against /usr/bin/jq in test_jq_differential.py.
     from kinesis_data_counter_spark.jq import apply_jq_stream
+    from kinesis_data_counter_spark.session import fan_out
 
     (ev,) = _tables(spark, sf_dir, "events")
-    prepped = ev.select(
-        F.col("event_type").alias("et"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-        F.col("event_id").alias("id"),
+    # fan_out: the single-file local fixture plans as ONE scan task, so the
+    # whole 100k-row interpreter fold ran on one core. The fold is
+    # commutative-associative BY CONSTRUCTION (count/sum/min — that is this
+    # entry's documented partitioning-invariance contract, and the final
+    # groupBy merges per-partition partials), so spreading the stream over
+    # the session's cores changes only which partial each row lands in,
+    # never the merged result. Guide §2/§4: engage every core on the
+    # Python-boundary stage; no-op on a real many-split source.
+    prepped = fan_out(
+        ev.select(
+            F.col("event_type").alias("et"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.col("event_id").alias("id"),
+        ),
+        "id",
     )
     program = r"""
 reduce inputs as $r ({};
@@ -545,14 +568,26 @@ def _ordered_doc_slices(spark, sf_dir, prefix, n=3):
     os.makedirs(src)
     cuts = docs.approxQuantile("doc_id", [k / n for k in range(1, n)], 0.001)
     bounds = [None, *cuts, None]
-    for k in range(n):
+
+    # the n slice writes are independent single-file jobs over the same
+    # tiny cached scan — run them concurrently (guide §2.6) so each job's
+    # single write task back-fills the others' scheduling gaps; the mtime
+    # stamping that defines arrival order happens AFTER all writes, in
+    # slice order, so the drain order is exactly the sequential loop's
+    def _write_slice(k: int) -> None:
         part = docs
         if bounds[k] is not None:
             part = part.filter(F.col("doc_id") >= bounds[k])
         if bounds[k + 1] is not None:
             part = part.filter(F.col("doc_id") < bounds[k + 1])
+        part.coalesce(1).write.parquet(os.path.join(src, f"slice{k}"))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n) as pool:
+        list(pool.map(_write_slice, range(n)))
+    for k in range(n):
         pdir = os.path.join(src, f"slice{k}")
-        part.coalesce(1).write.parquet(pdir)
         t = _time.time() + k  # strictly increasing mtimes = arrival order
         for f in os.listdir(pdir):
             if f.endswith(".parquet"):

@@ -1248,12 +1248,6 @@ def _curate_batch(
         )
         .persist()
     )
-    _write_batch_keyed(
-        gated.filter(F.col("__reason").isNotNull())
-        .select(id_col, F.col("__reason").alias("reason")),
-        rejected_dir,
-        epoch,
-    )
     kept = gated.filter(F.col("__reason").isNull()).select(id_col, text_col)
 
     # exact dedup: batch-local min-id winner per content hash, then
@@ -1269,7 +1263,6 @@ def _curate_batch(
     fresh = (
         winners.join(seen, "__h", "left_anti") if seen is not None else winners
     ).persist()
-    _write_batch_keyed(fresh.select("__h"), hash_dir, epoch)
 
     # near-dup pairs touching this batch's exact survivors. The batch's
     # band table has three exchange-incompatible consumers (probe side,
@@ -1295,10 +1288,25 @@ def _curate_batch(
             bands=bands, n=n, text_col=text_col, id_col=id_col,
             bands_table=fresh_bands,
         )
-    # the three tail tables are independent consumers of the persisted
-    # fresh/fresh_bands cutpoints — write them as concurrent jobs
+    # ALL five tail tables are independent consumers of the persisted
+    # base/gated/fresh/fresh_bands cutpoints — write them as ONE wave of
+    # concurrent jobs (guide §2.6). The rejected and content-hash writes
+    # used to run as two earlier sequential waves, paying two extra job
+    # tails per micro-batch; nothing reads rejected_dir, and nothing in
+    # this batch reads hash_dir (the exact-dedup anti-join read its
+    # HISTORY — epoch != N — before this point), so ordering among the
+    # five writes is free. Shared cached parents still compute once
+    # (block-manager write locks), exactly as in the three-way wave this
+    # replaces, and each batch=N directory is still overwritten whole on
+    # crash replay, so the idempotency contract is unchanged.
     _write_batch_keyed_many(
         [
+            (
+                gated.filter(F.col("__reason").isNotNull())
+                .select(id_col, F.col("__reason").alias("reason")),
+                rejected_dir,
+            ),
+            (fresh.select("__h"), hash_dir),
             (pairs.select("a_id", "b_id"), pairs_dir),
             (fresh_bands, bands_dir),
             (fresh_docs, docs_dir),
