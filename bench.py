@@ -759,19 +759,34 @@ def main() -> None:
     sf1_spot: dict[str, dict] = {}
     if os.environ.get("SPARK_BENCH_SF1", "1") == "1" and SF_DIR.rstrip("/").endswith("sf0.1"):
         try:
-            from scripts.gen_scale_fixtures import ensure_sf1
+            from scripts.gen_scale_fixtures import (
+                ensure_sf1,
+                ensure_sf1_relational,
+            )
 
             sf1_dir = ensure_sf1(SF_DIR)
+            # the spot list reads orders (rfm_segments_sketch) and the web
+            # fixture tables, not just documents/embeddings/events — on a
+            # fresh machine the sf1 directory must be extended with the
+            # 10x relational tables too, or the whole spot block dies with
+            # KeyError('orders') and every spot/floor/decade measurement
+            # is lost (observed once in r12; both ensure_* are idempotent)
+            ensure_sf1_relational(SF_DIR)
             for name in SF1_SPOT_QUERIES:
                 best = None
-                for _ in range(2):
-                    t0 = time.time()
-                    QUERIES[name].builder(spark, sf1_dir).write.format(
-                        "noop"
-                    ).mode("overwrite").save()
-                    dt = time.time() - t0
-                    best = dt if best is None else min(best, dt)
-                    spark.catalog.clearCache()  # see main loop
+                try:
+                    for _ in range(2):
+                        t0 = time.time()
+                        QUERIES[name].builder(spark, sf1_dir).write.format(
+                            "noop"
+                        ).mode("overwrite").save()
+                        dt = time.time() - t0
+                        best = dt if best is None else min(best, dt)
+                        spark.catalog.clearCache()  # see main loop
+                except Exception as e:  # isolate: one broken spot must not
+                    # erase the other spots' measurements
+                    sf1_spot[name] = {"error": f"{type(e).__name__}: {e}"}
+                    continue
                 ratio = round(best / timings[name], 2) if timings.get(name) else None
                 entry = {
                     "sf0.1_s": timings.get(name),
@@ -845,8 +860,10 @@ def main() -> None:
                         else "SUPERLINEAR: investigate"
                     )
                     sf1_spot[name]["sf10_cause"] = SF10_CAUSES[name]
-        except Exception as e:  # spot-bench must never sink the main metric
-            sf1_spot = {"error": f"{type(e).__name__}: {e}"}
+        except Exception as e:  # spot-bench must never sink the main metric;
+            # keep whatever spots already measured (r12: a fixture
+            # KeyError here used to erase the entire spot map)
+            sf1_spot["error"] = f"{type(e).__name__}: {e}"
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
