@@ -786,6 +786,10 @@ def main() -> None:
                 except Exception as e:  # isolate: one broken spot must not
                     # erase the other spots' measurements
                     sf1_spot[name] = {"error": f"{type(e).__name__}: {e}"}
+                    # the failed builder may have persisted tables before
+                    # raising; clear them so they can't skew the NEXT
+                    # spot's timing (they would count as warm cache there)
+                    spark.catalog.clearCache()
                     continue
                 ratio = round(best / timings[name], 2) if timings.get(name) else None
                 entry = {
@@ -863,7 +867,10 @@ def main() -> None:
         except Exception as e:  # spot-bench must never sink the main metric;
             # keep whatever spots already measured (r12: a fixture
             # KeyError here used to erase the entire spot map)
-            sf1_spot["error"] = f"{type(e).__name__}: {e}"
+            # reserved "__error__" key keeps sf1_spot's value shape uniform
+            # (every value is a dict): iterating sf1_spot.items() must not
+            # trip over a bare string (ADVICE r12)
+            sf1_spot["__error__"] = {"error": f"{type(e).__name__}: {e}"}
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

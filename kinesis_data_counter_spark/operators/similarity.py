@@ -594,6 +594,9 @@ def ann_ivf_topk(
     )
 
 
+_MATERIALIZE_POOL = None
+
+
 def _materialize_async(df: DataFrame):
     """Kick off a noop-sink materialization of a PERSISTED DataFrame in a
     background thread and return the future. The recall checks use this
@@ -601,15 +604,19 @@ def _materialize_async(df: DataFrame):
     training of the approximate side (guide §2.6: the trainings are
     sequential collect jobs that would otherwise leave the exact subtree
     waiting); the final hit-ratio job then reads the exact side from
-    cache. Persistence (and unpersist) stay caller-managed."""
+    cache. Persistence (and unpersist) stay caller-managed. One shared
+    module-level pool: the previous per-call executor with
+    ``shutdown(wait=False)`` leaked a thread per recall check."""
+    global _MATERIALIZE_POOL
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=1)
-    fut = pool.submit(
+    if _MATERIALIZE_POOL is None:
+        _MATERIALIZE_POOL = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="kdc-materialize"
+        )
+    return _MATERIALIZE_POOL.submit(
         lambda: df.write.format("noop").mode("overwrite").save()
     )
-    pool.shutdown(wait=False)
-    return fut
 
 
 def _hit_ratio(
@@ -1282,6 +1289,16 @@ def knn_classify(
     against the broadcast query block; only |queries|×k neighbor rows
     reach the ranking shuffle, then a tiny (query, label) vote aggregate.
     Output: (vec_id, predicted_label, votes bigint).
+
+    Round-13 adjudication: a mapInPandas kernel (corpus rows cross the
+    Arrow boundary once, per-partition top-k against a driver-collected
+    query matrix — guide §4.1/§8) was measured FLAT-TO-SLOWER composed
+    into every consumer entry (interleaved min-of-3 ×2:
+    knn_label_propagation 1.04→1.36 s, ann_hard_negative_agreement
+    2.95→3.12 s, knn_bucketed_recall 3.62→3.34 s was the one win) — the
+    kernel's eager query-collect job plus the label re-attach join cost
+    more than the duplicated-vector Arrow traffic it saved at fixture
+    candidate volumes. Reverted on that evidence; the cross-join stays.
     """
     global _batch_qdot_udf
     if _batch_qdot_udf is None:
@@ -1435,15 +1452,23 @@ def _bucketed_scored(
     if ann_kwargs:
         raise TypeError(f"unknown {method} kwargs: {sorted(ann_kwargs)}")
 
+    # score on the (shuffled, never broadcast) bucket equi-join; duplicate
+    # (qid, rid) collisions across tables/probes collapse in the same
+    # aggregate that dedups candidates — one shuffle for dedup+score.
+    # Round-13 adjudication: a dedup-ids-first variant (narrow (qid, rid)
+    # distinct, then vector-attach joins, then ONE scoring pass per
+    # distinct pair — guide §2.3/§8) measured FLAT in isolation and
+    # consistently ~0.8 s SLOWER composed into knn_bucketed_recall
+    # (interleaved min-of-3 ×3 rounds: 3.7/4.2/3.8 s old vs 4.5/4.7/5.0 s
+    # new) — the extra distinct exchange + two attach joins cost more
+    # than the duplicate-pair Arrow traffic they avoid at the fixture's
+    # low table-collision dup factor. Kept as-is on that evidence.
     qb = qb.select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), *keys
     )
     cb = cb.select(
         F.col("vec_id").alias("rid"), F.col("embedding").alias("cv"), *keys
     )
-    # score on the (shuffled, never broadcast) bucket equi-join; duplicate
-    # (qid, rid) collisions across tables/probes collapse in the same
-    # aggregate that dedups candidates — one shuffle for dedup+score
     return (
         cb.join(qb, keys)
         .filter(F.col("qid") != F.col("rid"))
@@ -1496,6 +1521,8 @@ def mine_hard_negatives(
     Plan shape = ``knn_classify``: the corpus scans UN-shuffled against the
     broadcast anchor block, so anchors must be a broadcast-sized slice;
     corpus-sized anchor sweeps go through ``mine_hard_negatives_bucketed``.
+    (A mapInPandas kernel variant was adjudicated against in round 13 —
+    see ``knn_classify``.)
     """
     global _batch_qdot_udf
     if _batch_qdot_udf is None:
@@ -1724,12 +1751,7 @@ def knn_bucketed_recall_check(
     pairs = c.join(F.broadcast(q), F.lit(True)).select(
         "qid", "rid", _batch_qdot_udf("qv", "cv").alias("dot")
     )
-    wn = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("rid").asc())
-    brute = (
-        pairs.withColumn("rk", F.row_number().over(wn))
-        .filter(F.col("rk") <= k)
-        .select("qid", "rid")
-    )
+    brute = _rank_topk(pairs, k).select("qid", "rid")
     fast = _bucketed_topk(
         labeled, queries, dim, k, method, id_col, vec_col, **ann_kwargs
     ).select("qid", "rid")

@@ -22,8 +22,29 @@ Scale notes:
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# pagerank collects edge tables up to this many DISTINCT edges to the
+# driver (two short strings per row — a few MB) and runs the power
+# iterations in-process instead of paying ~2 scheduled jobs per iteration
+# plus the node-count/degree jobs. The connected_components
+# _CC_COLLECT_MAX precedent: bounded in the model-artifact sense; larger
+# graphs take the unchanged distributed loop.
+_PR_COLLECT_MAX = 100_000
+
+
+def _round_half_up6(x: float) -> float:
+    """Python twin of Spark's ``round(x, 6)`` on DOUBLE: Catalyst rounds
+    through ``BigDecimal.valueOf(x)`` (= shortest decimal repr, exactly
+    ``repr(x)`` in Python) then HALF_UP at scale 6 — NOT banker's
+    rounding, so ``round()``/numpy (half-even) diverge on exact .5
+    boundaries. Pinned by test_pagerank_reference_vectors' differential."""
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
 
 # multi-label public suffixes the two-label default would mis-split; a
 # production deployment swaps in the full Mozilla public-suffix list via
@@ -316,6 +337,31 @@ def pagerank(
         F.col(dst_col).cast("string").alias("dst"),
     ).where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()).distinct()
     e = e.persist()
+    # Bounded-graph fast path (the connected_components _CC_COLLECT_MAX
+    # precedent): the distributed loop pays ~2 scheduled jobs per power
+    # iteration (dangling collect + the next round's first action) plus
+    # node-count/degree jobs — ~0.3-0.5 s of fixed scheduling latency each
+    # even on a 21-node domain graph. When the DISTINCT edge set is
+    # bounded (≤ _PR_COLLECT_MAX rows of two short strings — a model-sized
+    # collect), ONE probe/materialize job + one cached collect computes
+    # the identical trajectory on the driver: same per-round HALF_UP
+    # 6-digit rounding (Catalyst's BigDecimal.valueOf semantics —
+    # _round_half_up6), exact fsum for the two order-sensitive sums (the
+    # 6-digit round absorbs summation-order ulps, the same tolerance
+    # argument the unrolled-CTE DuckDB oracle already relies on).
+    # Bit-identical outputs are pinned by the committed differential in
+    # tests/test_pagerank_reference_vectors.py; graphs above the bound
+    # take the unchanged distributed loop, as does ``checkpoint=False``
+    # (the documented keep-the-lazy-lineage mode — plan inspection and
+    # the differential's distributed side both need the real loop). The
+    # count materializes the persisted edge cache the distributed loop
+    # would need anyway.
+    if checkpoint and e.count() <= _PR_COLLECT_MAX:
+        out = _pagerank_driver(
+            edges.sparkSession, e.collect(), damping, iters
+        )
+        e.unpersist()
+        return out
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -388,6 +434,46 @@ def pagerank(
         e.unpersist()
         nodes.unpersist()
     return out
+
+
+def _pagerank_driver(spark, edge_rows, damping: float, iters: int) -> DataFrame:
+    """Driver-side twin of the distributed pagerank loop for bounded
+    graphs: identical formula, identical per-round HALF_UP rounding,
+    exact (fsum) summation where the distributed plan's float-sum order
+    is arbitrary. ``edge_rows`` are the collected DISTINCT non-NULL
+    (src, dst) string rows."""
+    import math
+
+    schema = "node string, rank double, out_deg bigint, in_deg bigint"
+    edges = [(r[0], r[1]) for r in edge_rows]
+    if not edges:
+        return spark.createDataFrame([], schema)
+    out_deg: dict = {}
+    in_deg: dict = {}
+    for s, d in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+        in_deg[d] = in_deg.get(d, 0) + 1
+    nodes = set(out_deg) | set(in_deg)
+    n = len(nodes)
+    base = (1.0 - damping) / n
+    rank = dict.fromkeys(nodes, _round_half_up6(1.0 / n))
+    for _ in range(iters):
+        dangling = math.fsum(rank[v] for v in nodes if v not in out_deg)
+        dang_per = dangling / n
+        inflow: dict = {}
+        for s, d in edges:
+            inflow.setdefault(d, []).append(rank[s] / out_deg[s])
+        rank = {
+            v: _round_half_up6(
+                base
+                + damping * (math.fsum(inflow.get(v, ())) + dang_per)
+            )
+            for v in nodes
+        }
+    rows = [
+        (v, rank[v], out_deg.get(v, 0), in_deg.get(v, 0)) for v in sorted(nodes)
+    ]
+    return spark.createDataFrame(rows, schema)
 
 
 def pagerank_sql(

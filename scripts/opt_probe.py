@@ -1,11 +1,11 @@
-"""Round-12 optimization probe: time individual registry queries in
+"""Optimization probe (round 12/13): time individual registry queries in
 isolation (noop sink, min-of-N, clearCache between runs — the bench.py
 methodology) and dump their ``explain("formatted")`` plans.
 
 Usage:
     python scripts/opt_probe.py q1 q2 ...            # time queries
     python scripts/opt_probe.py --plans q1 q2 ...    # also dump plans
-    python scripts/opt_probe.py --suffix after ...   # plans/r12/<q>_after.txt
+    python scripts/opt_probe.py --suffix after ...   # plans/<round>/<q>_after.txt
 
 Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_PROBE_RUNS (default 3).
 Prints one JSON line per query so A/B numbers are grep-able.
@@ -25,7 +25,7 @@ from kinesis_data_counter_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PLANS_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_PLANS_ROUND", "r13")
 )
 
 

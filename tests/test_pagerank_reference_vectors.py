@@ -155,6 +155,73 @@ def test_matrix_differential_on_random_graphs(spark):
             assert abs(got[v] - ref[v]) <= 1.5e-6, (trial, v, got[v], ref[v])
 
 
+# ---------------------------------------------------------------------------
+# 3. bounded-graph driver fast path (round 13): bit-identical to the loop
+# ---------------------------------------------------------------------------
+
+
+def test_round_half_up6_matches_spark_round(spark):
+    # the fast path's _round_half_up6 must reproduce Catalyst's
+    # round(DOUBLE, 6) — BigDecimal.valueOf (shortest repr) + HALF_UP —
+    # including the exact .5 boundaries where Python's round()/numpy
+    # (half-even) diverge: 0.0000025 -> 0.000003 under HALF_UP, 0.000002
+    # under half-even.
+    from pyspark.sql import functions as F
+
+    from kinesis_data_counter_spark.operators.web import _round_half_up6
+
+    values = [
+        0.0000025, 0.0000035, 0.0000005, 0.1234565, 0.1234575,
+        0.3333335, 1.0 / 3.0, 2.0 / 3.0, 0.1 + 0.2, 1e-7, 9.9999995,
+        0.47222191666, 0.305555416, 123.4567894999, 0.0,
+    ]
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    got = [r["r"] for r in df.select(F.round("x", 6).alias("r")).collect()]
+    assert got == [_round_half_up6(v) for v in values]
+    # sanity: the rounding MODE discriminates at the decimal level
+    # BigDecimal.valueOf operates on (shortest-repr strings, where the
+    # ".5" midpoint is exact): HALF_UP sends 2.5e-6 up, half-even down —
+    # so a half-even implementation of the fast path would diverge
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    q = Decimal("0.000001")
+    assert float(Decimal("2.5e-6").quantize(q, rounding=ROUND_HALF_EVEN)) == 2e-6
+    assert _round_half_up6(0.0000025) == 3e-6
+
+
+def test_driver_fast_path_matches_distributed_loop(spark):
+    # checkpoint=True (default) takes the bounded-collect driver fast
+    # path; checkpoint=False keeps the distributed loop. Full rows —
+    # node, rank, out_deg, in_deg — must be BIT-identical across graphs
+    # exercising dangling nodes, duplicate edges, self-loops, NULL
+    # endpoints, cycles, the empty graph, and seeded random topologies.
+    rng = random.Random(20260818)
+    cases = [
+        (GRAPH_B_EDGES, 0.5, 2),
+        (GRAPH_C_EDGES, 0.5, 1),
+        (GRAPH_D_EDGES, 0.85, 4),
+        ([("A", "A"), ("A", "B"), (None, "C"), ("C", None)], 0.85, 3),
+        ([], 0.85, 3),
+    ]
+    for _ in range(4):
+        n = rng.randint(3, 14)
+        cases.append(
+            (_random_graph(rng, n, rng.randint(n, 3 * n)), 0.85, 3)
+        )
+    for edges, d, iters in cases:
+        df = spark.createDataFrame(edges, "src string, dst string")
+        fast = sorted(
+            map(tuple, pagerank(df, damping=d, iters=iters).collect())
+        )
+        dist = sorted(
+            map(
+                tuple,
+                pagerank(df, damping=d, iters=iters, checkpoint=False).collect(),
+            )
+        )
+        assert fast == dist, (edges, d, iters)
+
+
 def test_falsifier_no_dangling_redistribution_differs():
     # every hand-pinned graph with a dangling node must expose the defect
     for edges, d, iters, expect in [
